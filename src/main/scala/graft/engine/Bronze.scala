@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Bronze layer — thin cast-only ingestion (SURVEY.md §2.2 P1).
+  *
+  * One generic function replaces all four bronze models
+  * (models/bronze/{customers,policies,claims,premiums}_bronze.sql): each
+  * is a pure projection of `CAST(col AS type) AS col` onto the declared
+  * schema. Missing input columns (e.g. `_rescued_data` when reading clean
+  * fixtures) become typed NULLs, mirroring Auto Loader's rescue column
+  * being NULL for schema-conformant rows.
+  *
+  * Scale: a cast-projection keeps whole-stage codegen and lets Parquet
+  * column pruning see exactly the declared columns — no shuffle, no UDF.
+  */
+object Bronze {
+  def castProjection(raw: DataFrame, target: StructType): DataFrame = {
+    val have = raw.columns.toSet
+    raw.select(target.fields.toSeq.map { f =>
+      val c = if (have.contains(f.name)) col(f.name) else lit(null)
+      c.cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  def customers(raw: DataFrame): DataFrame = castProjection(raw, Schemas.customers)
+  def policies(raw: DataFrame): DataFrame = castProjection(raw, Schemas.policies)
+  def claims(raw: DataFrame): DataFrame = castProjection(raw, Schemas.claims)
+  def premiums(raw: DataFrame): DataFrame = castProjection(raw, Schemas.premiums)
+}
