@@ -12,30 +12,51 @@ import org.apache.spark.sql.types._
   * Determinism rules (both engines must produce bit-identical values):
   *  - sums of DOUBLE go through DECIMAL(18,4): exact, order-independent,
   *    then cast back to DOUBLE (exact decimal→double is deterministic);
-  *  - averages are built as decimal-sum / count (double division of
-  *    identical operands is IEEE-deterministic);
+  *    all money columns in the testdata sit on a 2-decimal grid, products
+  *    of two of them on a 4-decimal grid, so the cast never lands on a
+  *    rounding midpoint (where Spark HALF_UP and DuckDB would disagree);
+  *  - averages are built as sum / count (double division of identical
+  *    operands is IEEE-deterministic) — never the engines' own AVG;
+  *  - integer sums are CAST(... AS BIGINT) in the oracle (DuckDB widens to
+  *    HUGEINT, Spark to LONG);
   *  - every aggregate/computed column is aliased identically in the Spark
-  *    plan and the oracle SQL (driver hashes by column name).
+  *    plan and the oracle SQL (the driver hashes by column name);
+  *  - window orderings always include a unique tie-break column.
   */
 object RelationalOps {
   import Tables._
 
-  /** SUM(CAST(x AS DECIMAL(18,4))) cast back to double — order-independent
-    * exact sum, identical in Spark and DuckDB. Scale 4 (not 2) so that
-    * products of two 2-decimal values land exactly on the decimal grid and
-    * the cast never sits on a rounding midpoint (where Spark's HALF_UP and
-    * DuckDB's rounding would disagree). */
+  /** Order-independent exact sum of a 2/4-decimal double, as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
-  /** Deterministic average: exact decimal sum / count. */
-  def davg(c: Column): Column =
-    (sum(c.cast(DecimalType(18, 4))).cast(DoubleType) / count(c))
+  /** Deterministic average of a decimal-grid double. */
+  def davg(c: Column): Column = dsum(c) / count(c)
 
-  // ---------------------------------------------------------------- §2.4 A1-A5
-  /** Pricing-summary style aggregation (A1 count, A3 sum, A4 avg, A8 multi-key
-    * group). Partial aggregation (map-side combine) is automatic via
-    * HashAggregateExec partial/final. */
-  def q01Agg(s: SparkSession, d: String): DataFrame =
+  /** Deterministic average of an integral column. */
+  def iavg(c: Column): Column = sum(c).cast(DoubleType) / count(c)
+
+  // oracle-side spellings of the helpers above
+  private def oDsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  private def oDavg(e: String) = s"${oDsum(e)} / COUNT($e)"
+  private def oIavg(e: String) = s"CAST(SUM($e) AS DOUBLE) / COUNT($e)"
+
+  private type Q = (SparkSession, String) => DataFrame
+  private val reg = scala.collection.mutable.LinkedHashMap[String, (Q, Option[String])]()
+  private def register(name: String, sql: String)(q: Q): Unit =
+    reg(name) = (q, Some(sql))
+
+  // ============================================================ §2.4 A1-A5,A8
+  register("q01_agg",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${oDsum("l_quantity")} AS sum_qty,
+       |  ${oDsum("l_extendedprice")} AS sum_base_price,
+       |  ${oDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${oDavg("l_quantity")} AS avg_qty,
+       |  ${oDavg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -46,25 +67,396 @@ object RelationalOps {
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
+  }
 
-  val q01Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
-      |  COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  // ============================================================ §2.2 P1/P2
+  // bronze-style typed projection: CAST per column + rename (the whole
+  // bronze layer, models/bronze/*.sql)
+  register("q02_cast_projection",
+    """SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+      |  CAST(l_partkey AS INTEGER) AS part_id,
+      |  CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS extended_price,
+      |  CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey").cast(StringType).as("order_id"),
+        col("l_partkey").cast(IntegerType).as("part_id"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("extended_price"),
+        col("l_shipdate").cast(DateType).as("ship_date"))
+  }
 
-  /** All queries + oracles owned by this module. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg" -> (q01Agg _)
-  )
+  // ============================================================ §2.2 P3-P8
+  // predicate battery: null checks, ranges, BETWEEN, IN-list, regex
+  register("q03_predicates",
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE c_acctbal IS NOT NULL
+      |  AND c_acctbal BETWEEN 100 AND 9000
+      |  AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      |  AND regexp_matches(c_name, '[0-9]{3}$')
+      |  AND NOT (c_acctbal < 0)""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .filter(col("c_acctbal").isNotNull &&
+        col("c_acctbal").between(100, 9000) &&
+        col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE") &&
+        col("c_name").rlike("[0-9]{3}$") &&
+        !(col("c_acctbal") < 0))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+  }
 
-  def oracles: Map[String, String] = Map(
-    "q01_agg" -> q01Sql
-  )
+  // ============================================================ §2.5 W1 + P4
+  // latest-record dedup: the silver-layer signature operation
+  // (models/silver/customers_silver.sql:56-62,91) on events-per-user
+  register("q04_window_dedup",
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS row_num
+      |  FROM events) WHERE row_num = 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("row_num", row_number().over(w))
+      .filter(col("row_num") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+  }
+
+  // ============================================================ §2.3 J1
+  // inner equi-join + aggregation; dimension side broadcast
+  register("q05_join_inner",
+    s"""SELECT n_name AS nation, r_name AS region,
+       |  COUNT(*) AS customer_count,
+       |  ${oDsum("c_acctbal")} AS total_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY n_name, r_name""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+      .agg(count(lit(1)).as("customer_count"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .withColumnRenamed("n_name", "nation")
+  }
+
+  // ============================================================ §2.3 J2 + A2
+  // pre-aggregate-then-left-join: the gold_customer_360 shape
+  // (models/gold/gold_customer_360.sql:147-149) on customer/orders
+  register("q06_join_left_agg",
+    s"""WITH order_metrics AS (
+       |  SELECT o_custkey,
+       |    COUNT(DISTINCT o_orderkey) AS total_orders,
+       |    ${oDsum("o_totalprice")} AS total_spend,
+       |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT c_custkey, c_name,
+       |  COALESCE(total_orders, 0) AS total_orders,
+       |  COALESCE(total_spend, 0) AS total_spend,
+       |  COALESCE(finished_orders, 0) AS finished_orders
+       |FROM customer LEFT JOIN order_metrics ON c_custkey = o_custkey""".stripMargin) { (s, d) =>
+    val om = orders(s, d).groupBy(col("o_custkey"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("total_orders"),
+        dsum(col("o_totalprice")).as("total_spend"),
+        count(when(col("o_orderstatus") === "F", 1)).as("finished_orders"))
+    customer(s, d)
+      .join(om, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("total_orders"), lit(0)).as("total_orders"),
+        coalesce(col("total_spend"), lit(0)).as("total_spend"),
+        coalesce(col("finished_orders"), lit(0)).as("finished_orders"))
+  }
+
+  // ============================================================ §2.3 J3
+  // composite-key left join of two aggregates: gold_policy_performance
+  // shape (models/gold/gold_policy_performance.sql:124-126)
+  register("q07_join_composite",
+    s"""WITH order_base AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       |    COUNT(*) AS order_count,
+       |    ${oDsum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1, 2),
+       |line_base AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS shipped_qty
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2)
+       |SELECT ob.priority, ob.order_month, ob.order_count, ob.revenue,
+       |  COALESCE(lb.shipped_qty, 0) AS shipped_qty
+       |FROM order_base ob
+       |LEFT JOIN line_base lb
+       |  ON ob.priority = lb.priority AND ob.order_month = lb.ship_month""".stripMargin) { (s, d) =>
+    val ob = orders(s, d).groupBy(
+        col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
+    val lb = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("month", col("l_shipdate")).cast(DateType).as("ship_month"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("shipped_qty"))
+    ob.alias("ob").join(lb.alias("lb"),
+        col("ob.priority") === col("lb.priority") &&
+          col("ob.order_month") === col("lb.ship_month"), "left")
+      .select(col("ob.priority").as("priority"),
+        col("ob.order_month").as("order_month"),
+        col("ob.order_count").as("order_count"),
+        col("ob.revenue").as("revenue"),
+        coalesce(col("lb.shipped_qty"), lit(0)).as("shipped_qty"))
+  }
+
+  // ============================================================ §2.3 J4
+  // full-outer join + key coalesce of two monthly series:
+  // gold_executive_summary shape (models/gold/gold_executive_summary.sql:88)
+  register("q08_join_fullouter",
+    s"""WITH monthly_orders AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+       |    COUNT(*) AS order_count, ${oDsum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1),
+       |monthly_events AS (
+       |  SELECT CAST(date_trunc('month', ts) AS DATE) AS period,
+       |    COUNT(*) AS event_count, ${oDsum("value")} AS event_value
+       |  FROM events GROUP BY 1)
+       |SELECT COALESCE(mo.period, me.period) AS period,
+       |  COALESCE(order_count, 0) AS order_count,
+       |  COALESCE(revenue, 0) AS revenue,
+       |  COALESCE(event_count, 0) AS event_count,
+       |  COALESCE(event_value, 0) AS event_value,
+       |  CASE WHEN COALESCE(order_count, 0) > 0
+       |       THEN COALESCE(event_value, 0) / order_count ELSE 0 END AS value_per_order
+       |FROM monthly_orders mo FULL OUTER JOIN monthly_events me
+       |  ON mo.period = me.period""".stripMargin) { (s, d) =>
+    val mo = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("period"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
+    val me = events(s, d)
+      .groupBy(date_trunc("month", col("ts")).cast(DateType).as("period"))
+      .agg(count(lit(1)).as("event_count"), dsum(col("value")).as("event_value"))
+    mo.join(me, Seq("period"), "full_outer")
+      .select(col("period"),
+        coalesce(col("order_count"), lit(0)).as("order_count"),
+        coalesce(col("revenue"), lit(0)).as("revenue"),
+        coalesce(col("event_count"), lit(0)).as("event_count"),
+        coalesce(col("event_value"), lit(0)).as("event_value"),
+        when(coalesce(col("order_count"), lit(0)) > 0,
+          coalesce(col("event_value"), lit(0)) / col("order_count"))
+          .otherwise(0).as("value_per_order"))
+  }
+
+  // ============================================================ §2.1 S4 + J5
+  // audit-log row: two scalar COUNT(*) subqueries 1×1 cross-joined
+  // (models/bronze/customers_bronze.sql:15-17)
+  register("q09_audit_counts",
+    """SELECT 'orders' AS dataset, 'bronze' AS layer,
+      |  src.source_count, tgt.target_count, CAST(0 AS BIGINT) AS bad_records
+      |FROM (SELECT COUNT(*) AS source_count FROM orders) src,
+      |     (SELECT COUNT(*) AS target_count FROM orders WHERE o_orderkey IS NOT NULL) tgt""".stripMargin) { (s, d) =>
+    val src = orders(s, d).agg(count(lit(1)).as("source_count"))
+    val tgt = orders(s, d).filter(col("o_orderkey").isNotNull)
+      .agg(count(lit(1)).as("target_count"))
+    src.crossJoin(tgt)
+      .select(lit("orders").as("dataset"), lit("bronze").as("layer"),
+        col("source_count"), col("target_count"),
+        lit(0L).as("bad_records"))
+  }
+
+  // ============================================================ §2.4 A2,A6,A7
+  // exact COUNT(DISTINCT), conditional count, conditional sum
+  register("q10_agg_conditional",
+    s"""SELECT o_orderpriority,
+       |  COUNT(DISTINCT o_custkey) AS unique_customers,
+       |  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS big_orders,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+       |  ${oIavg("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")} AS finished_share
+       |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d).groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("unique_customers"),
+        count(when(col("o_totalprice") > 200000, 1)).as("big_orders"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("open_orders"),
+        iavg(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("finished_share"))
+  }
+
+  // ============================================================ §2.5 W2/W4
+  // LAG(n) over partitioned monthly series (rows semantics, exactly as the
+  // reference's "YoY"/MoM lags — models/gold/gold_policy_performance.sql:110)
+  register("q11_window_lag",
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    COUNT(*) AS event_count, ${oDsum("value")} AS total_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, day, event_count, total_value,
+       |  LAG(event_count, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_day_count,
+       |  LAG(event_count, 7) OVER (PARTITION BY event_type ORDER BY day) AS prev_week_count
+       |FROM daily""".stripMargin) { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("event_count"), dsum(col("value")).as("total_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.select(col("event_type"), col("day"), col("event_count"),
+      col("total_value"),
+      lag(col("event_count"), 1).over(w).as("prev_day_count"),
+      lag(col("event_count"), 7).over(w).as("prev_week_count"))
+  }
+
+  // ============================================================ §2.5 W3 + O1
+  // global (single-partition) LAG + growth rate + presentation sort:
+  // gold_executive_summary shape (models/gold/gold_executive_summary.sql:114-146)
+  register("q12_window_lag_global",
+    s"""WITH monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+       |    COUNT(*) AS order_count, ${oDsum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1)
+       |SELECT period, order_count, revenue,
+       |  LAG(revenue, 12) OVER (ORDER BY period) AS revenue_prev_year,
+       |  CASE WHEN LAG(revenue, 12) OVER (ORDER BY period) > 0
+       |       THEN (revenue - LAG(revenue, 12) OVER (ORDER BY period))
+       |            / LAG(revenue, 12) OVER (ORDER BY period) * 100
+       |       ELSE 0 END AS revenue_growth_yoy
+       |FROM monthly ORDER BY period DESC""".stripMargin) { (s, d) =>
+    val monthly = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("period"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("period"))
+    monthly.select(col("period"), col("order_count"), col("revenue"),
+        lag(col("revenue"), 12).over(w).as("revenue_prev_year"),
+        when(lag(col("revenue"), 12).over(w) > 0,
+          (col("revenue") - lag(col("revenue"), 12).over(w))
+            / lag(col("revenue"), 12).over(w) * 100)
+          .otherwise(0).as("revenue_growth_yoy"))
+      .orderBy(col("period").desc)
+  }
+
+  // ============================================================ §2.7 string
+  // TRIM/INITCAP/LOWER/UPPER/CONCAT/RLIKE battery (silver cleaning,
+  // models/silver/customers_silver.sql:23-36). DuckDB 1.0 has no INITCAP —
+  // oracle reimplements it with list_transform over words.
+  register("q13_scalar_string",
+    """SELECT c_custkey,
+      |  array_to_string(list_transform(string_split(lower(trim(c_name)), ' '),
+      |    s -> upper(s[1]) || s[2:]), ' ') AS clean_name,
+      |  lower(trim(c_mktsegment)) AS segment_lower,
+      |  upper(trim(c_mktsegment)) AS segment_upper,
+      |  trim(c_name) || '/' || trim(c_mktsegment) AS name_segment,
+      |  CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END AS valid_name_flag
+      |FROM customer""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_custkey"),
+      initcap(lower(trim(col("c_name")))).as("clean_name"),
+      lower(trim(col("c_mktsegment"))).as("segment_lower"),
+      upper(trim(col("c_mktsegment"))).as("segment_upper"),
+      concat(trim(col("c_name")), lit("/"), trim(col("c_mktsegment"))).as("name_segment"),
+      when(col("c_name").rlike("^Customer#[0-9]+$"), 1).otherwise(0).as("valid_name_flag"))
+  }
+
+  // ============================================================ §2.7 date/time
+  // YEAR, DATEDIFF, DATE_TRUNC (naive age + day-diff semantics of
+  // models/silver/customers_silver.sql:45, policies_silver.sql:51)
+  register("q14_scalar_datetime",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS order_year,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  2026 - year(o_orderdate) AS order_age_years,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+      |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (s, d) =>
+    orders(s, d).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"),
+        (lit(2026) - year(col("o_orderdate"))).as("order_age_years"),
+        datediff(lit("1998-12-31").cast(DateType),
+          col("o_orderdate").cast(DateType)).as("days_to_eoy"))
+  }
+
+  // ============================================================ §2.7 cond/math
+  // CASE ladders, COALESCE, NULLIF, guarded division, ROUND, negative clamp
+  // (gold KPI expressions + premiums_silver clamps)
+  register("q15_scalar_conditional",
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END AS acctbal_clamped,
+      |  CASE WHEN c_acctbal > 7500 THEN 'High Value'
+      |       WHEN c_acctbal > 2500 THEN 'Medium Value'
+      |       WHEN c_acctbal > 0 THEN 'Low Value'
+      |       ELSE 'Loss Making' END AS value_segment,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_remap,
+      |  ROUND(c_acctbal / 3, 2) AS acctbal_third,
+      |  CASE WHEN c_acctbal = 0 THEN 0 ELSE ROUND(c_acctbal / 7, 3) END AS acctbal_seventh
+      |FROM customer""".stripMargin) { (s, d) =>
+    // ROUND divisors are 3 and 7 on purpose: x/3 and x/7 of a 2-decimal
+    // value never approach a rounding midpoint, so Spark's exact-BigDecimal
+    // HALF_UP and DuckDB's multiply-round-divide agree bit-for-bit.
+    customer(s, d).select(col("c_custkey"),
+      when(col("c_acctbal") < 0, 0).otherwise(col("c_acctbal")).as("acctbal_clamped"),
+      when(col("c_acctbal") > 7500, "High Value")
+        .when(col("c_acctbal") > 2500, "Medium Value")
+        .when(col("c_acctbal") > 0, "Low Value")
+        .otherwise("Loss Making").as("value_segment"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("segment_remap"),
+      round(col("c_acctbal") / 3, 2).as("acctbal_third"),
+      when(col("c_acctbal") === 0, 0)
+        .otherwise(round(col("c_acctbal") / 7, 3)).as("acctbal_seventh"))
+  }
+
+  // ============================================================ §2.4 A8
+  // wide multi-key grouping incl. expression keys (8 keys, the
+  // gold_claims_operations grain — models/gold/gold_claims_operations.sql:43-44)
+  register("q16_multikey_agg",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  year(l_shipdate) AS ship_year,
+       |  month(l_shipdate) AS ship_month,
+       |  CAST(l_quantity > 25 AS INTEGER) AS high_qty,
+       |  CAST(ROUND(l_discount * 100, 0) AS INTEGER) AS discount_pct,
+       |  l_orderkey % 4 AS order_bucket,
+       |  CAST(l_tax > 0.04 AS INTEGER) AS high_tax,
+       |  COUNT(*) AS line_count,
+       |  ${oDsum("l_extendedprice")} AS total_price
+       |FROM lineitem
+       |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin) { (s, d) =>
+    lineitem(s, d).groupBy(
+        col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"),
+        (col("l_quantity") > 25).cast(IntegerType).as("high_qty"),
+        round(col("l_discount") * 100, 0).cast(IntegerType).as("discount_pct"),
+        (col("l_orderkey") % 4).as("order_bucket"),
+        (col("l_tax") > 0.04).cast(IntegerType).as("high_tax"))
+      .agg(count(lit(1)).as("line_count"),
+        dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  // ============================================================ JSON props
+  // semi-structured extraction from the events.props JSON column
+  register("q17_json_extract",
+    """SELECT event_id, event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+      |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("prop_k"))
+  }
+
+  // ============================================================ top-k
+  // global ORDER BY + LIMIT with unique tiebreak (TakeOrderedAndProject —
+  // no full sort at scale)
+  register("q18_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  def queries: Map[String, Q] =
+    reg.map { case (k, (q, _)) => k -> q }.toMap
+
+  def oracles: Map[String, String] =
+    reg.collect { case (k, (_, Some(sql))) => k -> sql }.toMap
 }

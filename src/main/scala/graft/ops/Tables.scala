@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -19,7 +21,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
+    * spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench/tests).
+    * Convert nanos→micros with integer division (floor — same truncation
+    * DuckDB applies when reading nanos into its micros timestamps).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
