@@ -14,12 +14,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.RelationalOps.queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
+  private def modules: Seq[ops.QueryModule] = Seq(
+    ops.RelationalOps, text.TextOps, text.DedupOps, ml.SimilarityOps)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.RelationalOps.queries
+    modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.RelationalOps.oracles
+    modules.flatMap(_.oracles).toMap
 }

@@ -1,0 +1,171 @@
+package graft.ml
+
+import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Determinism across engines: all vector math is a LEFT FOLD in index
+  * order over doubles (Spark `aggregate` over `zip_with`, DuckDB
+  * `list_reduce` over `list_transform`) — float addition isn't
+  * associative, so both engines must reduce in the same order; floats are
+  * cast to double element-wise first (exact).
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set
+  * against a map-only scan of the corpus — no N×N shuffle; the ranking is
+  * a per-query top-k window. The LSH variant buckets by an 8-bit
+  * hyperplane signature so candidate generation shuffles signatures, not
+  * vectors.
+  */
+object SimilarityOps extends QueryModule {
+  import Tables.embeddings
+
+  val Dim = 64
+  val NumQueries = 10 // vec_id < 10 are the query vectors
+  val TopK = 5
+  val Planes = 8
+
+  /** Deterministic ±1 hyperplane matrix (seeded, embedded as literals in
+    * both engines). */
+  val hyperplanes: Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(Planes)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  /** Left-fold dot product of two float vectors, in double — Spark side. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+  /** DuckDB spelling of [[dot]]. */
+  def oDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, $Dim + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |      (x, y) -> x + y)""".stripMargin
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def oNorm(a: String): String = s"sqrt(${oDot(a, a)})"
+
+  /** Signed dot with a literal ±1 hyperplane — Spark side. */
+  private def planeDot(v: Column, plane: Seq[Int]): Column =
+    aggregate(zip_with(v, array(plane.map(lit): _*),
+        (x, s) => x.cast(DoubleType) * s),
+      lit(0.0), (acc, x) => acc + x)
+  private def oPlaneDot(v: String, plane: Seq[Int]): String =
+    s"""list_reduce(list_transform(range(1, $Dim + 1),
+       |      i -> CAST($v[i] AS DOUBLE) * ([${plane.mkString(",")}])[i]),
+       |      (x, y) -> x + y)""".stripMargin
+
+  /** 8-bit LSH signature from the hyperplane sign pattern. */
+  def lshSignature(v: Column): Column =
+    hyperplanes.zipWithIndex.map { case (p, i) =>
+      when(planeDot(v, p) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+  def oLshSignature(v: String): String =
+    hyperplanes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN ${oPlaneDot(v, p)} >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  // ============================================================ brute force
+  // exact cosine top-k: query set × corpus, ranked per query
+  register("q28_cosine_topk", {
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id, label, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, vec_id, label,
+       |    ${oDot("qv", "cv")} / (${oNorm("qv")} * ${oNorm("cv")}) AS cosine
+       |  FROM q JOIN c ON q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, label, cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+  }) { (s, d) =>
+    val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "vec_id", "label", "cosine")
+  }
+
+  // ============================================================ LSH ANN
+  // approximate top-k: candidates restricted to the query's LSH bucket
+  register("q29_ann_lsh", {
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${oLshSignature("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, sig
+       |      FROM sigs WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id, c.label,
+       |    ${oDot("q.qv", "c.embedding")}
+       |      / (${oNorm("q.qv")} * ${oNorm("c.embedding")}) AS cosine
+       |  FROM q JOIN sigs c ON q.sig = c.sig AND q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, label, cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+  }) { (s, d) =>
+    val sigs = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        lshSignature(col("embedding")).as("sig"))
+    val q = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("sig").as("qsig"))
+    val scored = broadcast(q).join(sigs.alias("c"),
+        col("qsig") === col("c.sig") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        col("c.label").as("label"),
+        (dot(col("qv"), col("c.embedding")) /
+          (norm(col("qv")) * norm(col("c.embedding")))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "vec_id", "label", "cosine")
+  }
+
+  // ============================================================ centroids
+  // per-label mean vector (the IVF coarse-quantizer training step):
+  // element-wise mean as an exact decimal-grid-free fold — here we sum
+  // per-dimension in double after sorting by vec_id via a two-phase
+  // exact approach: per-label count + per-dimension sum of exact floats.
+  register("q30_label_centroids", {
+    s"""WITH dims AS (
+       |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i),
+       |agg AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS centroid_val
+       |  FROM dims GROUP BY label, dim)
+       |SELECT label, dim, centroid_val FROM agg""".stripMargin
+  }) { (s, d) =>
+    // order-independent exact sum: scale by 1e6 and FLOOR to integers
+    // (floor, not cast — Spark casts truncate where DuckDB casts round),
+    // sum exactly, divide back only at the end
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        col("col").cast(DoubleType).as("x"))
+      .groupBy("label", "dim")
+      .agg(((sum(floor(col("x") * 1000000)).cast(DoubleType) / 1000000)
+        / count(lit(1))).as("centroid_val"))
+  }
+}

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   *    plan and the oracle SQL (the driver hashes by column name);
   *  - window orderings always include a unique tie-break column.
   */
-object RelationalOps {
+object RelationalOps extends QueryModule {
   import Tables._
 
   /** Order-independent exact sum of a 2/4-decimal double, as double. */
@@ -39,11 +39,6 @@ object RelationalOps {
   private def oDsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
   private def oDavg(e: String) = s"${oDsum(e)} / COUNT($e)"
   private def oIavg(e: String) = s"CAST(SUM($e) AS DOUBLE) / COUNT($e)"
-
-  private type Q = (SparkSession, String) => DataFrame
-  private val reg = scala.collection.mutable.LinkedHashMap[String, (Q, Option[String])]()
-  private def register(name: String, sql: String)(q: Q): Unit =
-    reg(name) = (q, Some(sql))
 
   // ============================================================ §2.4 A1-A5,A8
   register("q01_agg",
@@ -454,9 +449,4 @@ object RelationalOps {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
-  def queries: Map[String, Q] =
-    reg.map { case (k, (q, _)) => k -> q }.toMap
-
-  def oracles: Map[String, String] =
-    reg.collect { case (k, (_, Some(sql))) => k -> sql }.toMap
 }

@@ -1,0 +1,131 @@
+package graft.text
+
+import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * Everything here is a narrow per-row projection — no shuffle, fully
+  * inside whole-stage codegen — so it scales linearly to any corpus size.
+  *
+  * Cross-engine determinism: the only hash primitive is
+  * [[PortableHash.hash60]] (md5-hex prefix parsed as a 60-bit integer),
+  * which Spark and DuckDB compute identically; ratios are exact-integer
+  * divisions in double.
+  */
+object TextOps extends QueryModule {
+  import Tables.documents
+  import PortableHash._
+
+  /** Whitespace tokens of trimmed text — Spark side. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** DuckDB spelling of [[tokens]]. */
+  val oTokens = raw"string_split_regex(trim(text), '\s+')"
+
+  // language marker stopwords — single source of truth for both engines
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "ce"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isin(words.map(lit): _*)))
+  private def oMarkerCount(words: Seq[String]): String =
+    s"len(list_filter($oTokens, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  // ============================================================ text stats
+  // token counting + quality scoring (length/uniqueness/stopword ratios)
+  register("q20_text_stats",
+    s"""SELECT doc_id, lang, n_chars,
+       |  length(text) AS char_len,
+       |  len($oTokens) AS n_tokens,
+       |  len(list_distinct($oTokens)) AS n_unique_tokens,
+       |  CAST(len(list_distinct($oTokens)) AS DOUBLE)
+       |    / len($oTokens) AS unique_ratio,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |    / len($oTokens) AS avg_token_len,
+       |  CAST(${oMarkerCount(markers.head._2)} AS DOUBLE)
+       |    / len($oTokens) AS stopword_ratio,
+       |  CASE WHEN len($oTokens) BETWEEN 20 AND 10000
+       |        AND CAST(len(list_distinct($oTokens)) AS DOUBLE) / len($oTokens) > 0.1
+       |       THEN 1 ELSE 0 END AS quality_pass
+       |FROM documents""".stripMargin) { (s, d) =>
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val uniqRatio = size(array_distinct(t)).cast(DoubleType) / nTok
+    documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      length(col("text")).as("char_len"),
+      nTok.as("n_tokens"),
+      size(array_distinct(t)).as("n_unique_tokens"),
+      uniqRatio.as("unique_ratio"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nTok)
+        .as("avg_token_len"),
+      (markerCount(t, markers.head._2).cast(DoubleType) / nTok)
+        .as("stopword_ratio"),
+      when(nTok.between(20, 10000) && uniqRatio > 0.1, 1).otherwise(0)
+        .as("quality_pass"))
+  }
+
+  // ============================================================ language ID
+  // n-gram/stopword-marker heuristic with deterministic arg-max tie-break
+  register("q21_lang_id", {
+    val scores = markers.map { case (l, ws) => s"${oMarkerCount(ws)} AS score_$l" }
+    val argmax = markers.map(_._1).foldRight("'und'") { case (l, rest) =>
+      val geAll = markers.map(_._1).filter(_ != l).map(o => s"score_$l >= score_$o")
+        .mkString(" AND ")
+      s"CASE WHEN score_$l > 0 AND $geAll THEN '$l' ELSE $rest END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents)
+       |SELECT doc_id, lang, $argmax AS detected_lang FROM scored""".stripMargin
+  }) { (s, d) =>
+    val t = tokens(col("text"))
+    val scored = documents(s, d).select(col("doc_id") +: col("lang") +:
+      markers.map { case (l, ws) => markerCount(t, ws).as(s"score_$l") }: _*)
+    val argmax = markers.map(_._1).foldRight(lit("und")) { case (l, rest) =>
+      val geAll = markers.map(_._1).filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+      when(col(s"score_$l") > 0 && geAll, l).otherwise(rest)
+    }
+    scored.select(col("doc_id"), col("lang"), argmax.as("detected_lang"))
+  }
+
+  // ============================================================ fingerprints
+  // md5 content fingerprint over whitespace-normalized text + its 60-bit
+  // integer form (the primitive every dedup/LSH op builds on)
+  register("q22_fingerprint",
+    s"""SELECT doc_id,
+       |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       |  ${oHash60(raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))")} AS fingerprint60
+       |FROM documents""".stripMargin) { (s, d) =>
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    documents(s, d).select(col("doc_id"),
+      md5(norm).as("fingerprint"),
+      hash60(norm).as("fingerprint60"))
+  }
+}
+
+/** The shared cross-engine hash: first 15 hex chars of md5 as a 60-bit
+  * non-negative integer. Spark `conv(hex,16,10)` and DuckDB
+  * `CAST('0x'||hex AS BIGINT)` agree exactly; 60 bits avoids BIGINT
+  * overflow in both.
+  */
+object PortableHash {
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def oHash60(expr: String): String =
+    s"CAST(concat('0x', substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Seeded family member: hash60 of "<seed>:<value>". */
+  def hash60Seeded(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed:"), c))
+  def oHash60Seeded(seed: Int, expr: String): String =
+    oHash60(s"concat('$seed:', $expr)")
+}
