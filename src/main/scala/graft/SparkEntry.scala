@@ -15,7 +15,8 @@ object SparkEntry {
     ops.RelationalOps.queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[ops.QueryModule] = Seq(
-    ops.RelationalOps, text.TextOps, text.DedupOps, ml.SimilarityOps)
+    ops.RelationalOps, text.TextOps, text.DedupOps, ml.SimilarityOps,
+    streaming.StreamingOps, multimodal.MultimodalOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

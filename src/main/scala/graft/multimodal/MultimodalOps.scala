@@ -1,0 +1,136 @@
+package graft.multimodal
+
+import graft.ops.{QueryModule, Tables}
+import graft.text.PortableHash
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, processed in partition-sized batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[StubCodec]]); everything around
+  * it — schema, batch iteration, partitioning, feature-column shapes — is
+  * real and is what survives contact with a real decoder at scale
+  * (decode is embarrassingly parallel; keep payloads out of shuffles and
+  * only move extracted features).
+  */
+object MultimodalOps extends QueryModule {
+  import Tables.documents
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("source", StringType),
+    StructField("byte_len", LongType)))
+
+  /** Build a media table from documents (payload = UTF-8 bytes) — the
+    * testdata has no real binary column, but the pipeline shape is
+    * identical. */
+  def mediaFromDocuments(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast(BinaryType).as("payload"),
+      col("source"),
+      octet_length(col("text")).cast(LongType).as("byte_len"))
+
+  /** Extracted-feature schema produced by the decode/feature pass. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("payload_md5", StringType)))
+
+  /** Partition-batched decode + feature extraction. Runs the (stub) codec
+    * once per record inside `mapPartitions`, so a real codec would
+    * amortize model/codec init per partition — the standard batch shape
+    * for `mapInPandas`/`mapPartitions` UDF decoding.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "kind", "payload", "byte_len").rdd
+      .mapPartitions { it =>
+        val codec = StubCodec // per-partition init point for a real codec
+        it.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val kind = r.getAs[String]("kind")
+          val payload = r.getAs[Array[Byte]]("payload")
+          val f = codec.decode(kind, payload)
+          Row(id, kind, r.getAs[Long]("byte_len"), f.width, f.height,
+            f.nFrames, f.md5)
+        }
+      }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  // ============================================================ media meta
+  // payload metadata + stub-decoded dimensions, column-expression form
+  // (oracle-able: the stub's geometry is pure hash arithmetic)
+  register("q34_media_features", {
+    val h = PortableHash.oHash60("text")
+    val h1 = PortableHash.oHash60Seeded(1, "text")
+    val h2 = PortableHash.oHash60Seeded(2, "text")
+    s"""SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio'
+       |       ELSE 'video' END AS kind,
+       |  octet_length(encode(text)) AS byte_len,
+       |  CAST(16 * (1 + $h % 120) AS INTEGER) AS width,
+       |  CAST(16 * (1 + $h1 % 68) AS INTEGER) AS height,
+       |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + $h2 % 300 ELSE 1 END AS INTEGER) AS n_frames,
+       |  md5(text) AS payload_md5
+       |FROM documents""".stripMargin
+  }) { (s, d) =>
+    val h = PortableHash.hash60(col("text"))
+    val h1 = PortableHash.hash60Seeded(1, col("text"))
+    val h2 = PortableHash.hash60Seeded(2, col("text"))
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      octet_length(col("text")).cast(LongType).as("byte_len"),
+      (lit(16) * (lit(1) + h % 120)).cast(IntegerType).as("width"),
+      (lit(16) * (lit(1) + h1 % 68)).cast(IntegerType).as("height"),
+      when(col("doc_id") % 3 === 2, lit(1) + h2 % 300).otherwise(1)
+        .cast(IntegerType).as("n_frames"),
+      md5(col("text").cast(BinaryType)).as("payload_md5"))
+  }
+}
+
+/** STUB codec — deterministic fake decode. A real deployment replaces
+  * this object with bindings to an image/audio library; the surrounding
+  * plumbing (schemas, mapPartitions batching, feature columns) is real.
+  */
+object StubCodec {
+  final case class Features(width: Int, height: Int, nFrames: Int, md5: String)
+
+  def decode(kind: String, payload: Array[Byte]): Features = {
+    // ??? <- real codec goes here; deterministic fake below mirrors the
+    // geometry derivation of MultimodalOps.q34 (hash-driven dimensions)
+    def h60(bytes: Array[Byte]): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def seeded(seed: Int): Long =
+      h60((s"$seed:" + new String(payload, "UTF-8")).getBytes("UTF-8"))
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16)
+    Features(
+      width = (16 * (1 + h % 120)).toInt,
+      height = (16 * (1 + seeded(1) % 68)).toInt,
+      nFrames = if (kind == "video") (1 + seeded(2) % 300).toInt else 1,
+      md5 = hex)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators over the `events` table.
+  *
+  * The reference itself is batch-only (SURVEY.md §2.8), so these are the
+  * "beyond the reference" stream-shaped capabilities: sessionization
+  * (gaps-and-islands), tumbling-window aggregation, and funnel-ish
+  * per-user rollups. Each is written as a batch DataFrame program with a
+  * DuckDB oracle; [[StructuredStreams]] exposes the same transforms for
+  * `readStream` sources with watermarks.
+  *
+  * Determinism: time arithmetic is integer microseconds (Spark
+  * `unix_micros` ≡ DuckDB `epoch_us`); window orderings carry the unique
+  * event_id tie-break.
+  */
+object StreamingOps extends QueryModule {
+  import Tables.events
+
+  val SessionGapMinutes = 30
+  private val gapUs = SessionGapMinutes * 60L * 1000000L
+
+  // ============================================================ sessionize
+  // classic gaps-and-islands sessionization: session starts when the gap
+  // to the previous event of the same user exceeds 30 minutes
+  register("q31_sessionize",
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > $gapUs THEN 1 ELSE 0 END AS is_new
+       |  FROM ordered),
+       |numbered AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value,
+       |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+       |FROM numbered GROUP BY user_id, session_idx""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("is_new",
+        when(gap.isNull || gap > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("session_value"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+  }
+
+  // ============================================================ tumbling win
+  // 15-minute tumbling windows per event type — the batch shape of a
+  // streaming groupBy(window(...)); bucketing is integer µs arithmetic
+  register("q32_tumbling_window",
+    """WITH bucketed AS (
+      |  SELECT event_type, value,
+      |    make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start
+      |  FROM events)
+      |SELECT event_type, window_start,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM bucketed GROUP BY event_type, window_start""".stripMargin) { (s, d) =>
+    events(s, d)
+      .withColumn("window_start",
+        timestamp_micros((unix_micros(col("ts")) / 900000000L).cast(LongType)
+          * 900000000L))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+  }
+
+  // ============================================================ user funnel
+  // per-user event-type rollup with conversion flags (stream-shaped
+  // per-key state summary)
+  register("q33_user_funnel",
+    s"""SELECT user_id,
+       |  COUNT(*) AS total_events,
+       |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+       |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+       |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       |  CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0
+       |        AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+       |       THEN 1 ELSE 0 END AS converted,
+       |  min(ts) AS first_seen, max(ts) AS last_seen
+       |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    events(s, d).groupBy("user_id").agg(
+      count(lit(1)).as("total_events"),
+      count(when(col("event_type") === "view", 1)).as("views"),
+      count(when(col("event_type") === "click", 1)).as("clicks"),
+      count(when(col("event_type") === "purchase", 1)).as("purchases"),
+      when(count(when(col("event_type") === "view", 1)) > 0 &&
+        count(when(col("event_type") === "purchase", 1)) > 0, 1)
+        .otherwise(0).as("converted"),
+      min(col("ts")).as("first_seen"),
+      max(col("ts")).as("last_seen"))
+  }
+}
+
+/** Structured Streaming wrappers: the same transforms as [[StreamingOps]],
+  * applied to an unbounded `readStream` source with event-time watermarks.
+  * Tested with MemoryStream in StreamingSpec; in production the source
+  * would be `spark.readStream.schema(...).parquet(dir)` or Kafka.
+  */
+object StructuredStreams {
+  /** Tumbling-window counts with a watermark — append-mode capable. */
+  def tumblingCounts(stream: DataFrame, watermark: String = "1 hour",
+      window: String = "15 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("event_count"))
+
+  /** Per-user running aggregates (update mode). */
+  def userRollup(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total_events"),
+        max(col("ts")).as("last_seen"))
+}

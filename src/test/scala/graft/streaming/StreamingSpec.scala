@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Exercises the Structured Streaming wrappers with a real streaming
+  * source (MemoryStream) — watermark + event-time window semantics, not
+  * just the batch shapes.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts aggregates a stream by 15-minute event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StructuredStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:01:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:20:00"), 2, "click", 2.0),
+        Ev(4, ts("2024-01-01 10:31:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("tumbling").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("event_count"))).toSet
+      assert(out === Set(
+        ("2024-01-01 10:00:00.0", "view", 2L),
+        ("2024-01-01 10:15:00.0", "click", 1L),
+        ("2024-01-01 10:30:00.0", "view", 1L)))
+    } finally query.stop()
+  }
+
+  test("userRollup keeps running per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StructuredStreams.userRollup(input.toDF())
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("complete").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Ev(2, ts("2024-01-01 11:00:00"), 7, "click", 1.0))
+      query.processAllAvailable()
+      val row = spark.table("rollup").filter(col("user_id") === 7).head()
+      assert(row.getAs[Long]("total_events") === 2L)
+      assert(row.getAs[Timestamp]("last_seen") === ts("2024-01-01 11:00:00"))
+    } finally query.stop()
+  }
+
+  test("batch sessionization splits on the 30-minute gap") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      // 40-minute gap -> new session
+      Ev(3, ts("2024-01-01 10:50:00"), 1, "view", 1.0),
+      Ev(4, ts("2024-01-01 09:00:00"), 2, "view", 1.0)).toDF()
+    events.createOrReplaceTempView("___tmp")
+    // run the same logic as q31 by pointing the query at a temp dir is
+    // overkill here; reuse the Window program inline via the public query
+    // on a written parquet copy
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sess = StreamingOps.queries("q31_sessionize")(spark, dir)
+      .orderBy("user_id", "session_idx").collect()
+    assert(sess.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("session_idx"), r.getAs[Long]("n_events"))).toSeq ===
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
