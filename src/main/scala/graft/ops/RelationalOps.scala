@@ -407,7 +407,7 @@ object RelationalOps extends QueryModule {
        |  year(l_shipdate) AS ship_year,
        |  month(l_shipdate) AS ship_month,
        |  CAST(l_quantity > 25 AS INTEGER) AS high_qty,
-       |  CAST(ROUND(l_discount * 100, 0) AS INTEGER) AS discount_pct,
+       |  CAST(FLOOR(l_discount * 100 + 0.5) AS INTEGER) AS discount_pct,
        |  l_orderkey % 4 AS order_bucket,
        |  CAST(l_tax > 0.04 AS INTEGER) AS high_tax,
        |  COUNT(*) AS line_count,
@@ -419,7 +419,7 @@ object RelationalOps extends QueryModule {
         year(col("l_shipdate")).as("ship_year"),
         month(col("l_shipdate")).as("ship_month"),
         (col("l_quantity") > 25).cast(IntegerType).as("high_qty"),
-        round(col("l_discount") * 100, 0).cast(IntegerType).as("discount_pct"),
+        floor(col("l_discount") * 100 + 0.5).cast(IntegerType).as("discount_pct"),
         (col("l_orderkey") % 4).as("order_bucket"),
         (col("l_tax") > 0.04).cast(IntegerType).as("high_tax"))
       .agg(count(lit(1)).as("line_count"),

@@ -41,11 +41,91 @@ object DedupOps extends QueryModule {
        |    range(1, greatest(len($oTokens) - 2, 0) + 1),
        |    i -> array_to_string(($oTokens)[i:i+2], ' ')))""".stripMargin
 
-  /** MinHash signature value j: min over shingles of seeded hash60. */
-  def minhash(sh: Column, j: Int): Column =
-    array_min(transform(sh, s => hash60Seeded(j, s)))
-  def oMinhash(j: Int): String =
-    s"list_min(list_transform(sh, s -> ${oHash60Seeded(j, "s")}))"
+  /** MinHash prime modulus (2^31 - 1): keeps the affine products inside
+    * int64 in both engines. */
+  val P = 2147483647L
+
+  /** Seeded affine coefficients for the hash family h_j(x) = (a_j x + b_j)
+    * mod P — one real (md5) hash per shingle, then j cheap integer
+    * derivations, instead of j md5 calls per shingle. */
+  val coeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumHashes)((1L + rnd.nextInt(Int.MaxValue - 1),
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  // Horner coefficients for combining three token hashes into one shingle
+  // hash — primes < 2^20 so every intermediate product stays < 2^51
+  private val A1 = 1000003L
+  private val A2 = 999983L
+
+  /** Shingle set as distinct int hashes — the working representation for
+    * signatures AND Jaccard verification (8-byte elements shuffle and
+    * intersect far cheaper than strings; the oracle computes identically
+    * so the negligible collision probability cancels out).
+    *
+    * Implemented as a JVM kernel (UDF), not nested array lambdas: the
+    * expensive md5 runs once per DISTINCT token via a per-row memo
+    * (corpus vocabularies are far smaller than token streams), and each
+    * 3-gram hash is a Horner combination mod P. Catalyst performs no
+    * common-subexpression elimination inside lambda bodies, so the
+    * equivalent `transform(...)` formulation re-hashes the vocabulary
+    * once per token — O(tokens × vocab) md5 calls. Map-side, no shuffle.
+    */
+  private val shingleHashKernel = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length < 3) Array.empty[Long]
+    else {
+      val memo = new java.util.HashMap[String, java.lang.Long]()
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        val w = toks(i)
+        var cached = memo.get(w)
+        if (cached == null) {
+          cached = java.lang.Long.valueOf(hash60Jvm(w) % P)
+          memo.put(w, cached)
+        }
+        th(i) = cached.longValue()
+        i += 1
+      }
+      val out = new java.util.LinkedHashSet[Long]()
+      var j = 0
+      while (j < toks.length - 2) {
+        out.add(((th(j) * A1 + th(j + 1)) % P * A2 + th(j + 2)) % P)
+        j += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator(); var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      arr
+    }
+  }
+
+  def shingleHashes(text: Column): Column = shingleHashKernel(tokens(text))
+  val oShingleHashes: String =
+    s"""list_distinct(list_transform(
+       |      range(1, greatest(len(th) - 2, 0) + 1),
+       |      i -> ((th[i] * $A1 + th[i+1]) % $P * $A2 + th[i+2]) % $P))""".stripMargin
+  /** CTE prefix producing per-position token hashes `th` for
+    * [[oShingleHashes]]: md5 once per distinct word, looked up per
+    * position. */
+  val oTokenHashCte: String =
+    s"""toks AS (SELECT doc_id, $oTokens AS t FROM documents),
+       |th_t AS (SELECT doc_id, t, list_transform(list_distinct(t),
+       |           w -> ${oHash60("w")} % $P) AS wh,
+       |         list_distinct(t) AS words FROM toks),
+       |th_t2 AS (SELECT doc_id, list_transform(t,
+       |           w -> wh[list_position(words, w)]) AS th FROM th_t)""".stripMargin
+
+  /** MinHash signature value j over hashed shingles. */
+  def minhash(shl: Column, j: Int): Column = {
+    val (a, b) = coeffs(j)
+    array_min(transform(shl, h => (lit(a) * h + lit(b)) % P))
+  }
+  def oMinhash(j: Int): String = {
+    val (a, b) = coeffs(j)
+    s"list_min(list_transform(shl, h -> ($a * h + $b) % $P))"
+  }
 
   // ============================================================ exact dedup
   // hash-groupBy on the content fingerprint: canonical doc + group size.
@@ -71,38 +151,44 @@ object DedupOps extends QueryModule {
   // ============================================================ minhash sigs
   register("q24_minhash_signatures", {
     val sigs = (0 until NumHashes).map(j => s"${oMinhash(j)} AS sig_$j")
-    s"""WITH sh AS (SELECT doc_id, $oShingles AS sh FROM documents)
+    s"""WITH $oTokenHashCte,
+       |sh AS (SELECT doc_id, $oShingleHashes AS shl FROM th_t2)
        |SELECT doc_id, ${sigs.mkString(", ")} FROM sh""".stripMargin
   }) { (s, d) =>
     val withSh = documents(s, d).select(col("doc_id"),
-      shingles(col("text")).as("sh"))
+      shingleHashes(col("text")).as("shl"))
     withSh.select(col("doc_id") +:
-      (0 until NumHashes).map(j => minhash(col("sh"), j).as(s"sig_$j")): _*)
+      (0 until NumHashes).map(j => minhash(col("shl"), j).as(s"sig_$j")): _*)
   }
 
   /** Shared candidate-pair pipeline: signature → bands → bucket join →
     * distinct pairs → exact Jaccard verify. Returns (doc_a, doc_b, jaccard).
     */
   def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = documents(s, d).select(col("doc_id"),
+      shingleHashes(col("text")).as("sh"))
     val rowsPerBand = NumHashes / Bands
-    val sigs = docs.select(col("doc_id"), col("sh"),
+    // candidate generation shuffles ONLY (doc_id, band, band_key) — at
+    // corpus scale the shingle sets never enter this join
+    val banded = docs.select(col("doc_id"),
       array((0 until NumHashes).map(j => minhash(col("sh"), j)): _*).as("sig"))
-    // one row per (doc, band); band key = the band's slice of the signature
-    val banded = sigs.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val jaccard = size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
-      size(array_union(col("a.sh"), col("b.sh")))
-    a.join(b, col("a.band") === col("b.band") &&
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"), col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard.as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verify: fetch the two shingle sets per surviving pair only
+    val jaccard = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+      size(array_union(col("sa"), col("sb")))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
@@ -110,18 +196,23 @@ object DedupOps extends QueryModule {
   register("q25_lsh_near_duplicates", {
     val rowsPerBand = NumHashes / Bands
     val sigList = (0 until NumHashes).map(oMinhash).mkString(", ")
-    s"""WITH sh AS (SELECT doc_id, $oShingles AS sh FROM documents),
-       |sigs AS (SELECT doc_id, sh, [$sigList] AS sig FROM sh),
+    s"""WITH $oTokenHashCte,
+       |sh AS (SELECT doc_id, $oShingleHashes AS shl FROM th_t2),
+       |sigs AS (SELECT doc_id, [$sigList] AS sig FROM sh),
        |banded AS (
-       |  SELECT doc_id, sh, b.band, sig[b.band * $rowsPerBand + 1 : b.band * $rowsPerBand + $rowsPerBand] AS band_key
+       |  SELECT doc_id, b.band, sig[b.band * $rowsPerBand + 1 : b.band * $rowsPerBand + $rowsPerBand] AS band_key
        |  FROM sigs, (SELECT unnest(range(0, $Bands)) AS band) b),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $JaccardThreshold""".stripMargin
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.shl, sb.shl))) AS jaccard
+       |  FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
+       |             JOIN sh sb ON pairs.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= $JaccardThreshold""".stripMargin
   })(lshPairs _)
 
   // ============================================================ simhash
@@ -153,12 +244,14 @@ object DedupOps extends QueryModule {
   // pairwise trigram Jaccard on a deterministic candidate set (adjacent
   // doc ids) — the verify primitive of the LSH pipeline, isolated.
   register("q27_ngram_jaccard",
-    s"""WITH sh AS (SELECT doc_id, $oShingles AS sh FROM documents)
+    s"""WITH $oTokenHashCte,
+       |sh AS (SELECT doc_id, $oShingleHashes AS shl FROM th_t2)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shl, b.shl))) AS jaccard
        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin) { (s, d) =>
-    val sh = documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sh = documents(s, d).select(col("doc_id"),
+      shingleHashes(col("text")).as("sh"))
     val a = sh.alias("a")
     val b = sh.alias("b")
     a.join(b, col("b.doc_id") === col("a.doc_id") + 1)

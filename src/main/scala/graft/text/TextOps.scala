@@ -120,6 +120,19 @@ object TextOps extends QueryModule {
 object PortableHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** JVM-side twin of [[hash60]] for kernels that run outside Catalyst
+    * (identical value for identical input). */
+  def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = 7.5 bytes; fold the top 8 bytes and drop the
+    // low nibble of the 8th
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
   def oHash60(expr: String): String =
     s"CAST(concat('0x', substring(md5($expr), 1, 15)) AS BIGINT)"
 
