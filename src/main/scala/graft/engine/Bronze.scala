@@ -19,8 +19,20 @@ import org.apache.spark.sql.types.StructType
 object Bronze {
   def castProjection(raw: DataFrame, target: StructType): DataFrame = {
     val have = raw.columns.toSet
+    // S5 file-metadata capture: when the upstream didn't materialize
+    // source_file_path/time columns (Auto Loader would have), recover them
+    // from Spark's hidden _metadata struct for file-based sources
+    // (models/bronze/customers_bronze.sql:40-41)
+    val hasFileMetadata =
+      scala.util.Try(raw.select(col("_metadata.file_path"))).isSuccess
     raw.select(target.fields.toSeq.map { f =>
-      val c = if (have.contains(f.name)) col(f.name) else lit(null)
+      val c =
+        if (have.contains(f.name)) col(f.name)
+        else if (f.name == "source_file_path" && hasFileMetadata)
+          col("_metadata.file_path")
+        else if (f.name == "source_file_time" && hasFileMetadata)
+          col("_metadata.file_modification_time")
+        else lit(null)
       c.cast(f.dataType).as(f.name)
     }: _*)
   }

@@ -437,6 +437,17 @@ object RelationalOps extends QueryModule {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("prop_k"))
   }
 
+  // ============================================================ §2.1 S5
+  // file-metadata capture (_metadata.file_path): rows-only check — the
+  // oracle SQL is static and cannot parameterize the sf directory path
+  registerNoOracle("q19_file_metadata") { (s, d) =>
+    lineitem(s, d)
+      .select(col("_metadata.file_path").as("source_file_path"),
+        col("l_orderkey"))
+      .groupBy("source_file_path")
+      .agg(count(lit(1)).as("row_count"))
+  }
+
   // ============================================================ top-k
   // global ORDER BY + LIMIT with unique tiebreak (TakeOrderedAndProject —
   // no full sort at scale)
