@@ -1,0 +1,37 @@
+package graft.catalyst
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.GraftColumnBridge
+
+/** Session extensions registering graft's native expressions so SQL users
+  * can call them (`SELECT shingle_hashes(split(text, ' ')) ...`).
+  *
+  * Install with `.config("spark.sql.extensions",
+  * "graft.catalyst.GraftExtensions")`, or call
+  * [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
+}
+
+object GraftFunctions {
+  private[catalyst] val shingleHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hashes"),
+    (args: Seq[Expression]) => ShingleHash(args.head))
+
+  /** Idempotently register graft functions on a live session (for
+    * sessions built without the extensions config). */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = shingleHashesDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  /** Column-API form of [[ShingleHash]]. */
+  def shingleHashes(tokens: Column): Column =
+    GraftColumnBridge.column(ShingleHash(GraftColumnBridge.expression(tokens)))
+}

@@ -64,44 +64,16 @@ object DedupOps extends QueryModule {
     * intersect far cheaper than strings; the oracle computes identically
     * so the negligible collision probability cancels out).
     *
-    * Implemented as a JVM kernel (UDF), not nested array lambdas: the
-    * expensive md5 runs once per DISTINCT token via a per-row memo
-    * (corpus vocabularies are far smaller than token streams), and each
-    * 3-gram hash is a Horner combination mod P. Catalyst performs no
-    * common-subexpression elimination inside lambda bodies, so the
-    * equivalent `transform(...)` formulation re-hashes the vocabulary
-    * once per token — O(tokens × vocab) md5 calls. Map-side, no shuffle.
+    * Implemented as the native Catalyst expression
+    * [[graft.catalyst.ShingleHash]] (codegen-integrated, no encoder
+    * round-trip): the expensive md5 runs once per DISTINCT token via a
+    * per-row memo, each 3-gram hash is a Horner combination mod P. The
+    * equivalent nested `transform(...)` lambdas would re-hash the
+    * vocabulary once per token — Catalyst performs no CSE inside lambda
+    * bodies. Map-side, no shuffle.
     */
-  private val shingleHashKernel = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.length < 3) Array.empty[Long]
-    else {
-      val memo = new java.util.HashMap[String, java.lang.Long]()
-      val th = new Array[Long](toks.length)
-      var i = 0
-      while (i < toks.length) {
-        val w = toks(i)
-        var cached = memo.get(w)
-        if (cached == null) {
-          cached = java.lang.Long.valueOf(hash60Jvm(w) % P)
-          memo.put(w, cached)
-        }
-        th(i) = cached.longValue()
-        i += 1
-      }
-      val out = new java.util.LinkedHashSet[Long]()
-      var j = 0
-      while (j < toks.length - 2) {
-        out.add(((th(j) * A1 + th(j + 1)) % P * A2 + th(j + 2)) % P)
-        j += 1
-      }
-      val arr = new Array[Long](out.size)
-      val it = out.iterator(); var k = 0
-      while (it.hasNext) { arr(k) = it.next(); k += 1 }
-      arr
-    }
-  }
-
-  def shingleHashes(text: Column): Column = shingleHashKernel(tokens(text))
+  def shingleHashes(text: Column): Column =
+    graft.catalyst.GraftFunctions.shingleHashes(tokens(text))
   val oShingleHashes: String =
     s"""list_distinct(list_transform(
        |      range(1, greatest(len(th) - 2, 0) + 1),
