@@ -25,12 +25,18 @@ object Tables {
     * spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench/tests).
     * Convert nanos→micros with integer division (floor — same truncation
     * DuckDB applies when reading nanos into its micros timestamps).
+    * Micros-NTZ inputs (e.g. re-exported parquet) normalize to TIMESTAMP
+    * (session TZ is UTC, so the instant is unchanged).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

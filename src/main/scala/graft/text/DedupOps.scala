@@ -27,6 +27,7 @@ object DedupOps extends QueryModule {
   val Bands = 4          // LSH bands (rows per band = NumHashes / Bands)
   val JaccardThreshold = 0.8
   val SimHashBits = 16
+  val MaxBucketSize = 64 // LSH skew guard: drop hotter buckets (see lshPairs)
 
   /** Distinct word 3-grams ("shingles") of a document — Spark side. */
   def shingles(text: Column): Column = {
@@ -148,8 +149,20 @@ object DedupOps extends QueryModule {
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val pairs = banded.alias("a")
-      .join(banded.alias("b"), col("a.band") === col("b.band") &&
+    // skew guard: a bucket of n docs yields n(n-1)/2 candidates, so one
+    // hot bucket (boilerplate/duplicate-heavy corpora) goes quadratic.
+    // Buckets past the cap are dropped here — exact dedup (q23) is the
+    // intended earlier pass for mass duplicates.
+    val capped = banded.alias("bd")
+      .join(banded.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= MaxBucketSize)
+        .select(col("band").as("cband"), col("band_key").as("cband_key")),
+        col("bd.band") === col("cband") && col("bd.band_key") === col("cband_key"))
+      .select(col("bd.doc_id").as("doc_id"), col("bd.band").as("band"),
+        col("bd.band_key").as("band_key"))
+    val pairs = capped.alias("a")
+      .join(capped.alias("b"), col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -174,9 +187,14 @@ object DedupOps extends QueryModule {
        |banded AS (
        |  SELECT doc_id, b.band, sig[b.band * $rowsPerBand + 1 : b.band * $rowsPerBand + $rowsPerBand] AS band_key
        |  FROM sigs, (SELECT unnest(range(0, $Bands)) AS band) b),
+       |capped AS (
+       |  SELECT bd.* FROM banded bd
+       |  JOIN (SELECT band, band_key FROM banded GROUP BY band, band_key
+       |        HAVING COUNT(*) <= $MaxBucketSize) ok
+       |    ON bd.band = ok.band AND bd.band_key = ok.band_key),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |verified AS (
        |  SELECT doc_a, doc_b,
