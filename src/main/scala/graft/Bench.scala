@@ -24,10 +24,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one tiny warmup action so JVM/codegen/parquet-footer init isn't
-    // charged to the first query
+    // warmup: exercise the parquet reader, codegen, and the decimal
+    // aggregation path once so JIT/init isn't charged to the first query
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("sum(cast(r_regionkey as decimal(18,4))) as s")
+      .write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -460,4 +460,80 @@ object RelationalOps extends QueryModule {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  // ============================================================ analytical
+  // multi-join analytical queries (TPC-H Q3/Q5/Q10 shapes): selective
+  // dimension filters + 3-6 way joins + aggregate + top-k. These are the
+  // plans where join order, broadcast choice, and partial aggregation
+  // decide 100 TB viability.
+  register("q35_shipping_priority",
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${oDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1995-03-15'
+       |  AND l_shipdate > TIMESTAMP '1995-03-15'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin) { (s, d) =>
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d).filter(
+        col("o_orderdate") < lit("1995-03-15").cast(TimestampType)),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(
+        col("l_shipdate") > lit("1995-03-15").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  register("q36_local_supplier_volume",
+    s"""SELECT n_name AS nation,
+       |  ${oDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM region
+       |JOIN nation ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name""".stripMargin) { (s, d) =>
+    broadcast(region(s, d).filter(col("r_name") === "ASIA"))
+      .join(broadcast(nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d), col("s_suppkey") === col("l_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  register("q37_returned_items",
+    s"""SELECT c_custkey, c_name, n_name AS nation,
+       |  ${oDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS return_lines
+       |FROM customer
+       |JOIN nation ON n_nationkey = c_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("return_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
 }
