@@ -25,11 +25,17 @@ trait Sink {
 }
 
 object Sink {
-  /** Parquet full-refresh sink: `<root>/<layer>/<name>`. */
-  final case class Parquet(root: String) extends Sink {
+  /** Parquet full-refresh sink: `<root>/<layer>/<name>`. Models listed in
+    * `partitions` are written partitioned by those columns (hive-style
+    * directories → partition pruning for downstream readers at scale). */
+  final case class Parquet(root: String,
+      partitions: Map[String, Seq[String]] = Map.empty) extends Sink {
     def write(layer: String, name: String, df: DataFrame): DataFrame = {
       val path = s"$root/$layer/$name"
-      df.write.mode("overwrite").parquet(path)
+      val writer = df.write.mode("overwrite")
+      partitions.get(name).filter(_.nonEmpty)
+        .fold(writer)(cols => writer.partitionBy(cols: _*))
+        .parquet(path)
       df.sparkSession.read.parquet(path)
     }
   }

@@ -142,4 +142,61 @@ object StructuredStreams {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("total_events"),
         max(col("ts")).as("last_seen"))
+
+  final case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Custom-state streaming sessionizer: flatMapGroupsWithState with an
+    * event-time timeout — emits a session when the 30-minute gap elapses
+    * past the watermark. The stateful analogue of the batch
+    * gaps-and-islands program (q31_sessionize).
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Ev],
+      gapMinutes: Int = StreamingOps.SessionGapMinutes)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.value))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }
+
+/** Event record for the typed streaming API. */
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)

@@ -97,6 +97,44 @@ object TextOps extends QueryModule {
     scored.select(col("doc_id"), col("lang"), argmax.as("detected_lang"))
   }
 
+  // ============================================================ tf-idf
+  // top-3 salient terms per document, idf as the exact rational N/df
+  // (no log: transcendental libm results differ across engines)
+  register("q38_tfidf_top_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * (CAST(n_docs AS DOUBLE) / df) AS score
+      |  FROM tf JOIN dft USING (term), n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |            ORDER BY score DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, score
+      |FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast(DoubleType) / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
   // ============================================================ fingerprints
   // md5 content fingerprint over whitespace-normalized text + its 60-bit
   // integer form (the primitive every dedup/LSH op builds on)

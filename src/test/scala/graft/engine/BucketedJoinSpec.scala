@@ -21,6 +21,19 @@ class BucketedJoinSpec extends SparkSpec {
 
     spark.sql("DROP TABLE IF EXISTS policies_bkt")
     spark.sql("DROP TABLE IF EXISTS claims_bkt")
+    // the in-memory catalog forgets tables between JVM runs but leaves
+    // their directories behind — clear them or CTAS refuses the location
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("policies_bkt", "claims_bkt").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     policies.write.bucketBy(8, "policy_id").sortBy("policy_id")
       .mode("overwrite").saveAsTable("policies_bkt")
     claims.write.bucketBy(8, "policy_id").sortBy("policy_id")

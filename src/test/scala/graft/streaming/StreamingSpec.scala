@@ -9,9 +9,6 @@ import java.sql.Timestamp
   * source (MemoryStream) — watermark + event-time window semantics, not
   * just the batch shapes.
   */
-case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-    event_type: String, value: Double)
-
 class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
@@ -55,6 +52,31 @@ class StreamingSpec extends SparkSpec {
       val row = spark.table("rollup").filter(col("user_id") === 7).head()
       assert(row.getAs[Long]("total_events") === 2L)
       assert(row.getAs[Timestamp]("last_seen") === ts("2024-01-01 11:00:00"))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StructuredStreams.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 2.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 3.0))
+      query.processAllAvailable()
+      // next batch advances the watermark far past 10:10 + 30min
+      input.addData(Ev(3, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      // one more empty-ish batch so the timeout fires after watermark move
+      input.addData(Ev(4, ts("2024-01-01 12:30:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value")))
+      assert(out.contains((1L, 2L, 5.0)), s"got ${out.toSeq}")
     } finally query.stop()
   }
 
