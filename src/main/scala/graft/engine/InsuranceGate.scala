@@ -1,0 +1,736 @@
+package graft.engine
+
+import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Puts the reference insurance pipeline itself under the DuckDB
+  * hash-match gate: deterministic insurance-shaped raw tables are derived
+  * from the TPC-H-ish testdata (same arithmetic in Spark and in the
+  * oracle SQL, including seeded quality defects and duplicate PKs), the
+  * REAL `engine.Silver` transforms run on them, and the oracle transcribes
+  * the silver semantics in DuckDB dialect.
+  *
+  * Silver is per-row expressions + one window dedup — no floating
+  * aggregation — so results are bit-deterministic across engines.
+  * (Gold's reference-typed AVG/DECIMAL aggregates are engine semantics
+  * verified by ScalaTest goldens; the gate covers gold SHAPES through
+  * the q06-q12 analogs and the deterministic gold gate query below.)
+  *
+  * Defect seeding (primes so slices overlap): every k-th row gets an
+  * empty/null PK, invalid email, negative amount, or inverted date
+  * range; every j-th row is duplicated with a later updated_at and
+  * changed payload — exercising every silver flag and the latest-wins
+  * dedup.
+  */
+object InsuranceGate extends QueryModule {
+  import Tables.{customer, orders, lineitem}
+
+  /** Fixed clock shared by Spark and oracle (age/processed_at). */
+  val clock: Clock = Clock.Fixed(java.time.Instant.parse("2025-06-15T00:00:00Z"))
+  private val oNow = "TIMESTAMP '2025-06-15 00:00:00'"
+  private val oToday = "DATE '2025-06-15'"
+
+  /** DuckDB emulation of Spark's initcap (capitalize first letter of each
+    * space-separated word, lowercase the rest). */
+  def oInitcap(e: String): String =
+    s"array_to_string(list_transform(string_split(lower($e), ' '), s -> upper(s[1]) || s[2:]), ' ')"
+
+  // ----------------------------------------------------------------- raw
+  // raw_customers ⟵ customer (plus a duplicated slice with later updates)
+  private def rawCustomersSpark(s: SparkSession, d: String): DataFrame = {
+    def build(dup: Boolean): DataFrame = {
+      val base = customer(s, d)
+      val src = if (dup) base.filter(col("c_custkey") % 11 === 0) else base
+      val k = col("c_custkey")
+      src.select(
+        when(k % 97 === 0, lit("")).when(k % 101 === 0, lit(null))
+          .otherwise(concat(lit("C"), k)).as("customer_id"),
+        concat(lit("  "), lower(col("c_mktsegment"))).as("first_name"),
+        concat(lit(" "), col("c_name"), lit(" ")).as("last_name"),
+        when(k % 7 === 0, lit("not-an-email")).when(k % 13 === 0, lit(null))
+          .otherwise(concat(
+            regexp_replace(lower(col("c_name")), "#", "."),
+            lit(if (dup) "@dup.example.com" else "@example.com")))
+          .as("email"),
+        k.cast(StringType).as("phone"),
+        date_add(lit("1950-01-01").cast(DateType), (k % 18000).cast(IntegerType))
+          .as("date_of_birth"),
+        concat(lit("addr "), k).as("address"),
+        lit("Metropolis").as("city"),
+        when(col("c_nationkey") % 5 === 0, "CA")
+          .when(col("c_nationkey") % 5 === 1, "TX")
+          .when(col("c_nationkey") % 5 === 2, "NY")
+          .when(col("c_nationkey") % 5 === 3, "FL")
+          .otherwise("WA").as("state"),
+        (k % 100000).cast(StringType).as("zip_code"),
+        ((k % 2000000).cast(DoubleType) / 100 + 20000).as("annual_income"),
+        (lit(300) + k % 550).cast(IntegerType).as("credit_score"),
+        when(k % 3 === 0, " single ").when(k % 3 === 1, " married ")
+          .otherwise(" divorced ").as("marital_status"),
+        lower(col("c_mktsegment")).as("occupation"),
+        timestamp_seconds(lit(1704067200L) + (k % 10000) * 60).as("created_at"),
+        timestamp_seconds(lit(1704067200L) + ((k % 10000)
+          + (if (dup) 99999 else 0)) * 60).as("updated_at"),
+        lit(if (dup) "raw/customers_2.csv" else "raw/customers_1.csv")
+          .as("source_file_path"),
+        lit("2024-06-01 00:00:00").cast(TimestampType).as("source_file_time"))
+    }
+    build(dup = false).unionAll(build(dup = true))
+  }
+
+  private def oRawCustomers: String = {
+    def row(dup: Boolean): String = {
+      val filter = if (dup) "WHERE c_custkey % 11 = 0" else ""
+      val mail = if (dup) "@dup.example.com" else "@example.com"
+      val updExtra = if (dup) " + 99999" else ""
+      val file = if (dup) "raw/customers_2.csv" else "raw/customers_1.csv"
+      s"""SELECT
+         |  CASE WHEN c_custkey % 97 = 0 THEN ''
+         |       WHEN c_custkey % 101 = 0 THEN NULL
+         |       ELSE 'C' || c_custkey END AS customer_id,
+         |  '  ' || lower(c_mktsegment) AS first_name,
+         |  ' ' || c_name || ' ' AS last_name,
+         |  CASE WHEN c_custkey % 7 = 0 THEN 'not-an-email'
+         |       WHEN c_custkey % 13 = 0 THEN NULL
+         |       ELSE replace(lower(c_name), '#', '.') || '$mail' END AS email,
+         |  CAST(c_custkey AS VARCHAR) AS phone,
+         |  DATE '1950-01-01' + CAST(c_custkey % 18000 AS INTEGER) AS date_of_birth,
+         |  'addr ' || c_custkey AS address,
+         |  'Metropolis' AS city,
+         |  CASE c_nationkey % 5 WHEN 0 THEN 'CA' WHEN 1 THEN 'TX'
+         |       WHEN 2 THEN 'NY' WHEN 3 THEN 'FL' ELSE 'WA' END AS state,
+         |  CAST(c_custkey % 100000 AS VARCHAR) AS zip_code,
+         |  CAST(c_custkey % 2000000 AS DOUBLE) / 100 + 20000 AS annual_income,
+         |  CAST(300 + c_custkey % 550 AS INTEGER) AS credit_score,
+         |  CASE c_custkey % 3 WHEN 0 THEN ' single ' WHEN 1 THEN ' married '
+         |       ELSE ' divorced ' END AS marital_status,
+         |  lower(c_mktsegment) AS occupation,
+         |  make_timestamp((1704067200 + (c_custkey % 10000) * 60) * 1000000) AS created_at,
+         |  make_timestamp((1704067200 + (c_custkey % 10000$updExtra) * 60) * 1000000) AS updated_at,
+         |  '$file' AS source_file_path,
+         |  TIMESTAMP '2024-06-01 00:00:00' AS source_file_time
+         |FROM customer $filter""".stripMargin
+    }
+    s"raw_customers AS (${row(dup = false)} UNION ALL ${row(dup = true)})"
+  }
+
+  // ------------------------------------------------------------ gate: silver
+  private val emailRe = "^[A-Za-z0-9+_.-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+
+  register("q40_customers_silver", {
+    s"""WITH $oRawCustomers,
+       |cleaned AS (
+       |  SELECT
+       |    trim(customer_id) AS customer_id,
+       |    ${oInitcap("trim(first_name)")} AS first_name,
+       |    ${oInitcap("trim(last_name)")} AS last_name,
+       |    lower(trim(email)) AS email,
+       |    trim(phone) AS phone,
+       |    date_of_birth,
+       |    trim(address) AS address, trim(city) AS city, trim(state) AS state,
+       |    trim(zip_code) AS zip_code,
+       |    CAST(annual_income AS DECIMAL(18,2)) AS annual_income,
+       |    credit_score,
+       |    ${oInitcap("trim(marital_status)")} AS marital_status,
+       |    ${oInitcap("trim(occupation)")} AS occupation,
+       |    created_at, updated_at, source_file_path, source_file_time,
+       |    $oNow AS processed_at,
+       |    CASE WHEN date_of_birth IS NOT NULL
+       |         THEN year($oToday) - year(date_of_birth) END AS age,
+       |    ${oInitcap("trim(first_name)")} || ' ' || ${oInitcap("trim(last_name)")} AS full_name,
+       |    CASE WHEN customer_id IS NULL OR customer_id = '' THEN 1 ELSE 0 END AS missing_id_flag,
+       |    CASE WHEN email IS NULL OR NOT regexp_matches(email, '$emailRe')
+       |         THEN 1 ELSE 0 END AS invalid_email_flag
+       |  FROM raw_customers),
+       |deduped AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+       |            ORDER BY updated_at DESC, processed_at DESC) AS row_num
+       |  FROM cleaned WHERE missing_id_flag = 0)
+       |SELECT customer_id, first_name, last_name, full_name, email, phone,
+       |  date_of_birth, age, address, city, state, zip_code, annual_income,
+       |  credit_score, marital_status, occupation, created_at, updated_at,
+       |  source_file_path, source_file_time, processed_at, invalid_email_flag
+       |FROM deduped WHERE row_num = 1""".stripMargin
+  }) { (s, d) =>
+    Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
+  }
+
+  // ----------------------------------------------------------------- raw
+  // raw_policies ⟵ orders (defect slices: empty PK/FK, negative amounts,
+  // null/inverted dates; dup slice with later updated_at)
+  private def rawPoliciesSpark(s: SparkSession, d: String): DataFrame = {
+    def build(dup: Boolean): DataFrame = {
+      val base = orders(s, d)
+      val src = if (dup) base.filter(col("o_orderkey") % 13 === 0) else base
+      val k = col("o_orderkey")
+      val premium = when(k % 67 === 0, -50.0)
+        .otherwise((k % 900000).cast(DoubleType) / 100 + 100 + (if (dup) 1 else 0))
+      src.select(
+        when(k % 89 === 0, lit("")).otherwise(concat(lit("P"), k)).as("policy_id"),
+        when(k % 83 === 0, lit("")).otherwise(concat(lit("C"), col("o_custkey")))
+          .as("customer_id"),
+        when(k % 4 === 0, " auto ").when(k % 4 === 1, " home ")
+          .when(k % 4 === 2, " life ").otherwise(" health ").as("policy_type"),
+        when(k % 71 === 0, (k % 1000000).cast(DoubleType) / -100 - 1)
+          .otherwise((k % 5000000).cast(DoubleType) / 100 + 10000)
+          .as("coverage_amount"),
+        premium.as("premium_amount"),
+        when(k % 61 === 0, -5.0).otherwise(((k * 7) % 200000).cast(DoubleType) / 100)
+          .as("deductible"),
+        when(k % 59 === 0, lit(null)).otherwise(
+          date_add(lit("2020-01-01").cast(DateType), (k % 2000).cast(IntegerType)))
+          .as("start_date"),
+        date_add(lit("2020-01-01").cast(DateType),
+          ((k % 2000) + (k % 1000) - 50).cast(IntegerType)).as("end_date"),
+        when(k % 3 === 0, " active ").when(k % 3 === 1, " expired ")
+          .otherwise(" cancelled ").as("status"),
+        concat(lit("A"), k % 50).as("agent_id"),
+        concat(lit("U"), k % 20).as("underwriter_id"),
+        when(k % 2 === 0, " Monthly ").otherwise(" Annual ")
+          .as("payment_frequency"),
+        timestamp_seconds(lit(1704067200L) + (k % 20000) * 60).as("created_at"),
+        timestamp_seconds(lit(1704067200L) + ((k % 20000)
+          + (if (dup) 99999 else 0)) * 60).as("updated_at"),
+        when(k % 500 === 0, lit("{\"bad\":1}")).otherwise(lit(null))
+          .as("_rescued_data"),
+        lit(if (dup) "raw/policies_2.csv" else "raw/policies_1.csv")
+          .as("source_file_path"),
+        lit("2024-06-01 00:00:00").cast(TimestampType).as("source_file_time"))
+    }
+    build(dup = false).unionAll(build(dup = true))
+  }
+
+  private def oRawPolicies: String = {
+    def row(dup: Boolean): String = {
+      val filter = if (dup) "WHERE o_orderkey % 13 = 0" else ""
+      val premExtra = if (dup) " + 1" else ""
+      val updExtra = if (dup) " + 99999" else ""
+      val file = if (dup) "raw/policies_2.csv" else "raw/policies_1.csv"
+      s"""SELECT
+         |  CASE WHEN o_orderkey % 89 = 0 THEN '' ELSE 'P' || o_orderkey END AS policy_id,
+         |  CASE WHEN o_orderkey % 83 = 0 THEN '' ELSE 'C' || o_custkey END AS customer_id,
+         |  CASE o_orderkey % 4 WHEN 0 THEN ' auto ' WHEN 1 THEN ' home '
+         |       WHEN 2 THEN ' life ' ELSE ' health ' END AS policy_type,
+         |  CASE WHEN o_orderkey % 71 = 0
+         |       THEN CAST(o_orderkey % 1000000 AS DOUBLE) / -100 - 1
+         |       ELSE CAST(o_orderkey % 5000000 AS DOUBLE) / 100 + 10000 END AS coverage_amount,
+         |  CASE WHEN o_orderkey % 67 = 0 THEN -50.0
+         |       ELSE CAST(o_orderkey % 900000 AS DOUBLE) / 100 + 100$premExtra END AS premium_amount,
+         |  CASE WHEN o_orderkey % 61 = 0 THEN -5.0
+         |       ELSE CAST((o_orderkey * 7) % 200000 AS DOUBLE) / 100 END AS deductible,
+         |  CASE WHEN o_orderkey % 59 = 0 THEN NULL
+         |       ELSE DATE '2020-01-01' + CAST(o_orderkey % 2000 AS INTEGER) END AS start_date,
+         |  DATE '2020-01-01' + CAST((o_orderkey % 2000) + (o_orderkey % 1000) - 50 AS INTEGER) AS end_date,
+         |  CASE o_orderkey % 3 WHEN 0 THEN ' active ' WHEN 1 THEN ' expired '
+         |       ELSE ' cancelled ' END AS status,
+         |  'A' || (o_orderkey % 50) AS agent_id,
+         |  'U' || (o_orderkey % 20) AS underwriter_id,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN ' Monthly ' ELSE ' Annual ' END AS payment_frequency,
+         |  make_timestamp((1704067200 + (o_orderkey % 20000) * 60) * 1000000) AS created_at,
+         |  make_timestamp((1704067200 + ((o_orderkey % 20000)$updExtra) * 60) * 1000000) AS updated_at,
+         |  CASE WHEN o_orderkey % 500 = 0 THEN '{"bad":1}' END AS _rescued_data,
+         |  '$file' AS source_file_path,
+         |  TIMESTAMP '2024-06-01 00:00:00' AS source_file_time
+         |FROM orders $filter""".stripMargin
+    }
+    s"raw_policies AS (${row(dup = false)} UNION ALL ${row(dup = true)})"
+  }
+
+  /** policies_silver as oracle CTEs (cleaned + deduped + final select). */
+  private def oPoliciesSilver: String =
+    s"""p_cleaned AS (
+       |  SELECT
+       |    trim(policy_id) AS policy_id,
+       |    trim(customer_id) AS customer_id,
+       |    ${oInitcap("trim(policy_type)")} AS policy_type,
+       |    CAST(coverage_amount AS DECIMAL(18,2)) AS coverage_amount,
+       |    CAST(premium_amount AS DECIMAL(18,2)) AS premium_amount,
+       |    CAST(deductible AS DECIMAL(18,2)) AS deductible,
+       |    start_date, end_date,
+       |    upper(trim(status)) AS status,
+       |    agent_id, underwriter_id,
+       |    lower(trim(payment_frequency)) AS payment_frequency,
+       |    created_at, updated_at, source_file_path, source_file_time,
+       |    $oNow AS processed_at,
+       |    CASE WHEN policy_id IS NULL OR policy_id = '' THEN 1 ELSE 0 END AS missing_policy_id_flag,
+       |    CASE WHEN customer_id IS NULL OR customer_id = '' THEN 1 ELSE 0 END AS missing_customer_id_flag,
+       |    CASE WHEN coverage_amount IS NULL OR coverage_amount < 0 THEN 1 ELSE 0 END AS invalid_coverage_amount_flag,
+       |    CASE WHEN premium_amount IS NULL OR premium_amount < 0 THEN 1 ELSE 0 END AS invalid_premium_amount_flag,
+       |    CASE WHEN deductible IS NULL OR deductible < 0 THEN 1 ELSE 0 END AS invalid_deductible_flag,
+       |    CASE WHEN start_date IS NULL OR end_date IS NULL OR start_date > end_date THEN 1 ELSE 0 END AS invalid_date_range_flag,
+       |    date_diff('day', start_date, end_date) AS policy_duration_days
+       |  FROM raw_policies),
+       |p_deduped AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY policy_id
+       |            ORDER BY updated_at DESC, processed_at DESC) AS row_num
+       |  FROM p_cleaned WHERE missing_policy_id_flag = 0),
+       |policies_silver AS (
+       |  SELECT policy_id, customer_id, policy_type, coverage_amount,
+       |    premium_amount, deductible, start_date, end_date, status,
+       |    agent_id, underwriter_id, payment_frequency, created_at,
+       |    updated_at, source_file_path, source_file_time, processed_at,
+       |    policy_duration_days, missing_customer_id_flag,
+       |    invalid_coverage_amount_flag, invalid_premium_amount_flag,
+       |    invalid_deductible_flag, invalid_date_range_flag
+       |  FROM p_deduped WHERE row_num = 1)""".stripMargin
+
+  register("q41_policies_silver",
+    s"""WITH $oRawPolicies,
+       |$oPoliciesSilver
+       |SELECT * FROM policies_silver""".stripMargin) { (s, d) =>
+    Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
+  }
+
+  // ----------------------------------------------------------------- raw
+  // raw_claims ⟵ lineitem. settlement ratios are j/8 multiples so the
+  // ROUND(ratio, 3) in silver never sits near a rounding midpoint.
+  private def rawClaimsSpark(s: SparkSession, d: String): DataFrame = {
+    // the testdata's (l_orderkey, l_linenumber) is NOT unique; pre-dedup on
+    // a deterministic total order so claim_ids are unique and the silver
+    // dedup never ties (identical in the oracle's QUALIFY)
+    val uniq = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey") * 10 + col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      lineitem(s, d).withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    def build(dup: Boolean): DataFrame = {
+      val base = uniq
+      val kE = col("l_orderkey") * 10 + col("l_linenumber")
+      val src = if (dup) base.filter((col("l_orderkey") * 10 + col("l_linenumber")) % 19 === 0)
+        else base
+      val k = kE
+      val baseClaim = ((k * 13 % 3000000) + 7).cast(DoubleType) / 100 + 50
+      val claim = when(k % 71 === 0, -baseClaim)
+        .when(k % 111 === 0, 0.0).otherwise(baseClaim)
+      val settled = when(k % 67 === 0, -10.0)
+        .otherwise(claim * (k % 8) / 8 + (if (dup) 1 else 0))
+      src.select(
+        when(k % 79 === 0, lit("")).otherwise(concat(lit("CL"), k)).as("claim_id"),
+        when(k % 73 === 0, lit("")).otherwise(concat(lit("P"), col("l_orderkey")))
+          .as("policy_id"),
+        when(k % 103 === 0, lit(null))
+          .otherwise(concat(lit("C"), col("l_suppkey"))).as("customer_id"),
+        col("l_shipdate").cast(TimestampType).as("claim_date"),
+        timestamp_micros(unix_micros(col("l_shipdate").cast(TimestampType))
+          + (k % 30) * 86400000000L).as("reported_date"),
+        claim.as("claim_amount"),
+        settled.as("settled_amount"),
+        (lit(250) * (lit(1) + k % 8)).cast(IntegerType).as("deductible_amount"),
+        when(k % 5 === 0, " collision ").when(k % 5 === 1, " theft ")
+          .when(k % 5 === 2, " fire ").when(k % 5 === 3, " flood ")
+          .otherwise(" injury ").as("claim_reason"),
+        when(k % 3 === 0, " settled ").when(k % 3 === 1, " open ")
+          .otherwise(" denied ").as("status"),
+        when(k % 17 === 0, lit(null)).otherwise(concat(lit("ADJ"), k % 25))
+          .as("adjuster_id"),
+        when(k % 4 === 0, " auto ").when(k % 4 === 1, " home ")
+          .when(k % 4 === 2, " life ").otherwise(" health ").as("claim_type"),
+        when(k % 3 === 0, " low ").when(k % 3 === 1, " medium ")
+          .otherwise(" high ").as("severity"),
+        when(k % 23 === 0, 1).otherwise(0).cast(IntegerType).as("fraud_indicator"),
+        timestamp_seconds(lit(1704067200L) + (k % 40000) * 30).as("created_at"),
+        timestamp_seconds(lit(1704067200L) + ((k % 40000)
+          + (if (dup) 99999 else 0)) * 30).as("updated_at"),
+        lit(if (dup) "raw/claims_2.csv" else "raw/claims_1.csv")
+          .as("source_file_path"),
+        lit("2024-06-01 00:00:00").cast(TimestampType).as("source_file_time"))
+    }
+    build(dup = false).unionAll(build(dup = true))
+  }
+
+  private def oRawClaims: String = {
+    def row(dup: Boolean): String = {
+      val filter = if (dup) "WHERE (l_orderkey * 10 + l_linenumber) % 19 = 0" else ""
+      val settledExtra = if (dup) " + 1" else ""
+      val updExtra = if (dup) " + 99999" else ""
+      val file = if (dup) "raw/claims_2.csv" else "raw/claims_1.csv"
+      val k = "(l_orderkey * 10 + l_linenumber)"
+      val from = s"""(SELECT * FROM lineitem
+         |    QUALIFY ROW_NUMBER() OVER (PARTITION BY $k
+         |      ORDER BY l_shipdate, l_partkey, l_suppkey, l_quantity,
+         |               l_extendedprice) = 1) li""".stripMargin
+      val baseClaim = s"CAST(($k * 13 % 3000000) + 7 AS DOUBLE) / 100 + 50"
+      val claim = s"""CASE WHEN $k % 71 = 0 THEN -($baseClaim)
+         |       WHEN $k % 111 = 0 THEN 0.0 ELSE $baseClaim END""".stripMargin
+      s"""SELECT
+         |  CASE WHEN $k % 79 = 0 THEN '' ELSE 'CL' || $k END AS claim_id,
+         |  CASE WHEN $k % 73 = 0 THEN '' ELSE 'P' || l_orderkey END AS policy_id,
+         |  CASE WHEN $k % 103 = 0 THEN NULL ELSE 'C' || l_suppkey END AS customer_id,
+         |  l_shipdate AS claim_date,
+         |  make_timestamp(epoch_us(l_shipdate) + ($k % 30) * 86400000000) AS reported_date,
+         |  ($claim) AS claim_amount,
+         |  CASE WHEN $k % 67 = 0 THEN -10.0
+         |       ELSE ($claim) * ($k % 8) / 8$settledExtra END AS settled_amount,
+         |  CAST(250 * (1 + $k % 8) AS INTEGER) AS deductible_amount,
+         |  CASE $k % 5 WHEN 0 THEN ' collision ' WHEN 1 THEN ' theft '
+         |       WHEN 2 THEN ' fire ' WHEN 3 THEN ' flood '
+         |       ELSE ' injury ' END AS claim_reason,
+         |  CASE $k % 3 WHEN 0 THEN ' settled ' WHEN 1 THEN ' open '
+         |       ELSE ' denied ' END AS status,
+         |  CASE WHEN $k % 17 = 0 THEN NULL ELSE 'ADJ' || ($k % 25) END AS adjuster_id,
+         |  CASE $k % 4 WHEN 0 THEN ' auto ' WHEN 1 THEN ' home '
+         |       WHEN 2 THEN ' life ' ELSE ' health ' END AS claim_type,
+         |  CASE $k % 3 WHEN 0 THEN ' low ' WHEN 1 THEN ' medium '
+         |       ELSE ' high ' END AS severity,
+         |  CAST(CASE WHEN $k % 23 = 0 THEN 1 ELSE 0 END AS INTEGER) AS fraud_indicator,
+         |  make_timestamp((1704067200 + ($k % 40000) * 30) * 1000000) AS created_at,
+         |  make_timestamp((1704067200 + (($k % 40000)$updExtra) * 30) * 1000000) AS updated_at,
+         |  '$file' AS source_file_path,
+         |  TIMESTAMP '2024-06-01 00:00:00' AS source_file_time
+         |FROM $from $filter""".stripMargin
+    }
+    s"raw_claims AS (${row(dup = false)} UNION ALL ${row(dup = true)})"
+  }
+
+  /** claims_silver as oracle CTEs. */
+  private def oClaimsSilver: String =
+    s"""c_cleaned AS (
+       |  SELECT
+       |    trim(claim_id) AS claim_id,
+       |    trim(policy_id) AS policy_id,
+       |    trim(customer_id) AS customer_id,
+       |    claim_date, reported_date,
+       |    CAST(claim_amount AS DOUBLE) AS claim_amount,
+       |    CAST(settled_amount AS DOUBLE) AS settled_amount,
+       |    CAST(deductible_amount AS INTEGER) AS deductible_amount,
+       |    ${oInitcap("trim(claim_reason)")} AS claim_reason,
+       |    upper(trim(status)) AS status,
+       |    adjuster_id,
+       |    upper(trim(claim_type)) AS claim_type,
+       |    upper(trim(severity)) AS severity,
+       |    fraud_indicator, created_at, updated_at,
+       |    source_file_path, source_file_time,
+       |    $oNow AS processed_at,
+       |    CASE WHEN claim_id IS NULL OR claim_id = '' THEN 1 ELSE 0 END AS missing_id_flag,
+       |    CASE WHEN policy_id IS NULL OR policy_id = '' THEN 1 ELSE 0 END AS missing_policy_flag,
+       |    CASE WHEN customer_id IS NULL OR customer_id = '' THEN 1 ELSE 0 END AS missing_customer_flag,
+       |    CASE WHEN claim_amount IS NULL OR claim_amount < 0 THEN 1 ELSE 0 END AS invalid_claim_amount_flag,
+       |    CASE WHEN settled_amount IS NULL OR settled_amount < 0 THEN 1 ELSE 0 END AS invalid_settled_amount_flag
+       |  FROM raw_claims),
+       |c_deduped AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY claim_id
+       |            ORDER BY updated_at DESC, processed_at DESC) AS row_num
+       |  FROM c_cleaned WHERE missing_id_flag = 0),
+       |claims_silver AS (
+       |  SELECT claim_id, policy_id, customer_id, claim_date, reported_date,
+       |    claim_amount, settled_amount, deductible_amount, claim_reason,
+       |    status, adjuster_id, claim_type, severity, fraud_indicator,
+       |    created_at, updated_at, source_file_path, source_file_time,
+       |    processed_at,
+       |    date_diff('day', CAST(claim_date AS DATE), CAST(reported_date AS DATE)) AS reporting_delay_days,
+       |    claim_amount - settled_amount AS claim_difference,
+       |    CASE WHEN claim_amount > 0 THEN ROUND(settled_amount / claim_amount, 3) END AS settlement_ratio,
+       |    missing_policy_flag, missing_customer_flag,
+       |    invalid_claim_amount_flag, invalid_settled_amount_flag
+       |  FROM c_deduped WHERE row_num = 1)""".stripMargin
+
+  register("q42_claims_silver",
+    s"""WITH $oRawClaims,
+       |$oClaimsSilver
+       |SELECT * FROM claims_silver""".stripMargin) { (s, d) =>
+    Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+  }
+
+  // ----------------------------------------------------------------- raw
+  // raw_premiums ⟵ events (negative money for the clamp path; dedup is by
+  // source_file_time only, matching premiums_silver's different shape)
+  private def rawPremiumsSpark(s: SparkSession, d: String): DataFrame = {
+    def build(dup: Boolean): DataFrame = {
+      val base = Tables.events(s, d)
+      val src = if (dup) base.filter(col("event_id") % 21 === 0) else base
+      val k = col("event_id")
+      src.select(
+        concat(lit("PM"), k).as("premium_id"),
+        concat(lit("P"), col("user_id")).as("policy_id"),
+        concat(lit("C"), col("user_id")).as("customer_id"),
+        col("ts").as("payment_date"),
+        timestamp_micros(unix_micros(col("ts")) + 14L * 86400000000L).as("due_date"),
+        (col("value") - 5).as("premium_amount"),
+        when(k % 2 === 0, " monthly ").otherwise(" annual ")
+          .as("payment_frequency"),
+        when(k % 3 === 0, " credit card ").when(k % 3 === 1, " ach ")
+          .otherwise(" check ").as("payment_method"),
+        when(k % 4 === 0, " paid ").when(k % 4 === 1, " pending ")
+          .when(k % 4 === 2, " failed ").otherwise(" refunded ")
+          .as("payment_status"),
+        when(col("event_type") === "error", -2.5)
+          .otherwise((k % 2000).cast(DoubleType) / 100).as("late_fee"),
+        ((k % 500).cast(DoubleType) / 100
+          - (if (dup) 1 else 0)).as("discount_applied"),
+        ((k % 300).cast(DoubleType) / 100).as("tax_amount"),
+        col("value").as("total_amount"),
+        concat(lit("T"), k).as("transaction_id"),
+        when(k % 2 === 0, " stripe ").otherwise(" adyen ")
+          .as("payment_processor"),
+        col("ts").as("created_at"),
+        col("ts").as("updated_at"),
+        lit(if (dup) "raw/premiums_2.csv" else "raw/premiums_1.csv")
+          .as("source_file_path"),
+        timestamp_seconds(lit(1717200000L) + (k % 5) * 3600
+          + (if (dup) 999L * 3600 else 0L)).as("source_file_time"))
+    }
+    build(dup = false).unionAll(build(dup = true))
+  }
+
+  private def oRawPremiums: String = {
+    def row(dup: Boolean): String = {
+      val filter = if (dup) "WHERE event_id % 21 = 0" else ""
+      val discExtra = if (dup) " - 1" else ""
+      val fileExtra = if (dup) " + 999 * 3600" else ""
+      val file = if (dup) "raw/premiums_2.csv" else "raw/premiums_1.csv"
+      s"""SELECT
+         |  'PM' || event_id AS premium_id,
+         |  'P' || user_id AS policy_id,
+         |  'C' || user_id AS customer_id,
+         |  ts AS payment_date,
+         |  make_timestamp(epoch_us(ts) + 14 * 86400000000) AS due_date,
+         |  value - 5 AS premium_amount,
+         |  CASE WHEN event_id % 2 = 0 THEN ' monthly ' ELSE ' annual ' END AS payment_frequency,
+         |  CASE event_id % 3 WHEN 0 THEN ' credit card ' WHEN 1 THEN ' ach '
+         |       ELSE ' check ' END AS payment_method,
+         |  CASE event_id % 4 WHEN 0 THEN ' paid ' WHEN 1 THEN ' pending '
+         |       WHEN 2 THEN ' failed ' ELSE ' refunded ' END AS payment_status,
+         |  CASE WHEN event_type = 'error' THEN -2.5
+         |       ELSE CAST(event_id % 2000 AS DOUBLE) / 100 END AS late_fee,
+         |  CAST(event_id % 500 AS DOUBLE) / 100$discExtra AS discount_applied,
+         |  CAST(event_id % 300 AS DOUBLE) / 100 AS tax_amount,
+         |  value AS total_amount,
+         |  'T' || event_id AS transaction_id,
+         |  CASE WHEN event_id % 2 = 0 THEN ' stripe ' ELSE ' adyen ' END AS payment_processor,
+         |  ts AS created_at,
+         |  ts AS updated_at,
+         |  '$file' AS source_file_path,
+         |  make_timestamp((1717200000 + (event_id % 5) * 3600$fileExtra) * 1000000) AS source_file_time
+         |FROM events $filter""".stripMargin
+    }
+    s"raw_premiums AS (${row(dup = false)} UNION ALL ${row(dup = true)})"
+  }
+
+  register("q43_premiums_silver",
+    s"""WITH $oRawPremiums,
+       |pm_deduped AS (
+       |  SELECT
+       |    trim(premium_id) AS premium_id,
+       |    trim(policy_id) AS policy_id,
+       |    trim(customer_id) AS customer_id,
+       |    payment_date, due_date,
+       |    CAST(premium_amount AS DOUBLE) AS premium_amount,
+       |    trim(payment_frequency) AS payment_frequency,
+       |    trim(payment_method) AS payment_method,
+       |    trim(payment_status) AS payment_status,
+       |    CAST(late_fee AS DOUBLE) AS late_fee,
+       |    CAST(discount_applied AS DOUBLE) AS discount_applied,
+       |    CAST(tax_amount AS DOUBLE) AS tax_amount,
+       |    CAST(total_amount AS DOUBLE) AS total_amount,
+       |    trim(transaction_id) AS transaction_id,
+       |    trim(payment_processor) AS payment_processor,
+       |    created_at, updated_at, source_file_path, source_file_time,
+       |    ROW_NUMBER() OVER (PARTITION BY trim(premium_id)
+       |      ORDER BY source_file_time DESC) AS rn
+       |  FROM raw_premiums),
+       |pm_cleaned AS (
+       |  SELECT premium_id, policy_id, customer_id, payment_date, due_date,
+       |    CASE WHEN premium_amount < 0 THEN 0 ELSE premium_amount END AS premium_amount,
+       |    upper(trim(payment_frequency)) AS payment_frequency,
+       |    ${oInitcap("trim(payment_method)")} AS payment_method,
+       |    upper(trim(payment_status)) AS payment_status,
+       |    CASE WHEN late_fee < 0 THEN 0 ELSE late_fee END AS late_fee,
+       |    CASE WHEN discount_applied < 0 THEN 0 ELSE discount_applied END AS discount_applied,
+       |    CASE WHEN tax_amount < 0 THEN 0 ELSE tax_amount END AS tax_amount,
+       |    CASE WHEN total_amount < 0 THEN 0 ELSE total_amount END AS total_amount,
+       |    transaction_id,
+       |    ${oInitcap("trim(payment_processor)")} AS payment_processor,
+       |    created_at, updated_at, source_file_path, source_file_time
+       |  FROM pm_deduped WHERE rn = 1)
+       |SELECT * FROM pm_cleaned""".stripMargin) { (s, d) =>
+    Silver.premiums(Bronze.premiums(rawPremiumsSpark(s, d)), clock)
+  }
+
+  // ------------------------------------------------------------ gate: gold
+  // policy-performance mart over the gate silver tables, with
+  // cross-engine-deterministic aggregation (decimal-exact sums; counts;
+  // no engine AVG) and a gap-free (policy_type, month) lag grain.
+  register("q44_gold_policy_performance",
+    s"""WITH $oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |policy_base AS (
+       |  SELECT policy_type,
+       |    CAST(date_trunc('month', start_date) AS DATE) AS policy_month,
+       |    COUNT(*) AS policy_count,
+       |    CAST(SUM(CAST(premium_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_premium_revenue,
+       |    CAST(SUM(CAST(coverage_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_coverage_exposure
+       |  FROM policies_silver
+       |  WHERE invalid_premium_amount_flag = 0
+       |    AND invalid_coverage_amount_flag = 0
+       |    AND invalid_date_range_flag = 0
+       |  GROUP BY policy_type, CAST(date_trunc('month', start_date) AS DATE)),
+       |claims_by_type AS (
+       |  SELECT p.policy_type,
+       |    CAST(date_trunc('month', cl.claim_date) AS DATE) AS claim_month,
+       |    COUNT(DISTINCT cl.claim_id) AS total_claims,
+       |    CAST(SUM(CAST(cl.settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_settled_amount,
+       |    COUNT(CASE WHEN cl.fraud_indicator = 1 THEN 1 END) AS fraud_claims
+       |  FROM claims_silver cl JOIN policies_silver p ON cl.policy_id = p.policy_id
+       |  WHERE cl.missing_policy_flag = 0
+       |  GROUP BY p.policy_type, CAST(date_trunc('month', cl.claim_date) AS DATE))
+       |SELECT pb.policy_type, pb.policy_month, pb.policy_count,
+       |  pb.total_premium_revenue, pb.total_coverage_exposure,
+       |  COALESCE(cp.total_claims, 0) AS total_claims,
+       |  COALESCE(cp.total_settled_amount, 0) AS total_settled_amount,
+       |  COALESCE(cp.fraud_claims, 0) AS fraud_claims,
+       |  CASE WHEN pb.total_premium_revenue > 0
+       |       THEN COALESCE(cp.total_settled_amount, 0) / pb.total_premium_revenue
+       |       ELSE 0 END AS loss_ratio,
+       |  pb.total_premium_revenue - COALESCE(cp.total_settled_amount, 0) AS underwriting_profit,
+       |  LAG(pb.policy_count, 12) OVER (PARTITION BY pb.policy_type
+       |    ORDER BY pb.policy_month) AS policy_count_prev_year
+       |FROM policy_base pb
+       |LEFT JOIN claims_by_type cp
+       |  ON pb.policy_type = cp.policy_type AND pb.policy_month = cp.claim_month""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.RelationalOps.dsum
+    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
+    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    val policyBase = policies
+      .filter(col("invalid_premium_amount_flag") === 0 &&
+        col("invalid_coverage_amount_flag") === 0 &&
+        col("invalid_date_range_flag") === 0)
+      .groupBy(col("policy_type"),
+        date_trunc("month", col("start_date")).cast(DateType).as("policy_month"))
+      .agg(count(lit(1)).as("policy_count"),
+        dsum(col("premium_amount")).as("total_premium_revenue"),
+        dsum(col("coverage_amount")).as("total_coverage_exposure"))
+    val claimsByType = claims.alias("cl")
+      .filter(col("missing_policy_flag") === 0)
+      .join(policies.select("policy_id", "policy_type").alias("p"),
+        Seq("policy_id"))
+      .groupBy(col("p.policy_type").as("policy_type"),
+        date_trunc("month", col("cl.claim_date")).cast(DateType).as("claim_month"))
+      .agg(countDistinct(col("cl.claim_id")).as("total_claims"),
+        dsum(col("cl.settled_amount")).as("total_settled_amount"),
+        count(when(col("cl.fraud_indicator") === 1, 1)).as("fraud_claims"))
+    val w = Window.partitionBy(col("pb.policy_type")).orderBy(col("pb.policy_month"))
+    policyBase.alias("pb")
+      .join(claimsByType.alias("cp"),
+        col("pb.policy_type") === col("cp.policy_type") &&
+          col("pb.policy_month") === col("cp.claim_month"), "left")
+      .select(col("pb.policy_type").as("policy_type"),
+        col("pb.policy_month").as("policy_month"),
+        col("pb.policy_count").as("policy_count"),
+        col("pb.total_premium_revenue").as("total_premium_revenue"),
+        col("pb.total_coverage_exposure").as("total_coverage_exposure"),
+        coalesce(col("cp.total_claims"), lit(0)).as("total_claims"),
+        coalesce(col("cp.total_settled_amount"), lit(0)).as("total_settled_amount"),
+        coalesce(col("cp.fraud_claims"), lit(0)).as("fraud_claims"),
+        when(col("pb.total_premium_revenue") > 0,
+          coalesce(col("cp.total_settled_amount"), lit(0))
+            / col("pb.total_premium_revenue")).otherwise(0).as("loss_ratio"),
+        (col("pb.total_premium_revenue")
+          - coalesce(col("cp.total_settled_amount"), lit(0)))
+          .as("underwriting_profit"),
+        lag(col("pb.policy_count"), 12).over(w).as("policy_count_prev_year"))
+  }
+
+  // executive-summary mart: full-outer month coalesce + global YoY lag +
+  // growth rate + category ladder, deterministic aggregation
+  register("q45_gold_executive_summary",
+    s"""WITH $oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |monthly_financials AS (
+       |  SELECT CAST(date_trunc('month', start_date) AS DATE) AS report_period,
+       |    COUNT(DISTINCT policy_id) AS new_policies,
+       |    COUNT(DISTINCT customer_id) AS active_customers,
+       |    CAST(SUM(CAST(premium_amount AS DECIMAL(18,4))) AS DOUBLE) AS gross_written_premium
+       |  FROM policies_silver WHERE invalid_premium_amount_flag = 0
+       |  GROUP BY CAST(date_trunc('month', start_date) AS DATE)),
+       |monthly_claims AS (
+       |  SELECT CAST(date_trunc('month', claim_date) AS DATE) AS report_period,
+       |    COUNT(DISTINCT claim_id) AS total_claims,
+       |    CAST(SUM(CAST(settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_paid_claims,
+       |    COUNT(CASE WHEN fraud_indicator = 1 THEN 1 END) AS fraud_claims
+       |  FROM claims_silver WHERE missing_policy_flag = 0
+       |  GROUP BY CAST(date_trunc('month', claim_date) AS DATE)),
+       |kpis AS (
+       |  SELECT COALESCE(mf.report_period, mc.report_period) AS report_period,
+       |    COALESCE(mf.new_policies, 0) AS new_policies,
+       |    COALESCE(mf.active_customers, 0) AS active_customers,
+       |    COALESCE(mf.gross_written_premium, 0) AS gross_written_premium,
+       |    COALESCE(mc.total_claims, 0) AS total_claims,
+       |    COALESCE(mc.total_paid_claims, 0) AS total_paid_claims,
+       |    COALESCE(mc.fraud_claims, 0) AS fraud_claims,
+       |    CASE WHEN COALESCE(mf.gross_written_premium, 0) > 0
+       |         THEN COALESCE(mc.total_paid_claims, 0) / mf.gross_written_premium
+       |         ELSE 0 END AS loss_ratio,
+       |    COALESCE(mf.gross_written_premium, 0)
+       |      - COALESCE(mc.total_paid_claims, 0) AS underwriting_profit
+       |  FROM monthly_financials mf
+       |  FULL OUTER JOIN monthly_claims mc ON mf.report_period = mc.report_period)
+       |SELECT report_period, new_policies, active_customers,
+       |  gross_written_premium, total_claims, total_paid_claims, fraud_claims,
+       |  loss_ratio, underwriting_profit,
+       |  LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST) AS gwp_prev_year,
+       |  CASE WHEN LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST) > 0
+       |       THEN (gross_written_premium
+       |             - LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST))
+       |            / LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST) * 100
+       |       ELSE 0 END AS gwp_growth_rate_yoy,
+       |  CASE WHEN loss_ratio <= 0.6 THEN 'Excellent'
+       |       WHEN loss_ratio <= 0.8 THEN 'Good'
+       |       WHEN loss_ratio <= 1.0 THEN 'Acceptable'
+       |       ELSE 'Concerning' END AS performance_category
+       |FROM kpis""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.RelationalOps.dsum
+    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
+    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    val mf = policies.filter(col("invalid_premium_amount_flag") === 0)
+      .groupBy(date_trunc("month", col("start_date")).cast(DateType)
+        .as("report_period"))
+      .agg(countDistinct(col("policy_id")).as("new_policies"),
+        countDistinct(col("customer_id")).as("active_customers"),
+        dsum(col("premium_amount")).as("gross_written_premium"))
+    val mc = claims.filter(col("missing_policy_flag") === 0)
+      .groupBy(date_trunc("month", col("claim_date")).cast(DateType)
+        .as("report_period"))
+      .agg(countDistinct(col("claim_id")).as("total_claims"),
+        dsum(col("settled_amount")).as("total_paid_claims"),
+        count(when(col("fraud_indicator") === 1, 1)).as("fraud_claims"))
+    val kpis = mf.join(mc, Seq("report_period"), "full_outer")
+      .select(col("report_period"),
+        coalesce(col("new_policies"), lit(0)).as("new_policies"),
+        coalesce(col("active_customers"), lit(0)).as("active_customers"),
+        coalesce(col("gross_written_premium"), lit(0)).as("gross_written_premium"),
+        coalesce(col("total_claims"), lit(0)).as("total_claims"),
+        coalesce(col("total_paid_claims"), lit(0)).as("total_paid_claims"),
+        coalesce(col("fraud_claims"), lit(0)).as("fraud_claims"),
+        when(coalesce(col("gross_written_premium"), lit(0)) > 0,
+          coalesce(col("total_paid_claims"), lit(0))
+            / col("gross_written_premium")).otherwise(0).as("loss_ratio"),
+        (coalesce(col("gross_written_premium"), lit(0))
+          - coalesce(col("total_paid_claims"), lit(0))).as("underwriting_profit"))
+    val w = Window.orderBy(col("report_period"))
+    def lag12(c: Column): Column = lag(c, 12).over(w)
+    kpis.select(col("report_period"), col("new_policies"),
+      col("active_customers"), col("gross_written_premium"),
+      col("total_claims"), col("total_paid_claims"), col("fraud_claims"),
+      col("loss_ratio"), col("underwriting_profit"),
+      lag12(col("gross_written_premium")).as("gwp_prev_year"),
+      when(lag12(col("gross_written_premium")) > 0,
+        (col("gross_written_premium") - lag12(col("gross_written_premium")))
+          / lag12(col("gross_written_premium")) * 100)
+        .otherwise(0).as("gwp_growth_rate_yoy"),
+      when(col("loss_ratio") <= 0.6, "Excellent")
+        .when(col("loss_ratio") <= 0.8, "Good")
+        .when(col("loss_ratio") <= 1.0, "Acceptable")
+        .otherwise("Concerning").as("performance_category"))
+  }
+}
