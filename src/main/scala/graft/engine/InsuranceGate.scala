@@ -119,9 +119,9 @@ object InsuranceGate extends QueryModule {
   // ------------------------------------------------------------ gate: silver
   private val emailRe = "^[A-Za-z0-9+_.-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
 
-  register("q40_customers_silver", {
-    s"""WITH $oRawCustomers,
-       |cleaned AS (
+  /** customers_silver as oracle CTEs. */
+  private def oCustomersSilver: String =
+    s"""cu_cleaned AS (
        |  SELECT
        |    trim(customer_id) AS customer_id,
        |    ${oInitcap("trim(first_name)")} AS first_name,
@@ -144,16 +144,21 @@ object InsuranceGate extends QueryModule {
        |    CASE WHEN email IS NULL OR NOT regexp_matches(email, '$emailRe')
        |         THEN 1 ELSE 0 END AS invalid_email_flag
        |  FROM raw_customers),
-       |deduped AS (
+       |cu_deduped AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
        |            ORDER BY updated_at DESC, processed_at DESC) AS row_num
-       |  FROM cleaned WHERE missing_id_flag = 0)
-       |SELECT customer_id, first_name, last_name, full_name, email, phone,
-       |  date_of_birth, age, address, city, state, zip_code, annual_income,
-       |  credit_score, marital_status, occupation, created_at, updated_at,
-       |  source_file_path, source_file_time, processed_at, invalid_email_flag
-       |FROM deduped WHERE row_num = 1""".stripMargin
-  }) { (s, d) =>
+       |  FROM cu_cleaned WHERE missing_id_flag = 0),
+       |customers_silver AS (
+       |  SELECT customer_id, first_name, last_name, full_name, email, phone,
+       |    date_of_birth, age, address, city, state, zip_code, annual_income,
+       |    credit_score, marital_status, occupation, created_at, updated_at,
+       |    source_file_path, source_file_time, processed_at, invalid_email_flag
+       |  FROM cu_deduped WHERE row_num = 1)""".stripMargin
+
+  register("q40_customers_silver",
+    s"""WITH $oRawCustomers,
+       |$oCustomersSilver
+       |SELECT * FROM customers_silver""".stripMargin) { (s, d) =>
     Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
   }
 
@@ -732,5 +737,286 @@ object InsuranceGate extends QueryModule {
         .when(col("loss_ratio") <= 0.8, "Good")
         .when(col("loss_ratio") <= 1.0, "Acceptable")
         .otherwise("Concerning").as("performance_category"))
+  }
+
+  // customer-360 mart: 3 aggregate CTEs + 2 left joins + segmentation
+  // ladders, deterministic aggregation
+  register("q46_gold_customer_360",
+    s"""WITH $oRawCustomers,
+       |$oCustomersSilver,
+       |$oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |customer_base AS (
+       |  SELECT customer_id, full_name, age, annual_income, credit_score,
+       |    state, occupation
+       |  FROM customers_silver WHERE invalid_email_flag = 0),
+       |policy_metrics AS (
+       |  SELECT customer_id,
+       |    COUNT(DISTINCT policy_id) AS total_policies,
+       |    CAST(SUM(CAST(premium_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_annual_premium,
+       |    CAST(SUM(CAST(coverage_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_coverage,
+       |    min(start_date) AS first_policy_date,
+       |    max(end_date) AS latest_policy_end,
+       |    COUNT(CASE WHEN status = 'ACTIVE' THEN 1 END) AS active_policies,
+       |    COUNT(CASE WHEN status = 'CANCELLED' THEN 1 END) AS cancelled_policies
+       |  FROM policies_silver
+       |  WHERE missing_customer_id_flag = 0 AND invalid_premium_amount_flag = 0
+       |  GROUP BY customer_id),
+       |claims_metrics AS (
+       |  SELECT p.customer_id,
+       |    COUNT(DISTINCT cl.claim_id) AS total_claims,
+       |    CAST(SUM(CAST(cl.claim_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_claimed,
+       |    CAST(SUM(CAST(cl.settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_settled,
+       |    COUNT(CASE WHEN cl.fraud_indicator = 1 THEN 1 END) AS potential_fraud_claims,
+       |    min(cl.claim_date) AS first_claim_date,
+       |    max(cl.claim_date) AS latest_claim_date
+       |  FROM claims_silver cl
+       |  JOIN policies_silver p ON cl.policy_id = p.policy_id
+       |  WHERE cl.missing_policy_flag = 0
+       |  GROUP BY p.customer_id)
+       |SELECT cb.customer_id, cb.full_name, cb.age,
+       |  CASE WHEN cb.age < 25 THEN 'Gen Z' WHEN cb.age < 35 THEN 'Millennial'
+       |       WHEN cb.age < 55 THEN 'Gen X' ELSE 'Boomer+' END AS generation_segment,
+       |  cb.annual_income, cb.credit_score, cb.state, cb.occupation,
+       |  COALESCE(pm.total_policies, 0) AS total_policies,
+       |  COALESCE(pm.total_annual_premium, 0) AS total_annual_premium,
+       |  COALESCE(pm.total_coverage, 0) AS total_coverage,
+       |  COALESCE(pm.active_policies, 0) AS active_policies,
+       |  COALESCE(pm.cancelled_policies, 0) AS cancelled_policies,
+       |  pm.first_policy_date, pm.latest_policy_end,
+       |  COALESCE(cm.total_claims, 0) AS total_claims,
+       |  COALESCE(cm.total_claimed, 0) AS total_claimed,
+       |  COALESCE(cm.total_settled, 0) AS total_settled,
+       |  COALESCE(cm.potential_fraud_claims, 0) AS potential_fraud_claims,
+       |  cm.first_claim_date, cm.latest_claim_date,
+       |  COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) AS customer_lifetime_profit,
+       |  CASE WHEN COALESCE(pm.total_annual_premium, 0) = 0 THEN 0
+       |       ELSE COALESCE(cm.total_settled, 0) / pm.total_annual_premium END AS loss_ratio,
+       |  CASE WHEN COALESCE(pm.total_policies, 0) = 0 THEN 0
+       |       ELSE CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / pm.total_policies END AS claims_frequency,
+       |  CASE WHEN COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) > 10000 THEN 'High Value'
+       |       WHEN COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) > 5000 THEN 'Medium Value'
+       |       WHEN COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) > 0 THEN 'Low Value'
+       |       ELSE 'Loss Making' END AS customer_value_segment,
+       |  CASE WHEN COALESCE(cm.total_claims, 0) = 0 THEN 'No Claims'
+       |       WHEN CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / COALESCE(pm.total_policies, 1) < 0.1 THEN 'Low Risk'
+       |       WHEN CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / COALESCE(pm.total_policies, 1) < 0.3 THEN 'Medium Risk'
+       |       ELSE 'High Risk' END AS risk_tier,
+       |  CASE WHEN pm.latest_policy_end < $oToday THEN 1 ELSE 0 END AS churned_flag,
+       |  CASE WHEN COALESCE(cm.potential_fraud_claims, 0) > 0 THEN 1 ELSE 0 END AS fraud_flag,
+       |  $oToday AS report_date
+       |FROM customer_base cb
+       |LEFT JOIN policy_metrics pm ON cb.customer_id = pm.customer_id
+       |LEFT JOIN claims_metrics cm ON cb.customer_id = cm.customer_id""".stripMargin) { (s, d) =>
+    import graft.ops.RelationalOps.dsum
+    val customers = Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
+    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
+    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    def z(c: Column): Column = coalesce(c, lit(0))
+    val customerBase = customers.filter(col("invalid_email_flag") === 0)
+      .select("customer_id", "full_name", "age", "annual_income",
+        "credit_score", "state", "occupation")
+    val policyMetrics = policies
+      .filter(col("missing_customer_id_flag") === 0 &&
+        col("invalid_premium_amount_flag") === 0)
+      .groupBy("customer_id")
+      .agg(countDistinct(col("policy_id")).as("total_policies"),
+        dsum(col("premium_amount")).as("total_annual_premium"),
+        dsum(col("coverage_amount")).as("total_coverage"),
+        min(col("start_date")).as("first_policy_date"),
+        max(col("end_date")).as("latest_policy_end"),
+        count(when(col("status") === "ACTIVE", 1)).as("active_policies"),
+        count(when(col("status") === "CANCELLED", 1)).as("cancelled_policies"))
+    val claimsMetrics = claims.alias("cl")
+      .filter(col("missing_policy_flag") === 0)
+      .join(policies.select("policy_id", "customer_id").alias("p"),
+        Seq("policy_id"))
+      .groupBy(col("p.customer_id").as("customer_id"))
+      .agg(countDistinct(col("cl.claim_id")).as("total_claims"),
+        dsum(col("cl.claim_amount")).as("total_claimed"),
+        dsum(col("cl.settled_amount")).as("total_settled"),
+        count(when(col("cl.fraud_indicator") === 1, 1)).as("potential_fraud_claims"),
+        min(col("cl.claim_date")).as("first_claim_date"),
+        max(col("cl.claim_date")).as("latest_claim_date"))
+    val profit = z(col("total_annual_premium")) - z(col("total_settled"))
+    customerBase
+      .join(policyMetrics, Seq("customer_id"), "left")
+      .join(claimsMetrics, Seq("customer_id"), "left")
+      .select(col("customer_id"), col("full_name"), col("age"),
+        when(col("age") < 25, "Gen Z").when(col("age") < 35, "Millennial")
+          .when(col("age") < 55, "Gen X").otherwise("Boomer+")
+          .as("generation_segment"),
+        col("annual_income"), col("credit_score"), col("state"), col("occupation"),
+        z(col("total_policies")).as("total_policies"),
+        z(col("total_annual_premium")).as("total_annual_premium"),
+        z(col("total_coverage")).as("total_coverage"),
+        z(col("active_policies")).as("active_policies"),
+        z(col("cancelled_policies")).as("cancelled_policies"),
+        col("first_policy_date"), col("latest_policy_end"),
+        z(col("total_claims")).as("total_claims"),
+        z(col("total_claimed")).as("total_claimed"),
+        z(col("total_settled")).as("total_settled"),
+        z(col("potential_fraud_claims")).as("potential_fraud_claims"),
+        col("first_claim_date"), col("latest_claim_date"),
+        profit.as("customer_lifetime_profit"),
+        when(z(col("total_annual_premium")) === 0, 0)
+          .otherwise(z(col("total_settled")) / col("total_annual_premium"))
+          .as("loss_ratio"),
+        when(z(col("total_policies")) === 0, 0)
+          .otherwise(z(col("total_claims")).cast(DoubleType) / col("total_policies"))
+          .as("claims_frequency"),
+        when(profit > 10000, "High Value").when(profit > 5000, "Medium Value")
+          .when(profit > 0, "Low Value").otherwise("Loss Making")
+          .as("customer_value_segment"),
+        when(z(col("total_claims")) === 0, "No Claims")
+          .when(z(col("total_claims")).cast(DoubleType)
+            / coalesce(col("total_policies"), lit(1)) < 0.1, "Low Risk")
+          .when(z(col("total_claims")).cast(DoubleType)
+            / coalesce(col("total_policies"), lit(1)) < 0.3, "Medium Risk")
+          .otherwise("High Risk").as("risk_tier"),
+        when(col("latest_policy_end") < clock.today, 1).otherwise(0)
+          .as("churned_flag"),
+        when(z(col("potential_fraud_claims")) > 0, 1).otherwise(0)
+          .as("fraud_flag"),
+        clock.today.as("report_date"))
+  }
+
+  // claims-operations mart: 8-key grain (incl. expression key), adjuster
+  // rollup left join, tier/geo/age ladders, MoM lag with a fully
+  // tie-broken ordering (the reference's lag ties are nondeterministic;
+  // the gate variant totally orders the frame)
+  register("q47_gold_claims_operations",
+    s"""WITH $oRawCustomers,
+       |$oCustomersSilver,
+       |$oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |claims_base AS (
+       |  SELECT cl.claim_type, cl.severity, cl.status, cl.adjuster_id,
+       |    CAST(date_trunc('month', cl.claim_date) AS DATE) AS claim_month,
+       |    p.policy_type, c.state AS customer_state, c.age AS customer_age,
+       |    COUNT(*) AS claim_count,
+       |    CAST(SUM(CAST(cl.claim_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_claim_amount,
+       |    CAST(SUM(CAST(cl.settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_settled_amount,
+       |    CAST(SUM(cl.reporting_delay_days) AS DOUBLE) / COUNT(cl.reporting_delay_days) AS avg_reporting_delay,
+       |    CAST(SUM(CAST(cl.settlement_ratio AS DECIMAL(18,4))) AS DOUBLE)
+       |      / COUNT(cl.settlement_ratio) AS avg_settlement_ratio,
+       |    COUNT(CASE WHEN cl.fraud_indicator = 1 THEN 1 END) AS potential_fraud_cases
+       |  FROM claims_silver cl
+       |  JOIN policies_silver p ON cl.policy_id = p.policy_id
+       |  JOIN customers_silver c ON p.customer_id = c.customer_id
+       |  WHERE cl.missing_policy_flag = 0
+       |  GROUP BY cl.claim_type, cl.severity, cl.status, cl.adjuster_id,
+       |    CAST(date_trunc('month', cl.claim_date) AS DATE), p.policy_type,
+       |    c.state, c.age),
+       |adjuster_performance AS (
+       |  SELECT adjuster_id,
+       |    COUNT(*) AS total_claims_handled,
+       |    CAST(SUM(CAST(settlement_ratio AS DECIMAL(18,4))) AS DOUBLE)
+       |      / COUNT(settlement_ratio) AS ap_avg_settlement_ratio,
+       |    CAST(SUM(reporting_delay_days) AS DOUBLE)
+       |      / COUNT(reporting_delay_days) AS avg_processing_time,
+       |    CAST(SUM(CASE WHEN fraud_indicator = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fraud_cases_detected
+       |  FROM claims_silver WHERE adjuster_id IS NOT NULL
+       |  GROUP BY adjuster_id)
+       |SELECT cb.claim_type, cb.severity, cb.status, cb.adjuster_id,
+       |  cb.claim_month, cb.policy_type, cb.customer_state,
+       |  cb.claim_count, cb.total_claim_amount, cb.total_settled_amount,
+       |  cb.avg_reporting_delay, cb.avg_settlement_ratio,
+       |  cb.potential_fraud_cases,
+       |  CASE WHEN cb.claim_count > 0
+       |       THEN CAST(cb.potential_fraud_cases AS DOUBLE) / cb.claim_count
+       |       ELSE 0 END AS fraud_rate,
+       |  ap.total_claims_handled AS adjuster_total_claims,
+       |  ap.ap_avg_settlement_ratio AS adjuster_avg_settlement_ratio,
+       |  ap.avg_processing_time AS adjuster_avg_processing_time,
+       |  ap.fraud_cases_detected AS adjuster_fraud_detected,
+       |  CASE WHEN ap.ap_avg_settlement_ratio >= 0.9 AND ap.avg_processing_time <= 7 THEN 'High Performer'
+       |       WHEN ap.ap_avg_settlement_ratio >= 0.8 AND ap.avg_processing_time <= 14 THEN 'Good Performer'
+       |       WHEN ap.ap_avg_settlement_ratio >= 0.7 AND ap.avg_processing_time <= 21 THEN 'Average Performer'
+       |       ELSE 'Needs Improvement' END AS adjuster_performance_tier,
+       |  CASE WHEN cb.customer_state IN ('FL', 'TX', 'CA') THEN 'High Risk State'
+       |       WHEN cb.customer_state IN ('NY', 'NJ', 'CT') THEN 'Medium Risk State'
+       |       ELSE 'Low Risk State' END AS state_risk_category,
+       |  CASE WHEN cb.customer_age < 25 THEN 'Young Driver'
+       |       WHEN cb.customer_age BETWEEN 25 AND 65 THEN 'Mature Driver'
+       |       ELSE 'Senior Driver' END AS customer_age_category,
+       |  LAG(cb.claim_count, 1) OVER (PARTITION BY cb.claim_type
+       |    ORDER BY cb.claim_month, cb.severity, cb.status,
+       |      cb.adjuster_id NULLS FIRST, cb.policy_type, cb.customer_state,
+       |      cb.customer_age) AS prev_claims,
+       |  $oToday AS report_date
+       |FROM claims_base cb
+       |LEFT JOIN adjuster_performance ap ON cb.adjuster_id = ap.adjuster_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.RelationalOps.{dsum, davg, iavg}
+    val customers = Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
+    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
+    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    val claimsBase = claims.alias("cl")
+      .filter(col("cl.missing_policy_flag") === 0)
+      .join(policies.select("policy_id", "customer_id", "policy_type").alias("p"),
+        Seq("policy_id"))
+      // claims carry their own customer_id — the mart joins on the
+      // POLICY's customer (p.customer_id = c.customer_id), so be explicit
+      .join(customers.select(col("customer_id").as("cust_id"), col("state"),
+        col("age")).alias("c"), col("p.customer_id") === col("cust_id"))
+      .groupBy(col("cl.claim_type").as("claim_type"),
+        col("cl.severity").as("severity"),
+        col("cl.status").as("status"),
+        col("cl.adjuster_id").as("adjuster_id"),
+        date_trunc("month", col("cl.claim_date")).cast(DateType).as("claim_month"),
+        col("p.policy_type").as("policy_type"),
+        col("c.state").as("customer_state"),
+        col("c.age").as("customer_age"))
+      .agg(count(lit(1)).as("claim_count"),
+        dsum(col("cl.claim_amount")).as("total_claim_amount"),
+        dsum(col("cl.settled_amount")).as("total_settled_amount"),
+        iavg(col("cl.reporting_delay_days")).as("avg_reporting_delay"),
+        davg(col("cl.settlement_ratio")).as("avg_settlement_ratio"),
+        count(when(col("cl.fraud_indicator") === 1, 1)).as("potential_fraud_cases"))
+    val adjusterPerformance = claims.filter(col("adjuster_id").isNotNull)
+      .groupBy("adjuster_id")
+      .agg(count(lit(1)).as("total_claims_handled"),
+        davg(col("settlement_ratio")).as("ap_avg_settlement_ratio"),
+        iavg(col("reporting_delay_days")).as("avg_processing_time"),
+        sum(when(col("fraud_indicator") === 1, 1).otherwise(0))
+          .as("fraud_cases_detected"))
+    val w = Window.partitionBy(col("claim_type"))
+      .orderBy(col("claim_month"), col("severity"), col("status"),
+        col("adjuster_id"), col("policy_type"), col("customer_state"),
+        col("customer_age"))
+    claimsBase.join(adjusterPerformance, Seq("adjuster_id"), "left")
+      .select(col("claim_type"), col("severity"), col("status"),
+        col("adjuster_id"), col("claim_month"), col("policy_type"),
+        col("customer_state"),
+        col("claim_count"), col("total_claim_amount"),
+        col("total_settled_amount"), col("avg_reporting_delay"),
+        col("avg_settlement_ratio"), col("potential_fraud_cases"),
+        when(col("claim_count") > 0,
+          col("potential_fraud_cases").cast(DoubleType) / col("claim_count"))
+          .otherwise(0).as("fraud_rate"),
+        col("total_claims_handled").as("adjuster_total_claims"),
+        col("ap_avg_settlement_ratio").as("adjuster_avg_settlement_ratio"),
+        col("avg_processing_time").as("adjuster_avg_processing_time"),
+        col("fraud_cases_detected").as("adjuster_fraud_detected"),
+        when(col("ap_avg_settlement_ratio") >= 0.9 &&
+          col("avg_processing_time") <= 7, "High Performer")
+          .when(col("ap_avg_settlement_ratio") >= 0.8 &&
+            col("avg_processing_time") <= 14, "Good Performer")
+          .when(col("ap_avg_settlement_ratio") >= 0.7 &&
+            col("avg_processing_time") <= 21, "Average Performer")
+          .otherwise("Needs Improvement").as("adjuster_performance_tier"),
+        when(col("customer_state").isin("FL", "TX", "CA"), "High Risk State")
+          .when(col("customer_state").isin("NY", "NJ", "CT"), "Medium Risk State")
+          .otherwise("Low Risk State").as("state_risk_category"),
+        when(col("customer_age") < 25, "Young Driver")
+          .when(col("customer_age").between(25, 65), "Mature Driver")
+          .otherwise("Senior Driver").as("customer_age_category"),
+        lag(col("claim_count"), 1).over(w).as("prev_claims"),
+        clock.today.as("report_date"))
   }
 }
