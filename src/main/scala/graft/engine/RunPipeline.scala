@@ -34,7 +34,12 @@ object RunPipeline {
       "raw_claims" -> readCsv("claims"),
       "raw_premiums" -> readCsv("premiums"))
 
-    val (outputs, audit) = InsurancePipeline.run(raw, Sink.Parquet(outDir))
+    // month-grained marts write hive-partitioned (partition pruning for
+    // downstream month-range readers)
+    val sink = Sink.Parquet(outDir, partitions = Map(
+      "gold_policy_performance" -> Seq("policy_month"),
+      "gold_executive_summary" -> Seq("report_period")))
+    val (outputs, audit) = InsurancePipeline.run(raw, sink)
     audit.write.mode("append").parquet(s"$outDir/logging/dbt_logs")
 
     val checks = Checks.bronzeSuite(Map(
