@@ -177,11 +177,13 @@ object DedupOps extends QueryModule {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  // ============================================================ LSH near-dup
-  register("q25_lsh_near_duplicates", {
+  /** The full LSH CTE chain (tokens → shingle hashes → signatures →
+    * capped buckets → candidate pairs → Jaccard-verified pairs) — shared
+    * by q25 and the corpus-cleaning pipeline q39. */
+  def oLshCtes: String = {
     val rowsPerBand = NumHashes / Bands
     val sigList = (0 until NumHashes).map(oMinhash).mkString(", ")
-    s"""WITH $oTokenHashCte,
+    s"""$oTokenHashCte,
        |sh AS (SELECT doc_id, $oShingleHashes AS shl FROM th_t2),
        |sigs AS (SELECT doc_id, [$sigList] AS sig FROM sh),
        |banded AS (
@@ -201,9 +203,16 @@ object DedupOps extends QueryModule {
        |    CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sa.shl, sb.shl))) AS jaccard
        |  FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
-       |             JOIN sh sb ON pairs.doc_b = sb.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= $JaccardThreshold""".stripMargin
-  })(lshPairs _)
+       |             JOIN sh sb ON pairs.doc_b = sb.doc_id),
+       |near_dups AS (
+       |  SELECT doc_a, doc_b, jaccard FROM verified
+       |  WHERE jaccard >= $JaccardThreshold)""".stripMargin
+  }
+
+  // ============================================================ LSH near-dup
+  register("q25_lsh_near_duplicates",
+    s"""WITH $oLshCtes
+       |SELECT doc_a, doc_b, jaccard FROM near_dups""".stripMargin)(lshPairs _)
 
   // ============================================================ simhash
   // 16-bit SimHash: per-token hash bits, majority vote per bit position.
@@ -248,5 +257,44 @@ object DedupOps extends QueryModule {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
           size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+  }
+
+  // ============================================================ capstone
+  // the end-to-end corpus-cleaning pipeline a training-data run performs:
+  // quality gate → exact dedup (keep canonical) → LSH near-dup removal
+  // (anti-join on verified pairs). Output = the surviving clean corpus.
+  register("q39_clean_corpus",
+    s"""WITH $oLshCtes,
+       |stats AS (
+       |  SELECT doc_id, lang,
+       |    len($oTokens) AS n_tokens,
+       |    CAST(len(list_distinct($oTokens)) AS DOUBLE) / len($oTokens) AS unique_ratio,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       |  FROM documents),
+       |quality AS (
+       |  SELECT * FROM stats
+       |  WHERE n_tokens BETWEEN 20 AND 10000 AND unique_ratio > 0.1),
+       |canonical AS (
+       |  SELECT fingerprint, min(doc_id) AS keep_id FROM quality GROUP BY fingerprint),
+       |exact_kept AS (
+       |  SELECT q.* FROM quality q
+       |  JOIN canonical c ON q.fingerprint = c.fingerprint AND q.doc_id = c.keep_id)
+       |SELECT doc_id, lang, n_tokens, unique_ratio FROM exact_kept
+       |WHERE doc_id NOT IN (SELECT doc_b FROM near_dups)""".stripMargin) { (s, d) =>
+    val t = tokens(col("text"))
+    val stats = documents(s, d).select(col("doc_id"), col("lang"),
+      size(t).as("n_tokens"),
+      (size(array_distinct(t)).cast(DoubleType) / size(t)).as("unique_ratio"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .as("fingerprint"))
+    val quality = stats.filter(col("n_tokens").between(20, 10000) &&
+      col("unique_ratio") > 0.1)
+    val canonical = quality.groupBy(col("fingerprint").as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val exactKept = quality.join(canonical,
+      col("fingerprint") === col("fp") && col("doc_id") === col("keep_id"))
+    val nearDupLosers = lshPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
+    exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_tokens", "unique_ratio")
   }
 }
