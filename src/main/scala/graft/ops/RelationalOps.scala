@@ -536,4 +536,123 @@ object RelationalOps extends QueryModule {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }
+
+  // ============================================================ beyond-ref
+  // completeness beyond the reference surface: full window-function
+  // suite, set operations, ROLLUP subtotals, semi-join, exact median.
+
+  register("q48_window_suite",
+    s"""WITH ranked AS (
+       |  SELECT c_custkey, c_mktsegment, c_acctbal,
+       |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    RANK() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS band_rank,
+       |    DENSE_RANK() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS band_dense_rank,
+       |    NTILE(4) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
+       |    LEAD(c_custkey, 1) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal DESC, c_custkey ASC) AS next_custkey,
+       |    SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+       |      PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal DESC, c_custkey ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_balance
+       |  FROM customer)
+       |SELECT c_custkey, c_mktsegment, bal_band, band_rank, band_dense_rank,
+       |  quartile, next_custkey,
+       |  CAST(running_balance AS DOUBLE) AS running_balance
+       |FROM ranked""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bandW = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(floor(col("c_acctbal") / 1000).cast(LongType).desc)
+    val totalW = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"),
+      rank().over(bandW).as("band_rank"),
+      dense_rank().over(bandW).as("band_dense_rank"),
+      ntile(4).over(totalW).as("quartile"),
+      lead(col("c_custkey"), 1).over(totalW).as("next_custkey"),
+      sum(col("c_acctbal").cast(DecimalType(18, 4)))
+        .over(totalW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(DoubleType).as("running_balance"))
+  }
+
+  register("q49_set_ops",
+    """SELECT 'both' AS op, c FROM (
+      |  SELECT c_custkey AS c FROM customer WHERE c_acctbal > 5000
+      |  INTERSECT
+      |  SELECT o_custkey AS c FROM orders WHERE o_totalprice > 200000)
+      |UNION ALL
+      |SELECT 'rich_no_big_order' AS op, c FROM (
+      |  SELECT c_custkey AS c FROM customer WHERE c_acctbal > 5000
+      |  EXCEPT
+      |  SELECT o_custkey AS c FROM orders WHERE o_totalprice > 200000)
+      |UNION ALL
+      |SELECT 'either' AS op, c FROM (
+      |  SELECT c_custkey AS c FROM customer WHERE c_acctbal > 9900
+      |  UNION
+      |  SELECT o_custkey AS c FROM orders WHERE o_totalprice > 450000)""".stripMargin) { (s, d) =>
+    val rich = customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("c"))
+    val big = orders(s, d).filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("c"))
+    val veryRich = customer(s, d).filter(col("c_acctbal") > 9900)
+      .select(col("c_custkey").as("c"))
+    val veryBig = orders(s, d).filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("c"))
+    rich.intersect(big).select(lit("both").as("op"), col("c"))
+      .unionAll(rich.except(big).select(lit("rich_no_big_order").as("op"), col("c")))
+      .unionAll(veryRich.union(veryBig).distinct()
+        .select(lit("either").as("op"), col("c")))
+  }
+
+  register("q50_rollup",
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  COUNT(*) AS order_count,
+       |  ${oDsum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  register("q51_semi_join",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  register("q52_exact_median",
+    """WITH ordered AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS median_acctbal
+      |FROM ordered
+      |WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val cntW = Window.partitionBy(col("c_mktsegment"))
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"), count(lit(1)).over(cntW).as("n"))
+      .filter(col("rn") === floor((col("n") + 1) / 2).cast(LongType) ||
+        col("rn") === floor((col("n") + 2) / 2).cast(LongType))
+      .groupBy("c_mktsegment")
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 4))).cast(DoubleType)
+        / count(lit(1))).as("median_acctbal"))
+  }
 }
