@@ -168,4 +168,39 @@ object SimilarityOps extends QueryModule {
       .agg(((sum(floor(col("x") * 1000000)).cast(DoubleType) / 1000000)
         / count(lit(1))).as("centroid_val"))
   }
+
+  // ============================================================ cosine dedup
+  // embedding-cosine near-duplicate detection: candidate pairs from the
+  // LSH buckets, kept when cosine exceeds the near-dup threshold — the
+  // embedding-space member of the dedup family (see text.DedupOps for the
+  // token-space ones)
+  // the synthetic embeddings are random (no seeded duplicates); 0.4 sits
+  // in the top tail of the in-bucket cosine distribution so the query
+  // produces a meaningful, still-selective pair set. A production dedup
+  // run over real embeddings would use ~0.99.
+  val CosineDupThreshold = 0.4
+  register("q53_embedding_near_dup", {
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${oLshSignature("embedding")} AS sig
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${oDot("a.embedding", "b.embedding")}
+       |      / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}) AS cosine
+       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= $CosineDupThreshold""".stripMargin
+  }) { (s, d) =>
+    val sigs = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding")).as("sig"))
+    val a = sigs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("sig").as("sa"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("sig").as("sb"))
+    a.join(b, col("sa") === col("sb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+          .as("cosine"))
+      .filter(col("cosine") >= CosineDupThreshold)
+  }
 }

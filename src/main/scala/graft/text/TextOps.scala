@@ -148,6 +148,27 @@ object TextOps extends QueryModule {
       md5(norm).as("fingerprint"),
       hash60(norm).as("fingerprint60"))
   }
+
+  // ============================================================ tokenizers
+  // token counting two ways: whitespace words and a BPE-ish regex
+  // lexer (letter runs / digit runs / single punctuation marks) — the
+  // pre-tokenization shape GPT-style tokenizers apply before merges
+  register("q54_token_counting", {
+    val re = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    s"""SELECT doc_id,
+       |  len($oTokens) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$re')) AS bpe_ish_tokens,
+       |  CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE)
+       |    / len($oTokens) AS fertility
+       |FROM documents""".stripMargin
+  }) { (s, d) =>
+    val re = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    val bpe = size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    documents(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      bpe.as("bpe_ish_tokens"),
+      (bpe.cast(DoubleType) / size(tokens(col("text")))).as("fertility"))
+  }
 }
 
 /** The shared cross-engine hash: first 15 hex chars of md5 as a 60-bit
