@@ -169,6 +169,27 @@ object TextOps extends QueryModule {
       bpe.as("bpe_ish_tokens"),
       (bpe.cast(DoubleType) / size(tokens(col("text")))).as("fertility"))
   }
+
+
+  // ============================================================ sketches
+  // Count-Min heavy hitters (rows-only check: the sketch itself is not
+  // SQL-expressible; estimates are deterministic via the portable hash
+  // and the spec proves the epsilon bound). Two passes: fold the token
+  // stream into one mergeable sketch, then score the vocabulary.
+  registerNoOracle("q55_heavy_hitters") { (s, d) =>
+    import s.implicits._
+    import graft.ml.CMSketch
+    val tok = documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+    val sketch = tok.as[String]
+      .select(CMSketch.aggregator().toColumn.name("sk")).head()
+    val bc = s.sparkContext.broadcast(sketch)
+    val estimate = udf((t: String) => bc.value.estimate(t))
+    tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
+      .withColumn("cms_estimate", estimate(col("term")))
+      .orderBy(col("cms_estimate").desc, col("term").asc)
+      .limit(20)
+  }
 }
 
 /** The shared cross-engine hash: first 15 hex chars of md5 as a 60-bit
