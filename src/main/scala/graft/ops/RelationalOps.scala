@@ -655,4 +655,12 @@ object RelationalOps extends QueryModule {
       .agg((sum(col("c_acctbal").cast(DecimalType(18, 4))).cast(DoubleType)
         / count(lit(1))).as("median_acctbal"))
   }
+
+  // HyperLogLog++ approximate distinct (rows-only: sketch internals are
+  // engine-specific; OpsSpec asserts the error bound vs the exact count)
+  registerNoOracle("q56_approx_distinct") { (s, d) =>
+    orders(s, d).groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+  }
 }

@@ -135,6 +135,12 @@ object StructuredStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("event_count"))
 
+  /** Streaming deduplication: exactly-once per event_id within the
+    * watermark horizon (state expires past it — bounded state at scale). */
+  def dedupedStream(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running aggregates (update mode). */
   def userRollup(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
     stream

@@ -104,6 +104,16 @@ class OpsSpec extends SparkSpec {
     assert(sess.filter(col("duration_us") < 0).count() === 0)
   }
 
+  test("approx distinct stays within the configured error bound") {
+    graft.SparkEntry.queries("q56_approx_distinct")(spark, sf).collect()
+      .foreach { r =>
+        val exact = r.getAs[Long]("exact_customers").toDouble
+        val approx = r.getAs[Long]("approx_customers").toDouble
+        assert(math.abs(approx - exact) / exact < 0.1,
+          s"approx $approx vs exact $exact")
+      }
+  }
+
   test("lang_id is deterministic and defaults sensibly") {
     val langs = graft.SparkEntry.queries("q21_lang_id")(spark, sf)
       .select("detected_lang").distinct().collect().map(_.getString(0)).toSet

@@ -80,6 +80,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StructuredStreams.dedupedStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(1, ts("2024-01-01 10:00:30"), 1, "view", 1.0), // dup id
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Ev(2, ts("2024-01-01 10:02:00"), 1, "click", 2.0)) // dup
+      query.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(
