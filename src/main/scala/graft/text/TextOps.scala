@@ -190,6 +190,24 @@ object TextOps extends QueryModule {
       .orderBy(col("cms_estimate").desc, col("term").asc)
       .limit(20)
   }
+
+
+  // ============================================================ rolling hash
+  // character-level polynomial rolling fingerprint (Rabin-Karp base-131
+  // over code points, mod P) — the streaming-friendly fingerprint family;
+  // identical left-fold in both engines
+  register("q57_rolling_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |    (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp,
+      |  length(text) AS char_len
+      |FROM documents""".stripMargin) { (s, d) =>
+    documents(s, d).select(col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, c) => (acc * 131 + ascii(c)) % 2147483647L).as("rolling_fp"),
+      length(col("text")).as("char_len"))
+  }
 }
 
 /** The shared cross-engine hash: first 15 hex chars of md5 as a 60-bit
