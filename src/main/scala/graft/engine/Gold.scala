@@ -204,8 +204,13 @@ object Gold {
       .filter(col("cl.missing_policy_flag") === 0)
       .join(policies.select("policy_id", "customer_id", "policy_type").alias("p"),
         Seq("policy_id"), "inner")
-      .join(customers.select(col("customer_id"), col("state"), col("age"))
-        .alias("c"), Seq("customer_id"), "inner")
+      // the reference joins on the POLICY's customer (p.customer_id =
+      // c.customer_id, gold_claims_operations.sql:41); claims carry their
+      // own customer_id, so an implicit USING join would silently bind to
+      // the wrong column
+      .join(customers.select(col("customer_id").as("cust_id"), col("state"),
+        col("age")).alias("c"),
+        col("p.customer_id") === col("cust_id"), "inner")
       .groupBy(col("cl.claim_type").as("claim_type"),
         col("cl.severity").as("severity"),
         col("cl.status").as("status"),

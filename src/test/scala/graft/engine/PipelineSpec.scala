@@ -101,6 +101,19 @@ class PipelineSpec extends SparkSpec {
     assert(cats.subsetOf(Set("Young Driver", "Mature Driver", "Senior Driver")))
   }
 
+  test("claims_operations joins customers via the POLICY's customer id") {
+    // a claim whose own customer_id is bogus must still reach the mart
+    // through its policy's customer (reference joins p.customer_id)
+    val rawClaims = Fixtures.rawClaims(spark)
+      .withColumn("customer_id", lit("C-DOES-NOT-EXIST"))
+    val claims = Silver.claims(Bronze.claims(rawClaims), Fixtures.clock)
+    val policies = outputs("policies_silver")
+    val customers = outputs("customers_silver")
+    val mart = Gold.claimsOperations(claims, policies, customers, Fixtures.clock)
+    // CL001 (policy P001 -> customer C001, state TX) must still appear
+    assert(mart.filter(col("customer_state") === "TX").count() > 0)
+  }
+
   test("row-count conservation: bronze = silver kept + dropped") {
     val bronzeC = outputs("customers_bronze")
     val silverC = outputs("customers_silver")
