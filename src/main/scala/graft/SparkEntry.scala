@@ -16,7 +16,8 @@ object SparkEntry {
 
   private def modules: Seq[ops.QueryModule] = Seq(
     ops.RelationalOps, text.TextOps, text.DedupOps, ml.SimilarityOps,
-    streaming.StreamingOps, multimodal.MultimodalOps, engine.InsuranceGate)
+    streaming.StreamingOps, multimodal.MultimodalOps, engine.InsuranceGate,
+    ops.TemporalJoins)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
