@@ -663,4 +663,37 @@ object RelationalOps extends QueryModule {
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))
   }
+
+  // time-based RANGE frame: rolling 1-hour event count/value per user —
+  // frame bounds in integer microseconds so both engines agree exactly
+  register("q60_range_frame",
+    """SELECT user_id, event_id, ts,
+      |  COUNT(*) OVER w AS events_last_hour,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+      count(lit(1)).over(w).as("events_last_hour"),
+      sum(col("value").cast(DecimalType(18, 4))).over(w).cast(DoubleType)
+        .as("value_last_hour"))
+  }
+
+  // array aggregation with deterministic ordering (collect_list is
+  // partition-order-dependent; sorting restores determinism), emitted as
+  // a joined string so the compare is representation-stable
+  register("q61_array_agg",
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+      |  CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    events(s, d).groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("event_types"),
+        size(collect_set(col("event_type"))).cast(LongType).as("n_types"))
+  }
 }
