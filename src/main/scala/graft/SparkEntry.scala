@@ -14,7 +14,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.RelationalOps.queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
-  private def modules: Seq[ops.QueryModule] = Seq(
+  private[graft] def modules: Seq[ops.QueryModule] = Seq(
     ops.RelationalOps, text.TextOps, text.DedupOps, ml.SimilarityOps,
     streaming.StreamingOps, multimodal.MultimodalOps, engine.InsuranceGate,
     ops.TemporalJoins)

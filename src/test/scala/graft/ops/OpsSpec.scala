@@ -27,6 +27,11 @@ class OpsSpec extends SparkSpec {
     assert(o.subsetOf(q))
   }
 
+  test("query names are unique across modules (no silent map overwrites)") {
+    val perModule = graft.SparkEntry.modules.map(_.queries.size).sum
+    assert(graft.SparkEntry.queries.size === perModule)
+  }
+
   test("lsh near-duplicates have high verified jaccard and are symmetric-free") {
     val pairs = DedupOps.lshPairs(spark, sf).collect()
     assert(pairs.nonEmpty, "expected seeded near-duplicates in testdata")
