@@ -130,8 +130,13 @@ final class Dag(models: Seq[Model], sink: Sink, clock: Clock = Clock.System) {
       }
     } finally pool.shutdown()
 
+    // rows were appended by concurrently-finishing futures; re-establish
+    // run (= topological) order so the audit log is deterministic across
+    // runs, as documented
+    val topoIndex = topoOrder.zipWithIndex.toMap
+    val ordered = audit.toSeq.sortBy(r => topoIndex(r.getString(0)))
     val auditDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(audit.toSeq, 1), Schemas.auditLog)
+      spark.sparkContext.parallelize(ordered, 1), Schemas.auditLog)
     (outputs.toMap -- inputs.keys, auditDf)
   }
 }

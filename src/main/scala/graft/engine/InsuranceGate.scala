@@ -155,11 +155,19 @@ object InsuranceGate extends QueryModule {
        |    source_file_path, source_file_time, processed_at, invalid_email_flag
        |  FROM cu_deduped WHERE row_num = 1)""".stripMargin
 
+  // Gate outputs cast DECIMAL columns to DOUBLE on BOTH sides: the silver
+  // tables keep DecimalType (reference fidelity), but the driver's compare
+  // materializes the two sides through different client paths where a
+  // DECIMAL column surfaces as Decimal('18.00') vs 18.0 — hash mismatch on
+  // bit-identical data (round-1 q02/q40/q41/q46). DOUBLE round-trips
+  // identically through every client.
   register("q40_customers_silver",
     s"""WITH $oRawCustomers,
        |$oCustomersSilver
-       |SELECT * FROM customers_silver""".stripMargin) { (s, d) =>
+       |SELECT * REPLACE (CAST(annual_income AS DOUBLE) AS annual_income)
+       |FROM customers_silver""".stripMargin) { (s, d) =>
     Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
+      .withColumn("annual_income", col("annual_income").cast(DoubleType))
   }
 
   // ----------------------------------------------------------------- raw
@@ -284,8 +292,15 @@ object InsuranceGate extends QueryModule {
   register("q41_policies_silver",
     s"""WITH $oRawPolicies,
        |$oPoliciesSilver
-       |SELECT * FROM policies_silver""".stripMargin) { (s, d) =>
+       |SELECT * REPLACE (
+       |  CAST(coverage_amount AS DOUBLE) AS coverage_amount,
+       |  CAST(premium_amount AS DOUBLE) AS premium_amount,
+       |  CAST(deductible AS DOUBLE) AS deductible)
+       |FROM policies_silver""".stripMargin) { (s, d) =>
     Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
+      .withColumn("coverage_amount", col("coverage_amount").cast(DoubleType))
+      .withColumn("premium_amount", col("premium_amount").cast(DoubleType))
+      .withColumn("deductible", col("deductible").cast(DoubleType))
   }
 
   // ----------------------------------------------------------------- raw
@@ -312,8 +327,13 @@ object InsuranceGate extends QueryModule {
       val baseClaim = ((k * 13 % 3000000) + 7).cast(DoubleType) / 100 + 50
       val claim = when(k % 71 === 0, -baseClaim)
         .when(k % 111 === 0, 0.0).otherwise(baseClaim)
+      // NOTE: the `+ 1` is applied only on the dup slice; an unconditional
+      // `+ 0` would rewrite IEEE -0.0 (negative claim × zero ratio) to +0.0
+      // and diverge from the oracle, which has no `+ 0` term (round-1 driver
+      // hash mismatch on settled_amount).
+      val settledBase = claim * (k % 8) / 8
       val settled = when(k % 67 === 0, -10.0)
-        .otherwise(claim * (k % 8) / 8 + (if (dup) 1 else 0))
+        .otherwise(if (dup) settledBase + 1 else settledBase)
       src.select(
         when(k % 79 === 0, lit("")).otherwise(concat(lit("CL"), k)).as("claim_id"),
         when(k % 73 === 0, lit("")).otherwise(concat(lit("P"), col("l_orderkey")))
@@ -779,7 +799,8 @@ object InsuranceGate extends QueryModule {
        |SELECT cb.customer_id, cb.full_name, cb.age,
        |  CASE WHEN cb.age < 25 THEN 'Gen Z' WHEN cb.age < 35 THEN 'Millennial'
        |       WHEN cb.age < 55 THEN 'Gen X' ELSE 'Boomer+' END AS generation_segment,
-       |  cb.annual_income, cb.credit_score, cb.state, cb.occupation,
+       |  CAST(cb.annual_income AS DOUBLE) AS annual_income,
+       |  cb.credit_score, cb.state, cb.occupation,
        |  COALESCE(pm.total_policies, 0) AS total_policies,
        |  COALESCE(pm.total_annual_premium, 0) AS total_annual_premium,
        |  COALESCE(pm.total_coverage, 0) AS total_coverage,
@@ -848,7 +869,8 @@ object InsuranceGate extends QueryModule {
         when(col("age") < 25, "Gen Z").when(col("age") < 35, "Millennial")
           .when(col("age") < 55, "Gen X").otherwise("Boomer+")
           .as("generation_segment"),
-        col("annual_income"), col("credit_score"), col("state"), col("occupation"),
+        col("annual_income").cast(DoubleType).as("annual_income"),
+        col("credit_score"), col("state"), col("occupation"),
         z(col("total_policies")).as("total_policies"),
         z(col("total_annual_premium")).as("total_annual_premium"),
         z(col("total_coverage")).as("total_coverage"),

@@ -30,6 +30,18 @@ object SimilarityOps extends QueryModule {
   val TopK = 5
   val Planes = 8
 
+  /** Skew guard for the signature joins (same pattern as
+    * [[graft.text.DedupOps.MaxBucketSize]]): a bucket of n vectors yields
+    * n·queries candidates in q29 and n(n-1)/2 pairs in q53, so one hot
+    * signature (duplicate-heavy or low-entropy embeddings) goes quadratic.
+    * Buckets past the cap are dropped — deterministically, so the oracle
+    * mirrors it with a HAVING on the same count. At corpus scale the real
+    * lever is growing [[Planes]] with the corpus (more, smaller buckets);
+    * the cap is the backstop against accidental O(n²) blowup. Sized not to
+    * trigger at test SFs (random 8-bit signatures put ~n/256 per bucket).
+    */
+  val MaxSigBucketSize = 4096
+
   /** Deterministic ±1 hyperplane matrix (seeded, embedded as literals in
     * both engines). */
   val hyperplanes: Seq[Seq[Int]] = {
@@ -59,6 +71,17 @@ object SimilarityOps extends QueryModule {
     s"""list_reduce(list_transform(range(1, $Dim + 1),
        |      i -> CAST($v[i] AS DOUBLE) * ([${plane.mkString(",")}])[i]),
        |      (x, y) -> x + y)""".stripMargin
+
+  /** Drops rows whose `sig` bucket exceeds [[MaxSigBucketSize]] — the
+    * shared skew guard for the signature equi-joins. The bucket census
+    * shuffles only (sig, count), never the vectors.
+    */
+  private def cappedBySig(sigs: DataFrame): DataFrame =
+    sigs.join(
+      sigs.groupBy("sig").agg(count(lit(1)).as("__bucket_n"))
+        .filter(col("__bucket_n") <= MaxSigBucketSize)
+        .select("sig"),
+      Seq("sig"))
 
   /** 8-bit LSH signature from the hyperplane sign pattern. */
   def lshSignature(v: Column): Column =
@@ -109,13 +132,17 @@ object SimilarityOps extends QueryModule {
        |  SELECT vec_id, label, embedding,
        |    ${oLshSignature("embedding")} AS sig
        |  FROM embeddings),
+       |capped AS (
+       |  SELECT s.* FROM sigs s
+       |  JOIN (SELECT sig FROM sigs GROUP BY sig
+       |        HAVING COUNT(*) <= $MaxSigBucketSize) ok ON s.sig = ok.sig),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, sig
        |      FROM sigs WHERE vec_id < $NumQueries),
        |scored AS (
        |  SELECT q.query_id, c.vec_id, c.label,
        |    ${oDot("q.qv", "c.embedding")}
        |      / (${oNorm("q.qv")} * ${oNorm("c.embedding")}) AS cosine
-       |  FROM q JOIN sigs c ON q.sig = c.sig AND q.query_id <> c.vec_id),
+       |  FROM q JOIN capped c ON q.sig = c.sig AND q.query_id <> c.vec_id),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |            ORDER BY cosine DESC, vec_id ASC) AS rank
@@ -126,10 +153,11 @@ object SimilarityOps extends QueryModule {
     val sigs = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         lshSignature(col("embedding")).as("sig"))
+    val capped = cappedBySig(sigs)
     val q = sigs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("sig").as("qsig"))
-    val scored = broadcast(q).join(sigs.alias("c"),
+    val scored = broadcast(q).join(capped.alias("c"),
         col("qsig") === col("c.sig") && col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         col("c.label").as("label"),
@@ -183,16 +211,20 @@ object SimilarityOps extends QueryModule {
     s"""WITH sigs AS (
        |  SELECT vec_id, embedding, ${oLshSignature("embedding")} AS sig
        |  FROM embeddings),
+       |capped AS (
+       |  SELECT s.* FROM sigs s
+       |  JOIN (SELECT sig FROM sigs GROUP BY sig
+       |        HAVING COUNT(*) <= $MaxSigBucketSize) ok ON s.sig = ok.sig),
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ${oDot("a.embedding", "b.embedding")}
        |      / (${oNorm("a.embedding")} * ${oNorm("b.embedding")}) AS cosine
-       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |  FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= $CosineDupThreshold""".stripMargin
   }) { (s, d) =>
-    val sigs = embeddings(s, d)
+    val sigs = cappedBySig(embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        lshSignature(col("embedding")).as("sig"))
+        lshSignature(col("embedding")).as("sig")))
     val a = sigs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("sig").as("sa"))
     val b = sigs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),

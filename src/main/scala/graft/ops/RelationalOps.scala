@@ -67,11 +67,15 @@ object RelationalOps extends QueryModule {
   // ============================================================ §2.2 P1/P2
   // bronze-style typed projection: CAST per column + rename (the whole
   // bronze layer, models/bronze/*.sql)
+  // The DECIMAL(18,2) cast is the typed-projection semantics under test;
+  // the final CAST to DOUBLE exists because DECIMAL output columns surface
+  // differently across client paths (Decimal('18.00') vs 18.0) and
+  // hash-mismatch on bit-identical data (round-1 driver result).
   register("q02_cast_projection",
     """SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
       |  CAST(l_partkey AS INTEGER) AS part_id,
-      |  CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
-      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS extended_price,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extended_price,
       |  CAST(l_shipdate AS DATE) AS ship_date
       |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (s, d) =>
     lineitem(s, d)
@@ -79,8 +83,9 @@ object RelationalOps extends QueryModule {
       .select(
         col("l_orderkey").cast(StringType).as("order_id"),
         col("l_partkey").cast(IntegerType).as("part_id"),
-        col("l_quantity").cast(DecimalType(18, 2)).as("quantity"),
-        col("l_extendedprice").cast(DecimalType(18, 2)).as("extended_price"),
+        col("l_quantity").cast(DecimalType(18, 2)).cast(DoubleType).as("quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).cast(DoubleType)
+          .as("extended_price"),
         col("l_shipdate").cast(DateType).as("ship_date"))
   }
 

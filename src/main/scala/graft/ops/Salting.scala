@@ -13,13 +13,31 @@ import org.apache.spark.sql.functions._
   * join.
   */
 object Salting {
+  /** Join types for which replicating `other` keeps the result
+    * row-identical to the plain join: every `other` row that reaches the
+    * output must have matched a (uniquely-salted) `skewed` row. Outer
+    * variants that preserve unmatched `other` rows would emit them once
+    * per salt — `factor`× duplicated — so they are rejected.
+    */
+  private val ReplicationSafeJoinTypes: Set[String] =
+    Set("inner", "left", "leftouter", "cross", "leftsemi", "semi",
+      "leftanti", "anti")
+
   /** Equi-join `skewed ⋈ other` on `key`, spreading each key of the
     * skewed side across `factor` salted partitions. `other` is
     * replicated `factor`× — keep it the smaller input.
+    *
+    * `joinType` must preserve no unmatched `other` rows (see
+    * [[ReplicationSafeJoinTypes]]); right/full outer joins would emit
+    * each unmatched `other` row `factor` times.
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    require(ReplicationSafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support joinType=$joinType: replicating the " +
+        "non-salted side would duplicate its unmatched rows; use the plain " +
+        "join (AQE skew handling) for right/full outer joins")
     // deterministic scatter: hash the full row, not rand() — keeps the
     // join re-executable (retried tasks must land rows identically)
     val salted = skewed.withColumn("__salt",

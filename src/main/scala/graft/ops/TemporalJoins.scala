@@ -22,6 +22,13 @@ object TemporalJoins extends QueryModule {
     * right.time <= left.time within the same key. Implemented by
     * unioning both sides tagged, sorting once per key on (time, side),
     * and carrying the last-seen right payload forward with a window.
+    *
+    * Tie semantics: when multiple right rows share (key, time), the one
+    * with the greatest payload tuple (compared in `payloadCols` order)
+    * wins — include a unique right-side id in `payloadCols` to make the
+    * choice deterministic (the window ordering appends the payload
+    * columns as a tie-break; (time, side) alone would leave the winner
+    * physically arbitrary).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       time: String, payloadCols: Seq[String]): DataFrame = {
@@ -37,9 +44,13 @@ object TemporalJoins extends QueryModule {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payloadCols.map(c => col(c).as(s"__r_$c")): _*)
     // right rows sort before left rows at equal times (side 0 < 1), so a
-    // same-timestamp right row IS visible to the left row (<= semantics)
+    // same-timestamp right row IS visible to the left row (<= semantics);
+    // the payload columns break ties among same-timestamp right rows
+    // (greatest payload tuple wins — nulls-first keeps left rows, whose
+    // __r_* are all null, ordered before any real right payload)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
+      .orderBy(Seq(col(time), col("__side")) ++
+        payloadCols.map(c => col(s"__r_$c").asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = leftTagged.unionByName(rightTagged)
       .select(Seq(col(key), col(time), col("__side")) ++

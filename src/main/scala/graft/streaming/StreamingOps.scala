@@ -81,10 +81,13 @@ object StreamingOps extends QueryModule {
       |  COUNT(*) AS event_count,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM bucketed GROUP BY event_type, window_start""".stripMargin) { (s, d) =>
+    // floor-division bucketing via pmod (exact integer math): Long `/`
+    // truncates toward zero, which diverges from the oracle's `//` floor
+    // for pre-1970 timestamps (negative epoch micros)
+    val us = unix_micros(col("ts"))
     events(s, d)
       .withColumn("window_start",
-        timestamp_micros((unix_micros(col("ts")) / 900000000L).cast(LongType)
-          * 900000000L))
+        timestamp_micros(us - pmod(us, lit(900000000L))))
       .groupBy(col("event_type"), col("window_start"))
       .agg(count(lit(1)).as("event_count"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)

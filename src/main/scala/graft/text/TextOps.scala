@@ -195,7 +195,12 @@ object TextOps extends QueryModule {
   // ============================================================ rolling hash
   // character-level polynomial rolling fingerprint (Rabin-Karp base-131
   // over code points, mod P) — the streaming-friendly fingerprint family;
-  // identical left-fold in both engines
+  // identical left-fold in both engines.
+  // Non-BMP safety: Spark 4's split(text, "") segments by CODE POINT
+  // (surrogate pairs stay one element) and ascii() returns the full code
+  // point (codePointAt, not the first UTF-16 unit), matching DuckDB's
+  // string_split + ord exactly — pinned by the "rolling fingerprint
+  // handles non-BMP code points" spec in AdviceRegressionSpec.
   register("q57_rolling_fingerprint",
     """SELECT doc_id,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),

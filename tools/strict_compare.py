@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Strict replica of a hash-based correctness gate: NO decimal->float
+normalization. Sorts columns by name, sorts rows, compares exact string
+representations of every value. Reports per-column dtype + first diff.
+
+Usage: python3 tools/strict_compare.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+con = duckdb.connect()
+for t in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(t)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+
+with open(os.path.join(outdir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify every value exactly (repr distinguishes Decimal('1.40') vs 1.4)
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: "NULL" if pd.isna(v) else repr(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+for name in sorted(os.listdir(outdir)):
+    p = os.path.join(outdir, name)
+    if not os.path.isdir(p) or name not in oracles:
+        continue
+    if only and name not in only:
+        continue
+    # decimal output columns surface differently per client path
+    # (Decimal('18.00') via pyarrow vs 18.0 via duckdb .df()) and
+    # hash-mismatch in the driver even when values agree — ban them
+    import pyarrow.parquet as pq
+    sch = pq.read_schema(glob.glob(f"{p}/*.parquet")[0])
+    decs = [f.name for f in sch if "decimal" in str(f.type)]
+    if decs:
+        print(f"{name}: DECIMAL-OUTPUT {decs} — cast to DOUBLE on both sides")
+        continue
+    raw_s = con.execute(f"SELECT * FROM '{p}/*.parquet'").df()
+    raw_o = con.execute(oracles[name]).df()
+    s, o = canon(raw_s), canon(raw_o)
+    if len(s) != len(o):
+        print(f"{name}: ROWCOUNT {len(s)} vs {len(o)}")
+        continue
+    bad = []
+    for c in s.columns:
+        neq = (s[c].values != o[c].values)
+        if neq.any():
+            i = int(neq.argmax())
+            bad.append(f"{c} [spark_dtype={raw_s[c].dtype} oracle_dtype={raw_o[c].dtype}] n={int(neq.sum())} e.g. {s[c].iloc[i]} != {o[c].iloc[i]}")
+    if bad:
+        print(f"{name}: STRICT-MISMATCH")
+        for b in bad[:6]:
+            print(f"    {b}")
+    else:
+        print(f"{name}: strict-pass rows={len(s)}")
