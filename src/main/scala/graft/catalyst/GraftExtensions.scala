@@ -13,8 +13,10 @@ import org.apache.spark.sql.GraftColumnBridge
   * [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }
 
 object GraftFunctions {

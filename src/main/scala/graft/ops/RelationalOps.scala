@@ -687,6 +687,56 @@ object RelationalOps extends QueryModule {
         .as("value_last_hour"))
   }
 
+  // exact multi-quantiles (p25/p50/p75/p90/p99) per group, linear
+  // interpolation — the scalable formulation: window rank + per-group
+  // count (ONE shuffle on the group key), pick the two bracketing ranks
+  // per quantile, interpolate. Never collects a per-group array: at
+  // 100 TB a group can exceed executor memory; rank-and-pick streams.
+  // Both sides force p to DOUBLE: DuckDB VALUES literals are DECIMAL,
+  // and (n-1)*DECIMAL('0.99') is exact where double 0.99 is not — the
+  // FLOOR would disagree at integer boundaries.
+  register("q66_exact_quantiles", {
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val vals = ps.map(p => s"(CAST($p AS DOUBLE))").mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+       |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders),
+       |picked AS (
+       |  SELECT r.*, p.p FROM ranked r, (VALUES $vals) p(p)
+       |  WHERE rn = FLOOR((n-1)*p) + 1 OR rn = LEAST(FLOOR((n-1)*p) + 2, n))
+       |SELECT o_orderpriority, p,
+       |  MAX(CASE WHEN rn = FLOOR((n-1)*p) + 1 THEN v END)
+       |    + (MAX(CASE WHEN rn = LEAST(FLOOR((n-1)*p) + 2, n) THEN v END)
+       |       - MAX(CASE WHEN rn = FLOOR((n-1)*p) + 1 THEN v END))
+       |      * ((n-1)*p - FLOOR((n-1)*p)) AS quantile
+       |FROM picked GROUP BY o_orderpriority, p, n""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("p")
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val ranked = orders(s, d)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast(DoubleType).as("v"), col("o_orderkey"))
+      .withColumn("rn",
+        row_number().over(byPrio.orderBy(col("v"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(byPrio))
+    val idx = (col("n") - 1) * col("p")
+    val loRank = floor(idx) + 1
+    val hiRank = least(floor(idx) + 2, col("n"))
+    ranked.join(broadcast(ps), col("rn") === loRank || col("rn") === hiRank)
+      .groupBy(col("o_orderpriority"), col("p"), col("n"))
+      .agg(
+        max(when(col("rn") === loRank, col("v"))).as("lo"),
+        max(when(col("rn") === hiRank, col("v"))).as("hi"))
+      .select(col("o_orderpriority"), col("p"),
+        (col("lo") + (col("hi") - col("lo"))
+          * ((col("n") - 1) * col("p") - floor((col("n") - 1) * col("p"))))
+          .as("quantile"))
+  }
+
   // array aggregation with deterministic ordering (collect_list is
   // partition-order-dependent; sorting restores determinism), emitted as
   // a joined string so the compare is representation-stable

@@ -87,6 +87,37 @@ object TemporalJoins extends QueryModule {
           .as("view_to_purchase_us"))
   }
 
+  // ============================================================ native as-of
+  // the same as-of semantics through the custom plan node
+  // (AsOfJoinPlan → GraftStrategy → sort-merge AsOfJoinExec): one shuffle
+  // per side, O(1) merge state per key. Oracle = DuckDB native ASOF JOIN,
+  // so the custom physical operator is hash-verified against a real ASOF
+  // implementation, and NativeAsOfSpec pins it row-identical to the
+  // composed formulation (q58).
+  register("q62_asof_native",
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts,
+      |  CASE WHEN v.ts IS NULL THEN NULL
+      |       ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS view_to_purchase_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+    graft.plans.GraftPlans
+      .asofJoin(purchases, views, "user_id", "ts", "v_user_id", "v_ts",
+        ties = Seq("view_id", "view_ts"))
+      .select(col("user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"), col("view_id"), col("view_ts"),
+        when(col("view_ts").isNull, lit(null))
+          .otherwise(unix_micros(col("ts")) - unix_micros(col("view_ts")))
+          .as("view_to_purchase_us"))
+  }
+
   // ============================================================ range join
   // banding join: each order matched to its price band (lo <= price < hi);
   // the tiny band table broadcasts, the predicate evaluates map-side

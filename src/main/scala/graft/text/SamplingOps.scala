@@ -1,0 +1,96 @@
+package graft.text
+
+import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling operators for training-data pipelines:
+  * stratified downsampling (corpus rebalancing), hash-based
+  * train/val/test splits, and per-stratum balanced top-k sampling.
+  *
+  * All "randomness" is a seeded portable hash of the row's stable id
+  * ([[PortableHash.hash60]]) — never `rand()`: retried tasks must land
+  * rows identically, reruns must produce the same splits (training-data
+  * lineage), and the DuckDB oracle must agree bit-for-bit.
+  *
+  * Scale design: every operator here is a map-only pass (stratified
+  * sample, split assignment) or one shuffle on the stratum key (balanced
+  * top-k via window) — no global sort, no driver-side state. At 100 TB
+  * the split assignment stays a pure projection that fuses into
+  * whole-stage codegen with the downstream write.
+  */
+object SamplingOps extends QueryModule {
+  import Tables.documents
+  import PortableHash._
+
+  /** Per-language keep rates: downsample the dominant language, keep the
+    * tail (the classic corpus-rebalancing shape). */
+  val StratumRates: Seq[(String, Int)] = // rate in basis points of 10000
+    Seq("en" -> 2000, "de" -> 8000, "fr" -> 8000, "es" -> 8000, "zh" -> 8000)
+  val DefaultRate = 5000
+
+  // ============================================================ stratified
+  // deterministic stratified sample: keep iff h(doc_id) mod 10000 < rate(lang)
+  register("q63_stratified_sample", {
+    val cases = StratumRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE ${oHash60Seeded(7, "CAST(doc_id AS VARCHAR)")} % 10000
+       |      < CASE lang $cases ELSE $DefaultRate END""".stripMargin
+  }) { (s, d) =>
+    val rate = StratumRates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents(s, d)
+      .filter(hash60Seeded(7, col("doc_id").cast(StringType)) % 10000 < rate)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  // ============================================================ split
+  // hash-based train/val/test assignment (80/10/10) + per-split stats;
+  // the assignment is a pure per-row projection — at scale it fuses into
+  // the scan/write with no shuffle, and is stable across reruns
+  register("q64_dataset_split",
+    s"""WITH assigned AS (
+       |  SELECT *, ${oHash60Seeded(13, "CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       |  COUNT(DISTINCT lang) AS n_langs
+       |FROM assigned GROUP BY 1""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .withColumn("bucket",
+        hash60Seeded(13, col("doc_id").cast(StringType)) % 100)
+      .groupBy(when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
+  // ============================================================ balanced
+  // per-stratum balanced sample: exactly k docs per language, chosen by
+  // hash order (deterministic "random" without replacement); one shuffle
+  // on the stratum key, early-pruned by the rank filter
+  val PerStratumK = 20
+  register("q65_balanced_sample",
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang, source,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${oHash60Seeded(29, "CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS pick
+       |  FROM documents)
+       |SELECT doc_id, lang, source, pick FROM ranked
+       |WHERE pick <= $PerStratumK""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hash60Seeded(29, col("doc_id").cast(StringType)), col("doc_id"))
+    documents(s, d)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= PerStratumK)
+      .select("doc_id", "lang", "source", "pick")
+  }
+}

@@ -1,13 +1,24 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Access bridge for `private[sql]` Column↔Expression conversions —
-  * the minimal (and conventional) shim an external library needs to
-  * expose native Catalyst expressions through the public Column API.
+/** Access bridge for `private[sql]` Column↔Expression↔LogicalPlan
+  * conversions — the minimal (and conventional) shim an external library
+  * needs to expose native Catalyst expressions and custom logical plans
+  * through the public Column/DataFrame API.
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame (for building custom
+    * plan nodes over existing frames). */
+  def logicalPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a logical plan (e.g. a custom node) back into a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

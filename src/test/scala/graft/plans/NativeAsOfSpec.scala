@@ -1,0 +1,93 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.{Tables, TemporalJoins}
+import org.apache.spark.sql.functions._
+
+/** The custom-plan as-of join (AsOfJoinPlan → GraftStrategy →
+  * AsOfJoinExec) against the composed union+window formulation and
+  * hand-computed edges.
+  */
+class NativeAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("native as-of join matches the composed formulation on events") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val composed = TemporalJoins
+      .asofJoin(purchases, views, "user_id", "ts", Seq("view_id", "view_ts"))
+      .select("user_id", "ts", "purchase_id", "view_id", "view_ts")
+    val nviews = views.select(col("user_id").as("v_user_id"),
+      col("ts").as("v_ts"), col("view_id"), col("view_ts"))
+    val native = GraftPlans
+      .asofJoin(purchases, nviews, "user_id", "ts", "v_user_id", "v_ts",
+        ties = Seq("view_id", "view_ts"))
+      .select("user_id", "ts", "purchase_id", "view_id", "view_ts")
+    assert(native.count() === purchases.count(), "left join must preserve left rows")
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
+  test("unmatched left rows keep null right columns; null times never match") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "before-any-right"),
+      (1L, ts("2024-01-03 00:00:00"), "after-r1"),
+      (2L, ts("2024-01-05 00:00:00"), "key-without-rights")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Some(ts("2024-01-02 00:00:00")), 100L),
+      (1L, None, 999L) // null time: must never match anything
+    ).toDF("rk", "rt", "rid")
+    val out = GraftPlans.asofJoin(left, right, "k", "t", "rk", "rt", Seq("rid"))
+      .select("tag", "rid").collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out("before-any-right") === -1L)
+    assert(out("after-r1") === 100L)
+    assert(out("key-without-rights") === -1L)
+  }
+
+  test("same-timestamp ties pick the greatest tie tuple, deterministically") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val left = Seq((1L, t0)).toDF("k", "t")
+    val right = Seq((1L, t0, 10L), (1L, t0, 30L), (1L, t0, 20L))
+      .toDF("rk", "rt", "rid")
+    (1 to 5).foreach { _ =>
+      val got = GraftPlans
+        .asofJoin(left, right.repartition(5), "k", "t", "rk", "rt", Seq("rid"))
+        .select("rid").head().getLong(0)
+      assert(got === 30L)
+    }
+  }
+
+  test("physical plan uses AsOfJoinExec with exactly one exchange per side") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1L)).toDF("rk", "rt", "rid")
+    val df = GraftPlans.asofJoin(left, right, "k", "t", "rk", "rt", Seq("rid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 shuffles, got $exchanges in:\n$plan")
+  }
+
+  test("column pruning reaches through the custom node's children") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val df = GraftPlans.asofJoin(purchases, views, "user_id", "ts",
+      "v_user_id", "v_ts", ties = Seq("view_id"))
+    val scan = df.queryExecution.executedPlan.toString
+    // the parquet scans must not read the wide props/value columns
+    assert(!scan.contains("props"), "scan should prune unused columns")
+  }
+}
