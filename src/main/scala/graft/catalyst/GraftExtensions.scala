@@ -15,6 +15,7 @@ import org.apache.spark.sql.GraftColumnBridge
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
+    ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }
@@ -26,14 +27,26 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hashes"),
     (args: Seq[Expression]) => ShingleHash(args.head))
 
+  private[catalyst] val cosineSimilarityDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+
   /** Idempotently register graft functions on a live session (for
     * sessions built without the extensions config). */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = shingleHashesDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(shingleHashesDescriptor, cosineSimilarityDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** Column-API form of [[ShingleHash]]. */
   def shingleHashes(tokens: Column): Column =
     GraftColumnBridge.column(ShingleHash(GraftColumnBridge.expression(tokens)))
+
+  /** Column-API form of [[CosineSimilarity]]. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

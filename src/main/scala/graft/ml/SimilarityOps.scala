@@ -83,8 +83,19 @@ object SimilarityOps extends QueryModule {
         .select("sig"),
       Seq("sig"))
 
-  /** 8-bit LSH signature from the hyperplane sign pattern. */
-  def lshSignature(v: Column): Column =
+  /** 8-bit LSH signature from the hyperplane sign pattern — the native
+    * one-pass kernel ([[graft.catalyst.LshSignature]]); bit-identical to
+    * the composed per-plane fold below, which remains as the
+    * cross-implementation check in CosineSimilaritySpec. */
+  def lshSignature(v: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.catalyst.LshSignature(
+      GraftColumnBridge.expression(v), hyperplanes))
+  }
+
+  /** The composed (HOF) formulation of [[lshSignature]] — kept as the
+    * reference implementation the native kernel is verified against. */
+  def lshSignatureComposed(v: Column): Column =
     hyperplanes.zipWithIndex.map { case (p, i) =>
       when(planeDot(v, p) >= 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
@@ -116,8 +127,8 @@ object SimilarityOps extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding").as("cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
-          .as("cosine"))
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -161,8 +172,8 @@ object SimilarityOps extends QueryModule {
         col("qsig") === col("c.sig") && col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         col("c.label").as("label"),
-        (dot(col("qv"), col("c.embedding")) /
-          (norm(col("qv")) * norm(col("c.embedding")))).as("cosine"))
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(col("qv"), col("c.embedding")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -231,8 +242,8 @@ object SimilarityOps extends QueryModule {
       col("sig").as("sb"))
     a.join(b, col("sa") === col("sb") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
-          .as("cosine"))
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= CosineDupThreshold)
   }
 }

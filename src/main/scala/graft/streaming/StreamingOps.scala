@@ -204,6 +204,84 @@ object StructuredStreams {
           }
       }
   }
+
+  /** Session-gap processor on the Spark 4 `transformWithState` API — the
+    * successor of flatMapGroupsWithState: explicit named state
+    * ([[org.apache.spark.sql.streaming.ValueState]]) plus first-class
+    * event-time timers, and it requires the RocksDB state store (state
+    * lives off-heap and spills — the 100 TB-keyspace path, vs the
+    * HDFS-backed store's in-heap map).
+    *
+    * Semantics match [[sessionizeStream]]: a session closes when the
+    * watermark passes last-event + gap; out-of-order rows within the
+    * watermark extend the open session.
+    */
+  final class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val evs = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (session.exists) Some(session.get) else None
+      val closed = Seq.newBuilder[SessionOut]
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.last, t),
+              s.n + 1, s.value + e.value))
+          case Some(s) =>
+            closed += SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.value)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        // re-arm the close timer at the new gap horizon; stale timers
+        // from earlier batches are ignored in handleExpiredTimer
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.last + gapMs)
+        session.update(s)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (session.exists &&
+          expiredTimerInfo.getExpiryTimeInMs() >= session.get.last + gapMs) {
+        val s = session.get
+        session.clear()
+        Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n, s.value))
+      } else Iterator.empty
+  }
+
+  /** [[sessionizeStream]] on the transformWithState API (requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider). */
+  def sessionizeTws(events: org.apache.spark.sql.Dataset[Ev],
+      gapMinutes: Int = StreamingOps.SessionGapMinutes)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** Event record for the typed streaming API. */

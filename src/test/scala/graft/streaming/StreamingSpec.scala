@@ -100,6 +100,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState " +
+    "semantics (RocksDB state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the transformWithState operator only supports the RocksDB provider;
+    // scope the conf to this query's lifetime
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val query = StructuredStreams.sessionizeTws(input.toDS())
+      .writeStream.format("memory").queryName("sessions_tws")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 2.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 3.0))
+      query.processAllAvailable()
+      // advance the watermark far past 10:10 + 30min so the timer fires
+      input.addData(Ev(3, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Ev(4, ts("2024-01-01 12:30:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions_tws").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value")))
+      assert(out.contains((1L, 2L, 5.0)), s"got ${out.toSeq}")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(
