@@ -1,0 +1,146 @@
+package graft.text
+
+import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-statistics operators for training-data curation: vocabulary
+  * extraction with out-of-vocabulary scoring, and bigram collocation
+  * mining by lift.
+  *
+  * Cross-engine determinism: both queries avoid transcendental functions
+  * entirely — `ln`/`log` are only guaranteed to ~1 ulp and Java/glibc may
+  * round differently, so instead of log-probabilities / PMI we use
+  * exact-rational equivalents: OOV is a count ratio, and collocations
+  * rank by LIFT = n_xy·N / (n_x·n_y), whose numerator/denominator are
+  * exact integers below 2^53 (then a single IEEE division both engines
+  * perform identically). PMI = log(lift) is monotone in lift, so the
+  * ranking is the same one PMI would give.
+  *
+  * Scale design: the vocabulary is a top-K aggregate (one shuffle +
+  * broadcast back); OOV scoring is then a map-side semi-join per token
+  * batch. Bigram counting shuffles (w1, w2) pairs once with map-side
+  * combine; unigram counts broadcast into the lift computation.
+  */
+object CorpusStats extends QueryModule {
+  import Tables.documents
+  import TextOps.{tokens, oTokens}
+
+  val VocabSize = 1000
+  val MinPairCount = 3
+
+  /** Shared oracle CTE: exploded tokens. */
+  private val oTok =
+    s"tok AS (SELECT doc_id, unnest($oTokens) AS w FROM documents)"
+
+  // ============================================================ vocab/OOV
+  // top-K vocabulary by document frequency (ties broken lexically), then
+  // per-document out-of-vocabulary rate against it — the log-free
+  // unigram quality score
+  register("q67_vocab_oov",
+    s"""WITH $oTok,
+       |df AS (SELECT w, COUNT(DISTINCT doc_id) AS doc_freq
+       |       FROM tok GROUP BY w),
+       |vocab AS (
+       |  SELECT w FROM df
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY doc_freq DESC, w ASC)
+       |          <= $VocabSize),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    COUNT(*) AS n_tokens,
+       |    COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov
+       |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+       |FROM scored""".stripMargin) { (s, d) =>
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    // orderBy+limit plans as TakeOrderedAndProject — a per-partition
+    // top-K merged on the driver, vs a single-partition window sort
+    val vocab = tok.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("w").asc)
+      .limit(VocabSize)
+      .select(col("w").as("vw"))
+    tok.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("vw").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tokens")).as("oov_rate"))
+  }
+
+  // ============================================================ collocations
+  // adjacent-bigram collocations ranked by lift (the log-free PMI): both
+  // engines compute n_xy*N and n_x*n_y as exact integers, one division
+  register("q68_collocations", {
+    s"""WITH $oTok,
+       |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+       |total AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM tok),
+       |bi AS (
+       |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+       |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+       |                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+       |        FROM (SELECT $oTokens AS t FROM documents) d) pairs
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinPairCount),
+       |lifted AS (
+       |  SELECT bi.w1, bi.w2, bi.n_xy,
+       |    (CAST(bi.n_xy AS DOUBLE) * CAST(total.big_n AS DOUBLE))
+       |      / (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE)) AS lift
+       |  FROM bi JOIN uni u1 ON bi.w1 = u1.w
+       |          JOIN uni u2 ON bi.w2 = u2.w
+       |          CROSS JOIN total)
+       |SELECT w1, w2, n_xy, lift FROM lifted
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) <= 50""".stripMargin
+  }) { (s, d) =>
+    val docsTok = documents(s, d).select(col("doc_id"),
+      tokens(col("text")).as("t"))
+    val tok = docsTok.select(explode(col("t")).as("w"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("n"))
+    val total = tok.agg(count(lit(1)).as("big_n"))
+    // adjacent pairs without a join: zip the array with its own tail
+    val tailLen = greatest(size(col("t")) - 1, lit(0))
+    val bi = docsTok
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), tailLen),
+        slice(col("t"), lit(2), tailLen),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= MinPairCount)
+    val lifted = bi
+      .join(broadcast(uni.select(col("w").as("u1w"), col("n").as("n1"))),
+        col("w1") === col("u1w"))
+      .join(broadcast(uni.select(col("w").as("u2w"), col("n").as("n2"))),
+        col("w2") === col("u2w"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_xy"),
+        ((col("n_xy").cast(DoubleType) * col("big_n").cast(DoubleType))
+          / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
+          .as("lift"))
+    lifted.withColumn("__rk", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)))
+      .filter(col("__rk") <= 50)
+      .select("w1", "w2", "n_xy", "lift")
+  }
+
+  // ============================================================ pivot
+  // event-type pivot per user — the reshape operator (Spark .pivot with an
+  // explicit value list = conditional aggregation; the oracle spells the
+  // same CASEs, which is also exactly what Spark plans)
+  register("q69_pivot",
+    """SELECT user_id,
+      |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+      |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("view", "click", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("view", "click", "purchase", "error"))
+  }
+}
