@@ -105,6 +105,67 @@ object MultimodalOps extends QueryModule {
         .cast(IntegerType).as("n_frames"),
       md5(col("text").cast(BinaryType)).as("payload_md5"))
   }
+
+  // ============================================================ frame sample
+  // every-Nth frame sampling of video media: the decode plan's n_frames
+  // drives a sequence explode — one output row per sampled frame, payload
+  // NOT duplicated (frame extraction happens at the consumer against the
+  // original payload + frame index). At scale this is the standard
+  // pre-shuffle shape: move (media_id, frame_idx), never frame bytes.
+  val FrameStep = 10
+  register("q72_frame_sample", {
+    val h2 = PortableHash.oHash60Seeded(2, "text")
+    s"""WITH video AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(1 + $h2 % 300 AS INTEGER) AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2)
+       |SELECT media_id, n_frames,
+       |  CAST(unnest(range(0, n_frames, $FrameStep)) AS INTEGER) AS frame_idx
+       |FROM video""".stripMargin
+  }) { (s, d) =>
+    val h2 = PortableHash.hash60Seeded(2, col("text"))
+    documents(s, d)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"),
+        (lit(1) + h2 % 300).cast(IntegerType).as("n_frames"))
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStep)))
+          .as("frame_idx"))
+  }
+
+  // ============================================================ resize plan
+  // aspect-preserving resize geometry to a 224-wide target: integer
+  // arithmetic only (floor division) so both engines agree exactly; the
+  // actual pixel resample is the codec's job — this is the planning
+  // column any batch resize pass needs (and the only part that shuffles)
+  val TargetWidth = 224
+  register("q73_resize_plan", {
+    val h = PortableHash.oHash60("text")
+    val h1 = PortableHash.oHash60Seeded(1, "text")
+    s"""WITH geo AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(16 * (1 + $h % 120) AS INTEGER) AS width,
+       |    CAST(16 * (1 + $h1 % 68) AS INTEGER) AS height
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT media_id, width, height,
+       |  $TargetWidth AS out_width,
+       |  CAST((height * $TargetWidth) // width AS INTEGER) AS out_height,
+       |  CAST($TargetWidth AS DOUBLE) / width AS scale
+       |FROM geo""".stripMargin
+  }) { (s, d) =>
+    val h = PortableHash.hash60(col("text"))
+    val h1 = PortableHash.hash60Seeded(1, col("text"))
+    documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id"),
+        (lit(16) * (lit(1) + h % 120)).cast(IntegerType).as("width"),
+        (lit(16) * (lit(1) + h1 % 68)).cast(IntegerType).as("height"))
+      .select(col("media_id"), col("width"), col("height"),
+        lit(TargetWidth).as("out_width"),
+        floor(col("height").cast(LongType) * TargetWidth / col("width"))
+          .cast(IntegerType).as("out_height"),
+        (lit(TargetWidth).cast(DoubleType) / col("width")).as("scale"))
+  }
 }
 
 /** STUB codec — deterministic fake decode. A real deployment replaces
