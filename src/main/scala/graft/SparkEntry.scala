@@ -17,7 +17,8 @@ object SparkEntry {
   private[graft] def modules: Seq[ops.QueryModule] = Seq(
     ops.RelationalOps, text.TextOps, text.DedupOps, ml.SimilarityOps,
     streaming.StreamingOps, multimodal.MultimodalOps, engine.InsuranceGate,
-    ops.TemporalJoins, text.SamplingOps, text.CorpusStats, engine.Snapshots)
+    ops.TemporalJoins, text.SamplingOps, text.CorpusStats, engine.Snapshots,
+    text.ChunkingOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Sort-merge physical operator for [[AsOfJoinPlan]].
   *
@@ -30,6 +31,10 @@ final case class AsOfJoinExec(
     rightTies: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -63,6 +68,8 @@ final case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val nRight = rOut.size
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -124,6 +131,8 @@ final case class AsOfJoinExec(
             if (rHead == null) continue = false
           }
           val matched = carry != null && keyOrdering.compare(carryKey, lKey) == 0
+          numOutputRows += 1
+          if (matched) numMatched += 1
           resultProj(joined(l, if (matched) carry else nullRight))
         }
       }

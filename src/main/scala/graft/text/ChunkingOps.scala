@@ -1,0 +1,103 @@
+package graft.text
+
+import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Context-window preparation for LLM training: overlapping document
+  * chunking and shard-wise sequence packing (the concat-and-chunk token
+  * budgeting step).
+  *
+  * Scale design: chunking is per-row (explode chunk starts, slice the
+  * token array — no shuffle; chunk text re-joins from the already-split
+  * tokens). Packing needs a running token offset, which is inherently
+  * sequential — so it runs per SHARD: documents scatter to K hash
+  * shards, the cumulative sum is a window within the shard, and every
+  * shard packs independently (exactly how distributed tokenizer
+  * pipelines shard their corpora). No global ordering, no single
+  * partition anywhere.
+  */
+object ChunkingOps extends QueryModule {
+  import Tables.documents
+  import TextOps.{tokens, oTokens}
+  import PortableHash._
+
+  val ChunkSize = 64  // tokens per chunk
+  val ChunkStride = 48 // overlap = ChunkSize - ChunkStride
+  val CtxLen = 512     // packed sequence length
+  val Shards = 64
+
+  // ============================================================ chunking
+  // overlapping windows: starts at 1, 1+stride, ... while start <= n
+  // (every doc yields >= 1 chunk; the last chunk may be short)
+  register("q74_doc_chunks",
+    s"""WITH tok AS (SELECT doc_id, $oTokens AS t FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CAST(s.s AS INTEGER) AS chunk_start,
+       |    array_to_string(t[s.s : s.s + ${ChunkSize - 1}], ' ') AS chunk_text,
+       |    CAST(least(len(t) - s.s + 1, $ChunkSize) AS INTEGER) AS chunk_len
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(range(1, greatest(len(t) - 1, 1) + 1, $ChunkStride)) AS s) s)
+       |SELECT doc_id, n_tokens, chunk_start, chunk_len, chunk_text
+       |FROM chunks""".stripMargin) { (s, d) =>
+    val t = col("t")
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(t).as("n_tokens"), t,
+        explode(sequence(lit(1), greatest(size(t) - 1, lit(1)),
+          lit(ChunkStride))).as("chunk_start"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk_start").cast(IntegerType).as("chunk_start"),
+        least(col("n_tokens") - col("chunk_start") + 1, lit(ChunkSize))
+          .cast(IntegerType).as("chunk_len"),
+        concat_ws(" ", slice(t, col("chunk_start"), lit(ChunkSize)))
+          .as("chunk_text"))
+  }
+
+  // ============================================================ packing
+  // shard-wise concat-and-chunk: token offsets from a per-shard running
+  // sum (ordered by doc_id — stable), sequence id = floor(offset/CtxLen).
+  // Output: per packed sequence, its doc span and fill statistics.
+  register("q75_sequence_packing", {
+    val h = oHash60Seeded(31, "CAST(doc_id AS VARCHAR)")
+    s"""WITH tok AS (
+       |  SELECT doc_id, len($oTokens) AS n_tokens,
+       |    CAST($h % $Shards AS INTEGER) AS shard
+       |  FROM documents),
+       |offsets AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS start_offset
+       |  FROM tok),
+       |assigned AS (
+       |  SELECT shard, CAST(start_offset // $CtxLen AS BIGINT) AS seq_id,
+       |    doc_id, n_tokens
+       |  FROM offsets)
+       |SELECT shard, seq_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS span_tokens
+       |FROM assigned GROUP BY shard, seq_id""".stripMargin
+  }) { (s, d) =>
+    val shard = (hash60Seeded(31, col("doc_id").cast(StringType)) % Shards)
+      .cast(IntegerType)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = sum(col("n_tokens")).over(w) - col("n_tokens")
+    documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+        shard.as("shard"))
+      .withColumn("start_offset", us)
+      .withColumn("seq_id",
+        ((col("start_offset") - pmod(col("start_offset"), lit(CtxLen.toLong)))
+          / CtxLen).cast(LongType))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("n_tokens")).as("span_tokens"))
+  }
+}
