@@ -118,6 +118,55 @@ object TemporalJoins extends QueryModule {
           .as("view_to_purchase_us"))
   }
 
+  /** Binned range join — the scale path when the interval table is too
+    * large to broadcast (where q59's broadcast formulation stops
+    * working). Each interval explodes into the fixed-width bins it
+    * covers; each fact row computes its bin; an EQUI-join on the bin
+    * co-partitions both sides (one shuffle each), and the exact
+    * `lo <= v < hi` predicate filters the bin-collisions. Row-identical
+    * to the inequality join; never a broadcast nested loop.
+    *
+    * `binWidth` trades replication (an interval appears in
+    * ceil(span/width) bins) against bin-collision filtering — pick it
+    * near the median interval span.
+    */
+  def binnedRangeJoin(fact: DataFrame, value: Column, intervals: DataFrame,
+      lo: Column, hi: Column, binWidth: Long): DataFrame = {
+    // floor-divide via floor(): Column `/` is double division; lo/hi are
+    // integral here so the quotient never sits within an ulp of the next
+    // integer (hi-1 is never a multiple of binWidth for integral bounds)
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(lo / binWidth).cast(LongType),
+        floor((hi - 1) / binWidth).cast(LongType))))
+    fact.withColumn("__bin", floor(value / binWidth).cast(LongType))
+      .join(binned, Seq("__bin"))
+      .filter(value >= lo && value < hi)
+      .drop("__bin")
+  }
+
+  // ============================================================ binned range
+  // 100 OVERLAPPING price bands (a row can match 2) joined via the binned
+  // equi-join — verified against the plain inequality join in the oracle
+  register("q76_binned_range_join",
+    """WITH bands AS (
+      |  SELECT i AS band_id, i * 50000.0 AS band_lo, i * 50000.0 + 75000.0 AS band_hi
+      |  FROM (SELECT unnest(range(0, 100)) AS i))
+      |SELECT band_id, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN bands
+      |  ON o_totalprice >= band_lo AND o_totalprice < band_hi
+      |GROUP BY band_id""".stripMargin) { (s, d) =>
+    val bands = s.range(100).select(col("id").as("band_id"),
+      (col("id") * 50000.0).as("band_lo"),
+      (col("id") * 50000.0 + 75000.0).as("band_hi"))
+    binnedRangeJoin(orders(s, d), col("o_totalprice"), bands,
+      col("band_lo"), col("band_hi"), binWidth = 50000L)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("revenue"))
+  }
+
   // ============================================================ range join
   // banding join: each order matched to its price band (lo <= price < hi);
   // the tiny band table broadcasts, the predicate evaluates map-side
