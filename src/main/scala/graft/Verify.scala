@@ -17,13 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // loud, greppable failure summary — a swallowed per-query error must
+    // not masquerade as a green run (sbt still prints [success] on exit 0)
+    if (failed.nonEmpty)
+      println(s"[verify] FAILED_QUERIES=${failed.mkString(",")}")
+    else println("[verify] ALL_QUERIES_WROTE")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

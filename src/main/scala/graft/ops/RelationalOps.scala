@@ -624,6 +624,24 @@ object RelationalOps extends QueryModule {
       .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  // CUBE: all 2^k grouping combinations; GROUPING() flags disambiguate
+  // real NULL keys from subtotal rows (both engines agree on the flags)
+  register("q78_cube",
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       |  COUNT(*) AS order_count,
+       |  ${oDsum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
   register("q51_semi_join",
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_custkey IN (

@@ -118,6 +118,34 @@ object TemporalJoins extends QueryModule {
           .as("view_to_purchase_us"))
   }
 
+  // ============================================================ forward as-of
+  // each purchase matched to the NEXT view at-or-after it (time-to-next-
+  // event lookup) — the same native operator with the time axis negated;
+  // oracle = DuckDB ASOF with the <= inequality
+  register("q77_asof_forward",
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts,
+      |  CASE WHEN v.ts IS NULL THEN NULL
+      |       ELSE epoch_us(v.ts) - epoch_us(p.ts) END AS purchase_to_view_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+    graft.plans.GraftPlans
+      .asofJoinForward(purchases, views, "user_id", "ts", "v_user_id",
+        "view_ts", ties = Seq("view_id", "view_ts"))
+      .select(col("user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"), col("view_id"), col("view_ts"),
+        when(col("view_ts").isNull, lit(null))
+          .otherwise(unix_micros(col("view_ts")) - unix_micros(col("ts")))
+          .as("purchase_to_view_us"))
+  }
+
   /** Binned range join — the scale path when the interval table is too
     * large to broadcast (where q59's broadcast formulation stops
     * working). Each interval explodes into the fixed-width bins it

@@ -40,6 +40,11 @@ object GraftPlans {
     install(spark)
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"rename overlapping columns before asofJoin: $dup")
+    // NOTE: plan-node expressions must be RESOLVED attributes of the
+    // analyzed children — a computed Column injected here would carry an
+    // unresolved ColumnNode the analyzer never visits inside a custom
+    // node. Callers needing computed time axes pre-project them (see
+    // asofJoinForward).
     val plan = AsOfJoinPlan(
       GraftColumnBridge.logicalPlan(left),
       GraftColumnBridge.logicalPlan(right),
@@ -49,5 +54,22 @@ object GraftPlans {
       GraftColumnBridge.expression(right(rightTime)),
       ties.map(c => GraftColumnBridge.expression(right(c))))
     GraftColumnBridge.ofRows(spark, plan)
+  }
+
+  /** Forward as-of left join: the EARLIEST right row with
+    * `right(time) >= left(time)` per key (the "next event at or after"
+    * lookup — e.g. first fill after an order). Same operator, time axis
+    * negated via pre-projected helper columns: backward-latest over (-t)
+    * IS forward-earliest over t. Ties at the same timestamp resolve to
+    * the greatest `ties` tuple.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightKey: String, rightTime: String, ties: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.unix_micros
+    val l2 = left.withColumn("__asof_lt", -unix_micros(left(time)))
+    val r2 = right.withColumn("__asof_rt", -unix_micros(right(rightTime)))
+    asofJoin(l2, r2, key, "__asof_lt", rightKey, "__asof_rt", ties)
+      .drop("__asof_lt", "__asof_rt")
   }
 }

@@ -36,7 +36,11 @@ for name in sorted(os.listdir(outdir)):
     # (Decimal('18.00') via pyarrow vs 18.0 via duckdb .df()) and
     # hash-mismatch in the driver even when values agree — ban them
     import pyarrow.parquet as pq
-    sch = pq.read_schema(glob.glob(f"{p}/*.parquet")[0])
+    parts = glob.glob(f"{p}/*.parquet")
+    if not parts:
+        print(f"{name}: NO-OUTPUT (query failed during Verify?)")
+        continue
+    sch = pq.read_schema(parts[0])
     decs = [f.name for f in sch if "decimal" in str(f.type)]
     if decs:
         print(f"{name}: DECIMAL-OUTPUT {decs} — cast to DOUBLE on both sides")
