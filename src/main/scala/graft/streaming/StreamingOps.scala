@@ -282,6 +282,53 @@ object StructuredStreams {
       .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class TopUser(event_type: String, user_id: Long,
+      n_events: Long, rank: Int)
+
+  /** Running per-key top-k over unbounded keyspaces via `MapState`: each
+    * event type keeps a user→count map in the state store (RocksDB —
+    * off-heap, spillable; the map can exceed executor heap) and emits its
+    * current top-k after every batch. The streaming analogue of the batch
+    * heavy-hitters query (q55) with exact per-key counts.
+    */
+  final class TopUsersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Ev, TopUser] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counts: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long](
+        "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(eventType: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TopUser] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.user_id)) counts.getValue(e.user_id) else 0L
+        counts.updateValue(e.user_id, cur + 1)
+      }
+      counts.iterator().toSeq
+        .sortBy { case (uid, n) => (-n, uid) } // deterministic tie-break
+        .take(k).zipWithIndex
+        .map { case ((uid, n), i) => TopUser(eventType, uid, n, i + 1) }
+        .iterator
+    }
+  }
+
+  /** Running top-k users per event type on transformWithState (RocksDB
+    * provider required; processing-time mode — no watermarking needed). */
+  def topUsersStream(events: org.apache.spark.sql.Dataset[Ev], k: Int = 3)
+      : org.apache.spark.sql.Dataset[TopUser] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new TopUsersProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
 
 /** Event record for the typed streaming API. */

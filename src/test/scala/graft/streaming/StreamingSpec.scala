@@ -136,6 +136,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState running top-k tracks exact counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val query = StructuredStreams.topUsersStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("top_users")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 7, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 9, "view", 1.0))
+      query.processAllAvailable()
+      // second batch flips the leader: user 9 gains 3 more views
+      input.addData(
+        Ev(4, ts("2024-01-01 10:03:00"), 9, "view", 1.0),
+        Ev(5, ts("2024-01-01 10:04:00"), 9, "view", 1.0),
+        Ev(6, ts("2024-01-01 10:05:00"), 9, "view", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("top_users").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Int]("rank"))).toSet
+      // batch 1 emission: 7 leads with 2; batch 2 emission: 9 leads with 4
+      assert(out.contains((7L, 2L, 1)), s"got $out")
+      assert(out.contains((9L, 4L, 1)), s"got $out")
+      assert(out.contains((7L, 2L, 2)), s"got $out") // 7 demoted to rank 2
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(
