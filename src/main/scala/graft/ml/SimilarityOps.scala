@@ -208,6 +208,110 @@ object SimilarityOps extends QueryModule {
         / count(lit(1))).as("centroid_val"))
   }
 
+  // ============================================================ IVF search
+  // The IVF probe path that completes the ANN family: q30 trains the
+  // coarse codebook (per-label exact means); here the codebook is
+  // COLLECTED to the driver (10×64 doubles — IVF codebooks are broadcast
+  // by design) and embedded as literals, so cluster assignment is a
+  // MAP-ONLY fold per row — no shuffle touches the corpus until the
+  // probe join. Queries probe their nprobe nearest centroids; candidates
+  // are corpus vectors assigned to a probed centroid, reached by an
+  // EQUI-join on centroid id (broadcast of the tiny probe set). At 100 TB
+  // the corpus scan stays map-only: assignment folds against broadcast
+  // literals, the probe join broadcasts, and only the ~N·nprobe/ncent
+  // candidate slice reaches the per-query top-k window.
+  //
+  // Determinism: centroid values use the q30 exact-integer-grid mean
+  // (bit-identical across engines); distances are (x−c)² left-folds in
+  // index order; argmin/probe ranking tie-breaks on (dist, label).
+  val NProbe = 2
+
+  /** Squared-L2 distance of a float vector against a literal centroid —
+    * left fold in index order (matches the DuckDB list_reduce spelling). */
+  private def l2sq(v: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(v, array(centroid.map(lit): _*),
+        (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+      lit(0.0), (acc, x) => acc + x)
+  private def oL2sq(v: String, c: String): String =
+    s"""list_reduce(list_transform(range(1, $Dim + 1),
+       |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
+       |      (x, y) -> x + y)""".stripMargin
+
+  register("q79_ivf_search", {
+    s"""WITH dims AS (
+       |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i),
+       |agg AS (
+       |  SELECT label AS c_label, dim,
+       |    CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS cv
+       |  FROM dims GROUP BY label, dim),
+       |cent AS (SELECT c_label, list(cv ORDER BY dim) AS cvec FROM agg GROUP BY c_label),
+       |dists AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.c_label,
+       |    ${oL2sq("e.embedding", "c.cvec")} AS dist
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked_cent AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY dist ASC, c_label ASC) AS crn
+       |  FROM dists),
+       |corpus AS (SELECT vec_id, label, embedding, c_label AS bucket
+       |           FROM ranked_cent WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, embedding AS qv, c_label AS bucket
+       |           FROM ranked_cent WHERE crn <= $NProbe AND vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id, c.label,
+       |    ${oDot("p.qv", "c.embedding")}
+       |      / (${oNorm("p.qv")} * ${oNorm("c.embedding")}) AS cosine
+       |  FROM probes p JOIN corpus c ON p.bucket = c.bucket AND p.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, label, cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+  }) { (s, d) =>
+    // Phase 1 (tiny): train + collect the coarse codebook, sorted by label
+    // so the generated literal expressions are deterministic.
+    val codebook: Seq[(Int, Seq[Double])] = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        col("col").cast(DoubleType).as("x"))
+      .groupBy("label", "dim")
+      .agg(((sum(floor(col("x") * 1000000)).cast(DoubleType) / 1000000)
+        / count(lit(1))).as("cv"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        e => e.getField("cv")).as("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+    // Phase 2 (map-only on the corpus): argmin over the literal codebook.
+    def centDists(v: Column): Column = array(codebook.map { case (lbl, cv) =>
+      struct(l2sq(v, cv).as("dist"), lit(lbl).as("lbl"))
+    }: _*)
+    val assigned = embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"),
+      array_min(centDists(col("embedding"))).getField("lbl").as("bucket"))
+    val probes = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(transform(
+          slice(array_sort(centDists(col("embedding"))), 1, NProbe),
+          e => e.getField("lbl"))).as("pbucket"))
+
+    val scored = broadcast(probes).join(assigned.alias("c"),
+        col("pbucket") === col("c.bucket") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        col("c.label").as("label"),
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(col("qv"), col("c.embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "vec_id", "label", "cosine")
+  }
+
   // ============================================================ cosine dedup
   // embedding-cosine near-duplicate detection: candidate pairs from the
   // LSH buckets, kept when cosine exceeds the near-dup threshold — the

@@ -1,0 +1,52 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q79 IVF probe search: exactness of the reported scores, probe
+  * semantics, and the map-only-corpus plan shape that makes it the ANN
+  * scale path (assignment folds against the broadcast literal codebook;
+  * the only shuffle is the per-query top-k window).
+  */
+class IvfSearchSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("IVF-reported cosines are bit-identical to direct recomputation") {
+    val res = SimilarityOps.queries("q79_ivf_search")(spark, sf)
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+    val recomputed = res
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("cv")), Seq("vec_id"))
+      .select(col("cosine"),
+        graft.catalyst.GraftFunctions.cosineSimilarity(col("qv"), col("cv"))
+          .as("direct"))
+      .collect()
+    assert(recomputed.nonEmpty)
+    recomputed.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"IVF cosine ${r.getDouble(0)} != direct ${r.getDouble(1)}")
+    }
+  }
+
+  test("IVF returns at most top-k per query, queries only from the query set") {
+    val res = SimilarityOps.queries("q79_ivf_search")(spark, sf).collect()
+    val perQuery = res.groupBy(_.getAs[Long]("query_id"))
+    perQuery.foreach { case (qid, rows) =>
+      assert(qid < SimilarityOps.NumQueries)
+      assert(rows.length <= SimilarityOps.TopK)
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to rows.length), s"ranks not dense: $qid")
+    }
+  }
+
+  test("IVF corpus side is map-only: broadcast probe join, one shuffle total") {
+    val plan = SimilarityOps.queries("q79_ivf_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the probe set:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one shuffle (the top-k window), got $shuffles:\n$plan")
+  }
+}
