@@ -1,28 +1,67 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-/** Plan-inspection main: prints the formatted physical plan of the named
-  * queries (or all, with no args) against sf0.001.
-  *
-  *   runMain graft.Explain q01_agg q05_join_inner
+/** Plan-inspection tool: runs one named SparkEntry query against a
+  * testdata dir and prints the final (post-AQE) physical plan with its
+  * accumulated per-node SQL metrics — where the rows and the time
+  * actually went. Usage:
+  *   runMain graft.Explain <queryName> [sfDir]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n =>
-      println(s"\n======================= $n =======================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the write spawns its own QueryExecution — capture it, then read the
+    // metrics the run actually accumulated
+    @volatile var captured: org.apache.spark.sql.execution.QueryExecution = null
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = captured = qe
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[explain] $name ran in $sec%.3f s")
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (captured == null && System.nanoTime() < deadline) Thread.sleep(50)
+
+    val executed =
+      if (captured != null) captured.executedPlan else df.queryExecution.executedPlan
+    println(s"[explain] === final physical plan with non-zero metrics ===")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      val m = p.metrics.filter(_._2.value != 0)
+        .map { case (k, v) => s"$k=${v.value}" }.toSeq.sorted.mkString(", ")
+      println(s"[explain] ${"  " * depth}${p.nodeName}: $m")
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan, depth + 1)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          println(s"[explain] ${"  " * (depth + 1)}(reuses ${r.child.nodeName})")
+        case _ => p.children.foreach(walk(_, depth + 1))
+      }
     }
+    walk(executed, 0)
     spark.stop()
   }
 }
