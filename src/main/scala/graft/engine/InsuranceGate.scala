@@ -978,40 +978,76 @@ object InsuranceGate extends QueryModule {
     val customers = Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
     val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
     val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
-    val claimsBase = claims.alias("cl")
-      .filter(col("cl.missing_policy_flag") === 0)
-      .join(policies.select("policy_id", "customer_id", "policy_type").alias("p"),
-        Seq("policy_id"))
+
+    // SINGLE-PASS plan (profile-driven, 2026-08-12): the naive two-CTE
+    // shape recomputes the whole claims-silver dedup chain twice — the
+    // claims_base and adjuster_performance consumers prune different
+    // columns, so their dedup exchanges differ and ReuseExchange cannot
+    // unify them. Instead: LEFT 1:1 joins (policies/customers are
+    // PK-deduped, so row count is preserved), then ONE grouping-sets
+    // aggregation computes the 8-key grain and the adjuster grain in the
+    // same shuffle, with per-branch qualifying predicates folded into the
+    // measures. Adjuster measures reach base rows via a window over
+    // adjuster_id (a self-join of the aggregate would re-duplicate the
+    // subtree). Inner-join semantics are recovered exactly: 1:1 joins
+    // never multiply rows, match markers recover the inner filter, and
+    // groups with no qualifying row aggregate to claim_count = 0 and are
+    // dropped — the same groups an inner join would never form.
+    val pre = claims.alias("cl")
+      .join(policies.select(col("policy_id"), col("customer_id"),
+        col("policy_type"), lit(1).as("__pm")).alias("p"),
+        Seq("policy_id"), "left")
       // claims carry their own customer_id — the mart joins on the
       // POLICY's customer (p.customer_id = c.customer_id), so be explicit
       .join(customers.select(col("customer_id").as("cust_id"), col("state"),
-        col("age")).alias("c"), col("p.customer_id") === col("cust_id"))
-      .groupBy(col("cl.claim_type").as("claim_type"),
+        col("age"), lit(1).as("__cm")).alias("c"),
+        col("p.customer_id") === col("cust_id"), "left")
+      .select(col("cl.claim_type").as("claim_type"),
         col("cl.severity").as("severity"),
         col("cl.status").as("status"),
         col("cl.adjuster_id").as("adjuster_id"),
         date_trunc("month", col("cl.claim_date")).cast(DateType).as("claim_month"),
         col("p.policy_type").as("policy_type"),
         col("c.state").as("customer_state"),
-        col("c.age").as("customer_age"))
-      .agg(count(lit(1)).as("claim_count"),
-        dsum(col("cl.claim_amount")).as("total_claim_amount"),
-        dsum(col("cl.settled_amount")).as("total_settled_amount"),
-        iavg(col("cl.reporting_delay_days")).as("avg_reporting_delay"),
-        davg(col("cl.settlement_ratio")).as("avg_settlement_ratio"),
-        count(when(col("cl.fraud_indicator") === 1, 1)).as("potential_fraud_cases"))
-    val adjusterPerformance = claims.filter(col("adjuster_id").isNotNull)
-      .groupBy("adjuster_id")
-      .agg(count(lit(1)).as("total_claims_handled"),
-        davg(col("settlement_ratio")).as("ap_avg_settlement_ratio"),
-        iavg(col("reporting_delay_days")).as("avg_processing_time"),
-        sum(when(col("fraud_indicator") === 1, 1).otherwise(0))
+        col("c.age").as("customer_age"),
+        (col("cl.missing_policy_flag") === 0 &&
+          col("__pm").isNotNull && col("__cm").isNotNull).as("__qb"),
+        col("cl.adjuster_id").isNotNull.as("__qa"),
+        col("cl.claim_amount"), col("cl.settled_amount"),
+        col("cl.reporting_delay_days"), col("cl.settlement_ratio"),
+        col("cl.fraud_indicator"))
+    val keys = Seq(col("claim_type"), col("severity"), col("status"),
+      col("adjuster_id"), col("claim_month"), col("policy_type"),
+      col("customer_state"), col("customer_age"))
+    val qb = col("__qb")
+    val qa = col("__qa")
+    val g = pre.groupingSets(Seq(keys, Seq(col("adjuster_id"))), keys: _*)
+      .agg(grouping_id().as("__gid"),
+        count(when(qb, 1)).as("claim_count"),
+        dsum(when(qb, col("claim_amount"))).as("total_claim_amount"),
+        dsum(when(qb, col("settled_amount"))).as("total_settled_amount"),
+        iavg(when(qb, col("reporting_delay_days"))).as("avg_reporting_delay"),
+        davg(when(qb, col("settlement_ratio"))).as("avg_settlement_ratio"),
+        count(when(qb && col("fraud_indicator") === 1, 1))
+          .as("potential_fraud_cases"),
+        count(when(qa, 1)).as("total_claims_handled"),
+        davg(when(qa, col("settlement_ratio"))).as("ap_avg_settlement_ratio"),
+        iavg(when(qa, col("reporting_delay_days"))).as("avg_processing_time"),
+        sum(when(qa, when(col("fraud_indicator") === 1, 1).otherwise(0)))
           .as("fraud_cases_detected"))
+    val wAdj = Window.partitionBy(col("adjuster_id"))
+    def fromAdj(c: Column): Column = max(when(col("__gid") =!= 0, c)).over(wAdj)
     val w = Window.partitionBy(col("claim_type"))
       .orderBy(col("claim_month"), col("severity"), col("status"),
         col("adjuster_id"), col("policy_type"), col("customer_state"),
         col("customer_age"))
-    claimsBase.join(adjusterPerformance, Seq("adjuster_id"), "left")
+    g // null-adjuster rollup row contributes nothing (left join has no null match)
+      .filter(col("__gid") === 0 || col("adjuster_id").isNotNull)
+      .withColumn("total_claims_handled", fromAdj(col("total_claims_handled")))
+      .withColumn("ap_avg_settlement_ratio", fromAdj(col("ap_avg_settlement_ratio")))
+      .withColumn("avg_processing_time", fromAdj(col("avg_processing_time")))
+      .withColumn("fraud_cases_detected", fromAdj(col("fraud_cases_detected")))
+      .filter(col("__gid") === 0 && col("claim_count") > 0)
       .select(col("claim_type"), col("severity"), col("status"),
         col("adjuster_id"), col("claim_month"), col("policy_type"),
         col("customer_state"),
