@@ -33,7 +33,8 @@ object Gold {
         col("invalid_premium_amount_flag") === 0)
       .groupBy("customer_id")
       .agg(
-        countDistinct(col("policy_id")).as("total_policies"),
+        // unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk)
+        count(col("policy_id")).as("total_policies"),
         sum(col("premium_amount")).as("total_annual_premium"),
         avg(col("premium_amount")).as("avg_policy_premium"),
         sum(col("coverage_amount")).as("total_coverage"),
@@ -49,7 +50,8 @@ object Gold {
         Seq("policy_id"), "inner")
       .groupBy(col("p.customer_id").as("customer_id"))
       .agg(
-        countDistinct(col("cl.claim_id")).as("total_claims"),
+        // unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk)
+        count(col("cl.claim_id")).as("total_claims"),
         sum(col("cl.claim_amount")).as("total_claimed"),
         sum(col("cl.settled_amount")).as("total_settled"),
         avg(col("cl.claim_amount")).as("avg_claim_amount"),
@@ -139,7 +141,8 @@ object Gold {
       .groupBy(col("p.policy_type").as("policy_type"),
         date_trunc("month", col("cl.claim_date")).as("claim_month"))
       .agg(
-        countDistinct(col("cl.claim_id")).as("total_claims"),
+        // unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk)
+        count(col("cl.claim_id")).as("total_claims"),
         sum(col("cl.claim_amount")).as("total_claim_amount"),
         sum(col("cl.settled_amount")).as("total_settled_amount"),
         avg(col("cl.claim_amount")).as("avg_claim_severity"),
@@ -283,7 +286,8 @@ object Gold {
       .filter(col("invalid_premium_amount_flag") === 0)
       .groupBy(date_trunc("month", col("start_date")).as("report_period"))
       .agg(
-        countDistinct(col("policy_id")).as("new_policies"),
+        // unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk)
+        count(col("policy_id")).as("new_policies"),
         countDistinct(col("customer_id")).as("active_customers"),
         sum(col("premium_amount")).as("gross_written_premium"),
         sum(col("coverage_amount")).as("total_coverage_in_force"),
@@ -293,7 +297,8 @@ object Gold {
       .filter(col("missing_policy_flag") === 0)
       .groupBy(date_trunc("month", col("claim_date")).as("report_period"))
       .agg(
-        countDistinct(col("claim_id")).as("total_claims"),
+        // unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk)
+        count(col("claim_id")).as("total_claims"),
         sum(col("claim_amount")).as("total_incurred_claims"),
         sum(col("settled_amount")).as("total_paid_claims"),
         avg(col("claim_amount")).as("avg_claim_severity"),

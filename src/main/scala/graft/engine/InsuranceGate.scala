@@ -638,7 +638,9 @@ object InsuranceGate extends QueryModule {
         Seq("policy_id"))
       .groupBy(col("p.policy_type").as("policy_type"),
         date_trunc("month", col("cl.claim_date")).cast(DateType).as("claim_month"))
-      .agg(countDistinct(col("cl.claim_id")).as("total_claims"),
+      .agg(// unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk),
+        // so skip the distinct aggregation the oracle still spells out
+        count(col("cl.claim_id")).as("total_claims"),
         dsum(col("cl.settled_amount")).as("total_settled_amount"),
         count(when(col("cl.fraud_indicator") === 1, 1)).as("fraud_claims"))
     val w = Window.partitionBy(col("pb.policy_type")).orderBy(col("pb.policy_month"))
@@ -720,13 +722,15 @@ object InsuranceGate extends QueryModule {
     val mf = policies.filter(col("invalid_premium_amount_flag") === 0)
       .groupBy(date_trunc("month", col("start_date")).cast(DateType)
         .as("report_period"))
-      .agg(countDistinct(col("policy_id")).as("new_policies"),
+      .agg(// unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk),
+        // so skip the distinct aggregation the oracle still spells out
+        count(col("policy_id")).as("new_policies"),
         countDistinct(col("customer_id")).as("active_customers"),
         dsum(col("premium_amount")).as("gross_written_premium"))
     val mc = claims.filter(col("missing_policy_flag") === 0)
       .groupBy(date_trunc("month", col("claim_date")).cast(DateType)
         .as("report_period"))
-      .agg(countDistinct(col("claim_id")).as("total_claims"),
+      .agg(count(col("claim_id")).as("total_claims"),
         dsum(col("settled_amount")).as("total_paid_claims"),
         count(when(col("fraud_indicator") === 1, 1)).as("fraud_claims"))
     val kpis = mf.join(mc, Seq("report_period"), "full_outer")
@@ -843,7 +847,9 @@ object InsuranceGate extends QueryModule {
       .filter(col("missing_customer_id_flag") === 0 &&
         col("invalid_premium_amount_flag") === 0)
       .groupBy("customer_id")
-      .agg(countDistinct(col("policy_id")).as("total_policies"),
+      .agg(// unique-by-construction (silver dedup): COUNT(DISTINCT pk) == COUNT(pk),
+        // so skip the distinct aggregation the oracle still spells out
+        count(col("policy_id")).as("total_policies"),
         dsum(col("premium_amount")).as("total_annual_premium"),
         dsum(col("coverage_amount")).as("total_coverage"),
         min(col("start_date")).as("first_policy_date"),
@@ -855,7 +861,7 @@ object InsuranceGate extends QueryModule {
       .join(policies.select("policy_id", "customer_id").alias("p"),
         Seq("policy_id"))
       .groupBy(col("p.customer_id").as("customer_id"))
-      .agg(countDistinct(col("cl.claim_id")).as("total_claims"),
+      .agg(count(col("cl.claim_id")).as("total_claims"),
         dsum(col("cl.claim_amount")).as("total_claimed"),
         dsum(col("cl.settled_amount")).as("total_settled"),
         count(when(col("cl.fraud_indicator") === 1, 1)).as("potential_fraud_claims"),
