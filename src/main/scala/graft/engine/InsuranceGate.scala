@@ -1049,10 +1049,15 @@ object InsuranceGate extends QueryModule {
         col("customer_age"))
     g // null-adjuster rollup row contributes nothing (left join has no null match)
       .filter(col("__gid") === 0 || col("adjuster_id").isNotNull)
-      .withColumn("total_claims_handled", fromAdj(col("total_claims_handled")))
-      .withColumn("ap_avg_settlement_ratio", fromAdj(col("ap_avg_settlement_ratio")))
-      .withColumn("avg_processing_time", fromAdj(col("avg_processing_time")))
-      .withColumn("fraud_cases_detected", fromAdj(col("fraud_cases_detected")))
+      // all four attach-columns in ONE projection under fresh names — a
+      // chain of withColumn overwrites would stack four Window operators
+      // (CollapseWindow can't merge through the rewriting projections),
+      // each buffering every row (measured: +1.4 s wall at sf0.1)
+      .select(col("*"),
+        fromAdj(col("total_claims_handled")).as("ap_handled"),
+        fromAdj(col("ap_avg_settlement_ratio")).as("ap_ratio"),
+        fromAdj(col("avg_processing_time")).as("ap_time"),
+        fromAdj(col("fraud_cases_detected")).as("ap_fraud"))
       .filter(col("__gid") === 0 && col("claim_count") > 0)
       .select(col("claim_type"), col("severity"), col("status"),
         col("adjuster_id"), col("claim_month"), col("policy_type"),
@@ -1063,16 +1068,16 @@ object InsuranceGate extends QueryModule {
         when(col("claim_count") > 0,
           col("potential_fraud_cases").cast(DoubleType) / col("claim_count"))
           .otherwise(0).as("fraud_rate"),
-        col("total_claims_handled").as("adjuster_total_claims"),
-        col("ap_avg_settlement_ratio").as("adjuster_avg_settlement_ratio"),
-        col("avg_processing_time").as("adjuster_avg_processing_time"),
-        col("fraud_cases_detected").as("adjuster_fraud_detected"),
-        when(col("ap_avg_settlement_ratio") >= 0.9 &&
-          col("avg_processing_time") <= 7, "High Performer")
-          .when(col("ap_avg_settlement_ratio") >= 0.8 &&
-            col("avg_processing_time") <= 14, "Good Performer")
-          .when(col("ap_avg_settlement_ratio") >= 0.7 &&
-            col("avg_processing_time") <= 21, "Average Performer")
+        col("ap_handled").as("adjuster_total_claims"),
+        col("ap_ratio").as("adjuster_avg_settlement_ratio"),
+        col("ap_time").as("adjuster_avg_processing_time"),
+        col("ap_fraud").as("adjuster_fraud_detected"),
+        when(col("ap_ratio") >= 0.9 &&
+          col("ap_time") <= 7, "High Performer")
+          .when(col("ap_ratio") >= 0.8 &&
+            col("ap_time") <= 14, "Good Performer")
+          .when(col("ap_ratio") >= 0.7 &&
+            col("ap_time") <= 21, "Average Performer")
           .otherwise("Needs Improvement").as("adjuster_performance_tier"),
         when(col("customer_state").isin("FL", "TX", "CA"), "High Risk State")
           .when(col("customer_state").isin("NY", "NJ", "CT"), "Medium Risk State")
