@@ -174,6 +174,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file-source e2e: checkpointed dedup state survives a query restart") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    val outDir = Files.createTempDirectory("graft_stream_out")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+
+    def ev(id: Long, t: String): String =
+      s"""{"event_id":$id,"ts":"$t","user_id":1,"event_type":"view","value":1.0}"""
+    def startQuery() = {
+      val in = spark.readStream.schema(schema).json(inDir.toString)
+      StructuredStreams.dedupedStream(in)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+
+    // batch 1: one duplicate within the same file
+    Files.writeString(inDir.resolve("b1.json"),
+      Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"),
+        ev(2, "2024-01-01 10:01:00")).mkString("\n"))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // batch 2 AFTER a restart: event 2 again (dup across the restart —
+    // only checkpointed state can catch it), plus a new event 3
+    Files.writeString(inDir.resolve("b2.json"),
+      Seq(ev(2, "2024-01-01 10:01:00"), ev(3, "2024-01-01 10:02:00"))
+        .mkString("\n"))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val ids = spark.read.parquet(outDir.toString)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L),
+      s"dedup across restart must yield 1,2,3 exactly once; got ${ids.toSeq}")
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(
