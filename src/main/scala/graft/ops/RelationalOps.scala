@@ -642,6 +642,59 @@ object RelationalOps extends QueryModule {
         dsum(col("o_totalprice")).as("revenue"))
   }
 
+  // GROUPING SETS with disjoint sets — the case ROLLUP/CUBE can't spell:
+  // two independent one-key summaries in a single pass (one shuffle of
+  // the expanded rows instead of a union of two aggregates)
+  register("q80_grouping_sets",
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       |  COUNT(*) AS order_count,
+       |  ${oDsum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  // distribution / navigation window family: PERCENT_RANK and CUME_DIST
+  // are exact rationals computed identically in both engines; the
+  // navigation trio pins frame semantics (LAST/NTH need the full frame —
+  // the default frame ends at CURRENT ROW). Ordering fully tie-broken.
+  register("q81_window_distribution",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+      |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest_key
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1997-01-01'
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).filter(col("o_orderdate") >= lit("1997-01-01").cast(DateType))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("o_orderkey")).over(w).as("cheapest_key"),
+        last_value(col("o_orderkey")).over(full).as("priciest_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_cheapest_key"))
+  }
+
   register("q51_semi_join",
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_custkey IN (

@@ -318,6 +318,29 @@ object StructuredStreams {
     }
   }
 
+  /** Stream-stream inner join with an event-time range condition:
+    * attribute each click to an impression by the same user within the
+    * attribution window. BOTH sides carry watermarks and the join
+    * condition bounds event time on BOTH sides, so Spark can compute a
+    * state watermark and evict buffered rows — without the range bound
+    * the join state grows forever. At scale the join shuffles both
+    * streams by user_id once; state lives in the state store per key.
+    */
+  def clickAttribution(impressions: org.apache.spark.sql.DataFrame,
+      clicks: org.apache.spark.sql.DataFrame,
+      attributionWindow: String = "30 minutes",
+      watermark: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    impressions.withWatermark("ts", watermark).alias("i")
+      .join(clicks.withWatermark("ts", watermark).alias("c"),
+        expr(s"""i.user_id = c.user_id AND
+                 c.ts >= i.ts AND
+                 c.ts <= i.ts + INTERVAL $attributionWindow"""))
+      .select(col("i.event_id").as("impression_id"),
+        col("c.event_id").as("click_id"),
+        col("i.user_id").as("user_id"),
+        col("i.ts").as("impression_ts"), col("c.ts").as("click_ts"))
+  }
+
   /** Running top-k users per event type on transformWithState (RocksDB
     * provider required; processing-time mode — no watermarking needed). */
   def topUsersStream(events: org.apache.spark.sql.Dataset[Ev], k: Int = 3)

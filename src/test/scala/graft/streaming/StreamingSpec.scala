@@ -174,6 +174,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join attributes clicks to impressions within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val query = StructuredStreams.clickAttribution(
+        imps.toDS().toDF(), clicks.toDS().toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        Ev(100, ts("2024-01-01 10:00:00"), 7, "imp", 0),
+        Ev(101, ts("2024-01-01 10:00:00"), 8, "imp", 0))
+      clicks.addData(
+        Ev(200, ts("2024-01-01 10:10:00"), 7, "click", 0), // within 30 min
+        Ev(201, ts("2024-01-01 11:00:00"), 7, "click", 0), // outside window
+        Ev(202, ts("2024-01-01 10:05:00"), 9, "click", 0)) // no impression
+      query.processAllAvailable()
+      val got = spark.table("attribution").collect()
+        .map(r => (r.getAs[Long]("impression_id"), r.getAs[Long]("click_id")))
+        .toSet
+      assert(got == Set((100L, 200L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("file-source e2e: checkpointed dedup state survives a query restart") {
     import java.nio.file.Files
     val inDir = Files.createTempDirectory("graft_stream_in")
