@@ -706,6 +706,62 @@ object RelationalOps extends QueryModule {
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
+  // HAVING — post-aggregation predicates (TPC-H Q18 flavor: large-volume
+  // customers). Catalyst plans the filter ABOVE the aggregate, so the
+  // groupBy still gets map-side partial aggregation.
+  register("q82_having",
+    s"""SELECT o_custkey,
+       |  COUNT(*) AS order_count,
+       |  ${oDsum("o_totalprice")} AS total_spend
+       |FROM orders
+       |GROUP BY o_custkey
+       |HAVING COUNT(*) >= 15 AND ${oDsum("o_totalprice")} > 2000000""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_spend"))
+      .filter(col("order_count") >= 15 && col("total_spend") > 2000000)
+  }
+
+  // UNPIVOT / melt — wide-to-long reshape (the inverse of q69's pivot).
+  // Map-only: Expand replicates each row once per measure with no
+  // shuffle. Oracle spells it as UNION ALL, which is the same algebra.
+  register("q83_unpivot", {
+    val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    metrics.map { m =>
+      s"""SELECT l_orderkey, l_linenumber, '$m' AS metric,
+         |  CAST($m AS DOUBLE) AS metric_value
+         |FROM lineitem WHERE l_shipdate >= DATE '1998-11-01'""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-11-01").cast(DateType))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DoubleType),
+        col("l_extendedprice").cast(DoubleType),
+        col("l_discount").cast(DoubleType), col("l_tax").cast(DoubleType))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "metric_value")
+  }
+
+  // Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL keys match NULL
+  // keys, unlike plain = which drops them. The canonical trap in
+  // change-detection joins.
+  register("q84_null_safe_join",
+    """SELECT n.n_name, r.r_name
+      |FROM (SELECT n_name, NULLIF(n_regionkey, 0) AS k FROM nation) n
+      |JOIN (SELECT r_name, NULLIF(r_regionkey, 0) AS k FROM region) r
+      |  ON n.k IS NOT DISTINCT FROM r.k""".stripMargin) { (s, d) =>
+    val n = nation(s, d)
+      .select(col("n_name"), nullif(col("n_regionkey"), lit(0)).as("nk"))
+    val r = region(s, d)
+      .select(col("r_name"), nullif(col("r_regionkey"), lit(0)).as("rk"))
+    n.join(r, col("nk") <=> col("rk")).select(col("n_name"), col("r_name"))
+  }
+
   register("q52_exact_median",
     """WITH ordered AS (
       |  SELECT c_mktsegment, c_acctbal,
