@@ -796,6 +796,28 @@ object RelationalOps extends QueryModule {
         countDistinct(col("o_custkey")).as("exact_customers"))
   }
 
+  // approximate quantiles (Greenwald-Khanna sketch, the third member of
+  // the sketch family next to Count-Min q55 and HLL q56): mergeable
+  // partial sketches — one shuffle of O(accuracy) state per group
+  // instead of the full column, the scale path when exact rank-and-pick
+  // (q66) is too heavy. Rank error ≤ n/accuracy, pinned by
+  // ApproxQuantilesSpec against the exact quantiles; rows-only at the
+  // driver gate (sketch internals are engine-specific).
+  registerNoOracle("q85_approx_quantiles") { (s, d) =>
+    // flat output (one row per quantile) — array columns are untested
+    // through the driver's rows-only compare path
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+          .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), posexplode(col("qs")), col("n"))
+      .select(col("l_returnflag"),
+        element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+          (col("pos") + 1).cast(IntegerType)).as("quantile"),
+        col("col").as("approx_price"), col("n"))
+  }
+
   // time-based RANGE frame: rolling 1-hour event count/value per user —
   // frame bounds in integer microseconds so both engines agree exactly
   register("q60_range_frame",

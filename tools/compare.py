@@ -39,10 +39,13 @@ for name in sorted(os.listdir(outdir)):
     p = os.path.join(outdir, name)
     if not os.path.isdir(p):
         continue
-    spark_df = canon(con.execute(f"SELECT * FROM '{p}/*.parquet'").df())
+    raw_df = con.execute(f"SELECT * FROM '{p}/*.parquet'").df()
     if name not in oracles:
-        results[name] = f"NO-ORACLE rows={len(spark_df)}"
+        # skip canon(): no-oracle outputs may carry non-hashable columns
+        # (arrays) that the value-sort cannot handle
+        results[name] = f"NO-ORACLE rows={len(raw_df)}"
         continue
+    spark_df = canon(raw_df)
     try:
         ora_df = canon(con.execute(oracles[name]).df())
     except Exception as e:
