@@ -796,6 +796,69 @@ object RelationalOps extends QueryModule {
         countDistinct(col("o_custkey")).as("exact_customers"))
   }
 
+  // date spine — dbt_utils.date_spine semantics: a generated complete
+  // month axis LEFT-joined to the observed series so empty months appear
+  // as zeros (the executive-summary monthly series has gaps otherwise).
+  // The spine derives from the data's own min/max (one tiny aggregate,
+  // broadcast both ways); sequence() explodes on the 1-row frame, so the
+  // generation is O(months), never O(rows).
+  register("q86_date_spine",
+    s"""WITH bounds AS (
+       |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS mn,
+       |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+       |  FROM orders),
+       |spine AS (
+       |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS month
+       |  FROM bounds),
+       |monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |    COUNT(*) AS order_count,
+       |    ${oDsum("o_totalprice")} AS revenue
+       |  FROM orders WHERE o_orderpriority = '1-URGENT'
+       |  GROUP BY 1)
+       |SELECT s.month, COALESCE(m.order_count, 0) AS order_count,
+       |  COALESCE(m.revenue, 0) AS revenue
+       |FROM spine s LEFT JOIN monthly m ON s.month = m.month""".stripMargin) { (s, d) =>
+    val bounds = orders(s, d)
+      .agg(trunc(min(col("o_orderdate")), "month").as("mn"),
+        trunc(max(col("o_orderdate")), "month").as("mx"))
+    val spine = bounds.select(explode(
+      sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month"))
+    val monthly = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
+    spine.join(monthly, Seq("month"), "left")
+      .select(col("month"),
+        coalesce(col("order_count"), lit(0)).as("order_count"),
+        coalesce(col("revenue"), lit(0)).as("revenue"))
+  }
+
+  // fuzzy matching: edit-distance pairing within a fixed blocking window
+  // plus regex group extraction — the poor-man's entity-resolution pass.
+  // The block (c_custkey < 200) is a FIXED-size candidate set at every
+  // SF, so the quadratic pair generation is bounded by construction; at
+  // scale the block key would be a phonetic/prefix bucket.
+  register("q87_fuzzy_match",
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  levenshtein(a.c_name, b.c_name) AS edit_distance,
+      |  CAST(regexp_extract(a.c_name, '#(0*)([0-9]+)', 2) AS BIGINT) AS id_a,
+      |  CAST(regexp_extract(b.c_name, '#(0*)([0-9]+)', 2) AS BIGINT) AS id_b
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200) a
+      |JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200) b
+      |  ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (s, d) =>
+    val block = customer(s, d).filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), col("c_name"))
+    val a = block.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = block.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_distance"),
+        regexp_extract(col("name_a"), "#(0*)([0-9]+)", 2).cast(LongType).as("id_a"),
+        regexp_extract(col("name_b"), "#(0*)([0-9]+)", 2).cast(LongType).as("id_b"))
+  }
+
   // approximate quantiles (Greenwald-Khanna sketch, the third member of
   // the sketch family next to Count-Min q55 and HLL q56): mergeable
   // partial sketches — one shuffle of O(accuracy) state per group
