@@ -859,6 +859,26 @@ object RelationalOps extends QueryModule {
         regexp_extract(col("name_b"), "#(0*)([0-9]+)", 2).cast(LongType).as("id_b"))
   }
 
+  // MAX_BY / MIN_BY (arg-max aggregation): "which row holds the
+  // extreme", the lookup that otherwise costs a self-join or a window.
+  // Determinism: the ordering value must be UNIQUE per group or both
+  // engines free-pick among ties — encode (price_cents, orderkey) into
+  // one BIGINT with identical floor arithmetic on both sides.
+  register("q88_argmax",
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
+      |  arg_min(o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val enc = floor(col("o_totalprice") * 100).cast(LongType) * 10000000L +
+      col("o_orderkey")
+    orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderkey"), enc).as("priciest_order"),
+        min_by(col("o_orderkey"), enc).as("cheapest_order"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
   // approximate quantiles (Greenwald-Khanna sketch, the third member of
   // the sketch family next to Count-Min q55 and HLL q56): mergeable
   // partial sketches — one shuffle of O(accuracy) state per group
