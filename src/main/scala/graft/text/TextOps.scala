@@ -213,13 +213,54 @@ object TextOps extends QueryModule {
         (acc, c) => (acc * 131 + ascii(c)) % 2147483647L).as("rolling_fp"),
       length(col("text")).as("char_len"))
   }
+
+  // ---------------------------------------------------------- PII redaction
+  // The pre-training scrub pass: regex-replace emails and phone numbers
+  // with typed placeholders and count what was removed (the redaction
+  // census is what a pipeline monitors for drift). Patterns stay in the
+  // Java∩RE2 common dialect (character classes and bounded repeats — no
+  // lookaround). The synthetic corpus carries no PII, so the query seeds
+  // it deterministically (same arithmetic both engines), exercising both
+  // the match and no-match paths on every run. Spark regexp_replace is
+  // global by default; DuckDB needs the explicit 'g' flag.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  register("q89_pii_redaction",
+    s"""WITH seeded AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |           text || ' contact user' || doc_id || '@example.com now'
+       |         WHEN doc_id % 5 = 0 THEN
+       |           text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+       |    '$phoneRe', '[PHONE]', 'g') AS clean_text
+       |FROM seeded""".stripMargin) { (s, d) =>
+    val seeded = documents(s, d).select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .otherwise(col("text")).as("text"))
+    seeded.select(col("doc_id"), col("lang"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]").as("clean_text"))
+  }
 }
 
-/** The shared cross-engine hash: first 15 hex chars of md5 as a 60-bit
-  * non-negative integer. Spark `conv(hex,16,10)` and DuckDB
-  * `CAST('0x'||hex AS BIGINT)` agree exactly; 60 bits avoids BIGINT
-  * overflow in both.
-  */
+/** Portable 60-bit hash shared by both engines (md5-hex prefix). */
 object PortableHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
