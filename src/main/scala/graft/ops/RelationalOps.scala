@@ -859,6 +859,61 @@ object RelationalOps extends QueryModule {
         regexp_extract(col("name_b"), "#(0*)([0-9]+)", 2).cast(LongType).as("id_b"))
   }
 
+  // exact second moments: variance / stddev / correlation from exact
+  // decimal sums via the closed-form (n·Σx² − (Σx)²)/n². The engines'
+  // own STDDEV/CORR use different accumulation orders (Welford vs
+  // two-pass) and never hash-match; exact integer-grid sums feed
+  // IDENTICAL double expressions on both sides, and IEEE-754 sqrt is
+  // correctly rounded, so every derived value is bit-deterministic.
+  // Still one shuffle with map-side partials — the sums are ordinary
+  // SUM aggregates.
+  // Grid trap (measured): x·x at 1e11+ magnitude has double ULP ~6e-5 —
+  // LARGER than the 4-decimal grid's half-spacing — so casting the
+  // product to DECIMAL lands on rounding midpoints where Spark HALF_UP
+  // and DuckDB diverge. Squares must be taken in EXACT integer cents
+  // (floor-snapped BEFORE multiplying), summed as DECIMAL(38,0).
+  register("q91_exact_moments", {
+    val cx = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    val cy = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
+    def dsq(a: String, b: String) =
+      s"CAST(SUM(CAST($a * $b AS DECIMAL(38,0))) AS DOUBLE)"
+    def dsm(a: String) = s"CAST(SUM(CAST($a AS DECIMAL(38,0))) AS DOUBLE)"
+    s"""WITH sums AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${dsm(cx)} AS sx, ${dsq(cx, cx)} AS sxx,
+       |    ${dsm(cy)} AS sy, ${dsq(cy, cy)} AS syy,
+       |    ${dsq(cx, cy)} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) / 10000 AS var_price,
+       |  sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) / 10000) AS stddev_price,
+       |  (n * sxy - sx * sy)
+       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+       |FROM sums""".stripMargin
+  }) { (s, d) =>
+    val cx = floor(col("l_extendedprice") * 100 + 0.5)
+    val cy = floor(col("l_quantity") * 100 + 0.5)
+    def dsq(a: Column, b: Column): Column =
+      sum((a * b).cast(DecimalType(38, 0))).cast(DoubleType)
+    def dsm(a: Column): Column =
+      sum(a.cast(DecimalType(38, 0))).cast(DoubleType)
+    val g = lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsm(cx).as("sx"), dsq(cx, cx).as("sxx"),
+        dsm(cy).as("sy"), dsq(cy, cy).as("syy"),
+        dsq(cx, cy).as("sxy"))
+    val n = col("n")
+    val varPrice = (n * col("sxx") - col("sx") * col("sx")) /
+      (n.cast(DoubleType) * n) / 10000
+    g.select(col("l_returnflag"), n,
+      varPrice.as("var_price"),
+      sqrt(varPrice).as("stddev_price"),
+      ((n * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+          sqrt(n * col("syy") - col("sy") * col("sy"))))
+        .as("corr_price_qty"))
+  }
+
   // MAX_BY / MIN_BY (arg-max aggregation): "which row holds the
   // extreme", the lookup that otherwise costs a self-join or a window.
   // Determinism: the ordering value must be UNIQUE per group or both
