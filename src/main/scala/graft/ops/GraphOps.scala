@@ -44,15 +44,16 @@ object GraphOps extends QueryModule {
       val next = comp.join(neighborMin, comp("id") === col("nid"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+            .as("component"),
+          // carry the changed flag out of the same pass instead of
+          // re-joining old vs new for the convergence check
+          (coalesce(col("nmin"), col("component")) < col("component"))
+            .as("__chg"))
       // one action per round: the convergence count (a scalar). localCheckpoint
       // truncates the lineage so the plan doesn't deepen each round.
       val materialized = next.localCheckpoint(true)
-      changed = materialized.alias("n")
-        .join(comp.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      comp = materialized
+      changed = materialized.filter(col("__chg")).count()
+      comp = materialized.select("id", "component")
       iter += 1
     }
     comp
