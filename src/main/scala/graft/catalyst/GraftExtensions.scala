@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => RangeJoinBinningRule)
   }
 }
 
