@@ -174,6 +174,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((7L, "gold"), (9L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    // static side of a stream join needs no watermark; it broadcasts
+    val query = input.toDS().toDF().join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 8, "view", 1.0))
+      query.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("tier"))))
+        .toSet
+      assert(got == Set((1L, Some("gold")), (2L, None)), s"got $got")
+    } finally query.stop()
+  }
+
+  test("AvailableNow trigger with foreachBatch drains the backlog and stops") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("graft_avnow_in")
+    val ckpt = Files.createTempDirectory("graft_avnow_ckpt")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    Files.writeString(inDir.resolve("a.json"),
+      """{"event_id":1,"ts":"2024-01-01 10:00:00","user_id":1,"event_type":"view","value":1.0}
+        |{"event_id":2,"ts":"2024-01-01 10:01:00","user_id":1,"event_type":"view","value":2.0}""".stripMargin)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val query = spark.readStream.schema(schema).json(inDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add((id, batch.count()))
+        () // foreachBatch sink: arbitrary batch logic (merge, multi-sink)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow processes the existing backlog then TERMINATES itself
+    // (the batch-like run mode for incremental jobs on a schedule)
+    query.awaitTermination(60000)
+    assert(!query.isActive, "AvailableNow query must self-terminate")
+    val total = seen.toArray(Array.empty[(Long, Long)]).map(_._2).sum
+    assert(total == 2, s"backlog must be fully drained once, got $seen")
+  }
+
   test("stream-stream join attributes clicks to impressions within the window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
