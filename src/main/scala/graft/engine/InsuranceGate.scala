@@ -1022,43 +1022,54 @@ object InsuranceGate extends QueryModule {
         col("cl.claim_amount"), col("cl.settled_amount"),
         col("cl.reporting_delay_days"), col("cl.settlement_ratio"),
         col("cl.fraud_indicator"))
-    val keys = Seq(col("claim_type"), col("severity"), col("status"),
-      col("adjuster_id"), col("claim_month"), col("policy_type"),
-      col("customer_state"), col("customer_age"))
+    // Two-level rollup, NO expand: the base grain (8 keys) IS the only
+    // aggregation grain; the adjuster rollup is derived from the same
+    // aggregate by window SUMs over adjuster_id (sums of exact partial
+    // sums are associative: decimal/long partials widen before the final
+    // double cast, so values are bit-identical to a direct aggregate).
+    // The earlier grouping-sets variant doubled the aggregate input
+    // through Expand to compute both grains; this one touches each row
+    // once. Unmatched/flagged rows still form (count=0) groups that
+    // contribute their adjuster partials through the window BEFORE the
+    // count>0 filter drops them.
     val qb = col("__qb")
     val qa = col("__qa")
-    val g = pre.groupingSets(Seq(keys, Seq(col("adjuster_id"))), keys: _*)
-      .agg(grouping_id().as("__gid"),
-        count(when(qb, 1)).as("claim_count"),
+    val g = pre.groupBy(col("claim_type"), col("severity"), col("status"),
+        col("adjuster_id"), col("claim_month"), col("policy_type"),
+        col("customer_state"), col("customer_age"))
+      .agg(count(when(qb, 1)).as("claim_count"),
         dsum(when(qb, col("claim_amount"))).as("total_claim_amount"),
         dsum(when(qb, col("settled_amount"))).as("total_settled_amount"),
         iavg(when(qb, col("reporting_delay_days"))).as("avg_reporting_delay"),
         davg(when(qb, col("settlement_ratio"))).as("avg_settlement_ratio"),
         count(when(qb && col("fraud_indicator") === 1, 1))
           .as("potential_fraud_cases"),
-        count(when(qa, 1)).as("total_claims_handled"),
-        davg(when(qa, col("settlement_ratio"))).as("ap_avg_settlement_ratio"),
-        iavg(when(qa, col("reporting_delay_days"))).as("avg_processing_time"),
+        // adjuster-rollup partials (exact: decimal/long, cast only after
+        // the window sums)
+        count(when(qa, 1)).as("__na"),
+        sum(when(qa, col("settlement_ratio")).cast(DecimalType(18, 4)))
+          .as("__sr"),
+        count(when(qa, col("settlement_ratio"))).as("__nr"),
+        sum(when(qa, col("reporting_delay_days"))).as("__sd"),
+        count(when(qa, col("reporting_delay_days"))).as("__nd"),
         sum(when(qa, when(col("fraud_indicator") === 1, 1).otherwise(0)))
-          .as("fraud_cases_detected"))
+          .as("__sf"))
     val wAdj = Window.partitionBy(col("adjuster_id"))
-    def fromAdj(c: Column): Column = max(when(col("__gid") =!= 0, c)).over(wAdj)
+    def adj(c: Column): Column =
+      when(col("adjuster_id").isNotNull, c) // null-adjuster rows: no match
     val w = Window.partitionBy(col("claim_type"))
       .orderBy(col("claim_month"), col("severity"), col("status"),
         col("adjuster_id"), col("policy_type"), col("customer_state"),
         col("customer_age"))
-    g // null-adjuster rollup row contributes nothing (left join has no null match)
-      .filter(col("__gid") === 0 || col("adjuster_id").isNotNull)
-      // all four attach-columns in ONE projection under fresh names — a
-      // chain of withColumn overwrites would stack four Window operators
-      // (CollapseWindow can't merge through the rewriting projections),
-      // each buffering every row (measured: +1.4 s wall at sf0.1)
+    g // all window columns in ONE projection (stacked Windows trap)
       .select(col("*"),
-        fromAdj(col("total_claims_handled")).as("ap_handled"),
-        fromAdj(col("ap_avg_settlement_ratio")).as("ap_ratio"),
-        fromAdj(col("avg_processing_time")).as("ap_time"),
-        fromAdj(col("fraud_cases_detected")).as("ap_fraud"))
-      .filter(col("__gid") === 0 && col("claim_count") > 0)
+        adj(sum(col("__na")).over(wAdj)).as("ap_handled"),
+        adj(sum(col("__sr")).over(wAdj).cast(DoubleType) /
+          sum(col("__nr")).over(wAdj)).as("ap_ratio"),
+        adj(sum(col("__sd")).over(wAdj).cast(DoubleType) /
+          sum(col("__nd")).over(wAdj)).as("ap_time"),
+        adj(sum(col("__sf")).over(wAdj)).as("ap_fraud"))
+      .filter(col("claim_count") > 0)
       .select(col("claim_type"), col("severity"), col("status"),
         col("adjuster_id"), col("claim_month"), col("policy_type"),
         col("customer_state"),
