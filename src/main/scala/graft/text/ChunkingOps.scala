@@ -56,6 +56,95 @@ object ChunkingOps extends QueryModule {
           .as("chunk_text"))
   }
 
+  // ============================================================ capstone
+  // The full training-corpus preparation pipeline in one declarative
+  // plan: seed PII + an exact-duplicate slice (deterministically, same
+  // arithmetic both engines) → redact → quality-gate → exact-dedup
+  // (min-doc_id representative per fingerprint) → overlapping chunking.
+  // Everything is narrow except the dedup window — one shuffle on the
+  // fingerprint — and the chunk explode; at 100 TB the plan shape is a
+  // scan-to-chunk stream with a single exchange.
+  register("q92_training_corpus", {
+    import TextOps.{emailRe, phoneRe}
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |           text || ' contact user' || doc_id || '@example.com now'
+       |         WHEN doc_id % 5 = 0 THEN
+       |           text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |dupped AS (
+       |  SELECT doc_id, text FROM seeded
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM seeded WHERE doc_id % 17 = 0),
+       |red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+       |      '$phoneRe', '[PHONE]', 'g') AS text
+       |  FROM dupped),
+       |qual AS (
+       |  SELECT doc_id, text, $oTokens AS t FROM red
+       |  WHERE len($oTokens) BETWEEN 20 AND 10000
+       |    AND CAST(len(list_distinct($oTokens)) AS DOUBLE) / len($oTokens) > 0.1),
+       |dedup AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, t,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |        ORDER BY doc_id ASC) AS rn
+       |    FROM qual) WHERE rn = 1),
+       |chunks AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CAST(s.s AS INTEGER) AS chunk_start,
+       |    array_to_string(t[s.s : s.s + ${ChunkSize - 1}], ' ') AS chunk_text,
+       |    CAST(least(len(t) - s.s + 1, $ChunkSize) AS INTEGER) AS chunk_len
+       |  FROM dedup, LATERAL (
+       |    SELECT unnest(range(1, greatest(len(t) - 1, 1) + 1, $ChunkStride)) AS s) s)
+       |SELECT doc_id, n_tokens, chunk_start, chunk_len, chunk_text
+       |FROM chunks""".stripMargin
+  }) { (s, d) =>
+    import TextOps.{emailRe, phoneRe}
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val seeded = base.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .otherwise(col("text")).as("text"))
+    val dupped = seeded.unionAll(
+      seeded.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val red = dupped.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]").as("text"))
+    val t = tokens(col("text"))
+    val qual = red
+      .filter(size(t).between(20, 10000) &&
+        size(array_distinct(t)).cast(DoubleType) / size(t) > 0.1)
+      .select(col("doc_id"), col("text"), t.as("t"))
+    val wFp = Window
+      .partitionBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .orderBy(col("doc_id").asc)
+    val dedup = qual.withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1).select(col("doc_id"), col("t"))
+    dedup
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - 1, lit(1)),
+          lit(ChunkStride))).as("chunk_start"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk_start").cast(IntegerType).as("chunk_start"),
+        least(col("n_tokens") - col("chunk_start") + 1, lit(ChunkSize))
+          .cast(IntegerType).as("chunk_len"),
+        concat_ws(" ", slice(col("t"), col("chunk_start"), lit(ChunkSize)))
+          .as("chunk_text"))
+  }
+
   // ============================================================ packing
   // shard-wise concat-and-chunk: token offsets from a per-shard running
   // sum (ordered by doc_id — stable), sequence id = floor(offset/CtxLen).

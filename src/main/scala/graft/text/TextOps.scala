@@ -223,8 +223,8 @@ object TextOps extends QueryModule {
   // it deterministically (same arithmetic both engines), exercising both
   // the match and no-match paths on every run. Spark regexp_replace is
   // global by default; DuckDB needs the explicit 'g' flag.
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   register("q89_pii_redaction",
     s"""WITH seeded AS (
