@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
 trait Clock {
   def now: Column
   def today: Column
+  /** Driver-side instant for non-plan timestamps (the audit post-hook's
+    * `time_processed` — models/bronze/customers_bronze.sql:13). */
+  def instant: java.time.Instant
 }
 
 object Clock {
@@ -22,6 +25,7 @@ object Clock {
   object System extends Clock {
     def now: Column = current_timestamp()
     def today: Column = current_date()
+    def instant: java.time.Instant = java.time.Instant.now()
   }
 
   /** Deterministic clock for tests and reproducible runs. */
@@ -29,5 +33,6 @@ object Clock {
     def now: Column = lit(java.sql.Timestamp.from(ts))
     def today: Column =
       lit(java.sql.Date.valueOf(ts.atZone(java.time.ZoneOffset.UTC).toLocalDate))
+    def instant: java.time.Instant = ts
   }
 }

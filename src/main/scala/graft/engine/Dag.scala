@@ -48,6 +48,41 @@ object Sink {
       df
     }
   }
+
+  /** Metastore sink: full-refresh `saveAsTable` into `<schema>_<layer>.
+    * <model>` — the reference's catalog-table materialization
+    * (`+schema: bronze|silver|gold` appended to the target schema,
+    * dbt_project.yml:32,37,42 + profiles.yml:7), so a downstream SQL user
+    * can `spark.table("insurance_gold.gold_customer_360")` exactly like
+    * the warehouse consumers of the reference. Models in `partitions`
+    * are written partitioned (catalog-tracked partition pruning).
+    *
+    * Catalog writes are serialized on a process-wide lock: models at the
+    * same DAG level materialize from concurrent threads, and embedded
+    * catalogs (Derby-backed Hive, in-memory) do not take kindly to
+    * concurrent CREATE DATABASE / CREATE TABLE. Local-mode concession:
+    * against a production metastore (the deployment this sink models),
+    * narrow the lock to the DDL and let the CTAS data writes overlap
+    * like dbt's `threads: 4` does (profiles.yml:12).
+    */
+  final case class Table(schema: String, format: String = "parquet",
+      partitions: Map[String, Seq[String]] = Map.empty) extends Sink {
+    def write(layer: String, name: String, df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val db = s"${schema}_$layer"
+      val fqn = s"$db.$name"
+      Sink.ddlLock.synchronized {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        val writer = df.write.mode("overwrite").format(format)
+        partitions.get(name).filter(_.nonEmpty)
+          .fold(writer)(cols => writer.partitionBy(cols: _*))
+          .saveAsTable(fqn)
+      }
+      spark.table(fqn)
+    }
+  }
+
+  private[engine] val ddlLock = new Object
 }
 
 /** Topological DAG runner with the per-model audit post-hook — replaces
@@ -61,7 +96,8 @@ object Sink {
   * profiles.yml:12). We submit them from a fixed thread pool so
   * independent stages overlap cluster utilization.
   */
-final class Dag(models: Seq[Model], sink: Sink, clock: Clock = Clock.System) {
+final class Dag(models: Seq[Model], sink: Sink, clock: Clock = Clock.System,
+    auditTable: Option[String] = None) {
   require(models.map(_.name).distinct.size == models.size, "duplicate model names")
   private val byName = models.map(m => m.name -> m).toMap
 
@@ -117,8 +153,10 @@ final class Dag(models: Seq[Model], sink: Sink, clock: Clock = Clock.System) {
             val tgtCount = written.count()
             lock.synchronized {
               outputs(n) = written
+              // the injected clock — NOT the wall clock — so audit rows are
+              // deterministic goldens under Clock.Fixed
               audit += Row(m.name, m.layer,
-                new java.sql.Timestamp(java.lang.System.currentTimeMillis()),
+                java.sql.Timestamp.from(clock.instant),
                 srcCount, tgtCount, 0L)
             }
           }
@@ -137,6 +175,19 @@ final class Dag(models: Seq[Model], sink: Sink, clock: Clock = Clock.System) {
     val ordered = audit.toSeq.sortBy(r => topoIndex(r.getString(0)))
     val auditDf = spark.createDataFrame(
       spark.sparkContext.parallelize(ordered, 1), Schemas.auditLog)
+    // durable audit: the reference post-hook INSERTs into ONE accumulating
+    // logging table across runs (insurance_catalog.dbt_ykandi_logging
+    // .dbt_logs, models/bronze/customers_bronze.sql:4-19); an appending
+    // saveAsTable is the Spark-native equivalent
+    auditTable.foreach { fqn =>
+      Sink.ddlLock.synchronized {
+        fqn.split('.') match {
+          case Array(db, _) => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+          case _ => ()
+        }
+        auditDf.write.mode("append").format("parquet").saveAsTable(fqn)
+      }
+    }
     (outputs.toMap -- inputs.keys, auditDf)
   }
 }

@@ -46,9 +46,16 @@ object InsurancePipeline {
       d => Gold.executiveSummary(d("policies_silver"), d("claims_silver"),
         clock)))
 
-  /** Run end-to-end over the four raw inputs. */
+  /** Run end-to-end over the four raw inputs.
+    *
+    * @param auditTable optional metastore table name (`db.table`) the
+    *                   audit rows are APPENDED to across runs — the
+    *                   reference's accumulating `dbt_logs` post-hook
+    *                   target (models/bronze/customers_bronze.sql:4-19)
+    */
   def run(raw: Map[String, DataFrame], sink: Sink = Sink.Cached(),
-      clock: Clock = Clock.System, parallelism: Int = 4)
+      clock: Clock = Clock.System, parallelism: Int = 4,
+      auditTable: Option[String] = None)
       : (Map[String, DataFrame], DataFrame) =
-    new Dag(models(clock), sink, clock).run(raw, parallelism)
+    new Dag(models(clock), sink, clock, auditTable).run(raw, parallelism)
 }
