@@ -9,12 +9,22 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized through the `noop` datasource sink — a full
   * computation of every output column with zero write cost. (`count()`
   * would let Catalyst prune projections and undercount per-row work.)
+  *
+  * Robustness (r2 verdict): the suite runs SPARK_GRAFT_BENCH_REPS times
+  * (default 3) and reports the per-query MINIMUM — the driver box takes
+  * periodic cron load spikes, and best-of-N measures the engine, not the
+  * neighbors. Each rep starts from a cleared SQL cache so the gate
+  * queries' shared silver caches never leak work across reps. The JSON
+  * line is ALSO written to SPARK_GRAFT_BENCH_FILE (default
+  * BENCH_LAST.json in the working dir): the r2 stdout artifact lost its
+  * tail to the driver's log capture, so the file is the durable record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,18 +42,31 @@ object Bench {
       .selectExpr("sum(cast(r_regionkey as decimal(18,4))) as s")
       .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to reps) {
+      spark.catalog.clearCache() // each rep self-contained, cold SQL cache
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = names.map { case (k, _) => "\"" + k + f"""\":${best(k)}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = names.map { case (k, _) => best(k) }.sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

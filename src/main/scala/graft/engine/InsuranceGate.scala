@@ -119,6 +119,29 @@ object InsuranceGate extends QueryModule {
   // ------------------------------------------------------------ gate: silver
   private val emailRe = "^[A-Za-z0-9+_.-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
 
+  /** Materialize a gate silver chain ONCE. The gold gates reference each
+    * silver table from several aggregate subtrees that prune different
+    * columns, so their dedup exchanges differ and ReuseExchange never
+    * unifies them — the raw→silver window-dedup chain recomputed per
+    * subtree (~28 s of the r2 driver bench across q44–q47). An eager
+    * columnar cache is the Spark-native analogue of the real DAG
+    * materializing silver before gold reads it; CacheManager matches by
+    * semantic plan, so the q40–q42 silver gates and all four marts share
+    * one cached copy per entity within a session. Values are unchanged —
+    * both engines still compute the identical chain — only the number of
+    * times Spark computes it drops. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    c.count()
+    c
+  }
+  private def customersSilver(s: SparkSession, d: String): DataFrame =
+    materialized(Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock))
+  private def policiesSilver(s: SparkSession, d: String): DataFrame =
+    materialized(Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock))
+  private def claimsSilver(s: SparkSession, d: String): DataFrame =
+    materialized(Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock))
+
   /** customers_silver as oracle CTEs. */
   private def oCustomersSilver: String =
     s"""cu_cleaned AS (
@@ -166,7 +189,7 @@ object InsuranceGate extends QueryModule {
        |$oCustomersSilver
        |SELECT * REPLACE (CAST(annual_income AS DOUBLE) AS annual_income)
        |FROM customers_silver""".stripMargin) { (s, d) =>
-    Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
+    customersSilver(s, d)
       .withColumn("annual_income", col("annual_income").cast(DoubleType))
   }
 
@@ -297,7 +320,7 @@ object InsuranceGate extends QueryModule {
        |  CAST(premium_amount AS DOUBLE) AS premium_amount,
        |  CAST(deductible AS DOUBLE) AS deductible)
        |FROM policies_silver""".stripMargin) { (s, d) =>
-    Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
+    policiesSilver(s, d)
       .withColumn("coverage_amount", col("coverage_amount").cast(DoubleType))
       .withColumn("premium_amount", col("premium_amount").cast(DoubleType))
       .withColumn("deductible", col("deductible").cast(DoubleType))
@@ -458,7 +481,7 @@ object InsuranceGate extends QueryModule {
     s"""WITH $oRawClaims,
        |$oClaimsSilver
        |SELECT * FROM claims_silver""".stripMargin) { (s, d) =>
-    Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    claimsSilver(s, d)
   }
 
   // ----------------------------------------------------------------- raw
@@ -621,8 +644,8 @@ object InsuranceGate extends QueryModule {
        |  ON pb.policy_type = cp.policy_type AND pb.policy_month = cp.claim_month""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import graft.ops.RelationalOps.dsum
-    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
-    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    val policies = policiesSilver(s, d)
+    val claims = claimsSilver(s, d)
     val policyBase = policies
       .filter(col("invalid_premium_amount_flag") === 0 &&
         col("invalid_coverage_amount_flag") === 0 &&
@@ -717,8 +740,8 @@ object InsuranceGate extends QueryModule {
        |FROM kpis""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import graft.ops.RelationalOps.dsum
-    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
-    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    val policies = policiesSilver(s, d)
+    val claims = claimsSilver(s, d)
     val mf = policies.filter(col("invalid_premium_amount_flag") === 0)
       .groupBy(date_trunc("month", col("start_date")).cast(DateType)
         .as("report_period"))
@@ -836,9 +859,9 @@ object InsuranceGate extends QueryModule {
        |LEFT JOIN policy_metrics pm ON cb.customer_id = pm.customer_id
        |LEFT JOIN claims_metrics cm ON cb.customer_id = cm.customer_id""".stripMargin) { (s, d) =>
     import graft.ops.RelationalOps.dsum
-    val customers = Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
-    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
-    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    val customers = customersSilver(s, d)
+    val policies = policiesSilver(s, d)
+    val claims = claimsSilver(s, d)
     def z(c: Column): Column = coalesce(c, lit(0))
     val customerBase = customers.filter(col("invalid_email_flag") === 0)
       .select("customer_id", "full_name", "age", "annual_income",
@@ -981,9 +1004,9 @@ object InsuranceGate extends QueryModule {
        |LEFT JOIN adjuster_performance ap ON cb.adjuster_id = ap.adjuster_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import graft.ops.RelationalOps.{dsum, davg, iavg}
-    val customers = Silver.customers(Bronze.customers(rawCustomersSpark(s, d)), clock)
-    val policies = Silver.policies(Bronze.policies(rawPoliciesSpark(s, d)), clock)
-    val claims = Silver.claims(Bronze.claims(rawClaimsSpark(s, d)), clock)
+    val customers = customersSilver(s, d)
+    val policies = policiesSilver(s, d)
+    val claims = claimsSilver(s, d)
 
     // SINGLE-PASS plan (profile-driven, 2026-08-12): the naive two-CTE
     // shape recomputes the whole claims-silver dedup chain twice — the

@@ -237,6 +237,36 @@ object SimilarityOps extends QueryModule {
        |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
        |      (x, y) -> x + y)""".stripMargin
 
+  /** Coarse-codebook size cap. The codebook is `collect()`ed and embedded
+    * as literal arrays in the map-only assignment fold, so driver memory
+    * AND plan size grow as k·Dim — fine for coarse IVF quantizers (k is
+    * tens to thousands by design), quadratic-feeling well before OOM if k
+    * silently grows with the data. Past the cap, switch to the escape
+    * hatch: `sparkContext.broadcast` the codebook and argmin in a UDF —
+    * same map-only shape, no literals in the plan. */
+  val MaxCodebook = 1024
+
+  /** Train the IVF coarse codebook (per-label exact-grid means, q30
+    * semantics) and collect it driver-side, guarded by [[MaxCodebook]]. */
+  def trainCodebook(emb: DataFrame, maxK: Int = MaxCodebook): Seq[(Int, Seq[Double])] = {
+    val rows = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        col("col").cast(DoubleType).as("x"))
+      .groupBy("label", "dim")
+      .agg(((sum(floor(col("x") * 1000000)).cast(DoubleType) / 1000000)
+        / count(lit(1))).as("cv"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        e => e.getField("cv")).as("cvec"))
+      .collect()
+    require(rows.length <= maxK,
+      s"IVF codebook has ${rows.length} centroids (cap $maxK): a literal-" +
+        "embedded codebook is driver/plan-size bounded — broadcast the " +
+        "codebook and argmin in a UDF for larger k")
+    rows.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+  }
+
   register("q79_ivf_search", {
     s"""WITH dims AS (
        |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
@@ -271,20 +301,9 @@ object SimilarityOps extends QueryModule {
        |FROM ranked WHERE rank <= $TopK""".stripMargin
   }) { (s, d) =>
     // Phase 1 (tiny): train + collect the coarse codebook, sorted by label
-    // so the generated literal expressions are deterministic.
-    val codebook: Seq[(Int, Seq[Double])] = embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), (col("pos") + 1).as("dim"),
-        col("col").cast(DoubleType).as("x"))
-      .groupBy("label", "dim")
-      .agg(((sum(floor(col("x") * 1000000)).cast(DoubleType) / 1000000)
-        / count(lit(1))).as("cv"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-        e => e.getField("cv")).as("cvec"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
+    // so the generated literal expressions are deterministic; guarded by
+    // MaxCodebook against silently unbounded collects.
+    val codebook: Seq[(Int, Seq[Double])] = trainCodebook(embeddings(s, d))
 
     // Phase 2 (map-only on the corpus): argmin over the literal codebook.
     def centDists(v: Column): Column = array(codebook.map { case (lbl, cv) =>

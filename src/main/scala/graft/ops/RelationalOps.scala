@@ -788,12 +788,24 @@ object RelationalOps extends QueryModule {
         / count(lit(1))).as("median_acctbal"))
   }
 
-  // HyperLogLog++ approximate distinct (rows-only: sketch internals are
-  // engine-specific; OpsSpec asserts the error bound vs the exact count)
-  registerNoOracle("q56_approx_distinct") { (s, d) =>
+  // HyperLogLog++ approximate distinct. The sketch estimate itself is
+  // engine-specific, so the gate hashes the GUARANTEE instead of the
+  // value: Spark emits within_bound = |approx − exact| ≤ 10%·exact
+  // (5× the requested 2% rsd — far outside any plausible estimator
+  // wobble), the oracle emits literal TRUE next to DuckDB's exact
+  // COUNT(DISTINCT). The hash matches iff the estimate honors its bound
+  // on every group. (r2 verdict item 5: was rows-only.)
+  register("q56_approx_distinct",
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS exact_customers,
+      |  TRUE AS within_bound
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
     orders(s, d).groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
         countDistinct(col("o_custkey")).as("exact_customers"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")) <=
+          col("exact_customers") * 0.10).as("within_bound"))
   }
 
   // date spine — dbt_utils.date_spine semantics: a generated complete
@@ -938,22 +950,42 @@ object RelationalOps extends QueryModule {
   // the sketch family next to Count-Min q55 and HLL q56): mergeable
   // partial sketches — one shuffle of O(accuracy) state per group
   // instead of the full column, the scale path when exact rank-and-pick
-  // (q66) is too heavy. Rank error ≤ n/accuracy, pinned by
-  // ApproxQuantilesSpec against the exact quantiles; rows-only at the
-  // driver gate (sketch internals are engine-specific).
-  registerNoOracle("q85_approx_quantiles") { (s, d) =>
-    // flat output (one row per quantile) — array columns are untested
-    // through the driver's rows-only compare path
-    lineitem(s, d).groupBy("l_returnflag")
+  // (q66) is too heavy. The returned VALUE is engine-specific, so the
+  // gate hashes the GK guarantee: the value's rank interval
+  // [#(<v)+1, #(≤v)] must come within ε·n (+1 rounding slack) of the
+  // target rank p·n. Spark computes the rank check with one extra
+  // broadcast join + map-side aggregate over the fact table (12 rows
+  // broadcast — scale-safe); the oracle emits literal TRUE beside
+  // DuckDB's exact group counts. (r2 verdict item 5: was rows-only.)
+  register("q85_approx_quantiles", {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      .map(p => s"(CAST($p AS DOUBLE))").mkString(", ")
+    s"""WITH grp AS (
+       |  SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, p.p AS quantile, n, TRUE AS within_bound
+       |FROM grp, (VALUES $ps) p(p)""".stripMargin
+  }) { (s, d) =>
+    val fracs = Seq(0.25, 0.5, 0.75, 0.95)
+    val approx = lineitem(s, d).groupBy("l_returnflag")
       .agg(approx_percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
-          .as("qs"),
+          array(fracs.map(lit): _*), lit(10000)).as("qs"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"), posexplode(col("qs")), col("n"))
       .select(col("l_returnflag"),
-        element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+        element_at(array(fracs.map(lit): _*),
           (col("pos") + 1).cast(IntegerType)).as("quantile"),
-        col("col").as("approx_price"), col("n"))
+        col("col").as("v"), col("n"))
+    // rank interval of the returned value inside its group; ε = 1/accuracy
+    val tol = col("n") / 10000.0 + 1.0
+    val target = col("quantile") * col("n")
+    lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      .join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("quantile"), col("n"))
+      .agg(sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("cnt_le"))
+      .select(col("l_returnflag"), col("quantile"), col("n"),
+        (col("cnt_lt") <= target + tol && col("cnt_le") >= target - tol)
+          .as("within_bound"))
   }
 
   // time-based RANGE frame: rolling 1-hour event count/value per user —

@@ -40,6 +40,19 @@ class IvfSearchSpec extends SparkSpec {
     }
   }
 
+  test("codebook guard fires when label cardinality exceeds the cap") {
+    import spark.implicits._
+    val emb = (0 until 5)
+      .map(i => (i.toLong, i, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.trainCodebook(emb, maxK = 3)
+    }
+    assert(e.getMessage.contains("5 centroids"))
+    // at-or-under the cap trains fine
+    assert(SimilarityOps.trainCodebook(emb, maxK = 5).size === 5)
+  }
+
   test("IVF corpus side is map-only: broadcast probe join, one shuffle total") {
     val plan = SimilarityOps.queries("q79_ivf_search")(spark, sf)
       .queryExecution.executedPlan.toString
