@@ -1,6 +1,8 @@
 package graft.catalyst
 
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Average
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -17,9 +19,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * plain shuffled/broadcast HASH join on the bin, with the original
   * band predicate re-applied as a post-filter.
   *
-  * Opt-in via `spark.graft.rangeJoin.binWidth` (unset → rule inactive):
-  * bin width is workload knowledge — comparable to the interval span —
-  * that the optimizer cannot infer from statistics it doesn't have.
+  * Bin width via `spark.graft.rangeJoin.binWidth`:
+  *   - unset or `auto` — derived from interval-span statistics: one
+  *     scalar `avg(hi - lo)` aggregate over the interval side executed
+  *     at optimization time, rounded up. Width ≈ the mean span makes
+  *     each interval explode to ~2 bins while a bin pairs with few
+  *     intervals — the standard operating point for binned interval
+  *     joins. Cost: one tiny Spark job per band-join optimization,
+  *     only on plans the rule would rewrite anyway. If the interval
+  *     side is empty (or the probe fails) the rule backs off.
+  *   - a positive integer — explicit width override (workload knowledge
+  *     beats the heuristic when spans are heavy-tailed).
+  *   - `off` / `0` — rule disabled.
   *
   * Coverage note: intervals explode to `floor(lo/w) .. floor(hi/w)`
   * (inclusive). The upper bin over-covers by at most one bin when `hi`
@@ -31,14 +42,46 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Safety: only fires when the join has NO equi-conjunct (if one
   * exists, Spark already hash-joins on it and the bin adds nothing);
   * after the rewrite the join HAS an equi-conjunct, which also makes
-  * the rule idempotent under transformUp.
+  * the rule idempotent under transformUp. The auto probe is reentrancy-
+  * guarded: a band join nested inside the stats aggregate's own plan is
+  * left alone rather than recursing.
   */
 object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
   val ConfKey = "spark.graft.rangeJoin.binWidth"
 
-  private def binWidth: Option[Long] = {
-    val v = SQLConf.get.getConfString(ConfKey, "")
-    if (v.isEmpty) None else v.toLongOption.filter(_ > 0)
+  private sealed trait Mode
+  private case object Off extends Mode
+  private case object Auto extends Mode
+  private final case class Fixed(w: Long) extends Mode
+
+  private def mode: Mode =
+    SQLConf.get.getConfString(ConfKey, "auto").trim.toLowerCase match {
+      case "" | "auto" => Auto
+      case "off" | "0" => Off
+      case v => v.toLongOption.filter(_ > 0).map(Fixed.apply).getOrElse(Off)
+    }
+
+  private val deriving = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Interval-span statistic → bin width: `max(1, ceil(avg(hi - lo)))`
+    * over the interval side, executed as a one-row aggregate. */
+  private def derivedWidth(right: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] = {
+    if (deriving.get) return None
+    deriving.set(true)
+    try {
+      val span = Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType))
+      val agg = Aggregate(Nil,
+        Seq(Alias(new Average(span).toAggregateExpression(), "__graft_avg_span")()),
+        right)
+      val row = GraftColumnBridge.ofRows(SparkSession.active, agg).head()
+      if (row.isNullAt(0)) None
+      else Some(row.getDouble(0)).filter(s => !s.isNaN && s > 0)
+        .map(s => math.max(1L, math.ceil(s).toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally deriving.set(false)
   }
 
   private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
@@ -47,9 +90,9 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bin(e: Expression, w: Long): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))), LongType)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
-    case None => plan
-    case Some(w) => plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = mode match {
+    case Off => plan
+    case m => plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val hasEqui = conjuncts.exists {
@@ -81,20 +124,29 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
           j
         } else {
           val (x, lo, hi) = band.get
-          val lBin = Alias(bin(x, w), "__graft_bin_l")()
-          val newLeft = Project(left.output :+ lBin, left)
-          val rBinAttr = AttributeReference("__graft_bin_r", LongType)()
-          // Sequence is TimeZoneAware: it stays unresolved (and fails
-          // post-optimizer plan validation) until the zone is pinned
-          val gen = Explode(Sequence(bin(lo, w), bin(hi, w), None,
-            Some(SQLConf.get.sessionLocalTimeZone)))
-          val newRight = Generate(gen, unrequiredChildIndex = Nil,
-            outer = false, qualifier = None,
-            generatorOutput = Seq(rBinAttr), child = right)
-          val newCond = And(EqualTo(lBin.toAttribute, rBinAttr), cond)
-          // restore the original output (the bin columns are internal)
-          Project(j.output,
-            Join(newLeft, newRight, Inner, Some(newCond), hint))
+          val width = m match {
+            case Fixed(w) => Some(w)
+            case Auto => derivedWidth(right, lo, hi)
+            case Off => None
+          }
+          width match {
+            case None => j
+            case Some(w) =>
+              val lBin = Alias(bin(x, w), "__graft_bin_l")()
+              val newLeft = Project(left.output :+ lBin, left)
+              val rBinAttr = AttributeReference("__graft_bin_r", LongType)()
+              // Sequence is TimeZoneAware: it stays unresolved (and fails
+              // post-optimizer plan validation) until the zone is pinned
+              val gen = Explode(Sequence(bin(lo, w), bin(hi, w), None,
+                Some(SQLConf.get.sessionLocalTimeZone)))
+              val newRight = Generate(gen, unrequiredChildIndex = Nil,
+                outer = false, qualifier = None,
+                generatorOutput = Seq(rBinAttr), child = right)
+              val newCond = And(EqualTo(lBin.toAttribute, rBinAttr), cond)
+              // restore the original output (the bin columns are internal)
+              Project(j.output,
+                Join(newLeft, newRight, Inner, Some(newCond), hint))
+          }
         }
     }
   }

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 class RangeJoinBinningRuleSpec extends SparkSpec {
 
-  private def withRule[T](width: Option[Long])(f: => T): T = {
+  private def withRule[T](width: Option[String])(f: => T): T = {
     val had = spark.experimental.extraOptimizations.contains(RangeJoinBinningRule)
     if (!had) spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RangeJoinBinningRule
-    width.foreach(w => spark.conf.set(RangeJoinBinningRule.ConfKey, w.toString))
+    width.foreach(w => spark.conf.set(RangeJoinBinningRule.ConfKey, w))
     try f
     finally {
       spark.conf.unset(RangeJoinBinningRule.ConfKey)
@@ -32,7 +32,7 @@ class RangeJoinBinningRuleSpec extends SparkSpec {
         col("v") >= col("lo") && col("v") < col("hi"))
       .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.nonEmpty)
-    withRule(Some(1000L)) {
+    withRule(Some("1000")) {
       val joined = fact.join(intervals,
         col("v") >= col("lo") && col("v") < col("hi"))
       val plan = joined.queryExecution.executedPlan.toString
@@ -46,8 +46,26 @@ class RangeJoinBinningRuleSpec extends SparkSpec {
     }
   }
 
-  test("rule is inactive without the conf") {
-    withRule(None) {
+  test("auto mode: rule fires with NO conf, width from span stats, results identical") {
+    val expected = fact.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule(None) { // conf unset → auto: avg(hi-lo)≈3000 becomes the width
+      val joined = fact.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"auto mode must still eliminate the nested-loop join:\n$plan")
+      assert(plan.contains("__graft_bin"), s"bin key missing:\n$plan")
+      val got = joined.select("id", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("rule disabled with binWidth=off") {
+    withRule(Some("off")) {
       val plan = fact.join(intervals,
           col("v") >= col("lo") && col("v") < col("hi"))
         .queryExecution.executedPlan.toString
@@ -55,8 +73,18 @@ class RangeJoinBinningRuleSpec extends SparkSpec {
     }
   }
 
+  test("auto mode backs off on an empty interval side (no width derivable)") {
+    withRule(None) {
+      val empty = intervals.filter(col("iid") < 0)
+      val plan = fact.join(empty,
+          col("v") >= col("lo") && col("v") < col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_bin"), plan)
+    }
+  }
+
   test("joins that already have an equi key are left alone") {
-    withRule(Some(1000L)) {
+    withRule(Some("1000")) {
       val plan = fact.join(intervals,
           col("id") % 50 === col("iid") &&
             col("v") >= col("lo") && col("v") < col("hi"))
