@@ -706,6 +706,39 @@ object RelationalOps extends QueryModule {
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
+  // ANTI join as a first-class operator (NOT EXISTS): customers with no
+  // urgent order. Same physical family as q51's semi — a broadcast/hash
+  // join that streams the probe side and emits non-matches; at scale the
+  // build side is only the DISTINCT filtered keys.
+  register("q95_anti_join",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  // RIGHT OUTER join — preserved-right parity row (J-family completion):
+  // all customers, with their urgent orders where present. Spark plans
+  // the same hash join as a left-outer with sides swapped; nulls on the
+  // unpreserved side.
+  register("q96_right_outer_join",
+    """SELECT o.o_orderkey, o.o_orderdate, c.c_custkey, c.c_mktsegment
+      |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+    orders(s, d).filter(col("o_orderpriority") === "1-URGENT").alias("o")
+      .join(customer(s, d).alias("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "right_outer")
+      .select(col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_orderdate").as("o_orderdate"),
+        col("c.c_custkey").as("c_custkey"),
+        col("c.c_mktsegment").as("c_mktsegment"))
+  }
+
   // HAVING — post-aggregation predicates (TPC-H Q18 flavor: large-volume
   // customers). Catalyst plans the filter ABOVE the aggregate, so the
   // groupBy still gets map-side partial aggregation.
