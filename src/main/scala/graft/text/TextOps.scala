@@ -172,11 +172,22 @@ object TextOps extends QueryModule {
 
 
   // ============================================================ sketches
-  // Count-Min heavy hitters (rows-only check: the sketch itself is not
-  // SQL-expressible; estimates are deterministic via the portable hash
-  // and the spec proves the epsilon bound). Two passes: fold the token
-  // stream into one mergeable sketch, then score the vocabulary.
-  registerNoOracle("q55_heavy_hitters") { (s, d) =>
+  // Count-Min heavy hitters. The sketch itself is not SQL-expressible,
+  // so (like q56/q85) the gate hashes the GUARANTEE: the top-20 terms
+  // are selected by EXACT count (totally ordered by (count desc, term) —
+  // oracle-able), and each carries within_bound = exact ≤ CMS estimate
+  // ≤ exact + 2eN/width (CMS never undercounts; overcount ≤ εN = eN/w
+  // per row with the depth-5 min, 2× slack on top; estimates are
+  // deterministic via the portable hash, so the bound either holds on
+  // this corpus or fails loudly — verified at sf0.001/0.01/soak).
+  // Two passes: fold the token stream into one mergeable sketch, then
+  // score the exact vocabulary counts against it.
+  register("q55_heavy_hitters",
+    raw"""WITH tok AS (
+       |  SELECT unnest($oTokens) AS term FROM documents),
+       |counts AS (SELECT term, COUNT(*) AS exact_count FROM tok GROUP BY term)
+       |SELECT term, exact_count, TRUE AS within_bound
+       |FROM counts ORDER BY exact_count DESC, term ASC LIMIT 20""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.ml.CMSketch
     val tok = documents(s, d)
@@ -185,10 +196,14 @@ object TextOps extends QueryModule {
       .select(CMSketch.aggregator().toColumn.name("sk")).head()
     val bc = s.sparkContext.broadcast(sketch)
     val estimate = udf((t: String) => bc.value.estimate(t))
+    val bound = math.ceil(2.0 * math.E * sketch.totalCount / sketch.width).toLong
     tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
-      .withColumn("cms_estimate", estimate(col("term")))
-      .orderBy(col("cms_estimate").desc, col("term").asc)
+      .orderBy(col("exact_count").desc, col("term").asc)
       .limit(20)
+      .select(col("term"), col("exact_count"),
+        (estimate(col("term")) >= col("exact_count") &&
+          estimate(col("term")) <= col("exact_count") + bound)
+          .as("within_bound"))
   }
 
 
