@@ -138,6 +138,24 @@ object StructuredStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("event_count"))
 
+  /** Built-in session windows: `session_window(ts, gap)` merges
+    * overlapping per-key windows in the state store — the declarative
+    * sibling of the custom sessionizers below (no user state code; the
+    * engine owns merge/expiry, bounded by the watermark). Prefer this
+    * when session output is just windowed aggregates; drop to
+    * flatMapGroupsWithState / transformWithState only for custom state
+    * shapes the window aggregate can't express. */
+  def sessionWindowCounts(stream: DataFrame, watermark: String = "1 hour",
+      gap: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
   /** Streaming deduplication: exactly-once per event_id within the
     * watermark horizon (state expires past it — bounded state at scale). */
   def dedupedStream(stream: DataFrame, watermark: String = "1 hour"): DataFrame =

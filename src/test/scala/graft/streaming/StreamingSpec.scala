@@ -37,6 +37,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window merges gap-bounded windows per user (built-in sessionization)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StructuredStreams.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("swc")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 2.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 3.0), // same session (10m gap)
+        Ev(3, ts("2024-01-01 11:30:00"), 1, "view", 1.0),  // new session (>30m gap)
+        Ev(4, ts("2024-01-01 10:05:00"), 2, "view", 4.0))
+      query.processAllAvailable()
+      val out = spark.table("swc").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("session_value"))).toSet
+      assert(out === Set(
+        (1L, "2024-01-01 10:00:00.0", 2L, 5.0),
+        (1L, "2024-01-01 11:30:00.0", 1L, 1.0),
+        (2L, "2024-01-01 10:05:00.0", 1L, 4.0)), s"got $out")
+    } finally query.stop()
+  }
+
   test("userRollup keeps running per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
