@@ -435,7 +435,16 @@ object InsuranceGate extends QueryModule {
     s"raw_claims AS (${row(dup = false)} UNION ALL ${row(dup = true)})"
   }
 
-  /** claims_silver as oracle CTEs. */
+  /** claims_silver as oracle CTEs.
+    *
+    * settlement_ratio carries a `+ 0` ONLY on the oracle side: Spark's
+    * ROUND routes doubles through BigDecimal, which cannot represent
+    * -0.0, so round(-0.0004, 3) canonicalizes to +0.0; DuckDB's round
+    * keeps the sign and returns -0.0. The +0 collapses DuckDB's -0.0 to
+    * +0.0 (IEEE: -0.0 + 0 = +0.0) and leaves every nonzero value
+    * bit-identical — replicating Spark's canonicalization rather than
+    * introducing asymmetry. Found by the 10-20× soak sweep (21,810
+    * tiny-negative ratios at soak; zero at sf0.01/sf0.001). */
   private def oClaimsSilver: String =
     s"""c_cleaned AS (
        |  SELECT
@@ -472,7 +481,7 @@ object InsuranceGate extends QueryModule {
        |    processed_at,
        |    date_diff('day', CAST(claim_date AS DATE), CAST(reported_date AS DATE)) AS reporting_delay_days,
        |    claim_amount - settled_amount AS claim_difference,
-       |    CASE WHEN claim_amount > 0 THEN ROUND(settled_amount / claim_amount, 3) END AS settlement_ratio,
+       |    CASE WHEN claim_amount > 0 THEN ROUND(settled_amount / claim_amount, 3) + 0 END AS settlement_ratio,
        |    missing_policy_flag, missing_customer_flag,
        |    invalid_claim_amount_flag, invalid_settled_amount_flag
        |  FROM c_deduped WHERE row_num = 1)""".stripMargin
