@@ -22,6 +22,26 @@ object Checks {
       df.filter(col(column).isNotNull).groupBy(col(column))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).count())
 
+  /** dbt's `accepted_values` generic test: rows whose column value falls
+    * outside the allowed set (nulls pass — dbt composes with not_null). */
+  def acceptedValues(df: DataFrame, table: String, column: String,
+      values: Seq[String]): CheckResult =
+    CheckResult(table, column, "accepted_values",
+      df.filter(col(column).isNotNull && !col(column).isin(values: _*)).count())
+
+  /** dbt's `relationships` generic test: referential integrity — child
+    * rows whose FK has no match in the parent column. Planned as a
+    * left-anti join, so at scale it is one hash join probing the
+    * DISTINCT parent keys (broadcast when small), never a row-by-row
+    * lookup. */
+  def relationships(child: DataFrame, table: String, fk: String,
+      parent: DataFrame, parentKey: String): CheckResult =
+    CheckResult(table, fk, "relationships",
+      child.filter(col(fk).isNotNull)
+        .join(parent.select(col(parentKey).as(fk)).distinct(),
+          Seq(fk), "left_anti")
+        .count())
+
   /** The reference's complete test suite: not_null + unique on each bronze
     * primary key (bronze_schema.yml:9-11,22-24,33-35,44-46). */
   def bronzeSuite(bronze: Map[String, DataFrame]): Seq[CheckResult] = {
