@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-profiling / featurization operators: the table-shape utilities a
+  * pipeline runs before modeling — outlier winsorization, distribution
+  * histograms, and per-column profiles. All deterministic (exact
+  * rank-and-pick percentile boundaries, integer-exact bin arithmetic,
+  * counts only where string formatting would diverge between engines).
+  */
+object ProfilingOps extends QueryModule {
+  import Tables.orders
+  import RelationalOps.dsum
+  private def oDsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  // ========================================================= winsorization
+  // Clamp per-group values at the exact p05/p95 rank values (rank-and-pick
+  // like q66 — one window shuffle on the group key, never a per-group
+  // array), then aggregate the clipped column. The boundary frame is a
+  // handful of rows and broadcasts back onto the fact scan.
+  register("q97_winsorized_stats",
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+       |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders),
+       |bounds AS (
+       |  SELECT o_orderpriority,
+       |    MAX(CASE WHEN rn = FLOOR((n-1) * CAST(0.05 AS DOUBLE)) + 1 THEN v END) AS lo,
+       |    MAX(CASE WHEN rn = FLOOR((n-1) * CAST(0.95 AS DOUBLE)) + 1 THEN v END) AS hi
+       |  FROM ranked GROUP BY o_orderpriority)
+       |SELECT r.o_orderpriority, b.lo AS p05, b.hi AS p95,
+       |  ${oDsum("LEAST(GREATEST(r.v, b.lo), b.hi)")} AS winsorized_sum,
+       |  CAST(SUM(CASE WHEN r.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS clipped_low,
+       |  CAST(SUM(CASE WHEN r.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS clipped_high,
+       |  COUNT(*) AS n
+       |FROM ranked r JOIN bounds b ON r.o_orderpriority = b.o_orderpriority
+       |GROUP BY r.o_orderpriority, b.lo, b.hi""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("v").asc, col("o_orderkey").asc)
+    val cw = Window.partitionBy(col("o_orderpriority"))
+    val ranked = orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast(DoubleType).as("v"))
+      .select(col("o_orderpriority"), col("v"),
+        row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
+    val bounds = ranked.groupBy("o_orderpriority")
+      .agg(
+        max(when(col("rn") ===
+          (floor((col("n") - 1) * 0.05) + 1).cast(LongType), col("v"))).as("lo"),
+        max(when(col("rn") ===
+          (floor((col("n") - 1) * 0.95) + 1).cast(LongType), col("v"))).as("hi"))
+    ranked.join(broadcast(bounds), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("lo").as("p05"), col("hi").as("p95"))
+      .agg(dsum(least(greatest(col("v"), col("lo")), col("hi"))).as("winsorized_sum"),
+        sum(when(col("v") < col("lo"), 1).otherwise(0)).as("clipped_low"),
+        sum(when(col("v") > col("hi"), 1).otherwise(0)).as("clipped_high"),
+        count(lit(1)).as("n"))
+      .select("o_orderpriority", "p05", "p95", "winsorized_sum",
+        "clipped_low", "clipped_high", "n")
+  }
+
+  // ============================================================ histogram
+  // Equi-width 20-bin histogram per group over a global [min, max] axis:
+  // the bounds are ONE tiny aggregate broadcast onto a map-only binning
+  // pass + one partial-aggregated shuffle on (group, bin). Bin arithmetic
+  // is identical IEEE double ops on both sides; the top edge closes into
+  // the last bin.
+  val HistBins = 20
+  register("q98_histogram",
+    s"""WITH bounds AS (
+       |  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+       |         MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+       |  FROM orders),
+       |binned AS (
+       |  SELECT o_orderpriority,
+       |    LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.mn)
+       |      / ((b.mx - b.mn) / $HistBins)) AS BIGINT), ${HistBins - 1}) AS bin
+       |  FROM orders, bounds b)
+       |SELECT o_orderpriority, bin, COUNT(*) AS n
+       |FROM binned GROUP BY o_orderpriority, bin""".stripMargin) { (s, d) =>
+    val bounds = orders(s, d)
+      .agg(min(col("o_totalprice").cast(DoubleType)).as("mn"),
+        max(col("o_totalprice").cast(DoubleType)).as("mx"))
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice").cast(DoubleType).as("v"))
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame
+      .select(col("o_orderpriority"),
+        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / HistBins))
+          .cast(LongType), lit((HistBins - 1).toLong)).as("bin"))
+      .groupBy("o_orderpriority", "bin")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ============================================================== profile
+  // Per-column profile (rows / nulls / distinct) as one UNION of
+  // per-column aggregates — counts only: min/max/mean of mixed types
+  // would round-trip through engine-specific string formatting. Each leg
+  // is a single exact aggregate; Catalyst folds the four scans of the
+  // same file into reused exchanges where possible, and at 100 TB the
+  // distinct counts are the only shuffles.
+  register("q99_profile", {
+    def leg(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct
+         |FROM orders""".stripMargin
+    Seq("o_custkey", "o_orderpriority", "o_orderdate", "o_orderstatus")
+      .map(leg).mkString("\nUNION ALL\n")
+  }) { (s, d) =>
+    val o = orders(s, d)
+    Seq("o_custkey", "o_orderpriority", "o_orderdate", "o_orderstatus")
+      .map { c =>
+        o.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"))
+      }
+      .reduce(_.unionAll(_))
+  }
+}
