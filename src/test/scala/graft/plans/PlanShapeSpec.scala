@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Physical-plan regression pins: the plan properties the 100 TB design
+  * depends on, asserted so a refactor can't silently regress them.
+  * (Initial pre-AQE plans — shape, not runtime re-planning.)
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  /** Queries with an INTENTIONAL nested-loop/cross join, each bounded by
+    * construction: q09 joins two 1-row count frames (reference S4 shape);
+    * q98 broadcasts a 1-row global-bounds frame onto the scan; q28/q29
+    * pair a broadcast ≤10-row query set against the corpus on a
+    * non-equi predicate; q87 pairs a fixed-size (<200-key) block; q66's
+    * quantile VALUES frame is 5 literal rows (same for q97's bounds
+    * when AQE picks BNLJ).
+    */
+  private val boundedCrossAllowed = Set(
+    "q09_audit_counts", "q98_histogram", "q28_cosine_topk", "q29_ann_lsh",
+    "q87_fuzzy_match", "q66_exact_quantiles", "q97_winsorized_stats",
+    "q53_embedding_near_dup", "q86_date_spine",
+    // 1-row broadcast scalar frames (corpus totals onto per-term scores)
+    "q38_tfidf_top_terms", "q68_collocations",
+    // the BROADCAST band-join path by design — q76 is the binned
+    // non-broadcast alternative for large interval sides
+    "q59_range_join")
+
+  test("no unbounded cartesian or nested-loop join anywhere in the suite") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val hasCross = p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")
+      if (hasCross && !boundedCrossAllowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian/nested-loop joins in: $offenders")
+  }
+
+  test("q05 inner join broadcasts the dimension side") {
+    assert(plan("q05_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q63 stratified sample is map-only (zero exchanges)") {
+    assert(!plan("q63_stratified_sample").contains("Exchange"))
+  }
+
+  test("q18 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q18_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q03 predicates reach the parquet scan as pushed filters") {
+    val p = plan("q03_predicates")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
+      || p.contains("PushedFilters: [Is"), p.take(800))
+  }
+
+  test("q01 aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q01_agg")
+    val aggBeforeExchange = p.indexOf("HashAggregate") < p.indexOf("Exchange")
+    assert(p.contains("Exchange") && aggBeforeExchange, p.take(1200))
+  }
+
+  test("q16 8-key aggregation shuffles exactly once") {
+    val p = plan("q16_multikey_agg")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
+  }
+}
