@@ -47,6 +47,11 @@ object Sources {
   def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
 
+  /** ORC (the other columnar warehouse format Spark ships natively —
+    * same pushdown/pruning behavior class as parquet; schema enforced). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Hive-partitioned parquet write (downstream partition pruning). */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =

@@ -43,6 +43,22 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("id").isNotNull).count() === 2)
   }
 
+  test("orc round-trip: schema-enforced read, filter pushdown reaches the scan") {
+    val dir = tmp()
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "amount")
+      .write.mode("overwrite").orc(s"$dir/orc")
+    val df = Sources.orc(spark, s"$dir/orc", schema)
+    assert(df.schema === schema)
+    assert(df.count() === 3)
+    val filtered = df.filter(col("id") > 1)
+    assert(filtered.count() === 2)
+    // ORC scans get the same pushdown class as parquet
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan"),
+      plan.take(600))
+  }
+
   test("partitioned writer lands hive layout and reads prune partitions") {
     val dir = tmp()
     val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-02"), (3L, "c", "2024-02"))
