@@ -77,8 +77,10 @@ object ProfilingOps extends QueryModule {
        |  FROM orders),
        |binned AS (
        |  SELECT o_orderpriority,
-       |    LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.mn)
-       |      / ((b.mx - b.mn) / $HistBins)) AS BIGINT), ${HistBins - 1}) AS bin
+       |    CASE WHEN b.mx = b.mn THEN 0
+       |         ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.mn)
+       |           / ((b.mx - b.mn) / $HistBins)) AS BIGINT), ${HistBins - 1})
+       |    END AS bin
        |  FROM orders, bounds b)
        |SELECT o_orderpriority, bin, COUNT(*) AS n
        |FROM binned GROUP BY o_orderpriority, bin""".stripMargin) { (s, d) =>
@@ -89,8 +91,12 @@ object ProfilingOps extends QueryModule {
       .select(col("o_orderpriority"), col("o_totalprice").cast(DoubleType).as("v"))
       .crossJoin(broadcast(bounds)) // 1-row bounds frame
       .select(col("o_orderpriority"),
-        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / HistBins))
-          .cast(LongType), lit((HistBins - 1).toLong)).as("bin"))
+        // zero-width guard: a constant column would divide by zero (NaN
+        // bins in Spark, a cast error in DuckDB) — all rows land in bin 0
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(
+            least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / HistBins))
+              .cast(LongType), lit((HistBins - 1).toLong))).as("bin"))
       .groupBy("o_orderpriority", "bin")
       .agg(count(lit(1)).as("n"))
   }
