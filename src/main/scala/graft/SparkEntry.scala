@@ -18,7 +18,8 @@ object SparkEntry {
     ops.RelationalOps, text.TextOps, text.DedupOps, ml.SimilarityOps,
     streaming.StreamingOps, multimodal.MultimodalOps, engine.InsuranceGate,
     ops.TemporalJoins, text.SamplingOps, text.CorpusStats, engine.Snapshots,
-    text.ChunkingOps, ops.GraphOps, text.QualityOps, ops.ProfilingOps)
+    text.ChunkingOps, ops.GraphOps, text.QualityOps, ops.ProfilingOps,
+    ops.ArrayOps, ops.TimeSeriesOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -369,4 +369,117 @@ object SimilarityOps extends QueryModule {
           .cosineSimilarity(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= CosineDupThreshold)
   }
+
+  // ============================================================== k-means
+  // Distributed Lloyd's algorithm — the full iterative training loop the
+  // IVF family's q30 (one mean step) and q79 (probe search) bracket.
+  // Each round is: map-only argmin assignment against the ≤MaxCodebook
+  // literal centroids, then ONE partial-aggregated shuffle on (cluster,
+  // dim) for the exact-grid means; the k·Dim centroid frame is collected
+  // driver-side between rounds (bounded, the standard k-means driver
+  // sync). Determinism: init = per-label exact-grid means; distances are
+  // index-order left folds; argmin tie-breaks on cluster id; means are
+  // integer-grid-exact — so both engines walk identical trajectories.
+  val KmeansIters = 2
+
+  /** One Lloyd round: assign to nearest literal centroid, recompute
+    * per-(cluster, dim) exact-grid means and cluster sizes. */
+  private def kmeansStep(emb: DataFrame,
+      codebook: Seq[(Int, Seq[Double])]): DataFrame = {
+    def centDists(v: Column): Column = array(codebook.map { case (cid, cv) =>
+      struct(l2sq(v, cv).as("dist"), lit(cid).as("lbl"))
+    }: _*)
+    // argmin in its own projection: co-locating it with the posexplode
+    // generator makes analysis strip the struct field names (FIELD_NOT_FOUND)
+    emb.select(
+        array_min(centDists(col("embedding"))).getField("lbl").as("cid"),
+        col("embedding"))
+      .select(col("cid"), posexplode(col("embedding")))
+      .select(col("cid"), (col("pos") + 1).as("dim"),
+        col("col").cast(DoubleType).as("x"))
+      .groupBy("cid", "dim")
+      .agg(((sum(floor(col("x") * 1000000)).cast(DoubleType) / 1000000)
+        / count(lit(1))).as("cv"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Collect a (cluster, dim, cv) frame into a literal codebook, guarded
+    * like [[trainCodebook]]. */
+  private def collectCentroids(perDim: DataFrame): Seq[(Int, Seq[Double])] = {
+    val rows = perDim.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        e => e.getField("cv")).as("cvec"))
+      .collect()
+    require(rows.length <= MaxCodebook,
+      s"k-means codebook has ${rows.length} centroids (cap $MaxCodebook)")
+    rows.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+  }
+
+  register("q106_kmeans", {
+    def oMeans(src: String, key: String) =
+      s"""SELECT $key AS cid, i.i AS dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS DOUBLE) / 1000000 / COUNT(*) AS cv, COUNT(*) AS n
+         |  FROM $src, (SELECT unnest(range(1, $Dim + 1)) AS i) i
+         |  GROUP BY $key, i.i""".stripMargin
+    def oAssign(cent: String) =
+      s"""SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oL2sq("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1""".stripMargin
+    s"""WITH cent0v AS (${oMeans("embeddings", "label")}),
+       |cent0 AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cent0v GROUP BY cid),
+       |a1 AS (${oAssign("cent0")}),
+       |cent1v AS (${oMeans("a1", "cid")}),
+       |cent1 AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cent1v GROUP BY cid),
+       |a2 AS (${oAssign("cent1")}),
+       |cent2v AS (${oMeans("a2", "cid")})
+       |SELECT CAST(cid AS INTEGER) AS cid, CAST(dim AS INTEGER) AS dim, cv, n
+       |FROM cent2v""".stripMargin
+  }) { (s, d) =>
+    var codebook = trainCodebook(embeddings(s, d)) // init: label means
+    var perDim: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      perDim = kmeansStep(embeddings(s, d), codebook)
+      codebook = collectCentroids(perDim)
+    }
+    perDim.select(col("cid").cast(IntegerType).as("cid"),
+      col("dim").cast(IntegerType).as("dim"), col("cv"), col("n"))
+  }
+
+  // ============================================================== gramian
+  // Upper-triangle Gram / co-moment matrix Σ x_i·x_j over the corpus —
+  // the distributed linear-algebra primitive under PCA/covariance
+  // (compute the Dim×Dim Gramian in one pass, eigensolve the tiny matrix
+  // driver-side). Components snap to the 1e6 integer grid so products
+  // and sums are EXACT int64 arithmetic (|grid| ≲ 4e6 → product ≤ 1.6e13,
+  // corpus sums well under 2^63) — hash-identical across engines with no
+  // float-order concerns. The pair explosion is a codegen'd generator
+  // (never materialized); the only shuffle is the partial-aggregated
+  // (dim_i, dim_j) rollup — Dim²/2 groups regardless of corpus size.
+  register("q107_gramian",
+    s"""WITH g AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS gx
+       |  FROM embeddings)
+       |SELECT CAST(i.i AS INTEGER) AS dim_i, CAST(j.j AS INTEGER) AS dim_j,
+       |  CAST(SUM(gx[i.i] * gx[j.j]) AS BIGINT) AS gram_grid, COUNT(*) AS n
+       |FROM g, (SELECT unnest(range(1, $Dim + 1)) AS i) i,
+       |        (SELECT unnest(range(1, $Dim + 1)) AS j) j
+       |WHERE j.j >= i.i
+       |GROUP BY i.i, j.j""".stripMargin) { (s, d) =>
+    embeddings(s, d)
+      .select(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000000).cast(LongType)).as("gx"))
+      .select(col("gx"), explode(sequence(lit(1), lit(Dim))).as("dim_i"))
+      .select(col("gx"), col("dim_i"),
+        explode(sequence(col("dim_i"), lit(Dim))).as("dim_j"))
+      .select(col("dim_i").cast(IntegerType).as("dim_i"),
+        col("dim_j").cast(IntegerType).as("dim_j"),
+        (element_at(col("gx"), col("dim_i")) *
+          element_at(col("gx"), col("dim_j"))).as("p"))
+      .groupBy("dim_i", "dim_j")
+      .agg(sum(col("p")).cast(LongType).as("gram_grid"), count(lit(1)).as("n"))
+  }
 }

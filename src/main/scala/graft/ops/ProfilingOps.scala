@@ -128,4 +128,40 @@ object ProfilingOps extends QueryModule {
       }
       .reduce(_.unionAll(_))
   }
+
+  // ============================================================ key skew
+  // Partition-skew report for a join/aggregation key — the diagnostic a
+  // 100 TB pipeline runs BEFORE choosing salting factors or AQE skew
+  // thresholds (SCALE.md): per-key counts, the hottest keys' share of
+  // all rows, and a skew coefficient (hottest key vs perfectly-uniform
+  // share). All-integer arithmetic — shares on the 1e6 grid via floor
+  // division, which truncates identically for these positive counts in
+  // both engines. One partial-aggregated shuffle on the key; the totals
+  // frame is 1 row, broadcast; top-10 is TakeOrdered, never a full sort.
+  register("q108_key_skew",
+    """WITH per_key AS (
+      |  SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt
+      |  FROM per_key)
+      |SELECT p.key, p.cnt,
+      |  p.cnt * 1000000 // t.n_rows AS share_grid,
+      |  t.max_cnt * t.n_keys * 1000000 // t.n_rows AS skew_grid,
+      |  t.n_keys, t.n_rows, t.max_cnt, t.min_cnt
+      |FROM per_key p, tot t
+      |ORDER BY p.cnt DESC, p.key ASC LIMIT 10""".stripMargin) { (s, d) =>
+    val perKey = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = perKey.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"), min(col("cnt")).as("min_cnt"))
+    perKey.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div n_rows").as("share_grid"),
+        expr("max_cnt * n_keys * 1000000 div n_rows").as("skew_grid"),
+        col("n_keys"), col("n_rows"), col("max_cnt"), col("min_cnt"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(10)
+  }
 }

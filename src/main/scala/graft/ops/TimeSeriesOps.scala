@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series regularization operators: per-key date-spine densification
+  * and forward-fill (last-observation-carried-forward) — the resampling
+  * step a feature pipeline runs before windowed training data extraction.
+  * (Reference analog: the date-axis gap problem its LAG(12)-as-YoY
+  * semantics silently assumes away — see SURVEY §2.5 note.)
+  *
+  * Scale notes: the spine explode is map-only off a tiny per-key bounds
+  * aggregate; the fill is one window shuffle on the key. Nothing is
+  * driver-side — per-key spans are bounded by the calendar, not by data
+  * volume, and a 1000-executor run partitions cleanly on user_id.
+  */
+object TimeSeriesOps extends QueryModule {
+  import Tables.events
+
+  // ========================================================= forward fill
+  // Densify each user's activity to a gapless daily axis between their
+  // first and last active day, then carry the last observed daily total
+  // forward across the gap days. Daily totals snap to the 1e6 integer
+  // grid (exact, order-independent); staleness counts days since the
+  // last real observation. Window frame is the default RANGE UNBOUNDED
+  // PRECEDING .. CURRENT ROW in both engines.
+  register("q104_forward_fill",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    -- BIGINT sums are HUGEINT in DuckDB — cast back or the client
+      |    -- materializes the column as float64 and the dtype gate fails
+      |    CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS day_grid
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+      |spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |j AS (
+      |  SELECT s.user_id, s.day, d.day_grid
+      |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day, day_grid,
+      |  last_value(day_grid IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY day) AS filled_grid,
+      |  CAST(datediff('day',
+      |    last_value(CASE WHEN day_grid IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day),
+      |    day) AS INTEGER) AS staleness_days
+      |FROM j""".stripMargin) { (s, d) =>
+    val daily = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(sum(floor(col("value") * 1000000).cast(LongType)).as("day_grid"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("day_grid"),
+        last(col("day_grid"), ignoreNulls = true).over(w).as("filled_grid"),
+        datediff(col("day"),
+          last(when(col("day_grid").isNotNull, col("day")), ignoreNulls = true)
+            .over(w)).cast(IntegerType).as("staleness_days"))
+  }
+}

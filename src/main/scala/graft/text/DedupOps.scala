@@ -297,4 +297,58 @@ object DedupOps extends QueryModule {
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_tokens", "unique_ratio")
   }
+
+  // ==================================================== repeated passages
+  // Passage-level (sub-document) duplication census — the ExactSubstr-
+  // style step that document-level dedup misses: boilerplate and quoted
+  // passages repeat across otherwise-distinct documents. Every SpanW-token
+  // sliding window is fingerprinted; a span is a duplicate if the same
+  // span text occurred earlier in corpus order (doc_id, then start
+  // position). Per document: span count, duplicated-span count, and the
+  // duplication ratio on the exact 1e6 grid.
+  //
+  // Scale shape: spans shuffle ONCE, keyed by md5(span) — a fixed-width
+  // 32-char key, never the span text itself — for the first-occurrence
+  // window; the census is a second (partial-aggregated) shuffle on
+  // doc_id. Both partition cleanly at 100 TB; no driver state.
+  val SpanW = 8
+  register("q105_repeated_spans",
+    s"""WITH tok AS (SELECT doc_id, $oTokens AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(t[s.s : s.s + ${SpanW - 1}], ' ')) AS span_key,
+       |    doc_id * 100000 + s.s AS pos_key
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(range(1, greatest(len(t) - ${SpanW - 1}, 1) + 1)) AS s) s),
+       |flagged AS (
+       |  SELECT doc_id, pos_key,
+       |    MIN(pos_key) OVER (PARTITION BY span_key) AS first_key
+       |  FROM spans)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |  CAST(SUM(CASE WHEN pos_key > first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(FLOOR(CAST(SUM(CASE WHEN pos_key > first_key THEN 1 ELSE 0 END) AS DOUBLE)
+       |    * 1000000 / COUNT(*)) AS BIGINT) AS dup_ratio_grid
+       |FROM flagged GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val t = col("t")
+    val spans = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), t,
+        // clamp to ≥1 so short docs yield one (truncated) span — Spark's
+        // sequence(1, 0) would DESCEND while DuckDB range(1, 1) is empty
+        explode(sequence(lit(1), greatest(size(t) - (SpanW - 1), lit(1))))
+          .as("start"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(t, col("start"), lit(SpanW)))).as("span_key"),
+        (col("doc_id") * 100000 + col("start")).as("pos_key"))
+    val flagged = spans.select(col("doc_id"), col("pos_key"),
+      min(col("pos_key")).over(Window.partitionBy(col("span_key")))
+        .as("first_key"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("pos_key") > col("first_key"), 1).otherwise(0))
+          .as("n_dup_spans"),
+        floor(sum(when(col("pos_key") > col("first_key"), 1).otherwise(0))
+          .cast(DoubleType) * 1000000 / count(lit(1))).cast(LongType)
+          .as("dup_ratio_grid"))
+  }
 }
