@@ -1103,4 +1103,103 @@ object RelationalOps extends QueryModule {
           .as("event_types"),
         size(collect_set(col("event_type"))).cast(LongType).as("n_types"))
   }
+
+  // exact least-squares regression (REGR_SLOPE/INTERCEPT/R2) in closed
+  // form over exact integer-cent sums — same recipe as q91: snap to
+  // cents FIRST, multiply exactly, sum as DECIMAL(38,0) (BIGINT would
+  // overflow at n·Σxy scale), cast to DOUBLE only at the end where the
+  // cast is correctly rounded in both engines. One partial-aggregated
+  // shuffle; the engines' own REGR_* functions never hash-match (their
+  // running-sum float order differs) — this formulation does.
+  register("q109_regression", {
+    val cx = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
+    val cy = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    def dsq(a: String, b: String) =
+      s"CAST(SUM(CAST($a * $b AS DECIMAL(38,0))) AS DOUBLE)"
+    def dsm(a: String) = s"CAST(SUM(CAST($a AS DECIMAL(38,0))) AS DOUBLE)"
+    s"""WITH sums AS (
+       |  SELECT l_linestatus, COUNT(*) AS n,
+       |    ${dsm(cx)} AS sx, ${dsq(cx, cx)} AS sxx,
+       |    ${dsm(cy)} AS sy, ${dsq(cy, cy)} AS syy,
+       |    ${dsq(cx, cy)} AS sxy
+       |  FROM lineitem GROUP BY l_linestatus),
+       |guarded AS (
+       |  -- zero x-variance (constant x) → undefined fit: NULL, not an
+       |  -- engine-specific Inf/NaN/error (Spark ANSI throws on it)
+       |  SELECT *, CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       |    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+       |  FROM sums)
+       |SELECT l_linestatus, n, slope,
+       |  (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+       |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+       |    ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+       |FROM guarded""".stripMargin
+  }) { (s, d) =>
+    val cx = floor(col("l_quantity") * 100 + 0.5)
+    val cy = floor(col("l_extendedprice") * 100 + 0.5)
+    def dsq(a: Column, b: Column): Column =
+      sum((a * b).cast(DecimalType(38, 0))).cast(DoubleType)
+    def dsm(a: Column): Column =
+      sum(a.cast(DecimalType(38, 0))).cast(DoubleType)
+    val g = lineitem(s, d).groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        dsm(cx).as("sx"), dsq(cx, cx).as("sxx"),
+        dsm(cy).as("sy"), dsq(cy, cy).as("syy"),
+        dsq(cx, cy).as("sxy"))
+    val n = col("n")
+    val dxx = n * col("sxx") - col("sx") * col("sx")
+    val dyy = n * col("syy") - col("sy") * col("sy")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    // zero x-variance → NULL (Spark ANSI throws on the raw division)
+    val slope = when(dxx === 0, lit(null)).otherwise(cov / dxx)
+    g.select(col("l_linestatus"), n,
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / n.cast(DoubleType)).as("intercept"),
+      when(dxx * dyy === 0, lit(null))
+        .otherwise((cov * cov) / (dxx * dyy)).as("r2"))
+  }
+
+  // MODE (most frequent value) per group — two partial-aggregated
+  // shuffles (value counts, then per-group pick); the pick tie-breaks
+  // on the value itself so both engines choose identically when counts
+  // tie. Never collects per-group value lists.
+  register("q110_mode",
+    """WITH counts AS (
+      |  SELECT l_returnflag, l_linenumber, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, l_linenumber),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |    ORDER BY cnt DESC, l_linenumber ASC) AS rn
+      |  FROM counts)
+      |SELECT l_returnflag, l_linenumber AS mode_linenumber, cnt AS mode_cnt
+      |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+    val counts = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_linenumber").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linenumber").as("mode_linenumber"),
+        col("cnt").as("mode_cnt"))
+  }
+
+  // bitwise aggregates (BIT_AND / BIT_OR / BIT_XOR) — order-independent
+  // by algebra, so they partial-aggregate freely; XOR-of-keys is the
+  // classic set-reconciliation / checksum primitive (two replicas with
+  // equal XOR + count very likely hold the same key set).
+  register("q111_bitwise_agg",
+    """SELECT l_returnflag,
+      |  BIT_AND(l_orderkey) AS key_and,
+      |  BIT_OR(l_orderkey) AS key_or,
+      |  BIT_XOR(l_orderkey) AS key_xor,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(bit_and(col("l_orderkey")).as("key_and"),
+        bit_or(col("l_orderkey")).as("key_or"),
+        bit_xor(col("l_orderkey")).as("key_xor"),
+        count(lit(1)).as("n"))
+  }
 }
