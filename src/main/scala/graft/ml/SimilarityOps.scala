@@ -482,4 +482,93 @@ object SimilarityOps extends QueryModule {
       .groupBy("dim_i", "dim_j")
       .agg(sum(col("p")).cast(LongType).as("gram_grid"), count(lit(1)).as("n"))
   }
+
+  // ======================================================= power iteration
+  // Distributed PCA, step two: the q107 Gramian (one pass over the
+  // corpus, exact int64 grid) mirrored into a full Dim×Dim matrix, then
+  // the top eigenvector by three power-iteration rounds. Every matvec,
+  // norm, and normalization is a LIST FOLD in index order — never a SQL
+  // aggregation over rows — so the float trajectory is bit-identical in
+  // both engines (the same discipline as the l2sq/cosine kernels).
+  // Scale shape: the corpus is touched ONCE (the Gramian pass); the
+  // iteration runs on Dim-row / 1-row frames, broadcast everywhere — the
+  // standard "big pass then tiny driver-side solve" PCA decomposition,
+  // expressed declaratively.
+  val PowerIters = 3
+
+  register("q113_power_iteration", {
+    val oDot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, $Dim + 1), k -> garr[k] * varr[k])), (a, b) -> a + b)"
+    val oSumSq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(warr, x -> x * x)), (a, b) -> a + b)"
+    def oIter(prev: String, k: Int) =
+      s"""w$k AS (SELECT i, $oDot AS w FROM g, $prev),
+         |w${k}a AS (SELECT list(w ORDER BY i) AS warr FROM w$k),
+         |n$k AS (SELECT warr, sqrt($oSumSq) AS nrm FROM w${k}a),
+         |v$k AS (SELECT list_transform(warr,
+         |    x -> CASE WHEN nrm = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / nrm END) AS varr,
+         |  nrm FROM n$k)""".stripMargin
+    s"""WITH gx AS (
+       |  SELECT list_transform(embedding, x ->
+       |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS gx
+       |  FROM embeddings),
+       |gp AS (
+       |  SELECT i.i AS di, j.j AS dj, CAST(SUM(gx[i.i] * gx[j.j]) AS BIGINT) AS gram
+       |  FROM gx, (SELECT unnest(range(1, $Dim + 1)) AS i) i,
+       |          (SELECT unnest(range(1, $Dim + 1)) AS j) j
+       |  WHERE j.j >= i.i GROUP BY i.i, j.j),
+       |gm AS (
+       |  SELECT di AS i, dj AS j, gram FROM gp
+       |  UNION ALL SELECT dj, di, gram FROM gp WHERE di <> dj),
+       |g AS (SELECT i, list(CAST(gram AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+       |        ORDER BY j) AS garr FROM gm GROUP BY i),
+       |v0 AS (SELECT list_transform(range(1, $Dim + 1),
+       |        d -> CAST(CASE WHEN d = 1 THEN 1 ELSE 0 END AS DOUBLE)) AS varr),
+       |${oIter("v0", 1)},
+       |${oIter("v1", 2)},
+       |${oIter("v2", 3)}
+       |SELECT CAST(d.d AS INTEGER) AS dim, varr[d.d] AS component, nrm AS lambda
+       |FROM v3, (SELECT unnest(range(1, $Dim + 1)) AS d) d""".stripMargin
+  }) { (s, d) =>
+    val gp = embeddings(s, d)
+      .select(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000000).cast(LongType)).as("gx"))
+      .select(col("gx"), explode(sequence(lit(1), lit(Dim))).as("di"))
+      .select(col("gx"), col("di"),
+        explode(sequence(col("di"), lit(Dim))).as("dj"))
+      .select(col("di"), col("dj"),
+        (element_at(col("gx"), col("di")) *
+          element_at(col("gx"), col("dj"))).as("p"))
+      .groupBy("di", "dj")
+      .agg(sum(col("p")).cast(LongType).as("gram"))
+    val gm = gp.select(col("di").as("i"), col("dj").as("j"), col("gram"))
+      .unionAll(gp.filter(col("di") =!= col("dj"))
+        .select(col("dj").as("i"), col("di").as("j"), col("gram")))
+    val g = gm.groupBy("i")
+      .agg(transform(array_sort(collect_list(struct(col("j"),
+        (col("gram").cast(DoubleType) / lit(1e12)).as("gv")))),
+        e => e.getField("gv")).as("garr"))
+
+    var v = s.range(1).select(
+      array((1 to Dim).map(k => lit(if (k == 1) 1.0 else 0.0)): _*).as("varr"))
+    for (_ <- 1 to PowerIters) {
+      val w = g.crossJoin(broadcast(v))
+        .select(col("i"),
+          aggregate(zip_with(col("garr"), col("varr"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x).as("w"))
+      val wArr = w.groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("w")))),
+          e => e.getField("w")).as("warr"))
+      v = wArr
+        .select(col("warr"),
+          sqrt(aggregate(transform(col("warr"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)).as("nrm"))
+        .select(transform(col("warr"),
+          x => when(col("nrm") === 0, lit(0.0)).otherwise(x / col("nrm")))
+          .as("varr"), col("nrm"))
+    }
+    v.select(posexplode(col("varr")), col("nrm"))
+      .select((col("pos") + 1).cast(IntegerType).as("dim"),
+        col("col").as("component"), col("nrm").as("lambda"))
+  }
 }

@@ -1185,6 +1185,66 @@ object RelationalOps extends QueryModule {
         col("cnt").as("mode_cnt"))
   }
 
+  // MEDIAN ABSOLUTE DEVIATION — the robust dispersion statistic an
+  // outlier-detection pass prefers over stddev (a single corrupt value
+  // can't move it). Two rank-and-pick medians composed: median of the
+  // cents values, then median of |x − med|; both are window shuffles on
+  // the group key, never per-group arrays, so the operator scales like
+  // q52/q66. All arithmetic stays on the integer-cent grid (deviations
+  // are exact multiples of 0.5 cents) — bit-identical across engines.
+  register("q112_mad",
+    """WITH cents AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) AS v
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY v ASC, o_orderkey ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM cents),
+      |med AS (
+      |  SELECT o_orderpriority,
+      |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS med
+      |  FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      |  GROUP BY o_orderpriority),
+      |dev AS (
+      |  SELECT c.o_orderpriority, c.o_orderkey, m.med, ABS(c.v - m.med) AS dv
+      |  FROM cents c JOIN med m ON c.o_orderpriority = m.o_orderpriority),
+      |ranked2 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY dv ASC, o_orderkey ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM dev)
+      |SELECT o_orderpriority, n, MAX(med) AS median_cents,
+      |  CAST(SUM(CAST(dv AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mad_cents
+      |FROM ranked2 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      |GROUP BY o_orderpriority, n""".stripMargin) { (s, d) =>
+    val cents = orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast(LongType).cast(DoubleType)
+        .as("v"))
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    def pickMedian(df: DataFrame, value: Column, out: String): DataFrame = {
+      val ranked = df.select(col("*"),
+        row_number().over(byPrio.orderBy(value.asc, col("o_orderkey").asc))
+          .as("rn"),
+        count(lit(1)).over(byPrio).as("n"))
+      ranked.filter(col("rn") === floor((col("n") + 1) / 2).cast(LongType) ||
+          col("rn") === floor((col("n") + 2) / 2).cast(LongType))
+        .groupBy(col("o_orderpriority"), col("n"))
+        .agg((sum(value.cast(DecimalType(18, 4))).cast(DoubleType)
+          / count(lit(1))).as(out))
+    }
+    val med = pickMedian(cents, col("v"), "med")
+      .select(col("o_orderpriority"), col("med"))
+    val dev = cents.join(broadcast(med), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("med"),
+        abs(col("v") - col("med")).as("dv"))
+    pickMedian(dev, col("dv"), "mad_cents")
+      .join(broadcast(med), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"), col("med").as("median_cents"),
+        col("mad_cents"))
+  }
+
   // bitwise aggregates (BIT_AND / BIT_OR / BIT_XOR) — order-independent
   // by algebra, so they partial-aggregate freely; XOR-of-keys is the
   // classic set-reconciliation / checksum primitive (two replicas with

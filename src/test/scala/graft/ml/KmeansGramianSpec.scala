@@ -56,4 +56,18 @@ class KmeansGramianSpec extends SparkSpec {
     assert(rows.keys.forall { case (i, j) => j >= i })
     assert(rows.size === 64 * 65 / 2)
   }
+
+  test("q113: power iteration finds the dominant variance direction") {
+    // fixture mass: dim 1 carries Σx² = 1+1.44+0.64 = 3.08, dim 2 = 2.21
+    // → the top eigenvector must concentrate on dim 1
+    val rows = SimilarityOps.queries("q113_power_iteration")(spark, dir)
+      .collect().map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Double]("component"), r.getAs[Double]("lambda"))).toMap
+    assert(rows.size === 64)
+    assert(math.abs(rows(1)._1) > 0.99) // unit vector, dim-1 dominant
+    assert(math.abs(rows(2)._1) < 0.1)
+    assert(rows(1)._2 > 0) // eigenvalue estimate positive
+    // diagonal matrix here → e1 is exact; lambda ≈ Σ grid²/1e12 on dim 1
+    assert(math.abs(rows(1)._2 - 3.08) < 0.01)
+  }
 }

@@ -49,6 +49,25 @@ class StatsOpsSpec extends SparkSpec {
     assert(rows("A").getAs[Int]("mode_linenumber") === 1)
   }
 
+  test("q112: median and MAD are exact on a constructed distribution") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mad_fixtures").toString
+    // values 10,20,30,40,100 (an outlier): median 30, |dev| = 20,10,0,10,70
+    // → MAD 10; even group 1,2,3,4: median 2.5, devs 1.5,0.5,0.5,1.5 → MAD 1
+    (Seq((1L, "P1", 10.0), (2L, "P1", 20.0), (3L, "P1", 30.0),
+      (4L, "P1", 40.0), (5L, "P1", 100.0),
+      (6L, "P2", 1.0), (7L, "P2", 2.0), (8L, "P2", 3.0), (9L, "P2", 4.0)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val rows = RelationalOps.queries("q112_mad")(spark, d)
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    assert(rows("P1").getAs[Double]("median_cents") === 3000.0)
+    assert(rows("P1").getAs[Double]("mad_cents") === 1000.0)
+    assert(rows("P1").getAs[Long]("n") === 5L)
+    assert(rows("P2").getAs[Double]("median_cents") === 250.0)
+    assert(rows("P2").getAs[Double]("mad_cents") === 100.0)
+  }
+
   test("q111: xor of pairs cancels; and/or envelope the key bits") {
     val rows = RelationalOps.queries("q111_bitwise_agg")(spark, dir)
       .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
