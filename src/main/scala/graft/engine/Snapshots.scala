@@ -104,4 +104,69 @@ object Snapshots extends QueryModule {
       incrementalMerge(existing, batch, "event_id", "ts", col("user_id"))
         .select("event_id", "user_id", "event_type", "value", "ts")
   }
+
+  // ============================================================ table diff
+  // Snapshot reconciliation — the "what changed between yesterday's and
+  // today's build" operator a pipeline runs after every rebuild: full
+  // outer join on the primary key, rows classified added / removed /
+  // changed / unchanged by comparing an md5 row fingerprint (so wide
+  // rows compare as one fixed-width value, never column-by-column
+  // through the shuffle). Both snapshots are derived deterministically
+  // from orders: the "new" build drops keys ≡ 3 (mod 101), reprices
+  // keys ≡ 0 (mod 7), and appends beyond-max keys ≡ 1 (mod 97).
+  // One shuffle per side into the join; the census is a tiny rollup.
+  register("q115_table_diff", {
+    val fp = "md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+      "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), " +
+      "o_orderpriority))"
+    s"""WITH old AS (
+       |  SELECT o_orderkey, $fp AS fp FROM orders),
+       |new_base AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 ELSE o_totalprice END
+       |      AS o_totalprice,
+       |    o_orderpriority
+       |  FROM orders WHERE o_orderkey % 101 <> 3),
+       |new_added AS (
+       |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+       |    o_totalprice, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 97 = 1),
+       |new AS (
+       |  SELECT o_orderkey, $fp AS fp
+       |  FROM (SELECT * FROM new_base UNION ALL SELECT * FROM new_added)),
+       |classified AS (
+       |  SELECT CASE
+       |    WHEN o.o_orderkey IS NULL THEN 'added'
+       |    WHEN n.o_orderkey IS NULL THEN 'removed'
+       |    WHEN o.fp <> n.fp THEN 'changed'
+       |    ELSE 'unchanged' END AS status
+       |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+       |SELECT status, COUNT(*) AS n FROM classified GROUP BY status""".stripMargin
+  }) { (s, d) =>
+    def fingerprint(df: DataFrame): DataFrame =
+      df.select(col("o_orderkey"),
+        md5(concat_ws("|", col("o_orderkey").cast("string"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+          col("o_orderpriority"))).as("fp"))
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    // scalar driver sync (one long) — the added-keys offset
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val newBase = orders.filter(col("o_orderkey") % 101 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")))
+    val newAdded = orders.filter(col("o_orderkey") % 97 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + maxKey)
+    val oldFp = fingerprint(orders)
+      .select(col("o_orderkey").as("k_old"), col("fp").as("fp_old"))
+    val newFp = fingerprint(newBase.unionByName(newAdded))
+      .select(col("o_orderkey").as("k_new"), col("fp").as("fp_new"))
+    oldFp.join(newFp, col("k_old") === col("k_new"), "full_outer")
+      .select(when(col("k_old").isNull, "added")
+        .when(col("k_new").isNull, "removed")
+        .when(col("fp_old") =!= col("fp_new"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
 }

@@ -351,4 +351,81 @@ object DedupOps extends QueryModule {
           .cast(DoubleType) * 1000000 / count(lit(1))).cast(LongType)
           .as("dup_ratio_grid"))
   }
+
+  // ================================================= set-similarity join
+  // EXACT all-pairs Jaccard threshold join via prefix filtering (the
+  // ppjoin family) — the exact counterpart of the approximate LSH path:
+  // every pair with shingle-set Jaccard ≥ t is found, no false
+  // negatives (same 3-gram shingle universe as MinHash/q25-q27, so the
+  // thresholds are comparable). Sets are ordered rare-shingle-first
+  // (ascending document frequency); two sets can only reach threshold t
+  // if their first (n − ⌈t·n⌉ + 1) rare shingles intersect, so ONLY
+  // that prefix is exploded for candidate generation. At 100 TB this is
+  // the load-bearing trick: candidate buckets are keyed by RARE
+  // shingles (bounded fan-out by construction — an element frequent
+  // enough to build a hot bucket is never in a prefix), where a naive
+  // element self-join would go quadratic on boilerplate. Verification
+  // re-joins the two sorted sets and computes exact |∩|/|∪| with
+  // integer set sizes.
+  val SimJoinThreshold = 0.7
+  register("q114_set_similarity_join",
+    s"""WITH $oTokenHashCte,
+       |sh AS (SELECT doc_id, sl.s AS shingle
+       |  FROM (SELECT doc_id, $oShingleHashes AS shl FROM th_t2),
+       |       LATERAL (SELECT unnest(shl) AS s) sl),
+       |freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+       |sets AS (
+       |  SELECT doc_id, list(sh.shingle ORDER BY f.df, sh.shingle) AS toks,
+       |    COUNT(*) AS n
+       |  FROM sh JOIN freq f ON sh.shingle = f.shingle GROUP BY doc_id),
+       |pref AS (
+       |  SELECT doc_id,
+       |    toks[1 : CAST(n - CEIL($SimJoinThreshold * n) + 1 AS BIGINT)] AS prefix
+       |  FROM sets),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM (SELECT doc_id, unnest(prefix) AS t FROM pref) a
+       |  JOIN (SELECT doc_id, unnest(prefix) AS t FROM pref) b
+       |    ON a.t = b.t AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |    / (sa.n + sb.n - len(list_intersect(sa.toks, sb.toks))) AS jaccard
+       |FROM cand c
+       |JOIN sets sa ON c.doc_a = sa.doc_id
+       |JOIN sets sb ON c.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |    / (sa.n + sb.n - len(list_intersect(sa.toks, sb.toks)))
+       |  >= $SimJoinThreshold""".stripMargin) { (s, d) =>
+    val sh = documents(s, d)
+      .select(col("doc_id"), shingleHashes(col("text")).as("shl"))
+      .select(col("doc_id"), explode(col("shl")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sets = sh.join(freq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("shingle")))),
+        e => e.getField("shingle")).as("toks"),
+        count(lit(1)).as("n"))
+    val pref = sets.select(col("doc_id"),
+      slice(col("toks"), lit(1),
+        (col("n") - ceil(lit(SimJoinThreshold) * col("n")) + 1)
+          .cast(IntegerType)).as("prefix"))
+    val exploded = pref.select(col("doc_id"), explode(col("prefix")).as("t"))
+    val cand = exploded.alias("a")
+      .join(exploded.alias("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("ida"), col("toks").as("ta"),
+      col("n").as("na"))
+    val sb = sets.select(col("doc_id").as("idb"), col("toks").as("tb"),
+      col("n").as("nb"))
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast(DoubleType)
+    cand.join(sa, col("doc_a") === col("ida"))
+      .join(sb, col("doc_b") === col("idb"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter / (col("na") + col("nb")
+          - size(array_intersect(col("ta"), col("tb"))))).as("jaccard"))
+      .filter(col("jaccard") >= SimJoinThreshold)
+  }
 }
