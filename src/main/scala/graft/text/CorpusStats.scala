@@ -143,4 +143,126 @@ object CorpusStats extends QueryModule {
       .agg(count(lit(1)))
       .na.fill(0L, Seq("view", "click", "purchase", "error"))
   }
+
+  // ======================================================= transitions
+  // First-order Markov transition counts over per-user event streams —
+  // the "user journey" matrix behind funnel and next-action models, and
+  // the same shape a token-bigram transition table takes at corpus
+  // scale. One window shuffle on user_id (LAG of the previous event
+  // type with a unique (ts, event_id) tie-break), then a partial-
+  // aggregated rollup on the (prev, curr) pair — state space bounded by
+  // |event types|², independent of stream length.
+  register("q116_transitions",
+    """WITH ordered AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+      |FROM ordered WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ======================================================= chi-square
+  // Contingency-table independence statistic (event type × day-of-month
+  // mod 7) without transcendentals: observed counts per cell, expected
+  // = row·col/n, per-type χ² contribution = Σ (O−E)²/E folded over the
+  // type's cells IN SORTED CELL ORDER — a per-row list fold, never a
+  // float SQL aggregation, so the sum order is pinned in both engines
+  // (the q113 discipline). Counts shuffle once; the fold runs on
+  // |types| tiny rows.
+  register("q117_chi_square",
+    """WITH cells AS (
+      |  SELECT event_type, CAST(day(ts) % 7 AS BIGINT) AS bucket,
+      |    COUNT(*) AS o
+      |  FROM events GROUP BY event_type, day(ts) % 7),
+      |tot AS (
+      |  SELECT event_type, bucket, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS row_n,
+      |    SUM(o) OVER (PARTITION BY bucket) AS col_n,
+      |    SUM(o) OVER () AS n
+      |  FROM cells),
+      |terms AS (
+      |  SELECT event_type,
+      |    list(CAST((o - CAST(row_n AS DOUBLE) * col_n / n)
+      |        * (o - CAST(row_n AS DOUBLE) * col_n / n)
+      |        / (CAST(row_n AS DOUBLE) * col_n / n) AS DOUBLE)
+      |      ORDER BY bucket) AS ts_,
+      |    COUNT(*) AS n_cells, CAST(MAX(row_n) AS BIGINT) AS row_n
+      |  FROM tot GROUP BY event_type)
+      |SELECT event_type, n_cells, row_n,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts_),
+      |    (a, b) -> a + b) AS chi2_contrib
+      |FROM terms""".stripMargin) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (dayofmonth(col("ts")) % 7).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val tot = cells.select(col("event_type"), col("bucket"), col("o"),
+      sum(col("o")).over(Window.partitionBy(col("event_type"))).as("row_n"),
+      sum(col("o")).over(Window.partitionBy(col("bucket"))).as("col_n"),
+      sum(col("o")).over(Window.partitionBy()).as("n"))
+    val e = col("row_n").cast(DoubleType) * col("col_n") / col("n")
+    val terms = tot
+      .select(col("event_type"), col("bucket"),
+        ((col("o") - e) * (col("o") - e) / e).as("term"), col("row_n"))
+      .groupBy("event_type")
+      .agg(transform(array_sort(collect_list(struct(col("bucket"),
+        col("term")))), x => x.getField("term")).as("ts_"),
+        count(lit(1)).as("n_cells"),
+        max(col("row_n")).cast(LongType).as("row_n"))
+    terms.select(col("event_type"), col("n_cells"), col("row_n"),
+      aggregate(col("ts_"), lit(0.0), (a, b) => a + b).as("chi2_contrib"))
+  }
+
+  // ==================================================== trigram counts
+  // N-gram language-model count tables — the statistic a corpus
+  // pipeline materializes for repetition scoring and classic LM
+  // filtering: trigram counts plus the continuation count (how many
+  // distinct words follow each bigram context). Shingle explosion is a
+  // map-only generator; both aggregates partial-combine on fixed-width
+  // keys. Top 100 by (count desc, trigram asc) via TakeOrdered.
+  register("q118_trigram_counts",
+    s"""WITH tok AS (SELECT doc_id, $oTokens AS t FROM documents),
+       |tri AS (
+       |  SELECT t[s.s] || ' ' || t[s.s + 1] AS context, t[s.s + 2] AS nxt
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS s) s),
+       |counts AS (
+       |  SELECT context, nxt, COUNT(*) AS n FROM tri GROUP BY context, nxt),
+       |ctx AS (
+       |  SELECT context, COUNT(*) AS continuations, CAST(SUM(n) AS BIGINT) AS context_n
+       |  FROM counts GROUP BY context)
+       |SELECT c.context, c.nxt, c.n, x.continuations, x.context_n
+       |FROM counts c JOIN ctx x ON c.context = x.context
+       |ORDER BY c.n DESC, c.context ASC, c.nxt ASC LIMIT 100""".stripMargin) {
+    (s, d) =>
+      val t = col("t")
+      val tri = documents(s, d)
+        .select(tokens(col("text")).as("t"))
+        // clamp to ≥1 (sequence(1,0) DESCENDS) then filter the truncated
+        // starts out BEFORE element_at — ANSI throws on out-of-bounds
+        .select(t, explode(sequence(lit(1),
+          greatest(size(t) - 2, lit(1)).cast(IntegerType))).as("st"))
+        .filter(col("st") <= size(t) - 2)
+        .select(concat_ws(" ", element_at(t, col("st")),
+          element_at(t, col("st") + 1)).as("context"),
+          element_at(t, col("st") + 2).as("nxt"))
+      val counts = tri.groupBy("context", "nxt").agg(count(lit(1)).as("n"))
+      val ctx = counts.groupBy(col("context").as("ctx2"))
+        .agg(count(lit(1)).as("continuations"), sum(col("n")).as("context_n"))
+      counts.join(ctx, col("context") === col("ctx2"))
+        .select(col("context"), col("nxt"), col("n"), col("continuations"),
+          col("context_n"))
+        .orderBy(col("n").desc, col("context").asc, col("nxt").asc)
+        .limit(100)
+  }
 }

@@ -1,0 +1,67 @@
+package graft.text
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** q116–q118 semantics on constructed fixtures: transition counting
+  * with tie-broken ordering, the zero-chi-square independence case,
+  * and trigram/continuation counting with sub-window docs.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  test("q116: per-user ordered transitions; single-event users emit none") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("transitions").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"), 1L, "view", 1.0, "{}"),
+      // same timestamp: event_id tie-break orders 4 before 5
+      (4L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "purchase", 1.0, "{}"),
+      (6L, Timestamp.valueOf("2024-01-01 12:00:00"), 3L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = CorpusStats.queries("q116_transitions")(spark, d)
+      .collect().map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("curr_type")) -> r.getAs[Long]("n")).toMap
+    assert(rows === Map(("view", "click") -> 1L, ("click", "view") -> 1L,
+      ("view", "purchase") -> 1L))
+  }
+
+  test("q117: proportional contingency table yields exactly zero chi-square") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("chisq").toString
+    // day 1 and day 2 buckets; view:click = 2:1 in both → independent
+    val ev = Seq(
+      ("view", "2024-01-01"), ("view", "2024-01-01"), ("click", "2024-01-01"),
+      ("view", "2024-01-02"), ("view", "2024-01-02"), ("click", "2024-01-02"))
+    ev.zipWithIndex.map { case ((t, day), i) =>
+        (i.toLong, Timestamp.valueOf(s"$day 10:00:00"), 1L, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = CorpusStats.queries("q117_chi_square")(spark, d)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows("view").getAs[Double]("chi2_contrib") === 0.0)
+    assert(rows("click").getAs[Double]("chi2_contrib") === 0.0)
+    assert(rows("view").getAs[Long]("row_n") === 4L)
+    assert(rows("view").getAs[Long]("n_cells") === 2L)
+  }
+
+  test("q118: trigram and continuation counts; sub-window docs emit none") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("trigrams").toString
+    Seq((1L, "a b c a b c", "en", "s", 11L),
+      (2L, "x y", "en", "s", 3L)) // < 3 tokens → zero trigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = CorpusStats.queries("q118_trigram_counts")(spark, d).collect()
+    val top = rows.head
+    assert(top.getAs[String]("context") === "a b")
+    assert(top.getAs[String]("nxt") === "c")
+    assert(top.getAs[Long]("n") === 2L)
+    assert(top.getAs[Long]("continuations") === 1L)
+    assert(top.getAs[Long]("context_n") === 2L)
+    assert(rows.length === 3) // "a b"→c, "b c"→a, "c a"→b; nothing from doc 2
+  }
+}
