@@ -169,4 +169,54 @@ object Snapshots extends QueryModule {
         .otherwise("unchanged").as("status"))
       .groupBy("status").agg(count(lit(1)).as("n"))
   }
+
+  // ====================================================== point-in-time
+  // Point-in-time (a.k.a. "as-was") lookup against an SCD2 dimension —
+  // the temporal-family capstone composing [[scd2]] with an as-of
+  // probe: for each (user, probe day) the join returns the state
+  // version whose validity interval covers the probe instant, i.e. the
+  // answer to "what was this user's state when the fact happened". The
+  // probe is the LAST version with valid_from ≤ t (one window over
+  // user_id, the q58 as-of shape — never an interval nested loop), so
+  // the plan is two narrow scans + one shuffle per side on the key.
+  register("q120_point_in_time",
+    """WITH dim AS (
+      |  SELECT user_id, event_id, event_type, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM events),
+      |probes AS (
+      |  SELECT user_id,
+      |    CAST(CAST(MIN(ts) AS DATE) + INTERVAL 7 DAY AS TIMESTAMP) AS probe_ts
+      |  FROM events GROUP BY user_id),
+      |matched AS (
+      |  SELECT p.user_id, p.probe_ts, d.event_id, d.event_type,
+      |    d.valid_from, d.valid_to,
+      |    ROW_NUMBER() OVER (PARTITION BY p.user_id
+      |      ORDER BY d.valid_from DESC, d.event_id DESC) AS rn
+      |  FROM probes p JOIN dim d
+      |    ON p.user_id = d.user_id AND d.valid_from <= p.probe_ts)
+      |SELECT user_id, probe_ts, event_id AS state_event_id,
+      |  event_type AS state_at_probe,
+      |  CAST(valid_to IS NULL OR valid_to > probe_ts AS INTEGER) AS interval_covers
+      |FROM matched WHERE rn = 1""".stripMargin) { (s, d) =>
+    val dim = scd2(
+      Tables.events(s, d).select("user_id", "event_id", "event_type", "ts"),
+      "user_id", "ts", col("event_id"))
+    val probes = Tables.events(s, d).groupBy("user_id")
+      .agg((min(to_date(col("ts"))) + expr("INTERVAL 7 DAY"))
+        .cast("timestamp").as("probe_ts"))
+    val w = Window.partitionBy(col("p_user"))
+      .orderBy(col("valid_from").desc, col("event_id").desc)
+    probes.select(col("user_id").as("p_user"), col("probe_ts"))
+      .join(dim, col("p_user") === col("user_id") &&
+        col("valid_from") <= col("probe_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_user").as("user_id"), col("probe_ts"),
+        col("event_id").as("state_event_id"),
+        col("event_type").as("state_at_probe"),
+        (col("valid_to").isNull || col("valid_to") > col("probe_ts"))
+          .cast("integer").as("interval_covers"))
+  }
 }

@@ -93,4 +93,66 @@ object SamplingOps extends QueryModule {
       .filter(col("pick") <= PerStratumK)
       .select("doc_id", "lang", "source", "pick")
   }
+
+  // ============================================================== mixture
+  /** Declared target mixture for [[q119]]: basis points of the token
+    * budget per source (a named few upweighted, the long tail default).
+    * Mirrors an LLM pre-training data-mixture config (domain weights). */
+  val MixtureWeights: Seq[(String, Int)] =
+    Seq("src0" -> 1200, "src1" -> 1000, "src2" -> 900, "src3" -> 700)
+  val MixtureDefaultBp = 200
+  val MixtureBudgetTokens = 40000L
+
+  // Data-mixture manifest: the plan a trainer consumes to materialize a
+  // weighted corpus. Per source: token inventory (tokens ≈ ceil(chars/4),
+  // exact integer arithmetic), target tokens from the declared weight,
+  // the repeat plan (full epochs + remainder sampling rate in basis
+  // points — "oversample 2.3×" becomes epochs=2, rem_rate_bp=3000), and
+  // a curriculum phase (NTILE(3) over avg doc length: short docs first).
+  // Everything is integer math so both engines agree bit-for-bit; the
+  // only float is the final avg length (single division, IEEE-stable).
+  // Scale: one partial-aggregated shuffle on source; the NTILE window is
+  // global but runs POST-aggregation on |sources| rows (q45/W3
+  // precedent) — never on the corpus.
+  register("q119_mixture_manifest", {
+    val cases = MixtureWeights.map { case (src, w) => s"WHEN '$src' THEN $w" }
+      .mkString(" ")
+    s"""WITH avail AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |planned AS (
+       |  SELECT source, n_docs, avail_tokens,
+       |    CASE source $cases ELSE $MixtureDefaultBp END AS weight_bp,
+       |    CAST($MixtureBudgetTokens * (CASE source $cases
+       |      ELSE $MixtureDefaultBp END) // 10000 AS BIGINT) AS target_tokens
+       |  FROM avail)
+       |SELECT source, n_docs, avail_tokens, weight_bp, target_tokens,
+       |  target_tokens // avail_tokens AS epochs,
+       |  (target_tokens % avail_tokens) * 10000 // avail_tokens
+       |    AS rem_rate_bp,
+       |  CAST(target_tokens >= avail_tokens AS INTEGER) AS oversampled,
+       |  NTILE(3) OVER (ORDER BY CAST(avail_tokens AS DOUBLE) / n_docs,
+       |                 source) AS curriculum_phase
+       |FROM planned""".stripMargin
+  }) { (s, d) =>
+    val weightBp = MixtureWeights.foldLeft(lit(MixtureDefaultBp)) {
+      case (acc, (src, w)) => when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    val w = Window.orderBy(
+      col("avail_tokens").cast(DoubleType) / col("n_docs"), col("source"))
+    documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("(n_chars + 3) div 4")).as("avail_tokens"))
+      .withColumn("weight_bp", weightBp)
+      .withColumn("target_tokens",
+        expr(s"${MixtureBudgetTokens}L * weight_bp div 10000"))
+      .withColumn("epochs", expr("target_tokens div avail_tokens"))
+      .withColumn("rem_rate_bp",
+        expr("(target_tokens % avail_tokens) * 10000 div avail_tokens"))
+      .withColumn("oversampled",
+        (col("target_tokens") >= col("avail_tokens")).cast(IntegerType))
+      .withColumn("curriculum_phase", ntile(3).over(w))
+  }
 }

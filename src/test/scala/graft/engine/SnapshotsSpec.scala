@@ -52,4 +52,27 @@ class SnapshotsSpec extends SparkSpec {
       .orderBy("k").collect().map(_.getAs[String]("payload")).toSeq
     assert(merged === Seq("new-1", "old-2", "new-3"))
   }
+
+  test("q120: point-in-time probe picks the version valid at probe instant") {
+    val d = java.nio.file.Files.createTempDirectory("pit_fixtures").toString
+    // user 1 transitions A(day0) -> B(day5) -> C(day10); probe is
+    // min(day)+7 = day7, so the as-was state must be B with a covering
+    // interval [day5, day10). user 2 has one open version.
+    Seq(
+      (1L, 101L, "A", ts("2024-01-01 00:00:00")),
+      (1L, 102L, "B", ts("2024-01-06 00:00:00")),
+      (1L, 103L, "C", ts("2024-01-11 00:00:00")),
+      (2L, 201L, "X", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Snapshots.queries("q120_point_in_time")(spark, d)
+      .orderBy("user_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("state_event_id") === 102L)
+    assert(rows(0).getAs[String]("state_at_probe") === "B")
+    assert(rows(0).getAs[Int]("interval_covers") === 1)
+    assert(rows(1).getAs[Long]("state_event_id") === 201L)
+    assert(rows(1).getAs[String]("state_at_probe") === "X")
+    assert(rows(1).getAs[Int]("interval_covers") === 1)
+  }
 }

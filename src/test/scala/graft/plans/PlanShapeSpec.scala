@@ -25,8 +25,12 @@ class PlanShapeSpec extends SparkSpec {
     "q09_audit_counts", "q98_histogram", "q28_cosine_topk", "q29_ann_lsh",
     "q87_fuzzy_match", "q66_exact_quantiles", "q97_winsorized_stats",
     "q53_embedding_near_dup", "q86_date_spine",
-    // 1-row broadcast scalar frames (corpus totals onto per-term scores)
-    "q38_tfidf_top_terms", "q68_collocations",
+    // 1-row broadcast scalar frames (corpus totals onto per-term scores;
+    // q108's totals row onto per-key counts; q113's Dim-row Gramian /
+    // 1-row eigenvector iteration frames — the corpus pass itself is
+    // join-free)
+    "q38_tfidf_top_terms", "q68_collocations", "q108_key_skew",
+    "q113_power_iteration",
     // the BROADCAST band-join path by design — q76 is the binned
     // non-broadcast alternative for large interval sides
     "q59_range_join")
