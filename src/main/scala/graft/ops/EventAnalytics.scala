@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product-analytics operators over the event stream: weekly cohort
+  * retention (the activation/retention matrix every growth dashboard is
+  * built on) and last-touch marketing attribution (purchases credited to
+  * the most recent qualifying touch within a lookback window).
+  *
+  * Determinism: retention shares live on the integer basis-point grid
+  * (floor division of positive counts — identical in both engines);
+  * attribution pre-dedupes touches to one per (user, instant) with an
+  * explicit preference order, so the as-of pick is unique by
+  * construction, and minutes-to-touch is integer microsecond arithmetic.
+  *
+  * Scale: everything is keyed by user_id — first-event extraction, the
+  * (user, week) distinct, and the as-of union all shuffle once on the
+  * key; the cohort-size frame joined back is |weeks| rows (broadcast).
+  * No interval nested loop anywhere: the 7-day lookback is a filter on
+  * the as-of result, not a join predicate.
+  */
+object EventAnalytics extends QueryModule {
+  import Tables.events
+
+  /** Attribution lookback: touches older than this don't get credit. */
+  val LookbackUs: Long = 7L * 86400L * 1000000L
+
+  // =========================================================== cohort
+  // Weekly cohort retention: users bucketed by the week of their first
+  // event; each later active week becomes a (cohort, offset) cell with
+  // the surviving-user count and its share of the cohort in basis
+  // points. Monday-start weeks in both engines; offsets divide exactly
+  // (both endpoints are week starts).
+  register("q121_cohort_retention",
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |firsts AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size
+      |  FROM firsts GROUP BY cohort_week),
+      |cells AS (
+      |  SELECT f.cohort_week,
+      |    date_diff('day', f.cohort_week, w.week) // 7 AS week_offset,
+      |    COUNT(*) AS n_active
+      |  FROM weekly w JOIN firsts f ON w.user_id = f.user_id
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+      |  c.n_active * 10000 // s.cohort_size AS retention_bp
+      |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week""".stripMargin) {
+    (s, d) =>
+    val weekly = events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(DateType).as("week"))
+      .distinct()
+    val firsts = weekly.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    weekly.join(firsts, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention_bp", expr("n_active * 10000 div cohort_size"))
+  }
+
+  // ======================================================= attribution
+  // Last-touch attribution: each purchase is credited to the most recent
+  // view/click by the same user at or before the purchase instant
+  // (click preferred over view at the exact same instant, then the
+  // higher event_id — making the as-of pick unique), and only if that
+  // touch is within the 7-day lookback; otherwise the purchase is
+  // organic ('none'). Rolled up per channel.
+  register("q122_attribution",
+    s"""WITH touches AS (
+       |  SELECT user_id, ts, event_type FROM (
+       |    SELECT user_id, ts, event_type,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+       |        ORDER BY CASE event_type WHEN 'click' THEN 0 ELSE 1 END,
+       |                 event_id DESC) AS rn
+       |    FROM events WHERE event_type IN ('view', 'click'))
+       |  WHERE rn = 1),
+       |joined AS (
+       |  SELECT p.user_id, p.ts,
+       |    t.ts AS touch_ts, t.event_type AS touch_type
+       |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+       |  ASOF LEFT JOIN touches t
+       |    ON p.user_id = t.user_id AND p.ts >= t.ts),
+       |scored AS (
+       |  SELECT user_id,
+       |    CASE WHEN touch_ts IS NOT NULL
+       |          AND epoch_us(ts) - epoch_us(touch_ts) <= $LookbackUs
+       |         THEN touch_type ELSE 'none' END AS channel,
+       |    CASE WHEN touch_ts IS NOT NULL
+       |          AND epoch_us(ts) - epoch_us(touch_ts) <= $LookbackUs
+       |         THEN (epoch_us(ts) - epoch_us(touch_ts)) // 60000000
+       |         ELSE 0 END AS mins
+       |  FROM joined)
+       |SELECT channel, COUNT(*) AS n_purchases,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(SUM(mins) AS BIGINT) AS sum_minutes_to_touch
+       |FROM scored GROUP BY channel""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val touchW = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id").desc)
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .withColumn("rn", row_number().over(touchW))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val attributed = col("touch_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("touch_ts")) <= LookbackUs
+    TemporalJoins
+      .asofJoin(purchases, touches, "user_id", "ts",
+        Seq("touch_ts", "touch_type"))
+      .select(col("user_id"),
+        when(attributed, col("touch_type")).otherwise("none").as("channel"),
+        when(attributed,
+          expr("(unix_micros(ts) - unix_micros(touch_ts)) div 60000000"))
+          .otherwise(0L).as("mins"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("mins")).as("sum_minutes_to_touch"))
+  }
+}
