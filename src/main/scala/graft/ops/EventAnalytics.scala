@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -130,5 +131,71 @@ object EventAnalytics extends QueryModule {
       .agg(count(lit(1)).as("n_purchases"),
         countDistinct(col("user_id")).as("n_users"),
         sum(col("mins")).as("sum_minutes_to_touch"))
+  }
+
+  // ============================================================ funnel
+  // Strict-ORDER sequence funnel view → click → purchase: a user counts
+  // at stage N only if the stage-N event happened strictly after their
+  // stage-(N−1) entry time (q33 counts co-occurrence; this is the
+  // ordered variant real funnel analysis means). Each stage is a
+  // conditional MIN per user — deterministic under ties because entry
+  // times are exact instants, not row picks. Conversion shares are
+  // integer basis points of the previous stage.
+  //
+  // Scale: three user-keyed aggregate+join rounds that all reuse the
+  // user_id hash partitioning (no re-exchange between stages); the
+  // 3-row funnel frame is the only thing leaving the cluster.
+  register("q123_sequence_funnel",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |counts AS (
+      |  SELECT 1 AS stage, 'view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+      |  UNION ALL
+      |  SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      |  UNION ALL
+      |  SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+      |SELECT stage, step, n_users,
+      |  CASE WHEN LAG(n_users) OVER (ORDER BY stage) IS NULL THEN 10000
+      |       WHEN LAG(n_users) OVER (ORDER BY stage) = 0 THEN 0
+      |       ELSE n_users * 10000 // LAG(n_users) OVER (ORDER BY stage)
+      |  END AS conv_bp
+      |FROM counts""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    def stageMin(typ: String, after: Option[DataFrame], prevT: String,
+        out: String): DataFrame = {
+      val base = ev.filter(col("event_type") === typ)
+        .select(col("user_id"), col("ts"))
+      val scoped = after.fold(base)(prev =>
+        base.join(prev, Seq("user_id")).filter(col("ts") > col(prevT))
+          .select(col("user_id"), col("ts")))
+      scoped.groupBy("user_id").agg(min(col("ts")).as(out))
+    }
+    val v = stageMin("view", None, "", "t1")
+    val c = stageMin("click", Some(v), "t1", "t2")
+    val p = stageMin("purchase", Some(c), "t2", "t3")
+    val counts = Seq((1, "view"), (2, "click"), (3, "purchase"))
+      .zip(Seq(v, c, p))
+      .map { case ((stage, step), df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), lit(step).as("step"),
+            col("n_users"))
+      }.reduce(_ unionByName _)
+    val w = Window.orderBy(col("stage"))
+    counts
+      .withColumn("__prev", lag(col("n_users"), 1).over(w))
+      .withColumn("conv_bp",
+        when(col("__prev").isNull, 10000L)
+          .when(col("__prev") === 0, 0L)
+          .otherwise(expr("n_users * 10000 div __prev")))
+      .drop("__prev")
   }
 }

@@ -265,4 +265,50 @@ object CorpusStats extends QueryModule {
         .orderBy(col("n").desc, col("context").asc, col("nxt").asc)
         .limit(100)
   }
+
+  // ==================================================== inverted index
+  // Posting-list construction — the retrieval-side artifact of a corpus
+  // pipeline: per term, document frequency, total term frequency, and
+  // the first [[PostingsCap]] doc ids (sorted). The cap is applied with
+  // a window rank BEFORE collecting, so per-term aggregation state is
+  // bounded by construction — a stopword's postings never accumulate
+  // the whole corpus into one aggregate buffer (the unbounded
+  // collect_set is exactly what dies at 100 TB). Top 100 terms by
+  // (doc_freq desc, term asc) via TakeOrdered.
+  val PostingsCap = 20
+  register("q124_inverted_index",
+    s"""WITH $oTok,
+       |pairs AS (
+       |  SELECT w, doc_id, COUNT(*) AS tf FROM tok GROUP BY w, doc_id),
+       |terms AS (
+       |  SELECT w, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_freq
+       |  FROM pairs GROUP BY w),
+       |ranked AS (
+       |  SELECT w, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS rk
+       |  FROM pairs),
+       |posts AS (
+       |  SELECT w, array_to_string(list_sort(list(doc_id)), ',') AS postings
+       |  FROM ranked WHERE rk <= $PostingsCap GROUP BY w)
+       |SELECT t.w AS term, t.doc_freq, t.total_freq, p.postings
+       |FROM terms t JOIN posts p ON t.w = p.w
+       |ORDER BY t.doc_freq DESC, term ASC LIMIT 100""".stripMargin) { (s, d) =>
+    val pairs = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+    val terms = pairs.groupBy("w")
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("total_freq"))
+    val rk = Window.partitionBy(col("w")).orderBy(col("doc_id"))
+    val posts = pairs
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= PostingsCap)
+      .groupBy("w")
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings"))
+    terms.join(posts, "w")
+      .select(col("w").as("term"), col("doc_freq"), col("total_freq"),
+        col("postings"))
+      .orderBy(col("doc_freq").desc, col("term").asc)
+      .limit(100)
+  }
 }

@@ -61,4 +61,32 @@ class EventAnalyticsSpec extends SparkSpec {
       "view" -> ((1L, 1L, 30L)),
       "none" -> ((2L, 2L, 0L))))
   }
+
+  test("q123: funnel stages require strict ordering; same-instant does not advance") {
+    val d = java.nio.file.Files.createTempDirectory("funnel_fixtures").toString
+    Seq(
+      // u1: full ordered funnel
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "click", ts("2024-01-01 10:30:00")),
+      (1L, 12L, "purchase", ts("2024-01-01 11:00:00")),
+      // u2: click BEFORE first view -> stops at view stage
+      (2L, 20L, "click", ts("2024-01-01 10:00:00")),
+      (2L, 21L, "view", ts("2024-01-01 10:30:00")),
+      // u3: view then purchase, no click -> stops at view stage
+      (3L, 30L, "view", ts("2024-01-01 10:00:00")),
+      (3L, 31L, "purchase", ts("2024-01-01 10:30:00")),
+      // u4: click at the SAME instant as view -> not strictly after
+      (4L, 40L, "view", ts("2024-01-01 10:00:00")),
+      (4L, 41L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = EventAnalytics.queries("q123_sequence_funnel")(spark, d)
+      .collect().map(r => r.getAs[Int]("stage") ->
+        (r.getAs[String]("step"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("conv_bp"))).toMap
+    assert(rows === Map(
+      1 -> (("view", 4L, 10000L)),
+      2 -> (("click", 1L, 2500L)),
+      3 -> (("purchase", 1L, 10000L))))
+  }
 }

@@ -64,4 +64,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(top.getAs[Long]("context_n") === 2L)
     assert(rows.length === 3) // "a b"→c, "b c"→a, "c a"→b; nothing from doc 2
   }
+
+  test("q124: posting lists are capped, sorted; df/tf exact; order by df desc") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("invidx").toString
+    // 25 docs of "z" (df over the postings cap), plus a 3-doc tail corpus
+    val hot = (1L to 25L).map(i => (i, "z", "en", "s", 1L))
+    val tail = Seq((26L, "a b a", "en", "s", 5L), (27L, "a c", "en", "s", 3L),
+      (28L, "c c c", "en", "s", 5L))
+    (hot ++ tail).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = CorpusStats.queries("q124_inverted_index")(spark, d).collect()
+    assert(rows.map(_.getAs[String]("term")).toSeq === Seq("z", "a", "c", "b"))
+    val byTerm = rows.map(r => r.getAs[String]("term") -> r).toMap
+    assert(byTerm("z").getAs[Long]("doc_freq") === 25L)
+    assert(byTerm("z").getAs[Long]("total_freq") === 25L)
+    // cap: only the first PostingsCap sorted doc ids survive
+    assert(byTerm("z").getAs[String]("postings") ===
+      (1L to CorpusStats.PostingsCap.toLong).mkString(","))
+    assert(byTerm("a").getAs[Long]("doc_freq") === 2L)
+    assert(byTerm("a").getAs[Long]("total_freq") === 3L)
+    assert(byTerm("a").getAs[String]("postings") === "26,27")
+    assert(byTerm("c").getAs[Long]("total_freq") === 4L)
+    assert(byTerm("b").getAs[String]("postings") === "26")
+  }
 }
