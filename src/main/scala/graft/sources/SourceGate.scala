@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.ops.QueryModule
+import org.apache.spark.sql.functions._
+
+/** Oracle gate for the [[graft.sources.v2.RangeDocSource]] DataSource V2
+  * connector (SURVEY §2.1 S1 — the connector side of the reference's
+  * declared-source contract, `models/sources/sources.yml:4-16`).
+  *
+  * The query reads through the full connector path — TableProvider →
+  * ScanBuilder (id-range pushdown + column pruning) → planInputPartitions
+  * (8 splits) → per-split readers — and the DuckDB twin recomputes the
+  * same closed-form table from `range(lo, hi)`. The id predicates are
+  * consumed by the source (the scan generates exactly the narrowed range);
+  * the `bucket` predicate stays residual and is evaluated by Spark above
+  * the scan. RangeDocSourceSpec pins both behaviors at the plan level.
+  */
+object SourceGate extends QueryModule {
+
+  register("q125_custom_source",
+    """WITH src AS (
+      |  SELECT id, CAST(id % 97 AS INTEGER) AS bucket,
+      |    'cat' || CAST(id % 5 AS VARCHAR) AS category,
+      |    (id * 37 + 11) % 1000003 AS amount
+      |  FROM range(20000, 180000) t(id))
+      |SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(amount) AS BIGINT) AS total_amount,
+      |  CAST(SUM(CASE WHEN bucket % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS even_buckets,
+      |  MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM src WHERE bucket >= 10 GROUP BY category""".stripMargin) { (s, _) =>
+    s.read.format("graft-range")
+      .option("rows", "200000").option("splits", "8").load()
+      .filter(col("id") >= 20000L && col("id") < 180000L && col("bucket") >= 10)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(col("amount")).as("total_amount"),
+        sum(when(col("bucket") % 2 === 0, 1L).otherwise(0L)).as("even_buckets"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: a deterministic generated table ("graft-range").
+  *
+  * The reference's sources are externally-landed tables declared in
+  * `models/sources/sources.yml:4-16` — the engine side of that contract is
+  * a connector that (a) exposes a schema, (b) plans parallel input splits,
+  * and (c) cooperates with Catalyst on pushdown. This source implements the
+  * full connector surface on a synthetic-but-deterministic table so the
+  * pushdown behavior itself is oracle-checkable:
+  *
+  *   - `SupportsPushDownRequiredColumns` — column pruning reaches the
+  *     reader; only requested fields are materialized per row.
+  *   - `SupportsPushDownFilters` — range predicates on `id` NARROW THE
+  *     GENERATED RANGE (true scan-side skipping, not post-filtering):
+  *     `id >= a AND id < b` generates exactly `b - a` rows. Filters the
+  *     source can fully enforce are consumed; everything else is returned
+  *     as a residual for Spark to evaluate.
+  *   - `Batch.planInputPartitions` — the (narrowed) range is split into
+  *     `splits` contiguous chunks, each an independent reader: the
+  *     1000-executor story is explicit, and a pushed-down point/range
+  *     lookup plans only the splits that intersect it.
+  *
+  * Row content is a pure integer function of `id` (no hashing — DuckDB
+  * BIGINT raises on overflow rather than wrapping, so the oracle twin uses
+  * the same closed-form arithmetic over `range(lo, hi)`):
+  *   bucket   = id % 97
+  *   category = "cat" + (id % 5)
+  *   amount   = (id * 37 + 11) % 1000003
+  *   score    = amount / 1024.0   (exact in binary floating point)
+  *
+  * Options: `rows` (table size N, ids [0, N)), `splits` (target split
+  * count). Usable as `spark.read.format("graft-range")` via the
+  * DataSourceRegister service file.
+  */
+final class RangeDocSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-range"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RangeDocSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
+    val splits = Option(properties.get("splits")).map(_.toInt).getOrElse(4)
+    new RangeDocTable(rows, splits)
+  }
+}
+
+object RangeDocSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("category", StringType, nullable = false),
+    StructField("amount", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  /** The row function — shared by the reader and the spec's oracle. */
+  def valueOf(field: String, id: Long): Any = field match {
+    case "id"       => id
+    case "bucket"   => (id % 97).toInt
+    case "category" => UTF8String.fromString("cat" + (id % 5))
+    case "amount"   => (id * 37 + 11) % 1000003
+    case "score"    => ((id * 37 + 11) % 1000003) / 1024.0
+  }
+}
+
+final class RangeDocTable(rows: Long, splits: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_range($rows)"
+  override def schema(): StructType = RangeDocSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeDocScanBuilder(rows, splits)
+}
+
+/** Accumulates pruned columns and the pushed id-range bounds. */
+final class RangeDocScanBuilder(rows: Long, splits: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = RangeDocSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark passes the pruned top-level fields in schema order; an empty
+    // struct (count(*) over the source) is legal — readers emit empty rows.
+    required = requiredSchema
+
+  private def lit(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _                   => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("id", v)        => lit(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThanOrEqual("id", v) => lit(v).exists { x => lo = math.max(lo, x); true }
+      case LessThan("id", v)           => lit(v).exists { x => hi = math.min(hi, x); true }
+      case LessThanOrEqual("id", v)    => lit(v).exists { x => hi = math.min(hi, x + 1); true }
+      case EqualTo("id", v)            => lit(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case _                           => false
+    }
+    pushed = accepted
+    residual // id-range filters are fully enforced by the narrowed range
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new RangeDocScan(required, math.max(lo, 0L), math.min(hi, rows), splits)
+}
+
+final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-range id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    if (n == 0L) return Array.empty
+    val k = math.min(splits.toLong, n).toInt
+    val step = n / k
+    val rem = n % k
+    // first `rem` splits get one extra row: contiguous, gap-free cover
+    val bounds = (0 until k).scanLeft(lo) { (acc, i) => acc + step + (if (i < rem) 1 else 0) }
+    bounds.sliding(2).map { case Seq(a, b) => RangeDocPartition(a, b): InputPartition }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeDocReaderFactory(required.fieldNames)
+}
+
+final case class RangeDocPartition(lo: Long, hi: Long) extends InputPartition
+
+final class RangeDocReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RangeDocPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.lo - 1
+      override def next(): Boolean = { cur += 1; cur < p.hi }
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map(f => RangeDocSource.valueOf(f, cur)).asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}

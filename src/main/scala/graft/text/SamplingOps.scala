@@ -155,4 +155,54 @@ object SamplingOps extends QueryModule {
         (col("target_tokens") >= col("avail_tokens")).cast(IntegerType))
       .withColumn("curriculum_phase", ntile(3).over(w))
   }
+
+  // ========================================================== systematic
+  /** Sample count for [[q126]] — one doc per `total_weight / K` weight. */
+  val SystematicK = 40L
+
+  // Weighted systematic sampling: pick ~K docs with probability
+  // proportional to size (weight = n_chars) by walking the cumulative
+  // weight axis and keeping every row whose span crosses a multiple of
+  // step = total/K — the classic PPS/systematic design (token-budget
+  // subsampling where big docs must be proportionally represented).
+  // All integer math (BIGINT cumsum, truncating div on non-negative
+  // operands) so both engines agree exactly.
+  //
+  // Scale: the global cumulative sum is NOT a global window. It is the
+  // two-pass distributed prefix sum — docs bucket by doc_id div 64
+  // (monotone in the global order), per-bucket totals aggregate to
+  // |buckets| rows, the offset window runs over that tiny frame, and
+  // offsets broadcast back onto an intra-bucket window partitioned by
+  // bucket. At 100 TB the only data-sized shuffle is the per-bucket
+  // window; everything global happens on the bucket summary.
+  register("q126_weighted_systematic", {
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars AS weight,
+       |    CAST(SUM(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM documents),
+       |t AS (SELECT GREATEST(CAST(MAX(cum) AS BIGINT) // $SystematicK, 1)
+       |        AS step FROM c)
+       |SELECT doc_id, weight, cum, cum // t.step AS tick
+       |FROM c, t
+       |WHERE (cum - weight) // t.step < cum // t.step""".stripMargin
+  }) { (s, d) =>
+    val docs = documents(s, d).select(col("doc_id"),
+      col("n_chars").as("weight"), expr("doc_id div 64").as("pbkt"))
+    val bucketTotals = docs.groupBy("pbkt").agg(sum("weight").as("bt"))
+    val wOff = Window.orderBy("pbkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals.select(col("pbkt"),
+      coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
+    val total = bucketTotals.agg(sum("bt").as("total"))
+    val wIn = Window.partitionBy("pbkt").orderBy("doc_id")
+    docs.join(broadcast(offsets), Seq("pbkt"))
+      .withColumn("cum", col("off") + sum(col("weight")).over(wIn))
+      .crossJoin(broadcast(total))
+      .withColumn("step", greatest(expr(s"total div $SystematicK"), lit(1L)))
+      .filter(expr("(cum - weight) div step < cum div step"))
+      .select(col("doc_id"), col("weight"), col("cum"),
+        expr("cum div step").as("tick"))
+  }
 }

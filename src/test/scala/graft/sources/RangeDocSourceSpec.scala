@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 connector behavior: schema, determinism, split planning,
+  * id-range filter pushdown (scan-side skipping), residual filters, and
+  * column pruning — all asserted at the executed-plan level.
+  */
+class RangeDocSourceSpec extends SparkSpec {
+
+  private def read(rows: Long, splits: Int) =
+    spark.read.format("graft-range")
+      .option("rows", rows.toString).option("splits", splits.toString).load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("full read matches the closed-form row function") {
+    val got = read(1000, 4).collect()
+    assert(got.length === 1000)
+    val r = got.find(_.getLong(0) == 123L).get
+    assert(r.getInt(1) === (123 % 97))
+    assert(r.getString(2) === "cat3")
+    assert(r.getLong(3) === (123L * 37 + 11) % 1000003)
+    assert(r.getDouble(4) === ((123L * 37 + 11) % 1000003) / 1024.0)
+  }
+
+  test("splits plan contiguous gap-free partitions") {
+    val df = read(1003, 8)
+    assert(df.rdd.getNumPartitions === 8)
+    // uneven split: still every id exactly once
+    assert(df.select(countDistinct(col("id"))).head.getLong(0) === 1003L)
+    assert(df.count() === 1003L)
+  }
+
+  test("id range predicates are pushed into the scan and skip generation") {
+    val df = read(1000000, 8)
+      .filter(col("id") >= 999990L && col("id") < 999995L)
+    val scan = scanOf(df)
+    // the scan itself was narrowed — the reader generates 5 rows, not 1M
+    assert(scan.scan.description().contains("id=[999990,999995)"))
+    assert(df.count() === 5)
+    // pushed filters no longer appear as a Filter node above the scan
+    val hasFilter = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.FilterExec => true
+      case _ => false
+    }
+    assert(!hasFilter, "id-range filters must be consumed by the source")
+  }
+
+  test("equality pushdown plans only the intersecting split") {
+    val df = read(1000000, 8).filter(col("id") === 777777L)
+    assert(scanOf(df).scan.description().contains("id=[777777,777778)"))
+    assert(df.select(col("bucket")).head.getInt(0) === (777777 % 97))
+  }
+
+  test("non-id filters stay residual above the scan") {
+    val df = read(10000, 4).filter(col("bucket") === 3)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("id=[0,10000)"))
+    val expect = (0L until 10000L).count(_ % 97 == 3)
+    assert(df.count() === expect)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = read(1000, 4).select(col("category"))
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("category"))
+    assert(df.distinct().count() === 5)
+  }
+
+  test("empty pushdown range plans zero partitions") {
+    val df = read(1000, 4).filter(col("id") >= 5000L)
+    assert(df.count() === 0)
+  }
+}
