@@ -222,4 +222,112 @@ object TemporalJoins extends QueryModule {
         sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType)
           .as("revenue"))
   }
+
+  // ==================================================== interval overlap
+  /** Bin width (days) for the overlap join's co-partitioning. */
+  val OverlapBinDays = 16
+
+  /** Deterministic per-order activity window in anchor-day integers:
+    * [order date, order date + (key % 20) + 5 days]. Integer day math on
+    * a fixed anchor keeps both engines exact and makes `div` bucketing
+    * floor-safe (days since 1990 are non-negative).
+    */
+  private def orderIntervals(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1990-01-01")))
+        .cast(LongType).as("lo"))
+      .withColumn("hi", col("lo") + col("id") % 20 + 5)
+
+  private val oIntervals =
+    """SELECT o_orderkey AS id, o_custkey AS cust,
+      |    CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS lo,
+      |    CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) + (o_orderkey % 20) + 5 AS hi
+      |  FROM orders""".stripMargin
+
+  // Interval×interval overlap join (distinct from q59's point-in-band
+  // shape): pairs of same-customer order windows that overlap in time.
+  // The scalable plan is the binned self-join — each interval explodes to
+  // the 16-day bins it touches (≤ 3 bins for a ≤ 25-day window), pairs
+  // meet on (cust, bin) as an EQUI-join, and each surviving pair is kept
+  // exactly once by the bin-ownership rule: only the bin containing the
+  // overlap's start (greatest lo) emits it. No nested loop, no N² per
+  // customer — the shuffle key is (cust, bin) and skew is bounded by the
+  // bin population. The DuckDB twin is the direct quadratic join: same
+  // result, different plan — which is the point.
+  register("q127_interval_overlap",
+    s"""WITH iv AS (
+       |  $oIntervals)
+       |SELECT a.cust AS cust, a.id AS id_a, b.id AS id_b,
+       |  LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1 AS overlap_days
+       |FROM iv a JOIN iv b
+       |  ON a.cust = b.cust AND a.id < b.id
+       |  AND a.lo <= b.hi AND b.lo <= a.hi""".stripMargin) { (s, d) =>
+    val W = OverlapBinDays
+    val bins = orderIntervals(s, d)
+      .withColumn("bin", explode(sequence(expr(s"lo div $W"), expr(s"hi div $W"))))
+    val a = bins.select(col("cust"), col("id").as("id_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"), col("bin"))
+    val b = bins.select(col("cust").as("cust_b"), col("id").as("id_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"), col("bin").as("bin_b"))
+    a.join(b, col("cust") === col("cust_b") && col("bin") === col("bin_b") &&
+        col("id_a") < col("id_b"))
+      .filter(col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .filter(col("bin") === expr(s"greatest(lo_a, lo_b) div $W"))
+      .select(col("cust"), col("id_a"), col("id_b"),
+        (least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")) + 1)
+          .as("overlap_days"))
+  }
+
+  // ======================================================= peak concurrency
+  // Max-concurrency sweep: how many order windows per customer are open
+  // at once, and the first day the maximum is reached. The classic
+  // +1/-1 boundary sweep — intervals become (lo, +1) / (hi+1, -1)
+  // events, a per-customer cumulative sum walks the open count, and the
+  // peak row is picked with a per-customer max window. Both windows
+  // partition on cust (the sweep never goes global), and the boundary
+  // union is map-side — one shuffle on the customer key end to end.
+  register("q128_peak_concurrency",
+    s"""WITH iv AS (
+       |  $oIntervals),
+       |bdy AS (
+       |  SELECT cust, lo AS day, 1 AS delta FROM iv
+       |  UNION ALL
+       |  SELECT cust, hi + 1 AS day, -1 AS delta FROM iv),
+       |daily AS (
+       |  SELECT cust, day, CAST(SUM(delta) AS BIGINT) AS d
+       |  FROM bdy GROUP BY cust, day),
+       |cum AS (
+       |  SELECT cust, day,
+       |    CAST(SUM(d) OVER (PARTITION BY cust ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS open
+       |  FROM daily),
+       |pk AS (
+       |  SELECT cust, day, open, MAX(open) OVER (PARTITION BY cust) AS peak
+       |  FROM cum)
+       |SELECT cust, CAST(MAX(open) AS BIGINT) AS peak_open,
+       |  CAST(DATE '1990-01-01' + CAST(MIN(day) AS INTEGER) * INTERVAL 1 DAY
+       |    AS DATE) AS peak_day
+       |FROM pk WHERE open = peak GROUP BY cust""".stripMargin) { (s, d) =>
+    val iv = orderIntervals(s, d)
+    val bdy = iv.select(col("cust"), col("lo").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("cust"), (col("hi") + 1).as("day"),
+        lit(-1L).as("delta")))
+    val daily = bdy.groupBy("cust", "day").agg(sum("delta").as("d"))
+    val wCum = Window.partitionBy("cust").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("cust")
+    daily
+      .select(col("cust"), col("day"), sum(col("d")).over(wCum).as("open"))
+      .withColumn("peak", max(col("open")).over(wAll))
+      .filter(col("open") === col("peak"))
+      .groupBy("cust")
+      .agg(max(col("open")).as("peak_open"), min(col("day")).as("peak_day_idx"))
+      .select(col("cust"), col("peak_open"),
+        date_add(to_date(lit("1990-01-01")),
+          col("peak_day_idx").cast(IntegerType)).as("peak_day"))
+  }
 }
