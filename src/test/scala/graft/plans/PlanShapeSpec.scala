@@ -31,6 +31,9 @@ class PlanShapeSpec extends SparkSpec {
     // join-free)
     "q38_tfidf_top_terms", "q68_collocations", "q108_key_skew",
     "q113_power_iteration",
+    // q126's 1-row total-weight frame broadcast onto the bucketed
+    // cumsum (the corpus pass is a single bucket-keyed window)
+    "q126_weighted_systematic",
     // the BROADCAST band-join path by design — q76 is the binned
     // non-broadcast alternative for large interval sides
     "q59_range_join")
