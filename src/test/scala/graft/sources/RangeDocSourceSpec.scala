@@ -76,4 +76,19 @@ class RangeDocSourceSpec extends SparkSpec {
     val df = read(1000, 4).filter(col("id") >= 5000L)
     assert(df.count() === 0)
   }
+
+  test("SQL DDL path: CREATE TABLE ... USING graft-range") {
+    spark.sql("DROP TABLE IF EXISTS graft_range_ddl")
+    spark.sql(
+      """CREATE TABLE graft_range_ddl USING `graft-range`
+        |OPTIONS (rows '5000', splits '4')""".stripMargin)
+    try {
+      val got = spark.sql(
+        """SELECT category, COUNT(*) AS n FROM graft_range_ddl
+          |WHERE id >= 4000 GROUP BY category""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("cat0" -> 200L, "cat1" -> 200L, "cat2" -> 200L,
+        "cat3" -> 200L, "cat4" -> 200L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_range_ddl")
+  }
 }

@@ -12,6 +12,12 @@ import pandas as pd
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 con = duckdb.connect()
+# big-soak oracles (list aggregates over 50k docs) exceed the in-memory
+# budget — enable out-of-core spilling and drop insertion-order
+# preservation (canon() sorts anyway)
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute("SET preserve_insertion_order=false")
 for t in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(t)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
