@@ -1262,4 +1262,44 @@ object RelationalOps extends QueryModule {
         bit_xor(col("l_orderkey")).as("key_xor"),
         count(lit(1)).as("n"))
   }
+
+  // WEIGHTED MEDIAN — the quantity-weighted counterpart of q52's exact
+  // median: the smallest value v whose cumulative weight reaches half
+  // the group total (the estimator behind "median price per unit sold").
+  // One window shuffle on the group key; the cumulative ROWS frame is
+  // order-ambiguous among equal values, but the PICKED value is not:
+  // the crossing row always lands inside the run of the answer value,
+  // so MIN(v) over crossing rows is deterministic in both engines.
+  // Integer cents × integer weights end to end.
+  register("q129_weighted_median",
+    """WITH base AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS wgt
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT g, v, wgt,
+      |    CAST(SUM(wgt) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(wgt) OVER (PARTITION BY g) AS BIGINT) AS tot
+      |  FROM base)
+      |SELECT g AS l_returnflag, MIN(v) AS weighted_median_cents,
+      |  MAX(tot) AS total_weight
+      |FROM c WHERE 2 * cum >= tot GROUP BY g""".stripMargin) { (s, d) =>
+    val base = lineitem(s, d).select(col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast(LongType).as("v"),
+      col("l_quantity").cast(LongType).as("wgt"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    base
+      .select(col("g"), col("v"), sum(col("wgt")).over(wCum).as("cum"),
+        sum(col("wgt")).over(wTot).as("tot"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("g")
+      .agg(min(col("v")).as("weighted_median_cents"),
+        max(col("tot")).as("total_weight"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
 }

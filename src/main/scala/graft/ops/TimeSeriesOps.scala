@@ -64,4 +64,83 @@ object TimeSeriesOps extends QueryModule {
           last(when(col("day_grid").isNotNull, col("day")), ignoreNulls = true)
             .over(w)).cast(IntegerType).as("staleness_days"))
   }
+
+  // ================================================ linear interpolation
+  // The interpolating sibling of q104's LOCF: gap days between two real
+  // observations get the straight-line value. The division hazard is
+  // MEASURED, not assumed: DuckDB 1.0.0's `//` on BIGINT truncates
+  // toward zero (-7 // 3 = -2), exactly like Spark's `div` — so plain
+  // `div` is the portable choice even for negative slopes (an explicit
+  // floor-division on one side is what DOESN'T match).
+  // Same one-shuffle shape as q104: spine explode is map-only, all four
+  // neighbor columns come from two frames of the same user-keyed window.
+  register("q130_linear_interpolation",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+      |      AS day_grid
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      |  GROUP BY user_id),
+      |spine AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM span),
+      |j AS (
+      |  SELECT s.user_id, s.day, d.day_grid
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day),
+      |nb AS (
+      |  SELECT user_id, day, day_grid,
+      |    last_value(day_grid IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS pv,
+      |    last_value(CASE WHEN day_grid IS NOT NULL THEN day END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS pd,
+      |    first_value(day_grid IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS nv,
+      |    first_value(CASE WHEN day_grid IS NOT NULL THEN day END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS nd
+      |  FROM j)
+      |SELECT user_id, day, day_grid,
+      |  CASE WHEN day_grid IS NOT NULL THEN day_grid
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |         pv + ((nv - pv) * datediff('day', pd, day))
+      |              // datediff('day', pd, nd)
+      |       ELSE NULL END AS interp_grid
+      |FROM nb""".stripMargin) { (s, d) =>
+    val daily = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(sum(floor(col("value") * 1000000).cast(LongType)).as("day_grid"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wP = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("day_grid"),
+        last(col("day_grid"), ignoreNulls = true).over(wP).as("pv"),
+        last(when(col("day_grid").isNotNull, col("day")), ignoreNulls = true)
+          .over(wP).as("pd"),
+        first(col("day_grid"), ignoreNulls = true).over(wN).as("nv"),
+        first(when(col("day_grid").isNotNull, col("day")), ignoreNulls = true)
+          .over(wN).as("nd"))
+      .select(col("user_id"), col("day"), col("day_grid"),
+        when(col("day_grid").isNotNull, col("day_grid"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + expr(
+              "((nv - pv) * datediff(day, pd)) div datediff(nd, pd)"))
+          .as("interp_grid"))
+  }
 }
