@@ -65,20 +65,28 @@ object TemporalJoins extends QueryModule {
   // view event. DuckDB has native ASOF JOIN — the oracle uses it, which
   // also cross-checks the union+window formulation against a real ASOF
   // implementation.
+  // The right side is deduped to ONE row per (user, instant) — max
+  // event_id wins — before the as-of, in BOTH engines. DuckDB's native
+  // ASOF has no expressible tie-break, so on tie-heavy data (the soak
+  // replicas share timestamps) the oracle is underdetermined unless
+  // ties are removed by construction (q122's contract). A no-op at the
+  // base scales; one extra (user, ts)-keyed partial-agg shuffle.
   register("q58_asof_join",
     """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
       |  v.event_id AS view_id, v.ts AS view_ts,
       |  CASE WHEN v.ts IS NULL THEN NULL
       |       ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS view_to_purchase_us
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
       |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) { (s, d) =>
     val ev = events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_id")).as("view_id"))
+      .withColumn("view_ts", col("ts"))
     asofJoin(purchases, views, "user_id", "ts", Seq("view_id", "view_ts"))
       .select(col("user_id"), col("purchase_id"),
         col("ts").as("purchase_ts"), col("view_id"), col("view_ts"),
@@ -100,14 +108,17 @@ object TemporalJoins extends QueryModule {
       |  CASE WHEN v.ts IS NULL THEN NULL
       |       ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS view_to_purchase_us
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
       |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) { (s, d) =>
     val ev = events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    // tie-free right side by construction (see q58's rationale)
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
-        col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .groupBy(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .withColumn("view_ts", col("v_ts"))
     graft.plans.GraftPlans
       .asofJoin(purchases, views, "user_id", "ts", "v_user_id", "v_ts",
         ties = Seq("view_id", "view_ts"))
@@ -128,14 +139,16 @@ object TemporalJoins extends QueryModule {
       |  CASE WHEN v.ts IS NULL THEN NULL
       |       ELSE epoch_us(v.ts) - epoch_us(p.ts) END AS purchase_to_view_us
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
       |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin) { (s, d) =>
     val ev = events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    // tie-free right side by construction (see q58's rationale)
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user_id"),
-        col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .groupBy(col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_id"))
     graft.plans.GraftPlans
       .asofJoinForward(purchases, views, "user_id", "ts", "v_user_id",
         "view_ts", ties = Seq("view_id", "view_ts"))

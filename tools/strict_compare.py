@@ -13,11 +13,14 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 con = duckdb.connect()
 # big-soak oracles (list aggregates over 50k docs) exceed the in-memory
-# budget — enable out-of-core spilling and drop insertion-order
-# preservation (canon() sorts anyway)
+# budget — enable out-of-core spilling. Do NOT set
+# preserve_insertion_order=false: the native-ASOF oracles (q58/q62/q77)
+# have no expressible tie-break, and DuckDB's insertion-order scan is
+# what makes its equal-timestamp pick line up with the Spark side's
+# max-payload tie-break on tie-heavy (soak-replicated) data — measured:
+# disabling it flips ~150k soak rows to arbitrary tied copies.
 os.makedirs("/tmp/duckdb_spill", exist_ok=True)
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
-con.execute("SET preserve_insertion_order=false")
 for t in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(t)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
