@@ -198,4 +198,77 @@ object EventAnalytics extends QueryModule {
           .otherwise(expr("n_users * 10000 div __prev")))
       .drop("__prev")
   }
+
+  // ============================================================ journeys
+  /** [[q131]]: events kept per session path (head of the journey). */
+  val PathLen = 5
+  /** [[q131]]: top paths reported. */
+  val TopPaths = 20
+
+  // Top session journeys: sessionize on the 30-minute gap (q31's rule),
+  // take each session's first PathLen event types in (ts, event_id)
+  // order, and rank the most common paths. The product-analytics "top
+  // user flows" table. Deterministic on tie-heavy data: every ordering
+  // carries the unique event_id tie-break, equal-instant events land in
+  // the same session regardless of intra-tie order, and the final rank
+  // breaks count ties on the path string.
+  //
+  // Scale: sessionization + path build are one (user)-keyed window
+  // shuffle + one (user, session) aggregate reusing that partitioning;
+  // per-session state is bounded by the PathLen prefix filter BEFORE
+  // the collect. The path census partial-aggregates map-side and the
+  // top-20 is a TakeOrdered, never a global sort.
+  register("q131_session_paths",
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS sid
+       |  FROM marked),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+       |    ORDER BY ts, event_id) AS rn
+       |  FROM sess),
+       |paths AS (
+       |  SELECT user_id, sid,
+       |    string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM ranked WHERE rn <= $PathLen GROUP BY user_id, sid),
+       |census AS (
+       |  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path)
+       |SELECT path, n_sessions, rank FROM (
+       |  SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+       |    ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+       |  FROM census)
+       |WHERE rank <= $TopPaths""".stripMargin) { (s, d) =>
+    val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(wU).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU))
+            > 1800000000L, 1L).otherwise(0L))
+    val sess = marked.withColumn("sid",
+      sum(col("brk")).over(wU.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val ranked = sess.withColumn("rn", row_number().over(
+      Window.partitionBy("user_id", "sid").orderBy(col("ts"), col("event_id"))))
+    val paths = ranked.filter(col("rn") <= PathLen)
+      .groupBy("user_id", "sid")
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("rn"), col("event_type")))),
+        e => e.getField("event_type")), ">").as("path"))
+    val census = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    census
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)))
+      .filter(col("rank") <= TopPaths)
+      .select(col("path"), col("n_sessions"), col("rank"))
+  }
 }
