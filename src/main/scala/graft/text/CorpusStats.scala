@@ -120,9 +120,12 @@ object CorpusStats extends QueryModule {
         ((col("n_xy").cast(DoubleType) * col("big_n").cast(DoubleType))
           / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
           .as("lift"))
-    lifted.withColumn("__rk", row_number().over(
-        Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)))
-      .filter(col("__rk") <= 50)
+    // top-50 via orderBy+limit → TakeOrderedAndProject (distributed
+    // partial top-k per partition), NOT a single-partition rank window:
+    // the frequent-bigram census grows with the corpus, and PlanLint's
+    // global-window sweep is what flagged the old window formulation
+    lifted.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
       .select("w1", "w2", "n_xy", "lift")
   }
 

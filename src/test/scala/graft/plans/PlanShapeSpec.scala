@@ -49,6 +49,31 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected cartesian/nested-loop joins in: $offenders")
   }
 
+  /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
+    * a bounded post-aggregation frame, never on the raw data: the
+    * reference's W3 global LAG runs on the monthly mart (q12/q45); q86's
+    * spine is |months| rows; q108/q119/q123 rank a handful of summary
+    * rows; q126's offset window covers |buckets| rows; q131 ranks the
+    * path census; q48/q18-family global ranks are the suite's own
+    * ordering demos on capped frames.
+    */
+  private val boundedGlobalWindowAllowed = Set(
+    "q12_window_lag_global", "q45_gold_executive_summary", "q48_window_suite",
+    "q86_date_spine", "q108_key_skew", "q119_mixture_manifest",
+    "q123_sequence_funnel", "q126_weighted_systematic", "q131_session_paths",
+    // contingency-table marginals: SUM() OVER () on the |types|×7 cells
+    "q117_chi_square")
+
+  test("global windows appear only on known bounded frames (PlanLint sweep)") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val findings = graft.ops.PlanLint.lint(
+        graft.SparkEntry.queries(name)(spark, sf))
+      if (findings.exists(_.rule == "global-window") &&
+        !boundedGlobalWindowAllowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected global windows in: $offenders")
+  }
+
   test("q05 inner join broadcasts the dimension side") {
     assert(plan("q05_join_inner").contains("BroadcastHashJoin"))
   }
