@@ -571,4 +571,83 @@ object SimilarityOps extends QueryModule {
       .select((col("pos") + 1).cast(IntegerType).as("dim"),
         col("col").as("component"), col("nrm").as("lambda"))
   }
+
+  // ======================================================== rank fusion
+  /** [[q132]] reciprocal-rank-fusion constants: the standard k=60
+    * damping, a 100-deep candidate pool per system, 20 fused results. */
+  val RrfK = 60
+  val RrfPool = 100
+  val RrfTop = 20
+
+  // Reciprocal-rank fusion of two retrieval systems over the same
+  // corpus: cosine similarity (angular) and L1 distance (magnitude-
+  // sensitive) rankings for one query vector, fused as
+  // Σ 1/(k + rank_sys) over the systems that returned the doc — the
+  // standard way a retrieval pipeline merges heterogeneous scorers
+  // without calibrating their score scales.
+  //
+  // Determinism: both distance folds are left-to-right with pinned
+  // element order (the module's rule), ranks are integers with vec_id
+  // tie-breaks, and the fused score is the same two-term double sum in
+  // both engines. Scale: each system's pool is TakeOrdered (top-100 per
+  // partition, then merged) — the ONLY global windows rank the two
+  // 100-row pools (bounded by construction); the corpus pass is a
+  // map-only broadcast of one query row.
+  register("q132_rrf_fusion", {
+    val oL1 =
+      s"""list_reduce(list_transform(range(1, $Dim + 1),
+         |      i -> abs(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id, embedding AS cv FROM embeddings
+       |      WHERE vec_id <> 0),
+       |scored AS (
+       |  SELECT vec_id,
+       |    ${oDot("qv", "cv")} / (${oNorm("qv")} * ${oNorm("cv")}) AS cos,
+       |    $oL1 AS l1
+       |  FROM c, q),
+       |ta AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC)
+       |    AS rank_cos
+       |  FROM scored QUALIFY rank_cos <= $RrfPool),
+       |tb AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY l1 ASC, vec_id ASC)
+       |    AS rank_l1
+       |  FROM scored QUALIFY rank_l1 <= $RrfPool),
+       |f AS (
+       |  SELECT COALESCE(ta.vec_id, tb.vec_id) AS vec_id, rank_cos, rank_l1,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + rank_cos),
+       |             CAST(0 AS DOUBLE))
+       |    + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + rank_l1),
+       |               CAST(0 AS DOUBLE)) AS rrf
+       |  FROM ta FULL OUTER JOIN tb ON ta.vec_id = tb.vec_id)
+       |SELECT vec_id, rank_cos, rank_l1, rrf FROM f
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, vec_id ASC)
+       |  <= $RrfTop""".stripMargin
+  }) { (s, d) =>
+    val q = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val c = embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(col("qv"), col("cv")).as("cos"),
+        aggregate(zip_with(col("qv"), col("cv"),
+          (x, y) => abs(x.cast(DoubleType) - y.cast(DoubleType))),
+          lit(0.0), (acc, x) => acc + x).as("l1"))
+    val ta = scored.orderBy(col("cos").desc, col("vec_id").asc).limit(RrfPool)
+      .select(col("vec_id"), row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).as("rank_cos"))
+    val tb = scored.orderBy(col("l1").asc, col("vec_id").asc).limit(RrfPool)
+      .select(col("vec_id"), row_number().over(
+        Window.orderBy(col("l1").asc, col("vec_id").asc)).as("rank_l1"))
+    ta.join(tb, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"), col("rank_cos"), col("rank_l1"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rank_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_l1")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+      .limit(RrfTop)
+  }
 }

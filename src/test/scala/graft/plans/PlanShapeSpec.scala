@@ -36,7 +36,9 @@ class PlanShapeSpec extends SparkSpec {
     "q126_weighted_systematic",
     // the BROADCAST band-join path by design — q76 is the binned
     // non-broadcast alternative for large interval sides
-    "q59_range_join")
+    "q59_range_join",
+    // q132's corpus pass broadcasts the single query row
+    "q132_rrf_fusion")
 
   test("no unbounded cartesian or nested-loop join anywhere in the suite") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -62,7 +64,9 @@ class PlanShapeSpec extends SparkSpec {
     "q86_date_spine", "q108_key_skew", "q119_mixture_manifest",
     "q123_sequence_funnel", "q126_weighted_systematic", "q131_session_paths",
     // contingency-table marginals: SUM() OVER () on the |types|×7 cells
-    "q117_chi_square")
+    "q117_chi_square",
+    // q132 ranks its two TakeOrdered 100-row pools, never the corpus
+    "q132_rrf_fusion")
 
   test("global windows appear only on known bounded frames (PlanLint sweep)") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
