@@ -1302,4 +1302,67 @@ object RelationalOps extends QueryModule {
         max(col("tot")).as("total_weight"))
       .withColumnRenamed("g", "l_returnflag")
   }
+
+  /** [[q133]] smoothing pseudo-count and fold count. */
+  val EncodeSmoothK = 20
+  val EncodeFolds = 5
+
+  // LEAKAGE-SAFE TARGET ENCODING — the categorical-feature encoder an
+  // ML feature pipeline runs before training: each (category, fold)
+  // cell gets the smoothed mean of the target computed WITHOUT its own
+  // fold (out-of-fold exclusion kills target leakage) and shrunk toward
+  // the global prior by a pseudo-count (empirical-Bayes smoothing for
+  // rare categories). Folds are the seeded portable hash (never
+  // rand()). The encoding arithmetic is the same IEEE expression in
+  // both engines: integer cent sums all the way, one double prior
+  // division, one double encode division.
+  //
+  // Scale: one (category, fold) partial-aggregated shuffle; category
+  // totals come from a window over the |folds|-row frame per category
+  // (bounded by construction); the global prior is a 1-row broadcast.
+  register("q133_target_encoding", {
+    val h = graft.text.PortableHash
+      .oHash60Seeded(97, "CAST(o_orderkey AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS category,
+       |    CAST($h % $EncodeFolds AS BIGINT) AS fold,
+       |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+       |  FROM orders),
+       |cells AS (
+       |  SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+       |    CAST(SUM(c) AS BIGINT) AS s_f
+       |  FROM base GROUP BY category, fold),
+       |cat AS (
+       |  SELECT *, CAST(SUM(n_f) OVER (PARTITION BY category) AS BIGINT)
+       |      AS n_c,
+       |    CAST(SUM(s_f) OVER (PARTITION BY category) AS BIGINT) AS s_c
+       |  FROM cells),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n,
+       |        CAST(SUM(c) AS BIGINT) AS big_s FROM base)
+       |SELECT category, fold, n_c - n_f AS n_loo,
+       |  (CAST(s_c - s_f AS DOUBLE)
+       |     + $EncodeSmoothK * (CAST(big_s AS DOUBLE) / big_n))
+       |    / (n_c - n_f + $EncodeSmoothK) AS encoding_cents
+       |FROM cat, g""".stripMargin
+  }) { (s, d) =>
+    import graft.text.PortableHash.hash60Seeded
+    val base = orders(s, d).select(
+      col("o_orderpriority").as("category"),
+      (hash60Seeded(97, col("o_orderkey").cast(StringType))
+        % EncodeFolds).as("fold"),
+      floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("c"))
+    val cells = base.groupBy("category", "fold")
+      .agg(count(lit(1)).as("n_f"), sum(col("c")).as("s_f"))
+    val wCat = Window.partitionBy("category")
+    val cat = cells
+      .withColumn("n_c", sum(col("n_f")).over(wCat))
+      .withColumn("s_c", sum(col("s_f")).over(wCat))
+    val g = base.agg(count(lit(1)).as("big_n"), sum(col("c")).as("big_s"))
+    cat.crossJoin(broadcast(g))
+      .select(col("category"), col("fold"),
+        (col("n_c") - col("n_f")).as("n_loo"),
+        (((col("s_c") - col("s_f")).cast(DoubleType)
+          + lit(EncodeSmoothK) * (col("big_s").cast(DoubleType) / col("big_n")))
+          / (col("n_c") - col("n_f") + EncodeSmoothK)).as("encoding_cents"))
+  }
 }

@@ -38,7 +38,9 @@ class PlanShapeSpec extends SparkSpec {
     // non-broadcast alternative for large interval sides
     "q59_range_join",
     // q132's corpus pass broadcasts the single query row
-    "q132_rrf_fusion")
+    "q132_rrf_fusion",
+    // q133's global prior is a 1-row broadcast onto the cell frame
+    "q133_target_encoding")
 
   test("no unbounded cartesian or nested-loop join anywhere in the suite") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
