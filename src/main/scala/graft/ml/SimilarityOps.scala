@@ -650,4 +650,59 @@ object SimilarityOps extends QueryModule {
       .orderBy(col("rrf").desc, col("vec_id").asc)
       .limit(RrfTop)
   }
+
+  // ==================================================== scalar quantization
+  // SQ8 scalar quantization audit — the vector-store compression step:
+  // per-dimension [min, max] train pass, 8-bit code assignment
+  // code = floor((x − mn)·255/(mx − mn) + 0.5), and the per-dimension
+  // reconstruction report (distinct codes used, worst absolute error on
+  // the nano grid — MAX of per-element integers, order-independent).
+  // Every float step is the same IEEE expression in both engines, so
+  // codes and errors agree exactly.
+  //
+  // Scale: two corpus passes, both partial-aggregated to Dim rows
+  // map-side (the (dim, x) explode collapses to 64 partials per
+  // partition before either shuffle); the trained params broadcast back
+  // for the encode pass. Nothing global, nothing driver-side.
+  register("q134_scalar_quantization",
+    s"""WITH px AS (
+       |  SELECT vec_id, i.dim AS dim,
+       |    CAST(embedding[i.dim] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS dim) i),
+       |params AS (
+       |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM px GROUP BY dim),
+       |coded AS (
+       |  SELECT p.dim, p.x, q.mn, q.mx,
+       |    CASE WHEN q.mx = q.mn THEN 0
+       |         ELSE CAST(FLOOR((p.x - q.mn) * 255.0 / (q.mx - q.mn) + 0.5)
+       |                AS BIGINT) END AS code
+       |  FROM px p JOIN params q ON p.dim = q.dim),
+       |err AS (
+       |  SELECT dim, mn, mx, code,
+       |    CAST(FLOOR(abs(x - (mn + code * (mx - mn) / 255.0)) * 1000000000
+       |      + 0.5) AS BIGINT) AS err_nano
+       |  FROM coded)
+       |SELECT CAST(dim AS INTEGER) AS dim, mn, mx,
+       |  CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+       |  MAX(err_nano) AS max_err_nano
+       |FROM err GROUP BY dim, mn, mx""".stripMargin) { (s, d) =>
+    val px = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).cast(IntegerType).as("dim"),
+        col("xf").cast(DoubleType).as("x"))
+    val params = px.groupBy("dim").agg(min(col("x")).as("mn"),
+      max(col("x")).as("mx"))
+    val coded = px.join(broadcast(params), Seq("dim"))
+      .select(col("dim"), col("x"), col("mn"), col("mx"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) * 255.0
+            / (col("mx") - col("mn")) + 0.5).cast(LongType)).as("code"))
+    coded
+      .select(col("dim"), col("mn"), col("mx"), col("code"),
+        floor(abs(col("x") - (col("mn") + col("code") * (col("mx") - col("mn"))
+          / 255.0)) * 1000000000d + 0.5).cast(LongType).as("err_nano"))
+      .groupBy("dim", "mn", "mx")
+      .agg(countDistinct(col("code")).as("codes_used"),
+        max(col("err_nano")).as("max_err_nano"))
+  }
 }
