@@ -343,4 +343,66 @@ object TemporalJoins extends QueryModule {
         date_add(to_date(lit("1990-01-01")),
           col("peak_day_idx").cast(IntegerType)).as("peak_day"))
   }
+
+  // ========================================================== proration
+  // Earned-revenue proration — the reference domain's "earned premium"
+  // calculation (a policy's premium is earned day by day across the
+  // months its coverage window overlaps): each order's amount is
+  // prorated to every calendar month its activity window touches, in
+  // proportion to overlapping days. Exact integer arithmetic: cents ×
+  // overlap-days × 10⁶ with one truncating division by the window
+  // length — earned_micro is bit-identical across engines, and monthly
+  // revenue-recognition totals are a plain SUM over this table.
+  //
+  // Scale: the month explode is bounded by each window's month span
+  // (≤ 2 for these ≤ 25-day windows, ≤ span/28 generally) and fuses
+  // map-side; there is NO shuffle at all — proration is a projection.
+  register("q135_earned_revenue",
+    """WITH iv AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS lo,
+      |    CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) + (o_orderkey % 20) + 5 AS hi,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |mo AS (
+      |  SELECT id, lo, hi, cents,
+      |    CAST(unnest(generate_series(
+      |      date_trunc('month', DATE '1990-01-01' + lo * INTERVAL 1 DAY),
+      |      date_trunc('month', DATE '1990-01-01' + hi * INTERVAL 1 DAY),
+      |      INTERVAL 1 MONTH)) AS DATE) AS month
+      |  FROM iv),
+      |ov AS (
+      |  SELECT id, month, lo, hi, cents,
+      |    LEAST(hi, CAST(datediff('day', DATE '1990-01-01',
+      |        CAST(last_day(month) AS DATE)) AS BIGINT))
+      |      - GREATEST(lo, CAST(datediff('day', DATE '1990-01-01', month)
+      |        AS BIGINT)) + 1 AS overlap_days
+      |  FROM mo)
+      |SELECT id AS o_orderkey, month, overlap_days,
+      |  hi - lo + 1 AS window_days,
+      |  cents * overlap_days * 1000000 // (hi - lo + 1) AS earned_micro
+      |FROM ov""".stripMargin) { (s, d) =>
+    val anchor = to_date(lit("1990-01-01"))
+    val iv = orders(s, d).select(
+      col("o_orderkey").as("id"),
+      datediff(to_date(col("o_orderdate")), anchor).cast(LongType).as("lo"),
+      floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+      .withColumn("hi", col("lo") + col("id") % 20 + 5)
+    iv
+      .withColumn("month", explode(sequence(
+        trunc(date_add(anchor, col("lo").cast(IntegerType)), "month"),
+        trunc(date_add(anchor, col("hi").cast(IntegerType)), "month"),
+        expr("interval 1 month"))))
+      .withColumn("overlap_days",
+        least(col("hi"), datediff(last_day(col("month")), anchor)
+          .cast(LongType))
+          - greatest(col("lo"), datediff(col("month"), anchor)
+            .cast(LongType)) + 1)
+      .select(col("id").as("o_orderkey"), col("month"), col("overlap_days"),
+        (col("hi") - col("lo") + 1).as("window_days"),
+        expr("cents * overlap_days * 1000000 div (hi - lo + 1)")
+          .as("earned_micro"))
+  }
 }

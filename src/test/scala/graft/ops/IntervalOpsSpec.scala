@@ -40,6 +40,25 @@ class IntervalOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("proration conserves the window: per-order overlap days sum to " +
+      "window_days and earned_micro never exceeds the full amount") {
+    val er = TemporalJoins.queries("q135_earned_revenue")(spark, sf)
+    val perOrder = er.groupBy("o_orderkey")
+      .agg(sum(col("overlap_days")).as("d"),
+        max(col("window_days")).as("w"),
+        sum(col("earned_micro")).as("e"))
+    assert(perOrder.filter(col("d") =!= col("w")).count() === 0)
+    // truncating division can under-allocate by at most (months-1) micro
+    // units per order, never over-allocate
+    val cents = Tables.orders(spark, sf).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        .as("cents"))
+    val joined = perOrder.join(cents, "o_orderkey")
+    assert(joined.filter(col("e") > col("cents") * 1000000L).count() === 0)
+    assert(joined.filter(col("cents") * 1000000L - col("e") >= 1000000L)
+      .count() === 0)
+  }
+
   test("sweep peak equals brute-force concurrency at the peak day") {
     val peaks = TemporalJoins.queries("q128_peak_concurrency")(spark, sf)
       .withColumn("day_idx",
