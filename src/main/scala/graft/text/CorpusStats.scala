@@ -314,4 +314,87 @@ object CorpusStats extends QueryModule {
       .orderBy(col("doc_freq").desc, col("term").asc)
       .limit(100)
   }
+
+  // ================================================================ bm25
+  /** [[q136]] query terms (drawn from the corpus head vocabulary). */
+  val Bm25Terms: Seq[String] = Seq("join", "hash", "scan")
+  val Bm25Top = 20
+
+  // BM25-shaped lexical ranking — the retrieval scorer between q38's
+  // TF-IDF table and q132's fusion: per-document score for a fixed
+  // query, with tf saturation (k1 = 1.2) and length normalization
+  // (b = 0.75). The idf factor is the LOG-FREE rational surrogate
+  // (N − df + ½)/(df + ½) — the same monotone core BM25 wraps in a log
+  // (transcendentals are banned from oracle-gated queries; ordering and
+  // saturation behavior are preserved).
+  //
+  // Determinism: every float literal is e-notation DOUBLE on both sides
+  // (plain 0.5 parses as DECIMAL in both engines, whose division scale
+  // rules differ); per-term scores pivot to fixed columns so the final
+  // sum is the same left-to-right three-term addition in both engines —
+  // never an order-ambiguous SUM over rows.
+  //
+  // Scale: one (doc, term) partial-aggregated shuffle for tf (the WHERE
+  // prunes to query terms BEFORE the aggregate); df and the global
+  // length stats are broadcast frames; top-20 is TakeOrdered.
+  register("q136_bm25_ranking", {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val Seq(t1, t2, t3) = Bm25Terms
+    s"""WITH $oTok,
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |       FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok WHERE w IN ($inList) GROUP BY doc_id, w),
+       |df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT t.doc_id, t.w,
+       |    ((s.n_docs - d.df + 5e-1) / (d.df + 5e-1))
+       |      * (t.tf * 22e-1)
+       |      / (t.tf + 12e-1 * (25e-2 + 75e-2 * (l.dl / s.avgdl))) AS sco
+       |  FROM tf t JOIN df d ON t.w = d.w
+       |       JOIN dl l ON t.doc_id = l.doc_id
+       |       CROSS JOIN stats s),
+       |pv AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN w = '$t1' THEN sco END) AS s1,
+       |    MAX(CASE WHEN w = '$t2' THEN sco END) AS s2,
+       |    MAX(CASE WHEN w = '$t3' THEN sco END) AS s3
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id,
+       |  COALESCE(s1, 0e0) + COALESCE(s2, 0e0) + COALESCE(s3, 0e0) AS bm25
+       |FROM pv
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+       |  <= $Bm25Top""".stripMargin
+  }) { (s, d) =>
+    val Seq(t1, t2, t3) = Bm25Terms
+    val tok = documents(s, d).select(col("doc_id"),
+      explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("w").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val sc = tf
+      .join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"),
+        expr("""((n_docs - df + 5e-1) / (df + 5e-1))
+               | * (tf * 22e-1)
+               | / (tf + 12e-1 * (25e-2 + 75e-2 * (dl / avgdl)))"""
+          .stripMargin).as("sco"))
+    sc.groupBy("doc_id")
+      .agg(max(when(col("w") === t1, col("sco"))).as("s1"),
+        max(when(col("w") === t2, col("sco"))).as("s2"),
+        max(when(col("w") === t3, col("sco"))).as("s3"))
+      .select(col("doc_id"),
+        (coalesce(col("s1"), lit(0e0)) + coalesce(col("s2"), lit(0e0))
+          + coalesce(col("s3"), lit(0e0))).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(Bm25Top)
+  }
 }

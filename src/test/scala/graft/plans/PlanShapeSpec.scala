@@ -40,7 +40,9 @@ class PlanShapeSpec extends SparkSpec {
     // q132's corpus pass broadcasts the single query row
     "q132_rrf_fusion",
     // q133's global prior is a 1-row broadcast onto the cell frame
-    "q133_target_encoding")
+    "q133_target_encoding",
+    // q136's corpus length stats are a 1-row broadcast onto the tf frame
+    "q136_bm25_ranking")
 
   test("no unbounded cartesian or nested-loop join anywhere in the suite") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
