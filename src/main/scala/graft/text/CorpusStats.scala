@@ -397,4 +397,55 @@ object CorpusStats extends QueryModule {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(Bm25Top)
   }
+
+  // ================================================ source similarity
+  // Cross-source vocabulary similarity matrix — the dataset-curation
+  // view that finds near-duplicate domains/feeds before mixing (two
+  // sources with Jaccard ≈ 1 are the same crawl twice; q119's mixture
+  // weights should see one of them). Exact set Jaccard over each
+  // source's distinct vocabulary: |∩| from a token-keyed equi-join,
+  // integer sizes, one double division.
+  //
+  // Scale: distinct (source, token) partial-aggregates map-side; the
+  // intersection join is keyed on the token with fan-out bounded by the
+  // source count (20 here). For source counts where |sources|² pairs
+  // stop being "a summary table", swap the exact path for the q24/q25
+  // MinHash signatures per source — same downstream shape.
+  register("q137_source_similarity",
+    s"""WITH sv AS (
+       |  SELECT DISTINCT source, unnest($oTokens) AS w FROM documents),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sv GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM inter JOIN sizes sa ON source_a = sa.source
+       |           JOIN sizes sb ON source_b = sb.source""".stripMargin) {
+    (s, d) =>
+    val sv = documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = sv.select(col("source").as("source_a"), col("w"))
+    val b = sv.select(col("source").as("source_b"), col("w").as("wb"))
+    val inter = a.join(b, col("w") === col("wb") &&
+        col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
 }
