@@ -1365,4 +1365,46 @@ object RelationalOps extends QueryModule {
           + lit(EncodeSmoothK) * (col("big_s").cast(DoubleType) / col("big_n")))
           / (col("n_c") - col("n_f") + EncodeSmoothK)).as("encoding_cents"))
   }
+
+  /** [[q138]] per-group k. */
+  val GroupTopK = 5
+
+  // GROUP-WISE TOP-K via the bounded-state [[TopKAgg]] Aggregator:
+  // per-group aggregation state is k rows regardless of group size, and
+  // only k-row partials cross the shuffle — the map-side-combinable
+  // alternative to window-rank (which sorts every group's full row set).
+  // The DuckDB oracle IS the window-rank formulation, so the gate proves
+  // the two formulations equivalent. Duplicate (value, id) tuples are
+  // interchangeable under ranking — output values are identical.
+  register("q138_group_topk",
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+       |    l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+       |    ORDER BY cents DESC, l_orderkey ASC, l_linenumber ASC) AS rank
+       |  FROM base)
+       |SELECT g AS l_returnflag, CAST(rank AS INTEGER) AS rank, cents,
+       |  l_orderkey, l_linenumber
+       |FROM r WHERE rank <= $GroupTopK""".stripMargin) { (s, d) =>
+    val topk = org.apache.spark.sql.functions.udaf(
+      TopKAgg.aggregator(GroupTopK),
+      org.apache.spark.sql.Encoders.product[TopKRow])
+    val agged = lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast(LongType).as("c"),
+        col("l_orderkey"), col("l_linenumber"))
+      .groupBy("g")
+      .agg(topk(col("c"), col("l_orderkey"), col("l_linenumber")).as("tk"))
+    // explode FIRST, read struct fields in the NEXT projection (the
+    // same-select generator/getField trap — see the verify recipe)
+    agged.select(col("g"), posexplode(col("tk.rows")))
+      .select(col("g").as("l_returnflag"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.c").as("cents"),
+        col("col.o").as("l_orderkey"),
+        col("col.l").as("l_linenumber"))
+  }
 }
