@@ -68,11 +68,24 @@ object PlanLint {
         .replaceAll("IsNotNull\\([^)]*\\)", "")
         .replaceAll("[,\\s]", "").isEmpty
 
+    // Descend only through the Filter's own unary chain (projections,
+    // codegen wrappers, AQE stages): crossing a join would blame scans on
+    // the other side whose columns the predicate never references, and
+    // crossing another FilterExec would report one scan once per stacked
+    // Filter — both false-positive noise in a gating tool.
+    def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Some(s)
+      case a: AdaptiveSparkPlanExec => scanBelow(a.executedPlan)
+      case q: QueryStageExec        => scanBelow(q.plan)
+      case _: FilterExec            => None // the inner Filter owns this scan
+      case u if u.children.size == 1 => scanBelow(u.children.head)
+      case _                         => None
+    }
+
     val unpushedScans = nodes.collect {
       case f: FilterExec =>
-        expand(f.child).collect {
-          case s: FileSourceScanExec
-              if s.metadata.get("PushedFilters").exists(effectivelyUnpushed) =>
+        scanBelow(f.child).collect {
+          case s if s.metadata.get("PushedFilters").exists(effectivelyUnpushed) =>
             Finding("unpushed-scan", "FileSourceScan",
               s"Filter(${f.condition.sql.take(80)}) above a scan with no pushed predicate")
         }

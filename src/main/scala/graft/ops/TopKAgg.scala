@@ -31,13 +31,37 @@ object TopKAgg {
     new Aggregator[TopKRow, TopKBuf, TopKBuf] {
       def zero: TopKBuf = TopKBuf(Vector.empty)
 
-      def reduce(b: TopKBuf, a: TopKRow): TopKBuf =
+      def reduce(b: TopKBuf, a: TopKRow): TopKBuf = {
         // no-op fast path once the buffer is saturated and a can't enter
         if (b.rows.size >= k && !before(a, b.rows.last)) b
-        else TopKBuf((b.rows :+ a).sortWith(before).take(k))
+        else {
+          // binary insertion into the already-sorted buffer: O(log k)
+          // compares + one O(k) patch, vs re-sorting the whole buffer
+          var lo = 0
+          var hi = b.rows.size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (before(b.rows(mid), a)) lo = mid + 1 else hi = mid
+          }
+          TopKBuf(b.rows.patch(lo, Seq(a), 0).take(k))
+        }
+      }
 
-      def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =
-        TopKBuf((b1.rows ++ b2.rows).sortWith(before).take(k))
+      def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+        // linear sorted-merge of two already-sorted ≤k buffers
+        val out = Vector.newBuilder[TopKRow]
+        var i = 0
+        var j = 0
+        var n = 0
+        val r1 = b1.rows
+        val r2 = b2.rows
+        while (n < k && (i < r1.size || j < r2.size)) {
+          if (j >= r2.size || (i < r1.size && before(r1(i), r2(j)))) { out += r1(i); i += 1 }
+          else { out += r2(j); j += 1 }
+          n += 1
+        }
+        TopKBuf(out.result())
+      }
 
       def finish(r: TopKBuf): TopKBuf = r
       def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]

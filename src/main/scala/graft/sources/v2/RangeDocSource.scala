@@ -107,13 +107,23 @@ final class RangeDocScanBuilder(rows: Long, splits: Int)
     case _                   => None
   }
 
+  // `x + 1` bounds saturate at Long.MaxValue instead of wrapping negative:
+  // a pushed `id <= Long.MaxValue` must mean "no upper bound", not an
+  // empty scan. (`id > Long.MaxValue` is vacuously false — an empty range
+  // via lo = MaxValue, hi <= rows is the correct answer there.)
+  private def succ(x: Long): Long = if (x == Long.MaxValue) x else x + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Reset accumulated state: Spark may call pushFilters more than once on
+    // the same builder, and stale bounds from a prior call must not compound.
+    lo = 0L
+    hi = rows
     val (accepted, residual) = filters.partition {
-      case GreaterThan("id", v)        => lit(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThan("id", v)        => lit(v).exists { x => lo = math.max(lo, succ(x)); true }
       case GreaterThanOrEqual("id", v) => lit(v).exists { x => lo = math.max(lo, x); true }
       case LessThan("id", v)           => lit(v).exists { x => hi = math.min(hi, x); true }
-      case LessThanOrEqual("id", v)    => lit(v).exists { x => hi = math.min(hi, x + 1); true }
-      case EqualTo("id", v)            => lit(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case LessThanOrEqual("id", v)    => lit(v).exists { x => hi = math.min(hi, succ(x)); true }
+      case EqualTo("id", v)            => lit(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, succ(x)); true }
       case _                           => false
     }
     pushed = accepted

@@ -77,6 +77,24 @@ class RangeDocSourceSpec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("Long.MaxValue bounds saturate instead of wrapping to an empty scan") {
+    // id <= Long.MaxValue means "no upper bound": the succ() saturation
+    // guard must keep hi at rows, not wrap negative and clamp below lo
+    val df = read(1000, 4).filter(col("id") <= Long.MaxValue)
+    assert(df.count() === 1000L)
+    // id > Long.MaxValue is unsatisfiable — empty range is the right answer
+    assert(read(1000, 4).filter(col("id") > Long.MaxValue).count() === 0L)
+  }
+
+  test("repeated pushFilters on one builder does not compound stale bounds") {
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+    val b = new graft.sources.v2.RangeDocScanBuilder(1000L, 4)
+    b.pushFilters(Array[Filter](GreaterThanOrEqual("id", 100L), LessThan("id", 200L)))
+    // a second call with a WIDER range must fully replace the first bounds
+    b.pushFilters(Array[Filter](GreaterThanOrEqual("id", 10L)))
+    assert(b.build().description().contains("id=[10,1000)"))
+  }
+
   test("SQL DDL path: CREATE TABLE ... USING graft-range") {
     spark.sql("DROP TABLE IF EXISTS graft_range_ddl")
     spark.sql(
