@@ -443,13 +443,24 @@ object RelationalOps extends QueryModule {
   }
 
   // ============================================================ §2.1 S5
-  // file-metadata capture (_metadata.file_path): rows-only check — the
-  // oracle SQL is static and cannot parameterize the sf directory path
-  registerNoOracle("q19_file_metadata") { (s, d) =>
-    lineitem(s, d)
-      .select(col("_metadata.file_path").as("source_file_path"),
-        col("l_orderkey"))
-      .groupBy("source_file_path")
+  // file-metadata capture (_metadata.file_path): the absolute path isn't
+  // expressible in a static oracle, but its BASENAME is — the testdata
+  // layout is one file per table named <table>.parquet (same at 10x/20x
+  // soak: make_soak.py COPYies to single files), so extracting the path
+  // suffix makes per-file row counts strictly hash-checkable.
+  register("q19_file_metadata",
+    """SELECT * FROM (
+      |  SELECT 'lineitem.parquet' AS source_file, CAST(COUNT(*) AS BIGINT) AS row_count FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.parquet', CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'customer.parquet', CAST(COUNT(*) AS BIGINT) FROM customer
+      |)""".stripMargin) { (s, d) =>
+    Seq(lineitem(s, d), orders(s, d), customer(s, d))
+      .map(_.select(
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("source_file")))
+      .reduce(_ unionAll _)
+      .groupBy("source_file")
       .agg(count(lit(1)).as("row_count"))
   }
 
