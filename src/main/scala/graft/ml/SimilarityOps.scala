@@ -237,18 +237,25 @@ object SimilarityOps extends QueryModule {
        |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
        |      (x, y) -> x + y)""".stripMargin
 
-  /** Coarse-codebook size cap. The codebook is `collect()`ed and embedded
-    * as literal arrays in the map-only assignment fold, so driver memory
-    * AND plan size grow as k·Dim — fine for coarse IVF quantizers (k is
-    * tens to thousands by design), quadratic-feeling well before OOM if k
-    * silently grows with the data. Past the cap, switch to the escape
-    * hatch: `sparkContext.broadcast` the codebook and argmin in a UDF —
-    * same map-only shape, no literals in the plan. */
+  /** Literal-vs-broadcast switch for centroid assignment. At or under
+    * this k the codebook is embedded as literal arrays in the plan and
+    * the argmin fold stays inside whole-stage codegen; past it the plan
+    * itself would grow as k·Dim, so assignment switches to a
+    * `sparkContext.broadcast` codebook + argmin UDF — the same map-only
+    * shape with the codebook shipped once per executor instead of once
+    * per plan. Both paths are bit-identical (same index-order fold, same
+    * (dist, label) tie-break) — pinned by IvfSearchSpec. */
   val MaxCodebook = 1024
 
+  /** Hard cap on the driver-side codebook collect. The k·Dim doubles of
+    * a coarse quantizer must fit on the driver by design (Lloyd-style
+    * training is a bounded driver sync); this guard turns a silently
+    * data-scaling k into a loud error instead of an OOM. 65536×64 ≈ 32 MB. */
+  val MaxCodebookHard = 65536
+
   /** Train the IVF coarse codebook (per-label exact-grid means, q30
-    * semantics) and collect it driver-side, guarded by [[MaxCodebook]]. */
-  def trainCodebook(emb: DataFrame, maxK: Int = MaxCodebook): Seq[(Int, Seq[Double])] = {
+    * semantics) and collect it driver-side, guarded by [[MaxCodebookHard]]. */
+  def trainCodebook(emb: DataFrame, maxK: Int = MaxCodebookHard): Seq[(Int, Seq[Double])] = {
     val rows = emb
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), (col("pos") + 1).as("dim"),
@@ -261,11 +268,70 @@ object SimilarityOps extends QueryModule {
         e => e.getField("cv")).as("cvec"))
       .collect()
     require(rows.length <= maxK,
-      s"IVF codebook has ${rows.length} centroids (cap $maxK): a literal-" +
-        "embedded codebook is driver/plan-size bounded — broadcast the " +
-        "codebook and argmin in a UDF for larger k")
+      s"IVF codebook has ${rows.length} centroids (hard cap $maxK): the " +
+        "collected codebook must stay a bounded driver sync — shard the " +
+        "corpus or coarsen the quantizer")
     rows.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
   }
+
+  /** Top-n nearest centroids of a vector column, nearest-first, as an
+    * array of centroid labels. Dispatches on codebook size:
+    *
+    *   - k ≤ [[MaxCodebook]] (or `forceLiteral = Some(true)`): literal
+    *     codebook — a per-centroid (dist, label) struct array sorted and
+    *     sliced inline; whole-stage-codegen friendly, but the PLAN grows
+    *     as k·Dim.
+    *   - k > [[MaxCodebook]]: broadcast codebook + one UDF — constant
+    *     plan size, codebook shipped once per executor. The UDF computes
+    *     the identical index-order left-fold distance and the identical
+    *     (dist asc, label asc) ordering, so results are bit-equal to the
+    *     literal path (IvfSearchSpec pins both directions).
+    */
+  def probeCentroids(
+      s: SparkSession,
+      codebook: Seq[(Int, Seq[Double])],
+      n: Int,
+      forceLiteral: Option[Boolean] = None)(v: Column): Column = {
+    val literal = forceLiteral.getOrElse(codebook.size <= MaxCodebook)
+    if (literal) {
+      def centDists(x: Column): Column = array(codebook.map { case (lbl, cv) =>
+        struct(l2sq(x, cv).as("dist"), lit(lbl).as("lbl"))
+      }: _*)
+      transform(slice(array_sort(centDists(v)), 1, n), e => e.getField("lbl"))
+    } else {
+      val bc = s.sparkContext.broadcast(
+        codebook.map { case (l, cv) => (l, cv.toArray) }.toArray)
+      val topN = udf { (vec: scala.collection.Seq[Float]) =>
+        val cands = bc.value.map { case (lbl, cv) =>
+          // same IEEE op sequence as l2sq's zip_with + left fold
+          var acc = 0.0
+          var i = 0
+          while (i < cv.length) {
+            val dx = vec(i).toDouble - cv(i)
+            acc += dx * dx
+            i += 1
+          }
+          (acc, lbl)
+        }
+        cands.sortBy(identity).iterator.take(n).map(_._2).toSeq
+      }
+      topN(v)
+    }
+  }
+
+  /** Nearest-centroid label. Literal path uses `array_min` (O(k) per row,
+    * no sort — this runs over the full corpus); broadcast path is the
+    * `probeCentroids(n = 1)` head. Same (dist, label) ordering either way. */
+  def nearestCentroid(
+      s: SparkSession,
+      codebook: Seq[(Int, Seq[Double])],
+      forceLiteral: Option[Boolean] = None)(v: Column): Column =
+    if (forceLiteral.getOrElse(codebook.size <= MaxCodebook)) {
+      val dists = array(codebook.map { case (lbl, cv) =>
+        struct(l2sq(v, cv).as("dist"), lit(lbl).as("lbl"))
+      }: _*)
+      array_min(dists).getField("lbl")
+    } else element_at(probeCentroids(s, codebook, 1, forceLiteral)(v), 1)
 
   register("q79_ivf_search", {
     s"""WITH dims AS (
@@ -301,22 +367,20 @@ object SimilarityOps extends QueryModule {
        |FROM ranked WHERE rank <= $TopK""".stripMargin
   }) { (s, d) =>
     // Phase 1 (tiny): train + collect the coarse codebook, sorted by label
-    // so the generated literal expressions are deterministic; guarded by
-    // MaxCodebook against silently unbounded collects.
+    // so the generated expressions are deterministic; collect guarded by
+    // MaxCodebookHard against silently unbounded driver syncs.
     val codebook: Seq[(Int, Seq[Double])] = trainCodebook(embeddings(s, d))
 
-    // Phase 2 (map-only on the corpus): argmin over the literal codebook.
-    def centDists(v: Column): Column = array(codebook.map { case (lbl, cv) =>
-      struct(l2sq(v, cv).as("dist"), lit(lbl).as("lbl"))
-    }: _*)
+    // Phase 2 (map-only on the corpus): argmin via the size-dispatched
+    // assignment path — literal fold at this k (10 labels), broadcast
+    // codebook + UDF past MaxCodebook (IvfSearchSpec pins identity).
     val assigned = embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding"),
-      array_min(centDists(col("embedding"))).getField("lbl").as("bucket"))
+      nearestCentroid(s, codebook)(col("embedding")).as("bucket"))
     val probes = embeddings(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(transform(
-          slice(array_sort(centDists(col("embedding"))), 1, NProbe),
-          e => e.getField("lbl"))).as("pbucket"))
+        explode(probeCentroids(s, codebook, NProbe)(col("embedding")))
+          .as("pbucket"))
 
     val scored = broadcast(probes).join(assigned.alias("c"),
         col("pbucket") === col("c.bucket") && col("query_id") =!= col("c.vec_id"))

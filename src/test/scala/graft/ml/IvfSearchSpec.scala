@@ -53,6 +53,39 @@ class IvfSearchSpec extends SparkSpec {
     assert(SimilarityOps.trainCodebook(emb, maxK = 5).size === 5)
   }
 
+  test("broadcast assignment path is result-identical to the literal path at k > MaxCodebook") {
+    import spark.implicits._
+    // a codebook past the literal cap: k = MaxCodebook + 176 deterministic
+    // 4-dim centroids, plus a small corpus of vectors scattered near them
+    val k = SimilarityOps.MaxCodebook + 176
+    val codebook: Seq[(Int, Seq[Double])] = (0 until k).map { i =>
+      (i, Seq(i % 13 / 13.0, i % 7 / 7.0, i % 29 / 29.0, i / k.toDouble))
+    }
+    val corpus = (0 until 400).map { j =>
+      (j.toLong, Array(
+        (j % 13 / 13.0 + j % 3 * 0.01).toFloat, (j % 7 / 7.0).toFloat,
+        (j % 29 / 29.0 - j % 2 * 0.01).toFloat, (j % k / k.toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+
+    // k > MaxCodebook auto-selects the broadcast+UDF path; force the
+    // literal path as the ground truth (plan-size-heavy but exact)
+    def run(force: Option[Boolean]) = corpus.select(col("vec_id"),
+        SimilarityOps.nearestCentroid(spark, codebook, force)(col("embedding"))
+          .as("bucket"),
+        SimilarityOps.probeCentroids(spark, codebook, 3, force)(col("embedding"))
+          .as("probes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList))
+      .sortBy(_._1).toList
+    val broadcastPath = run(None)
+    val literalPath = run(Some(true))
+    assert(broadcastPath === literalPath)
+    // and the nearest bucket is the head of the probe list on both paths
+    broadcastPath.foreach { case (_, bucket, probes) =>
+      assert(probes.head === bucket)
+      assert(probes.length === 3)
+    }
+  }
+
   test("IVF corpus side is map-only: broadcast probe join, one shuffle total") {
     val plan = SimilarityOps.queries("q79_ivf_search")(spark, sf)
       .queryExecution.executedPlan.toString
