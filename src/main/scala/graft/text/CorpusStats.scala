@@ -409,8 +409,8 @@ object CorpusStats extends QueryModule {
   // Scale: distinct (source, token) partial-aggregates map-side; the
   // intersection join is keyed on the token with fan-out bounded by the
   // source count (20 here). For source counts where |sources|² pairs
-  // stop being "a summary table", swap the exact path for the q24/q25
-  // MinHash signatures per source — same downstream shape.
+  // stop being "a summary table", use q139's MinHash-signature estimate
+  // instead — same output shape, corpus touched exactly once.
   register("q137_source_similarity",
     s"""WITH sv AS (
        |  SELECT DISTINCT source, unnest($oTokens) AS w FROM documents),
@@ -447,5 +447,86 @@ object CorpusStats extends QueryModule {
         col("n_a"), col("n_b"),
         (col("n_common").cast(DoubleType)
           / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  // ================================== source similarity, MinHash estimate
+  // The documented scale swap for q137: at source counts where the exact
+  // token-keyed intersection join stops being cheap, estimate each pair's
+  // Jaccard from per-source MinHash signatures instead. Signature slot i
+  // is min(xxhash64(i, w)) over the source's distinct vocabulary —
+  // computed as MinhashPerms parallel min() aggregates in ONE map-side-
+  // combined pass over (source, token), so the shuffle carries exactly
+  // |sources| × MinhashPerms longs and the pair comparison runs on a
+  // |sources|-row broadcast frame. Nothing downstream of the vocab scan
+  // depends on corpus size — this is the O(S²) fix q137's Scaladoc
+  // promises.
+  //
+  // Gate (q55/q56/q85 within_bound pattern): the estimate is
+  // engine-specific (a fixed xxhash64 family), so the hash covers the
+  // EXACT pair matrix plus a within_bound boolean. matches/P is unbiased
+  // with se = sqrt(J(1-J)/P) ≤ 0.044 at P = 128; the 0.2 bound is >4.5σ
+  // — and the estimator is fully deterministic, so a pass at one SF is a
+  // pass forever on that data.
+  val MinhashPerms = 128
+  val MinhashJaccardBound = 0.2
+
+  /** The estimate-vs-exact pair frame behind q139 — separate so the spec
+    * can assert the actual estimator margin, not just the boolean. */
+  def sourceMinhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sv = documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+    // one wide aggregation: P independent min-hash slots, packed to an array
+    val sigs = sv.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        array((0 until MinhashPerms).map(i =>
+          min(xxhash64(lit(i), col("w")))): _*).as("sig"))
+    val a = sigs.select(col("source").as("source_a"), col("n").as("n_a"),
+      col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("n").as("n_b"),
+      col("sig").as("sig_b"))
+    val est = broadcast(a).join(broadcast(b),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), m => m)).cast(DoubleType)
+          / MinhashPerms).as("est_jaccard"))
+    // exact pair matrix (the hashable truth the bound is checked against)
+    val exact = sv.select(col("source").as("source_a"), col("w"))
+      .join(sv.select(col("source").as("source_b"), col("w").as("wb")),
+        col("w") === col("wb") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    // inner join: like q137's oracle, only intersecting pairs appear
+    // (every source pair here shares vocabulary; a zero-overlap pair
+    // would be absent from both sides identically)
+    est.join(exact, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("est_jaccard"),
+        (col("n_common").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  register("q139_source_minhash_similarity",
+    s"""WITH sv AS (
+       |  SELECT DISTINCT source, unnest($oTokens) AS w FROM documents),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sv GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT source_a, source_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard,
+       |  TRUE AS within_bound
+       |FROM inter JOIN sizes sa ON source_a = sa.source
+       |           JOIN sizes sb ON source_b = sb.source""".stripMargin) {
+    (s, d) =>
+    sourceMinhashPairs(s, d)
+      .select(col("source_a"), col("source_b"), col("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard"))
+          <= MinhashJaccardBound).as("within_bound"))
   }
 }

@@ -88,4 +88,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(byTerm("c").getAs[Long]("total_freq") === 4L)
     assert(byTerm("b").getAs[String]("postings") === "26")
   }
+
+  test("q139: MinHash estimate honors bound; identical vocab estimates exactly 1") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("srcminhash").toString
+    // A and B share all 10 tokens (J=1); C overlaps A in 5 of 15 (J=1/3);
+    // D is disjoint from everyone (pairs with D must be absent)
+    val vocabA = (0 until 10).map(i => s"tok$i").mkString(" ")
+    val vocabC = ((5 until 10) ++ (100 until 110)).map(i => s"tok$i").mkString(" ")
+    Seq((1L, vocabA, "en", "srcA", 60L), (2L, vocabA, "en", "srcB", 60L),
+      (3L, vocabC, "en", "srcC", 90L), (4L, "zzz yyy", "en", "srcD", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = CorpusStats.queries("q139_source_minhash_similarity")(spark, d)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r)
+      .toMap
+    assert(rows.keySet === Set(("srcA", "srcB"), ("srcA", "srcC"),
+      ("srcB", "srcC")), "disjoint srcD pairs must be absent")
+    assert(rows(("srcA", "srcB")).getAs[Double]("jaccard") === 1.0)
+    assert(rows(("srcA", "srcC")).getAs[Double]("jaccard") === 0.25)
+    rows.values.foreach(r => assert(r.getAs[Boolean]("within_bound")))
+  }
+
+  test("q139: estimator deviation on real data stays well inside the gate bound") {
+    import org.apache.spark.sql.functions._
+    // all 190 pairs must be within HALF the gate bound — a pass with real
+    // margin, not a boundary graze (the estimator is deterministic, so
+    // this is a stable property of the fixed xxhash64 family)
+    val margin = CorpusStats.sourceMinhashPairs(spark, "/root/testdata/sf0.001")
+      .select(max(abs(col("est_jaccard") - col("jaccard"))).as("m"),
+        count(lit(1)).as("n"))
+      .head()
+    assert(margin.getAs[Long]("n") === 190L)
+    assert(margin.getAs[Double]("m") <= CorpusStats.MinhashJaccardBound / 2,
+      s"max |est - exact| = ${margin.getAs[Double]("m")}")
+  }
 }
