@@ -23,9 +23,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     every row moves through one partition (q45/W3 is fine because it
   *     runs post-aggregation on a mart-sized frame; the lint can't know
   *     cardinality, so it reports and the caller judges).
-  *   - `unpushed-scan` — a parquet scan with no pushed-down filters
-  *     feeding a Filter: the predicate may be push-eligible (or may be
-  *     on a computed column — again, surfaced for judgment).
+  *   - `unpushed-scan` — a Filter whose condition contains a PUSH-
+  *     ELIGIBLE conjunct (a plain scan column compared to a literal)
+  *     sitting above a parquet scan that pushed no real predicate.
+  *     Conditions made only of null guards or computed expressions
+  *     (modulo, size(...), UDF outputs) are not findings — parquet
+  *     cannot evaluate them, so nothing was lost.
   *   - `shuffle-count` — one informational finding with the number of
   *     shuffle exchanges in the plan.
   */
@@ -68,24 +71,53 @@ object PlanLint {
         .replaceAll("IsNotNull\\([^)]*\\)", "")
         .replaceAll("[,\\s]", "").isEmpty
 
-    // Descend only through the Filter's own unary chain (projections,
-    // codegen wrappers, AQE stages): crossing a join would blame scans on
-    // the other side whose columns the predicate never references, and
-    // crossing another FilterExec would report one scan once per stacked
-    // Filter — both false-positive noise in a gating tool.
+    // Descend only through the Filter's own projection/plumbing chain:
+    // crossing a join would blame scans on the other side whose columns
+    // the predicate never references; crossing another FilterExec would
+    // report one scan once per stacked Filter; and crossing a Window /
+    // Aggregate / Generate would blame the scan for predicates on columns
+    // that only exist ABOVE the scan — all false-positive noise in a
+    // gating tool.
     def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
       case s: FileSourceScanExec    => Some(s)
       case a: AdaptiveSparkPlanExec => scanBelow(a.executedPlan)
       case q: QueryStageExec        => scanBelow(q.plan)
-      case _: FilterExec            => None // the inner Filter owns this scan
-      case u if u.children.size == 1 => scanBelow(u.children.head)
-      case _                         => None
+      case u @ (_: ProjectExec | _: WholeStageCodegenExec | _: InputAdapter |
+                _: ColumnarToRowExec) => scanBelow(u.children.head)
+      case r: ReusedExchangeExec    => scanBelow(r.child)
+      case _                        => None
+    }
+
+    // A conjunct parquet COULD have pushed: a plain scan column compared
+    // to a literal (the DataSourceStrategy-translatable shapes). Null
+    // guards and computed expressions are not losses — they can't push.
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, BinaryComparison, Expression, In, InSet,
+      Literal, StartsWith}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def plainAttr(e: Expression, cols: Set[String]): Boolean = e match {
+      case a: AttributeReference => cols.contains(a.name)
+      case _                     => false
+    }
+    def pushEligible(e: Expression, cols: Set[String]): Boolean = e match {
+      case b: BinaryComparison =>
+        (plainAttr(b.left, cols) && b.right.isInstanceOf[Literal]) ||
+          (plainAttr(b.right, cols) && b.left.isInstanceOf[Literal])
+      case In(a, vs)          => plainAttr(a, cols) && vs.forall(_.isInstanceOf[Literal])
+      case InSet(a, _)        => plainAttr(a, cols)
+      case StartsWith(a, _: Literal) => plainAttr(a, cols)
+      case _                  => false
     }
 
     val unpushedScans = nodes.collect {
       case f: FilterExec =>
         scanBelow(f.child).collect {
-          case s if s.metadata.get("PushedFilters").exists(effectivelyUnpushed) =>
+          case s if s.metadata.get("PushedFilters").exists(effectivelyUnpushed) &&
+              conjuncts(f.condition)
+                .exists(pushEligible(_, s.output.map(_.name).toSet)) =>
             Finding("unpushed-scan", "FileSourceScan",
               s"Filter(${f.condition.sql.take(80)}) above a scan with no pushed predicate")
         }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Suite-wide PlanLint CI gate (round-3 verdict item 7): every
+  * registered query's physical plan is linted against an explicit,
+  * rationaled allowlist. A new cartesian product, data-sized global
+  * window, or unpushed scan filter anywhere in the suite fails this spec
+  * — the review-time analogue of `graft.engine.Checks` for plans.
+  *
+  * The allowlists are the PlanShapeSpec exemption tables (moved here
+  * when the two per-rule sweeps were consolidated into this one-pass
+  * gate); every entry is bounded by construction, with the rationale
+  * recorded next to it.
+  */
+class PlanLintGateSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries with an INTENTIONAL nested-loop/cross join, each bounded by
+    * construction: q09 joins two 1-row count frames (reference S4 shape);
+    * q98 broadcasts a 1-row global-bounds frame onto the scan; q28/q29
+    * pair a broadcast ≤10-row query set against the corpus on a
+    * non-equi predicate; q87 pairs a fixed-size (<200-key) block; q66's
+    * quantile VALUES frame is 5 literal rows (same for q97's bounds
+    * when AQE picks BNLJ).
+    */
+  private val boundedCrossAllowed = Set(
+    "q09_audit_counts", "q98_histogram", "q28_cosine_topk", "q29_ann_lsh",
+    "q87_fuzzy_match", "q66_exact_quantiles", "q97_winsorized_stats",
+    "q53_embedding_near_dup", "q86_date_spine",
+    // 1-row broadcast scalar frames (corpus totals onto per-term scores;
+    // q108's totals row onto per-key counts; q113's Dim-row Gramian /
+    // 1-row eigenvector iteration frames — the corpus pass itself is
+    // join-free)
+    "q38_tfidf_top_terms", "q68_collocations", "q108_key_skew",
+    "q113_power_iteration",
+    // q126's 1-row total-weight frame broadcast onto the bucketed
+    // cumsum (the corpus pass is a single bucket-keyed window)
+    "q126_weighted_systematic",
+    // the BROADCAST band-join path by design — q76 is the binned
+    // non-broadcast alternative for large interval sides
+    "q59_range_join",
+    // q132's corpus pass broadcasts the single query row
+    "q132_rrf_fusion",
+    // q133's global prior is a 1-row broadcast onto the cell frame
+    "q133_target_encoding",
+    // q136's corpus length stats are a 1-row broadcast onto the tf frame
+    "q136_bm25_ranking",
+    // q139's pair comparison crosses the two |sources|-row signature
+    // frames (≤ S² pairs of 128-long arrays, broadcast both sides)
+    "q139_source_minhash_similarity")
+
+  /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
+    * a bounded post-aggregation frame, never on the raw data: the
+    * reference's W3 global LAG runs on the monthly mart (q12/q45); q86's
+    * spine is |months| rows; q108/q119/q123 rank a handful of summary
+    * rows; q126's offset window covers |buckets| rows; q131 ranks the
+    * path census; q48/q18-family global ranks are the suite's own
+    * ordering demos on capped frames.
+    */
+  private val boundedGlobalWindowAllowed = Set(
+    "q12_window_lag_global", "q45_gold_executive_summary", "q48_window_suite",
+    "q86_date_spine", "q108_key_skew", "q119_mixture_manifest",
+    "q123_sequence_funnel", "q126_weighted_systematic", "q131_session_paths",
+    // contingency-table marginals: SUM() OVER () on the |types|×7 cells
+    "q117_chi_square",
+    // q132 ranks its two TakeOrdered 100-row pools, never the corpus
+    "q132_rrf_fusion")
+
+  /** Queries where a FilterExec legitimately sits above a scan with no
+    * pushed predicate — populated only with rationaled entries discovered
+    * by the sweep (predicates on computed/derived columns parquet cannot
+    * evaluate). */
+  private val unpushedScanAllowed = Set.empty[String]
+
+  test("suite-wide gate: every query's plan is lint-clean modulo the allowlist") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val findings = PlanLint.lint(graft.SparkEntry.queries(name)(spark, sf))
+      findings.flatMap {
+        case f if f.rule == "cross-join" && !boundedCrossAllowed(name) =>
+          Some(s"$name [${f.rule}] ${f.detail.take(90)}")
+        case f if f.rule == "global-window" && !boundedGlobalWindowAllowed(name) =>
+          Some(s"$name [${f.rule}] ${f.detail.take(90)}")
+        case f if f.rule == "unpushed-scan" && !unpushedScanAllowed(name) =>
+          Some(s"$name [${f.rule}] ${f.detail.take(90)}")
+        case _ => None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"PlanLint gate: new findings need a fix or a rationaled allowlist entry:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("a deliberately bad plan trips every rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+
+    // cross-join: two unkeyed frames
+    val a = (1 to 10).toDF("x")
+    val b = (1 to 10).toDF("y")
+    assert(PlanLint.lint(a.crossJoin(b)).exists(_.rule == "cross-join"))
+
+    // global-window: empty PARTITION BY over the data
+    val gw = a.withColumn("rn", row_number().over(Window.orderBy(col("x"))))
+    assert(PlanLint.lint(gw).exists(_.rule == "global-window"))
+
+    // unpushed-scan: a push-eligible v = 3 predicate stranded above the
+    // scan by an intervening NON-DETERMINISTIC projection (planning
+    // cannot push filters through rand() for correctness) — the
+    // realistic way a selective filter silently stops reaching parquet
+    val d = java.nio.file.Files.createTempDirectory("lintgate").toString
+    (1 to 100).toDF("v").write.mode("overwrite").parquet(s"$d/t.parquet")
+    val up = spark.read.parquet(s"$d/t.parquet")
+      .select(col("v"), rand().as("r"))
+      .filter(col("v") === 3)
+    assert(PlanLint.lint(up).exists(_.rule == "unpushed-scan"))
+    // while a non-pushable predicate (modulo) above the same scan is NOT
+    // a finding — parquet could never evaluate it, nothing was lost
+    val modOnly = spark.read.parquet(s"$d/t.parquet")
+      .filter(pmod(col("v"), lit(7)) === 3)
+    assert(!PlanLint.lint(modOnly).exists(_.rule == "unpushed-scan"))
+
+    // and the shuffle-count informational finding is always present
+    assert(PlanLint.lint(a).exists(_.rule == "shuffle-count"))
+  }
+}

@@ -28,13 +28,13 @@ class PlanLintSpec extends SparkSpec {
     assert(!rules(keyed).contains("global-window"))
   }
 
-  test("q63 map-only sampling: zero shuffles, no joins/windows; its " +
-      "hash predicate is correctly surfaced as unpushable") {
+  test("q63 map-only sampling: zero shuffles, no joins/windows, and its " +
+      "computed hash predicate is NOT a finding (unpushable by construction)") {
     val df = graft.text.SamplingOps.queries("q63_stratified_sample")(spark, sf)
     val fs = PlanLint.lint(df)
-    // the seeded-hash sampling predicate is computed per row — it CANNOT
-    // reach parquet, and the lint is right to surface that for judgment
-    assert(fs.map(_.rule).toSet === Set("shuffle-count", "unpushed-scan"))
+    // the seeded-hash sampling predicate is computed per row — parquet
+    // could never evaluate it, so nothing was lost and the lint is quiet
+    assert(fs.map(_.rule).toSet === Set("shuffle-count"))
     assert(fs.find(_.rule == "shuffle-count").get.detail === "0")
   }
 
@@ -44,14 +44,23 @@ class PlanLintSpec extends SparkSpec {
     assert(n === "1")
   }
 
-  test("flags a computed predicate the scan cannot push, and is quiet " +
-      "when the same column pushes") {
+  test("unpushed-scan fires only on a real pushdown loss: quiet on " +
+      "computed predicates and on predicates that pushed") {
+    // computed predicate: parquet can never evaluate it — not a loss
     val computed = Tables.orders(spark, sf)
       .filter(pmod(col("o_orderkey") * 7, lit(13)) === 0)
-    assert(rules(computed).contains("unpushed-scan"))
+    assert(!rules(computed).contains("unpushed-scan"))
+    // pushable predicate that DID push — quiet
     val pushable = Tables.orders(spark, sf)
       .filter(col("o_totalprice") > 100000)
     assert(!rules(pushable).contains("unpushed-scan"))
+    // the real loss: the same eligible predicate stranded above the scan
+    // by an intervening non-deterministic projection (planning cannot
+    // push filters through rand() for correctness)
+    val lost = Tables.orders(spark, sf)
+      .select(col("o_totalprice"), rand().as("r"))
+      .filter(col("o_totalprice") > 100000)
+    assert(rules(lost).contains("unpushed-scan"))
   }
 
   test("report() returns the findings as a DataFrame") {
