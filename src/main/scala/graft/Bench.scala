@@ -42,7 +42,11 @@ object Bench {
       .selectExpr("sum(cast(r_regionkey as decimal(18,4))) as s")
       .write.format("noop").mode("overwrite").save()
 
+    // optional subset (comma-separated names) for targeted measurements
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to reps) {
       spark.catalog.clearCache() // each rep self-contained, cold SQL cache

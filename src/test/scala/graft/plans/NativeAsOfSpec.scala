@@ -67,6 +67,40 @@ class NativeAsOfSpec extends SparkSpec {
     }
   }
 
+  test("copy-on-persist merge survives buffer reuse: skipped keys, carry " +
+      "overwrites, and rows persisted across left rows") {
+    // Exercises every path of the merge's copy-on-persist discipline in
+    // ONE sorted partition pair: right keys with no left partner
+    // (skipped, never copied), runs of same-key past rows (carry
+    // overwritten repeatedly), a future row that terminates one left
+    // row's scan and matches the next (persisted across next() calls),
+    // and string payloads (offset-based UnsafeRow data — the kind a
+    // reused buffer corrupts first).
+    val left = (1 to 50).flatMap { k =>
+      Seq((k.toLong, ts(f"2024-01-${10}%02d 00:00:00"), s"L$k-early"),
+        (k.toLong, ts(f"2024-01-${20}%02d 00:00:00"), s"L$k-late"))
+    }.toDF("k", "t", "ltag")
+    val right = (0 to 51).flatMap { k =>
+      // k=0 and k=51 have no left partner; every other key gets five
+      // past rows (carry churn), one row between the two left times,
+      // and one far-future row
+      Seq.tabulate(5)(i =>
+        (k.toLong, ts(f"2024-01-0${i + 1} 00:00:00"), s"R$k-past$i")) ++
+        Seq((k.toLong, ts("2024-01-15 00:00:00"), s"R$k-mid"),
+          (k.toLong, ts("2024-02-01 00:00:00"), s"R$k-future"))
+    }.toDF("rk", "rt", "rtag")
+    val out = GraftPlans
+      .asofJoin(left.repartition(4), right.repartition(3),
+        "k", "t", "rk", "rt", Seq("rtag"))
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size === 100)
+    (1 to 50).foreach { k =>
+      assert(out(s"L$k-early") === s"R$k-past4", s"k=$k early")
+      assert(out(s"L$k-late") === s"R$k-mid", s"k=$k late")
+    }
+  }
+
   test("physical plan uses AsOfJoinExec with exactly one exchange per side") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
     val right = Seq((1L, ts("2024-01-01 00:00:00"), 1L)).toDF("rk", "rt", "rid")
