@@ -370,6 +370,51 @@ object StructuredStreams {
       .transformWithState(new TopUsersProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class TtlCount(user_id: Long, batch_count: Long)
+
+  /** Per-user running count whose state carries a ValueState TTL — the
+    * session-idle-reset primitive: if a user goes quiet longer than the
+    * TTL, their count restarts from zero instead of resuming.
+    *
+    * TTLConfig requires TimeMode.ProcessingTime (TimeMode.None throws
+    * STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), and TTL
+    * expiry is evaluated against the micro-batch's processing timestamp.
+    * See StreamingSpec's TTL test for the harness that can actually
+    * drive this mode (NOTES.md documents the MemoryStream +
+    * processAllAvailable batch-0 stall).
+    */
+  final class TtlCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TtlCount] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TtlCount] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val next = prev + rows.size
+      count.update(next)
+      Iterator.single(TtlCount(userId, next))
+    }
+  }
+
+  /** [[TtlCountProcessor]] wired to a stream: RocksDB provider required;
+    * ProcessingTime time mode (mandatory for TTL state). */
+  def ttlCounts(events: org.apache.spark.sql.Dataset[Ev], ttlMs: Long)
+      : org.apache.spark.sql.Dataset[TtlCount] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }
 
 /** Event record for the typed streaming API. */

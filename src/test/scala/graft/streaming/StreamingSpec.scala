@@ -314,6 +314,75 @@ class StreamingSpec extends SparkSpec {
       s"dedup across restart must yield 1,2,3 exactly once; got ${ids.toSeq}")
   }
 
+  test("ValueState TTL expires state across runs (ProcessingTime mode, " +
+      "Trigger.Once harness)") {
+    // ProcessingTime TimeMode makes EVERY micro-batch demand a successor
+    // (timers/TTL advance on batch timestamps), so drain-style waits
+    // never return: processAllAvailable and Trigger.AvailableNow both
+    // spin through empty micro-batches forever (measured: the offsets
+    // log grows one batch at a time with the purger holding it at
+    // minBatchesToRetain; the round-3 NOTES.md "batch-0 stall" was this
+    // loop, not a hang). Trigger.Once runs EXACTLY one batch and
+    // self-terminates, which is also what makes processing time
+    // DRIVEABLE: each restart stamps a new batch timestamp, so
+    // wall-clock between runs is the virtual clock the TTL sees.
+    import java.nio.file.Files
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    def ev(id: Long): String =
+      s"""{"event_id":$id,"ts":"2024-01-01 10:00:00","user_id":1,"event_type":"view","value":1.0}"""
+
+    def harness(ttlMs: Long) = {
+      val inDir = Files.createTempDirectory("ttl_in")
+      val outDir = Files.createTempDirectory("ttl_out")
+      val ckpt = Files.createTempDirectory("ttl_ckpt")
+      (inDir, outDir,
+        () => {
+          import spark.implicits._
+          val in = spark.readStream.schema(schema).json(inDir.toString).as[Ev]
+          val q = StructuredStreams.ttlCounts(in, ttlMs)
+            .writeStream.format("parquet")
+            .option("path", outDir.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+            .outputMode("append").start()
+          assert(q.awaitTermination(120000), "Trigger.Once batch must finish")
+        })
+    }
+
+    try {
+      // short TTL + sleep past it: the second run's batch timestamp is
+      // beyond the expiry, so the count RESTARTS instead of resuming
+      val (in1, out1, run1) = harness(ttlMs = 500L)
+      Files.writeString(in1.resolve("b1.json"), Seq(ev(1), ev(2)).mkString("\n"))
+      run1()
+      Thread.sleep(2000)
+      Files.writeString(in1.resolve("b2.json"), ev(3))
+      run1()
+      val expired = spark.read.parquet(out1.toString)
+        .orderBy("batch_count").collect().map(_.getAs[Long]("batch_count"))
+      assert(expired.toSeq === Seq(1L, 2L),
+        "state must expire: counts 2 (run 1) then 1 (run 2 after TTL)")
+
+      // long TTL, no sleep: state survives the restart and the count resumes
+      val (in2, out2, run2) = harness(ttlMs = 3600000L)
+      Files.writeString(in2.resolve("b1.json"), Seq(ev(1), ev(2)).mkString("\n"))
+      run2()
+      Files.writeString(in2.resolve("b2.json"), ev(3))
+      run2()
+      val survived = spark.read.parquet(out2.toString)
+        .orderBy("batch_count").collect().map(_.getAs[Long]("batch_count"))
+      assert(survived.toSeq === Seq(2L, 3L),
+        "state must survive: counts 2 (run 1) then 3 (run 2 within TTL)")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(
