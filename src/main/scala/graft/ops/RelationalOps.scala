@@ -1418,4 +1418,100 @@ object RelationalOps extends QueryModule {
         col("col.o").as("l_orderkey"),
         col("col.l").as("l_linenumber"))
   }
+
+  // ======================================================== skyline
+  // Per-customer Pareto frontier over (recency ↑, price ↓): an order is
+  // on the frontier iff no other order of the same customer is at least
+  // as recent AND strictly cheaper. Classic 2-D skyline via one sorted
+  // scan — sort each partition by date DESC and keep rows that undercut
+  // the running minimum price; no self-join, no quadratic dominance
+  // test. Ties share a deterministic policy: equal-(date,price) rows
+  // keep only the lowest orderkey, and an equal-price later-date order
+  // wins (the earlier one is weakly dominated).
+  //
+  // Determinism: prices are compared raw (same parquet doubles in both
+  // engines, no arithmetic); the scan order carries (price, orderkey)
+  // as tie-breaks so the running minimum is unique by construction.
+  //
+  // Scale: ONE shuffle keyed by o_custkey; the window is a running MIN
+  // (constant state), not a frame recompute. A global skyline (no
+  // partition key) would instead range-partition on the sort dimension
+  // and merge per-partition frontiers with each partition's prefix
+  // minimum — same operator family, one extra bounded pass.
+  register("q144_skyline",
+    """WITH scanned AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+      |    MIN(o_totalprice) OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_totalprice ASC, o_orderkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM scanned
+      |WHERE best_prev IS NULL OR o_totalprice < best_prev""".stripMargin) {
+    (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_totalprice").asc,
+        col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"),
+        col("o_totalprice"),
+        min(col("o_totalprice")).over(w).as("best_prev"))
+      .filter(col("best_prev").isNull ||
+        col("o_totalprice") < col("best_prev"))
+      .drop("best_prev")
+  }
+
+  // =========================================== mergeable HLL sketches
+  // Sketch RE-AGGREGATION — the property that makes approximate
+  // distinct counting work at 100 TB: per-source HyperLogLog sketches
+  // (DataSketches HLL, lgK=[[HllLgK]]) are built in one pass, then
+  // UNIONED into a corpus-wide estimate without touching the data
+  // again. That union is exactly what a 1000-executor rollup, an
+  // incremental daily pipeline, or a cube over sketch columns relies
+  // on — a COUNT(DISTINCT) can't re-aggregate, a sketch column can.
+  //
+  // Gate (q55/q56/q85 within_bound pattern): the sketch estimate is
+  // engine-specific, so the hash covers the EXACT per-source and
+  // merged distinct counts plus a within_bound boolean. lgK=12 gives
+  // rse ≈ 1.04/√4096 ≈ 1.6%; the 5% bound is >3σ, and the sketch is
+  // deterministic — a pass at one SF is a pass forever on that data.
+  val HllLgK = 12
+  val HllRelBound = 0.05
+
+  register("q146_hll_union",
+    """WITH sv AS (
+      |  SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_tokens,
+      |  TRUE AS within_bound
+      |FROM sv GROUP BY source
+      |UNION ALL
+      |SELECT 'ALL' AS source,
+      |  CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_tokens,
+      |  TRUE AS within_bound
+      |FROM sv""".stripMargin) { (s, d) =>
+    val sv = documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    val perSource = sv.groupBy("source")
+      .agg(count(lit(1)).as("exact_tokens"),
+        hll_sketch_agg(col("w"), lit(HllLgK)).as("sk"))
+    val global = perSource
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(
+        sv.agg(count_distinct(col("w")).as("exact_tokens"))))
+      .select(lit("ALL").as("source"), col("exact_tokens"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_tokens"))
+          <= col("exact_tokens") * HllRelBound).as("within_bound"))
+    perSource
+      .select(col("source"), col("exact_tokens"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_tokens"))
+          <= col("exact_tokens") * HllRelBound).as("within_bound"))
+      .union(global)
+  }
 }

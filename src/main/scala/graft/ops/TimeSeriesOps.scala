@@ -143,4 +143,74 @@ object TimeSeriesOps extends QueryModule {
               "((nv - pv) * datediff(day, pd)) div datediff(nd, pd)"))
           .as("interp_grid"))
   }
+
+  // ================================================================ EWMA
+  // Trailing exponentially-weighted moving average of each customer's
+  // monthly revenue — the smoothing step behind churn/LTV features
+  // (reference analog: the W2 LAG(12) trend family, SURVEY §2.5, with
+  // geometric instead of one-hot lag weights). Half-life = one
+  // observation: weight 2^-j for the month-of-activity j steps back,
+  // truncated at [[EwmaDepth]] terms and renormalized over the terms
+  // actually present (series shorter than the depth stay exact).
+  //
+  // Determinism: the whole computation lives on the integer grid —
+  // revenue sums in cents (ROUND(x*100): half-away-from-zero for
+  // positive doubles in BOTH engines), weights are powers of two,
+  // numerator/denominator are exact BIGINT sums of the lag terms — and
+  // the only float ops are the two final divisions (IEEE-identical on
+  // identical operands). No rounding step, hash-exact cross-engine.
+  //
+  // Scale: the raw scan partial-aggregates map-side and shuffles only
+  // (custkey, month) rollup rows; the per-customer re-partition for the
+  // lag window moves that same rollup-sized frame (orders-of-magnitude
+  // below the input — never the raw orders). All 2·EwmaDepth lag
+  // expressions share one window spec, so CollapseWindow plans a SINGLE
+  // Window operator; per-row state is EwmaDepth lags regardless of
+  // corpus size.
+  val EwmaDepth = 12
+
+  register("q140_ewma", {
+    val num = (0 until EwmaDepth).map { j =>
+      val w = 1L << (EwmaDepth - 1 - j)
+      if (j == 0) s"rev_cents * $w"
+      else s"COALESCE(lag(rev_cents, $j) OVER w, 0) * $w"
+    }.mkString(" + ")
+    val den = (0 until EwmaDepth).map { j =>
+      val w = 1L << (EwmaDepth - 1 - j)
+      if (j == 0) s"$w"
+      else s"CASE WHEN lag(rev_cents, $j) OVER w IS NULL THEN 0 ELSE $w END"
+    }.mkString(" + ")
+    s"""WITH monthly AS (
+       |  SELECT o_custkey,
+       |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_cents
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT o_custkey, month,
+       |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       |  CAST($num AS DOUBLE) / ($den) / 100.0 AS ewma
+       |FROM monthly
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY month)""".stripMargin
+  }) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+        .as("rev_cents"))
+    val num = (0 until EwmaDepth).map { j =>
+      val wt = lit(1L << (EwmaDepth - 1 - j))
+      if (j == 0) col("rev_cents") * wt
+      else coalesce(lag(col("rev_cents"), j).over(w), lit(0L)) * wt
+    }.reduce(_ + _)
+    val den = (0 until EwmaDepth).map { j =>
+      val wt = 1L << (EwmaDepth - 1 - j)
+      if (j == 0) lit(wt)
+      else when(lag(col("rev_cents"), j).over(w).isNull, lit(0L))
+        .otherwise(lit(wt))
+    }.reduce(_ + _)
+    monthly.select(col("o_custkey"), col("month"),
+      (col("rev_cents").cast(DoubleType) / 100.0).as("revenue"),
+      (num.cast(DoubleType) / den / 100.0).as("ewma"))
+  }
 }

@@ -529,4 +529,89 @@ object CorpusStats extends QueryModule {
         (abs(col("est_jaccard") - col("jaccard"))
           <= MinhashJaccardBound).as("within_bound"))
   }
+
+  // ====================================================== BPE learning
+  // The first [[BpeRounds]] merge rules of byte-pair-encoding tokenizer
+  // training, learned over the corpus's word-frequency table: each round
+  // counts adjacent symbol pairs (weighted by word count), picks the
+  // most frequent pair (ties: lexicographic — deterministic in both
+  // engines), and rewrites every word with the pair merged. The merge
+  // rewrite is a plain left-to-right non-overlapping string replace on
+  // a space-delimited symbol form (" a a a " --(a,a)--> " aa a ") —
+  // replace() scans identically in Spark (Java semantics) and DuckDB,
+  // which is exactly BPE's leftmost-first rule.
+  //
+  // The learned pair arrives at the rewrite as a 1-ROW BROADCAST FRAME,
+  // not a collected literal: each round is
+  //   pairs → weighted count → TakeOrdered(1) → crossJoin(broadcast)
+  // so the driver never holds the vocabulary and the plan stays a
+  // single lineage (K chained narrow passes over the vocab frame — the
+  // corpus itself is read once for the word counts).
+  //
+  // Scale: everything after the initial token count runs on the
+  // VOCABULARY frame (|distinct words|, not corpus size); pair counts
+  // shuffle (pair → weight) partials map-side; the argmax is a 1-row
+  // TakeOrdered. Word-frequency BPE is how production tokenizers train
+  // at corpus scale — the corpus pass is the count, never the merges.
+  val BpeRounds = 3
+
+  register("q145_bpe_merges", {
+    // round r CTEs: p{r} = weighted adjacent pairs of w{r-1},
+    // t{r} = argmax pair, w{r} = vocab with the pair merged
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT s[i.i] AS pair_a, s[i.i + 1] AS pair_b,
+         |    CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, string_split(trim(sym), ' ') AS s
+         |        FROM w${r - 1}) ws, LATERAL (
+         |    SELECT unnest(range(1, greatest(len(s) - 1, 0) + 1)) AS i) i
+         |  GROUP BY 1, 2),
+         |t$r AS (
+         |  SELECT pair_a, pair_b, n FROM p$r
+         |  ORDER BY n DESC, pair_a ASC, pair_b ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT cnt, replace(sym, ' ' || pair_a || ' ' || pair_b || ' ',
+         |    ' ' || pair_a || pair_b || ' ') AS sym
+         |  FROM w${r - 1} CROSS JOIN t$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS round, pair_a, pair_b, n FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH vocab AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($oTokens) AS w FROM documents)
+       |  GROUP BY w),
+       |w0 AS (
+       |  SELECT cnt,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
+       |  FROM vocab),
+       |$rounds
+       |$out""".stripMargin
+  }) { (s, d) =>
+    val vocab = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var w = vocab.select(col("cnt"),
+      concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" "))
+        .as("sym"))
+    val merges = (1 to BpeRounds).map { r =>
+      val sArr = split(trim(col("sym")), " ")
+      val pairs = w
+        .select(col("cnt"), sArr.as("s"), explode(sequence(lit(1),
+          greatest(size(sArr) - 1, lit(1)).cast(IntegerType))).as("i"))
+        .filter(col("i") <= size(col("s")) - 1)
+        .select(col("cnt"), element_at(col("s"), col("i")).as("pair_a"),
+          element_at(col("s"), col("i") + 1).as("pair_b"))
+        .groupBy("pair_a", "pair_b").agg(sum(col("cnt")).as("n"))
+      val top = pairs
+        .orderBy(col("n").desc, col("pair_a").asc, col("pair_b").asc)
+        .limit(1)
+      w = w.crossJoin(broadcast(top))
+        .select(col("cnt"),
+          expr("replace(sym, ' ' || pair_a || ' ' || pair_b || ' ', " +
+            "' ' || pair_a || pair_b || ' ')").as("sym"))
+      top.select(lit(r).as("round"), col("pair_a"), col("pair_b"), col("n"))
+    }
+    merges.reduce(_.union(_))
+  }
 }

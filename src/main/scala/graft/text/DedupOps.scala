@@ -445,4 +445,64 @@ object DedupOps extends QueryModule {
           - size(array_intersect(col("ta"), col("tb"))))).as("jaccard"))
       .filter(col("jaccard") >= SimJoinThreshold)
   }
+
+  // ================================= sorted-neighborhood blocking (SNM)
+  // The third classic blocking strategy next to LSH (q25) and prefix
+  // filtering (q114): sort the corpus by a blocking key and compare each
+  // record only against its [[SnmWindow]]-1 sorted successors. Candidate
+  // count is linear in the corpus (w·N pairs), and near-duplicates with
+  // shared prefixes land adjacent. Distributed form: the sort is
+  // per-BLOCK (records sharing an [[SnmBlockChars]]-char key prefix),
+  // which is exactly the blocking bargain — pairs across block
+  // boundaries are out of scope by design, in exchange for a fully
+  // partitioned plan with no global sort and no corpus self-join.
+  //
+  // Determinism: the sort key gets doc_id as a unique tie-break; the
+  // pair survives on an exact integer Levenshtein distance (identical
+  // DP definition in both engines) over fixed-length key prefixes.
+  //
+  // Scale: ONE shuffle keyed by the block prefix; window state is
+  // SnmWindow rows deep; the Levenshtein runs on [[SnmKeyChars]]-char
+  // strings inside the projection, never on full documents. Block skew
+  // is data-dependent (a hot template prefix concentrates its block) —
+  // the same AQE-skew/salting toolkit as any keyed shuffle applies.
+  val SnmWindow = 4      // compare against this many sorted successors
+  val SnmBlockChars = 8  // records must share this key prefix to pair
+  val SnmKeyChars = 60   // blocking key = first chars of the text
+  val SnmMaxDist = 12    // keep pairs at most this edit distance apart
+
+  register("q143_sorted_neighborhood", {
+    val leads = (1 until SnmWindow).map(j =>
+      s"""SELECT doc_id AS doc_a, lead(doc_id, $j) OVER w$j AS doc_b,
+         |  CAST(levenshtein(k, lead(k, $j) OVER w$j) AS INTEGER) AS dist
+         |FROM keyed WINDOW w$j AS (PARTITION BY blk ORDER BY k, doc_id)"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, substr(text, 1, $SnmKeyChars) AS k,
+       |    substr(text, 1, $SnmBlockChars) AS blk
+       |  FROM documents),
+       |pairs AS (
+       |$leads)
+       |SELECT doc_a, doc_b, dist FROM pairs
+       |WHERE doc_b IS NOT NULL AND dist <= $SnmMaxDist""".stripMargin
+  }) { (s, d) =>
+    val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
+    val keyed = documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, SnmKeyChars).as("k"),
+      substring(col("text"), 1, SnmBlockChars).as("blk"))
+    // all leads share one window spec → ONE Window operator / one
+    // shuffle; they are materialized in their own projection FIRST
+    // (window expressions can't live under a generator), then the
+    // struct array is exploded, then fields are read (the
+    // generator-alias gotcha in NOTES.md)
+    val led = keyed.select(col("doc_id").as("doc_a"),
+      array((1 until SnmWindow).map(j =>
+        struct(lead(col("doc_id"), j).over(w).as("doc_b"),
+          levenshtein(col("k"), lead(col("k"), j).over(w)).as("dist"))): _*)
+        .as("neighbors"))
+    led.select(col("doc_a"), explode(col("neighbors")).as("p"))
+      .select(col("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.dist").as("dist"))
+      .filter(col("doc_b").isNotNull && col("dist") <= SnmMaxDist)
+  }
 }

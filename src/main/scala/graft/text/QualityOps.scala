@@ -243,4 +243,135 @@ object QualityOps extends QueryModule {
           lit(2) * coalesce(col("n_contaminated"), lit(0L)) >= col("n_shingles"), 1)
           .otherwise(0).as("contaminated_flag"))
   }
+
+  // ====================================== LM-perplexity quality filter
+  // CCNet-style language-model quality scoring: train an add-one-
+  // smoothed bigram LM on the corpus itself, score every document by
+  // its average token log-probability, and flag the far-out tail.
+  // Low-likelihood documents are gibberish/boilerplate candidates; in a
+  // production mix the LM trains on a trusted reference corpus — the
+  // plumbing is identical (counts come from whichever frame you point
+  // the count CTEs at).
+  //
+  // Determinism: p = (c(w1,w2)+1)/(c(w1)+V) is a ratio of exact integer
+  // counts, so both engines feed IDENTICAL doubles to LN; each log is
+  // snapped to the 1e-6 grid as a BIGINT *before* the per-document sum
+  // (integer addition is order-independent — no FP-summation-order
+  // hazard), and the reported average is two IEEE divisions at the end.
+  //
+  // Scale: bigram extraction is a map-only generator; the count tables
+  // shuffle once on (w1,w2) / w1 with map-side combine; scoring re-joins
+  // the bigram stream to the count tables on those same keys (hash
+  // joins, no broadcast of anything corpus-sized); V is a 1-row
+  // broadcast scalar. Nothing is ever collected.
+
+  /** Average-log-prob floor below which a document is flagged: a fixed
+    * policy constant (a data-dependent decile would need a corpus-sized
+    * global window); compared against the exact computed double, so the
+    * flag is as deterministic as the score. */
+  val PerplexityFloor = -7.5
+
+  register("q141_lm_perplexity",
+    s"""WITH tok AS (SELECT doc_id, $oTokens AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, t[s.s] AS w1, t[s.s + 1] AS w2
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS s) s),
+       |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+       |  FROM bi GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+       |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+       |  FROM (SELECT unnest($oTokens) AS w FROM documents)),
+       |scored AS (
+       |  SELECT bi.doc_id,
+       |    CAST(ROUND(LN((c2.n2 + 1.0) / (c1.n1 + v.vocab)) * 1000000)
+       |      AS BIGINT) AS lp_micro
+       |  FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+       |          JOIN c1 ON bi.w1 = c1.w1 CROSS JOIN v)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(CAST(SUM(lp_micro) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0
+       |    AS avg_logp,
+       |  CAST(CAST(SUM(lp_micro) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0
+       |    < ${QualityOps.PerplexityFloor} AS low_quality
+       |FROM scored GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val t = col("t")
+    val bi = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), t, explode(sequence(lit(1),
+        greatest(size(t) - 1, lit(1)).cast(IntegerType))).as("st"))
+      .filter(col("st") <= size(t) - 1)
+      .select(col("doc_id"), element_at(t, col("st")).as("w1"),
+        element_at(t, col("st") + 1).as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy(col("w1").as("cw1")).agg(sum(col("n2")).as("n1"))
+    val v = documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("vocab"))
+    val scored = bi
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, col("w1") === col("cw1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((col("n2") + 1.0) / (col("n1") + col("vocab"))) * 1000000)
+          .cast(LongType).as("lp_micro"))
+    val avg = col("sum_lp").cast(DoubleType) / col("n_bigrams") / 1000000.0
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"), avg.as("avg_logp"),
+        (avg < PerplexityFloor).as("low_quality"))
+  }
+
+  // ================================== hashed-feature linear classifier
+  // Fasttext-shaped quality classifier scoring: each token is hashed to
+  // one of [[ClassifierBuckets]] feature buckets (the hashing trick —
+  // memory is fixed regardless of vocabulary), each bucket carries a
+  // weight from a deterministic pseudo-trained table, and a document's
+  // score is the mean bucket weight of its token bag. The weight table
+  // here is derived from the bucket id (this container trains nothing);
+  // swapping in learned weights changes one join, not the plan.
+  //
+  // Determinism: the token hash is q57's base-131 rolling fingerprint
+  // (proven byte-identical across engines); bucketing and weights are
+  // integer arithmetic on it; the per-document sum is an exact BIGINT;
+  // score = two IEEE divisions at the end; the label compares the
+  // INTEGER sum against zero. Hash-exact with no rounding anywhere.
+  //
+  // Scale: entirely map-side until the per-doc_id aggregation (one
+  // shuffle, map-side combined). With a learned table the weights
+  // become a ClassifierBuckets-row broadcast join — still no
+  // corpus-sized state anywhere.
+  val ClassifierBuckets = 4096
+
+  register("q142_hashed_classifier",
+    s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(w, ''),
+       |        c -> CAST(ord(c) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % 2147483647) AS fp
+       |  FROM tok),
+       |wt AS (
+       |  SELECT doc_id,
+       |    ((fp % $ClassifierBuckets) * 2654435761 + 12345) % 2001 - 1000
+       |      AS weight
+       |  FROM f)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(SUM(weight) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000.0
+       |    AS score,
+       |  CAST(SUM(weight) AS BIGINT) > 0 AS positive
+       |FROM wt GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val fp = aggregate(split(col("w"), ""), lit(0L),
+      (acc, c) => (acc * 131 + ascii(c)) % 2147483647L)
+    val weight = (fp % ClassifierBuckets) * 2654435761L + 12345
+    documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), (weight % 2001 - 1000).as("weight"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("weight")).as("sum_w"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_w").cast(DoubleType) / col("n_tokens") / 1000.0)
+          .as("score"),
+        (col("sum_w") > 0).as("positive"))
+  }
 }

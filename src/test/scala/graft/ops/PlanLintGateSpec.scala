@@ -48,7 +48,15 @@ class PlanLintGateSpec extends SparkSpec {
     "q136_bm25_ranking",
     // q139's pair comparison crosses the two |sources|-row signature
     // frames (≤ S² pairs of 128-long arrays, broadcast both sides)
-    "q139_source_minhash_similarity")
+    "q139_source_minhash_similarity",
+    // q141's vocabulary size V is a 1-row broadcast scalar onto the
+    // scored-bigram stream (the LM count joins themselves are keyed)
+    "q141_lm_perplexity",
+    // q145 rewrites the vocab frame against each round's 1-row learned
+    // merge pair (TakeOrdered(1) broadcast, never a collected literal)
+    "q145_bpe_merges",
+    // q146's merged-sketch row crosses the 1-row global exact count
+    "q146_hll_union")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
