@@ -65,6 +65,90 @@ object GraphOps extends QueryModule {
   // exact dedup runs first; the data-driven LSH pair set q53 produces is
   // oracle-intractable for transitive closure at soak scale). The oracle
   // computes the same components via a recursive CTE.
+  // ============================================================ PageRank
+  // Fixed-iteration PageRank over the customer–supplier trade graph
+  // (undirected: an order line links its customer to its supplier, both
+  // directions materialized; supplier ids live in a shifted namespace).
+  // [[PrIters]] synchronous iterations at damping 0.85, entirely on a
+  // 1e12 INTEGER grid: ranks are BIGINT "nano-shares", each neighbor
+  // contribution is rank div outdeg (truncating integer division —
+  // identical in Spark `div` and DuckDB `//` even for the remainder,
+  // see SKILL.md), and the damped update is (85·Σ) div 100 plus the
+  // teleport term 15%·grid div N. Truncation loses a few units of mass
+  // per node per round — identically in both engines, which is the
+  // whole trick: PageRank's float sums are order-dependent and would
+  // never hash cross-engine; the integer grid is exact and the ranking
+  // it induces is the same for any real use at 1e12 resolution.
+  //
+  // Scale: each iteration is the textbook pair of keyed shuffles
+  //   contribs: join(ranks, edges on src) → groupBy(dst) SUM
+  // with map-side partial aggregation; edges/degrees are computed once
+  // (ReuseExchange dedupes their shuffle across iteration branches —
+  // same reuse the gate silvers rely on). No driver sync at all: the
+  // K-iteration loop is pure lineage, and the result is a TakeOrdered
+  // top-[[PrTopK]]. A diameter-bound dynamic loop would add q90's
+  // scalar-count convergence check; fixed K matches the oracle's
+  // chained-CTE form.
+  val PrIters = 4
+  val PrTopK = 50
+  private val PrGrid = 1000000000000L // 1e12 integer rank grid
+
+  register("q147_pagerank", {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    (150000000000 // nn.n)
+         |      + (85 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 100
+         |      AS rank
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $PrGrid // nn.n AS rank
+       |  FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT node, rank FROM r$PrIters
+       |ORDER BY rank DESC, node ASC LIMIT $PrTopK""".stripMargin
+  }) { (s, d) =>
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 3000000L).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    var r = deg.crossJoin(nn)
+      .select(col("src").as("node"), expr(s"$PrGrid div n").as("rank"))
+    for (_ <- 1 to PrIters) {
+      r = edges
+        .join(r, edges("src") === r("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("csum"))
+        .crossJoin(nn)
+        .select(col("node"),
+          (expr("150000000000 div n")
+            + expr("(85 * csum) div 100")).as("rank"))
+    }
+    r.orderBy(col("rank").desc, col("node").asc).limit(PrTopK)
+  }
+
   register("q90_dup_clusters",
     """WITH RECURSIVE
       |e1 AS (SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d

@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object SourceGate extends QueryModule {
 
+  // ================================================== agg pushdown gate
+  // COUNT(*)/MIN(id)/MAX(id) over a filter-narrowed graft-range scan:
+  // the source answers the ENTIRE aggregation in closed form (hi-lo,
+  // lo, hi-1) through SupportsPushDownAggregates complete pushdown —
+  // the executed plan contains no aggregate operator at all, just the
+  // one-row agg scan (RangeDocSourceSpec pins this and the grouped
+  // fallback). The oracle recomputes the same aggregation from
+  // range(); the count is the range width because ids are dense.
+  register("q148_source_agg_pushdown",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM range(50000, 150000) t(id)""".stripMargin) { (s, _) =>
+    s.read.format("graft-range")
+      .option("rows", "200000").option("splits", "8").load()
+      .filter(col("id") >= 50000L && col("id") < 150000L)
+      .selectExpr("count(*) AS n_rows", "min(id) AS min_id",
+        "max(id) AS max_id")
+  }
+
   register("q125_custom_source",
     """WITH src AS (
       |  SELECT id, CAST(id % 97 AS INTEGER) AS bucket,

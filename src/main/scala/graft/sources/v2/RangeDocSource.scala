@@ -88,14 +88,17 @@ final class RangeDocTable(rows: Long, splits: Int) extends Table with SupportsRe
     new RangeDocScanBuilder(rows, splits)
 }
 
-/** Accumulates pruned columns and the pushed id-range bounds. */
+/** Accumulates pruned columns, the pushed id-range bounds, and (when the
+  * whole aggregation is answerable in closed form) a pushed aggregation. */
 final class RangeDocScanBuilder(rows: Long, splits: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = RangeDocSource.schema
   private var lo: Long = 0L
   private var hi: Long = rows
   private var pushed: Array[Filter] = Array.empty
+  private var aggKinds: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark passes the pruned top-level fields in schema order; an empty
@@ -132,8 +135,93 @@ final class RangeDocScanBuilder(rows: Long, splits: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new RangeDocScan(required, math.max(lo, 0L), math.min(hi, rows), splits)
+  // ----------------------------------------------------- agg pushdown
+  // COUNT(*)/COUNT(col)/MIN(id)/MAX(id) over the (already filter-
+  // narrowed) id range have closed forms: hi-lo, lo, hi-1. An
+  // ungrouped aggregation made only of those is answered COMPLETELY by
+  // the source — the scan emits the single result row and Spark plans
+  // no aggregate at all (the JDBC-connector contract). Anything else
+  // (grouping, SUM over the modular columns, distinct counts) is
+  // declined and planned normally.
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def translate(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      // every source column is non-nullable, so COUNT(col) = COUNT(*)
+      case c: Count if !c.isDistinct && fieldOf(c.column).isDefined =>
+        Some("count")
+      case m: Min => fieldOf(m.column).filter(_ == "id").map(_ => "min_id")
+      case m: Max => fieldOf(m.column).filter(_ == "id").map(_ => "max_id")
+      case _ => None
+    }
+    if (kinds.forall(_.isDefined)) Some(kinds.map(_.get)) else None
+  }
+  private def fieldOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val t = translate(agg)
+    if (t.isDefined) aggKinds = t
+    t.isDefined
+  }
+
+  override def build(): Scan = {
+    val (l, h) = (math.max(lo, 0L), math.min(hi, rows))
+    aggKinds match {
+      case Some(kinds) => new RangeDocAggScan(l, h, kinds)
+      case None        => new RangeDocScan(required, l, h, splits)
+    }
+  }
+}
+
+/** Complete-pushdown aggregate scan: one partition, one closed-form row. */
+final class RangeDocAggScan(lo: Long, hi: Long, kinds: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(kinds.map {
+    case "count" => StructField("count", LongType, nullable = false)
+    case k       => StructField(k, LongType, nullable = true) // empty → NULL
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-range-agg id=[$lo,$hi) aggs=${kinds.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeDocPartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RangeDocAggReaderFactory(kinds)
+}
+
+/** Top-level (serializable) factory — an inner/anonymous one would drag
+  * the non-serializable Scan into the task closure. */
+final case class RangeDocAggReaderFactory(kinds: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[RangeDocPartition]
+    val n = math.max(part.hi - part.lo, 0L)
+    val values: Array[Any] = kinds.map {
+      case "count"  => n: Any
+      case "min_id" => if (n == 0L) null else part.lo
+      case "max_id" => if (n == 0L) null else part.hi - 1
+    }.toArray
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)

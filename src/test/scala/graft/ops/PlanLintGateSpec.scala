@@ -56,7 +56,10 @@ class PlanLintGateSpec extends SparkSpec {
     // merge pair (TakeOrdered(1) broadcast, never a collected literal)
     "q145_bpe_merges",
     // q146's merged-sketch row crosses the 1-row global exact count
-    "q146_hll_union")
+    "q146_hll_union",
+    // q147's node count N is a 1-row broadcast onto the rank frame at
+    // initialization and after each iteration's aggregation
+    "q147_pagerank")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the

@@ -109,4 +109,47 @@ class RangeDocSourceSpec extends SparkSpec {
         "cat3" -> 200L, "cat4" -> 200L))
     } finally spark.sql("DROP TABLE IF EXISTS graft_range_ddl")
   }
+
+  private def ranged(rows: Long) = spark.read.format("graft-range")
+    .option("rows", rows.toString).option("splits", "8").load()
+
+  test("ungrouped COUNT/MIN/MAX push completely: no aggregate in the plan") {
+    val df = ranged(200000)
+      .filter(col("id") >= 50000L && col("id") < 150000L)
+      .selectExpr("count(*) AS n", "min(id) AS mn", "max(id) AS mx")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-range-agg"), s"agg scan missing:\n$plan")
+    assert(!plan.contains("Aggregate"), s"aggregate survived pushdown:\n$plan")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((100000L, 50000L, 149999L)))
+  }
+
+  test("COUNT(col) on a non-nullable source column pushes as count") {
+    val df = ranged(1000).selectExpr("count(bucket) AS n")
+    assert(df.queryExecution.executedPlan.toString.contains("graft-range-agg"))
+    assert(df.collect().head.getLong(0) == 1000L)
+  }
+
+  test("empty pushed range aggregates to count 0 with NULL min/max") {
+    val df = ranged(1000).filter(col("id") >= 5000L)
+      .selectExpr("count(*) AS n", "min(id) AS mn", "max(id) AS mx")
+    assert(df.queryExecution.executedPlan.toString.contains("graft-range-agg"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("grouped / non-closed-form aggregations decline pushdown and stay correct") {
+    val grouped = ranged(1000).groupBy("category").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("graft-range-agg"))
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .forall(_._2 == 200L))
+    // SUM over the modular column has no closed form — declined too
+    val summed = ranged(1000).selectExpr("sum(amount) AS s")
+    assert(!summed.queryExecution.executedPlan.toString
+      .contains("graft-range-agg"))
+    assert(summed.collect().head.getLong(0) ==
+      (0L until 1000L).map(id => (id * 37 + 11) % 1000003).sum)
+  }
 }
