@@ -1465,6 +1465,37 @@ object RelationalOps extends QueryModule {
       .drop("best_prev")
   }
 
+  // ==================================== scalable global sequence ids
+  // Global ROW_NUMBER without a global window: range-partition on the
+  // key, rank WITHIN each partition, then add per-partition offsets
+  // (prefix sums of partition counts — a frame bounded by the shuffle
+  // partition count, never the data). This is THE pattern for assigning
+  // global sequence ids at 100 TB: the single-partition sort that
+  // `ROW_NUMBER() OVER (ORDER BY …)` plans is the canonical scale
+  // killer PlanLint exists to catch. The result is partition-layout-
+  // independent: rn is the total rank of the (unique) key, wherever
+  // the range boundaries land.
+  register("q149_global_rownumber",
+    """SELECT event_id,
+      |  ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+      |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    val base = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"))
+    val local = base.repartitionByRange(32, col("event_id"))
+      .select(col("event_id"), spark_partition_id().as("pid"))
+      .select(col("event_id"), col("pid"), row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("event_id")))
+        .as("local_rn"))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"), coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("event_id"),
+        (col("offset") + col("local_rn")).as("rn"))
+  }
+
   // =========================================== mergeable HLL sketches
   // Sketch RE-AGGREGATION — the property that makes approximate
   // distinct counting work at 100 TB: per-source HyperLogLog sketches

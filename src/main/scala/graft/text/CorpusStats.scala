@@ -530,6 +530,70 @@ object CorpusStats extends QueryModule {
           <= MinhashJaccardBound).as("within_bound"))
   }
 
+  // ============================================== mixture drift (KL)
+  // Distribution-shift monitor for the data mixture: per-source
+  // language-mix KL divergence against the corpus-wide mix —
+  // KL(p_source ‖ p_corpus) = Σ_lang p·ln(p/q). The mixture-manifest
+  // companion (q119): a source whose language profile drifts from the
+  // corpus (or from its own last snapshot — same operator, different
+  // right-hand frame) is flagged before it skews a training run.
+  //
+  // Determinism (the q141 micro-grid LN pattern): every log ratio
+  // ln((n_sl·n)/(n_s·n_l)) takes an EXACT integer-ratio double, is
+  // snapped per-cell to a 1e-6 BIGINT grid, and weighted by the
+  // integer n_sl — the per-source sum is exact integer arithmetic and
+  // the only float ops are the final divisions.
+  //
+  // Scale: two tiny aggregations (source×lang cells, lang marginals —
+  // both bounded by label cardinality, partial-aggregated map-side)
+  // and a 1-row corpus total broadcast. The corpus is scanned once.
+  val KlDriftMicro = 200000L // flag sources with KL > 0.2 nats
+
+  register("q150_mixture_drift",
+    s"""WITH cells AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+       |  FROM documents GROUP BY source, lang),
+       |src AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s
+       |  FROM cells GROUP BY source),
+       |lng AS (SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l
+       |  FROM cells GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM cells),
+       |terms AS (
+       |  SELECT c.source,
+       |    c.n_sl * CAST(ROUND(LN(CAST(c.n_sl * t.n AS DOUBLE)
+       |      / (s.n_s * l.n_l)) * 1000000) AS BIGINT) AS term_micro
+       |  FROM cells c JOIN src s ON c.source = s.source
+       |               JOIN lng l ON c.lang = l.lang CROSS JOIN tot t)
+       |SELECT tm.source, s.n_s AS n_docs,
+       |  CAST(CAST(SUM(tm.term_micro) AS BIGINT) AS DOUBLE) / s.n_s
+       |    / 1000000.0 AS kl_nats,
+       |  CAST(SUM(tm.term_micro) AS BIGINT) > s.n_s * $KlDriftMicro
+       |    AS drifted
+       |FROM terms tm JOIN src s ON tm.source = s.source
+       |GROUP BY tm.source, s.n_s""".stripMargin) { (s, d) =>
+    val cells = documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_sl"))
+    val src = cells.groupBy(col("source").as("src2"))
+      .agg(sum(col("n_sl")).as("n_s"))
+    val lng = cells.groupBy(col("lang").as("lang2"))
+      .agg(sum(col("n_sl")).as("n_l"))
+    val tot = cells.agg(sum(col("n_sl")).as("n"))
+    val terms = cells
+      .join(src, col("source") === col("src2"))
+      .join(lng, col("lang") === col("lang2"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        (col("n_sl") * round(log((col("n_sl") * col("n")).cast(DoubleType)
+          / (col("n_s") * col("n_l"))) * 1000000).cast(LongType))
+          .as("term_micro"))
+    terms.groupBy(col("source"), col("n_s"))
+      .agg(sum(col("term_micro")).as("sum_micro"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        (col("sum_micro").cast(DoubleType) / col("n_s") / 1000000.0)
+          .as("kl_nats"),
+        (col("sum_micro") > col("n_s") * KlDriftMicro).as("drifted"))
+  }
+
   // ====================================================== BPE learning
   // The first [[BpeRounds]] merge rules of byte-pair-encoding tokenizer
   // training, learned over the corpus's word-frequency table: each round

@@ -59,7 +59,9 @@ class PlanLintGateSpec extends SparkSpec {
     "q146_hll_union",
     // q147's node count N is a 1-row broadcast onto the rank frame at
     // initialization and after each iteration's aggregation
-    "q147_pagerank")
+    "q147_pagerank",
+    // q150's corpus-total row broadcasts onto the source×lang cells
+    "q150_mixture_drift")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
@@ -76,7 +78,11 @@ class PlanLintGateSpec extends SparkSpec {
     // contingency-table marginals: SUM() OVER () on the |types|×7 cells
     "q117_chi_square",
     // q132 ranks its two TakeOrdered 100-row pools, never the corpus
-    "q132_rrf_fusion")
+    "q132_rrf_fusion",
+    // q149's prefix-sum window runs on the partition-count frame
+    // (≤ 32 rows by construction) — the corpus itself gets only
+    // partitioned windows; that inversion is the point of the operator
+    "q149_global_rownumber")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
