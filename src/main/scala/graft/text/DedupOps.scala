@@ -446,6 +446,128 @@ object DedupOps extends QueryModule {
       .filter(col("jaccard") >= SimJoinThreshold)
   }
 
+  // ================================ incremental (cross-batch) near-dup
+  // The daily-ingest screen: an arriving batch is checked against the
+  // HISTORICAL corpus's LSH band index — never against itself, never
+  // re-pairing history with history. This is how near-dup runs in a
+  // production pipeline after the first full pass: the band index is
+  // the persisted artifact; each increment joins its own band keys
+  // against it, verifies the survivors, and keeps the best historical
+  // match per new document (max Jaccard, ties to the oldest doc). The
+  // bucket cap is a property of the INDEX (history bucket size), so an
+  // increment cannot be blinded by its own hot template.
+  //
+  // Batch split here is deterministic (doc_id % 5 == 0 arrives "today");
+  // swap the two filters for real ingest frames.
+  //
+  // Scale: history banding is amortized (built once, persisted); the
+  // increment shuffles |batch|×Bands band keys against the index —
+  // candidate volume is driven by the batch, not the corpus. Verify
+  // touches surviving pairs only; the argmax is a per-new-doc window
+  // over its own candidates.
+  register("q151_incremental_neardup", {
+    val rowsPerBand = NumHashes / Bands
+    val sigList = (0 until NumHashes).map(oMinhash).mkString(", ")
+    s"""WITH $oTokenHashCte,
+       |sh AS (SELECT doc_id, $oShingleHashes AS shl FROM th_t2),
+       |sigs AS (SELECT doc_id, [$sigList] AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, b.band, sig[b.band * $rowsPerBand + 1 : b.band * $rowsPerBand + $rowsPerBand] AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, $Bands)) AS band) b),
+       |hist AS (
+       |  SELECT bd.* FROM banded bd
+       |  JOIN (SELECT band, band_key FROM banded WHERE doc_id % 5 <> 0
+       |        GROUP BY band, band_key HAVING COUNT(*) <= $MaxBucketSize) ok
+       |    ON bd.band = ok.band AND bd.band_key = ok.band_key
+       |  WHERE bd.doc_id % 5 <> 0),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
+       |  FROM banded n JOIN hist h
+       |    ON n.band = h.band AND n.band_key = h.band_key
+       |  WHERE n.doc_id % 5 = 0),
+       |verified AS (
+       |  SELECT doc_new, doc_hist,
+       |    CAST(len(list_intersect(sn.shl, sh2.shl)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sn.shl, sh2.shl))) AS jaccard
+       |  FROM cand JOIN sh sn ON cand.doc_new = sn.doc_id
+       |            JOIN sh sh2 ON cand.doc_hist = sh2.doc_id),
+       |hits AS (
+       |  SELECT doc_new, doc_hist, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_new
+       |      ORDER BY jaccard DESC, doc_hist ASC) AS rn
+       |  FROM verified WHERE jaccard >= $JaccardThreshold)
+       |SELECT doc_new, doc_hist, jaccard FROM hits WHERE rn = 1""".stripMargin
+  }) { (s, d) =>
+    val docs = documents(s, d).select(col("doc_id"),
+      shingleHashes(col("text")).as("sh"))
+    val rowsPerBand = NumHashes / Bands
+    val banded = docs.select(col("doc_id"),
+      array((0 until NumHashes).map(j => minhash(col("sh"), j)): _*).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val histBanded = banded.filter(col("doc_id") % 5 =!= 0)
+    val index = histBanded.alias("bd")
+      .join(histBanded.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= MaxBucketSize)
+        .select(col("band").as("cband"), col("band_key").as("cband_key")),
+        col("bd.band") === col("cband") && col("bd.band_key") === col("cband_key"))
+      .select(col("bd.doc_id").as("doc_hist"), col("bd.band").as("band"),
+        col("bd.band_key").as("band_key"))
+    val cand = banded.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc_new"), col("band"), col("band_key"))
+      .join(index, Seq("band", "band_key"))
+      .select(col("doc_new"), col("doc_hist"))
+      .distinct()
+    val jaccard = size(array_intersect(col("sn"), col("sh2"))).cast(DoubleType) /
+      size(array_union(col("sn"), col("sh2")))
+    val verified = cand
+      .join(docs.select(col("doc_id").as("doc_new"), col("sh").as("sn")),
+        Seq("doc_new"))
+      .join(docs.select(col("doc_id").as("doc_hist"), col("sh").as("sh2")),
+        Seq("doc_hist"))
+      .select(col("doc_new"), col("doc_hist"), jaccard.as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_new"))
+      .orderBy(col("jaccard").desc, col("doc_hist").asc)
+    verified.select(col("doc_new"), col("doc_hist"), col("jaccard"),
+        org.apache.spark.sql.functions.row_number().over(w).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  // ====================================================== shingle novelty
+  // Per-document novelty: the share of a document's distinct shingles
+  // that no EARLIER document (lower doc_id = earlier ingest) already
+  // contributed — the marginal-contribution view of dedup, and the
+  // signal behind "this source only re-crawls what we have". One
+  // shuffle keyed by the 8-byte shingle hash computes each shingle's
+  // first-owner; novelty is an exact integer ratio per document.
+  register("q152_shingle_novelty",
+    s"""WITH $oTokenHashCte,
+       |sh AS (SELECT doc_id, $oShingleHashes AS shl FROM th_t2),
+       |ex AS (SELECT doc_id, unnest(shl) AS h FROM sh),
+       |owner AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h)
+       |SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN o.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN o.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS novelty
+       |FROM ex JOIN owner o ON ex.h = o.h
+       |GROUP BY ex.doc_id""".stripMargin) { (s, d) =>
+    val ex = documents(s, d)
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+    val owner = ex.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    ex.join(owner, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_shingles")).as("novelty"))
+  }
+
   // ================================= sorted-neighborhood blocking (SNM)
   // The third classic blocking strategy next to LSH (q25) and prefix
   // filtering (q114): sort the corpus by a blocking key and compare each
