@@ -189,4 +189,46 @@ object ChunkingOps extends QueryModule {
         max(col("doc_id")).as("last_doc"),
         sum(col("n_tokens")).as("span_tokens"))
   }
+
+  // ================================================ length bucketing
+  // Sequence-length bucket audit — the batch-efficiency planning step
+  // for bucketed batching: documents bucket to the next power-of-two
+  // token length; per bucket, the padded-token bill (bucket·docs) and
+  // the waste it implies. The power-of-two ladder is a CASE chain of
+  // integer comparisons (no log2 — transcendental-free, identical in
+  // both engines); everything else is exact integer sums with one
+  // final division. Map-only until one |buckets|-row aggregation.
+  val LenBuckets: Seq[Int] = Seq(8, 16, 32, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192)
+
+  register("q153_length_buckets", {
+    val ladder = LenBuckets.map(b => s"WHEN n <= $b THEN $b")
+      .mkString("CASE ", " ", " ELSE -1 END")
+    s"""WITH lens AS (
+       |  SELECT CAST(len($oTokens) AS BIGINT) AS n FROM documents),
+       |bucketed AS (SELECT n, CAST($ladder AS BIGINT) AS bucket FROM lens)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  bucket * CAST(COUNT(*) AS BIGINT) AS padded_tokens,
+       |  bucket * CAST(COUNT(*) AS BIGINT) - CAST(SUM(n) AS BIGINT)
+       |    AS wasted_tokens,
+       |  CAST(bucket * CAST(COUNT(*) AS BIGINT) - CAST(SUM(n) AS BIGINT)
+       |    AS DOUBLE) / (bucket * CAST(COUNT(*) AS BIGINT)) AS waste_ratio
+       |FROM bucketed GROUP BY bucket""".stripMargin
+  }) { (s, d) =>
+    val n = col("n")
+    val ladder = LenBuckets.reverse.foldLeft(lit(-1L)) { (acc, b) =>
+      when(n <= b, b.toLong).otherwise(acc) }
+    val padded = col("bucket") * col("n_docs")
+    documents(s, d)
+      .select(size(tokens(col("text"))).cast(LongType).as("n"))
+      .select(n, ladder.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("total_tokens"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        padded.as("padded_tokens"),
+        (padded - col("total_tokens")).as("wasted_tokens"),
+        ((padded - col("total_tokens")).cast(DoubleType) / padded)
+          .as("waste_ratio"))
+  }
 }

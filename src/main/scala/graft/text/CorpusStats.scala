@@ -530,6 +530,57 @@ object CorpusStats extends QueryModule {
           <= MinhashJaccardBound).as("within_bound"))
   }
 
+  // ======================================== vocabulary coverage curve
+  // Tokenizer-design analytics: what share of all corpus token
+  // OCCURRENCES do the top-k vocabulary entries cover, at k ∈
+  // [[CoverageKs]]? (The Zipf-curve elbow this samples is how a vocab
+  // size gets chosen.) The top-k frame is TakeOrdered(max k) — never a
+  // vocabulary-sized global window; the cumulative sum runs inside
+  // that bounded frame, and the corpus total is a 1-row broadcast.
+  // Exact integers + one final division. Grid points sized to the
+  // synthetic corpus's 31-token template vocabulary; a natural corpus
+  // would use {1e3, 1e4, 1e5} with the same TakeOrdered plan.
+  val CoverageKs: Seq[Int] = Seq(5, 10, 25)
+
+  register("q154_vocab_coverage", {
+    val maxK = CoverageKs.max
+    s"""WITH tok AS (SELECT unnest($oTokens) AS w FROM documents),
+       |counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+       |top AS (
+       |  SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r
+       |  FROM counts ORDER BY c DESC, w ASC LIMIT $maxK),
+       |cum AS (
+       |  SELECT r, CAST(SUM(c) OVER (ORDER BY r
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens
+       |  FROM top)
+       |SELECT cum.r AS k, cum.cum_tokens, tot.total AS total_tokens,
+       |  CAST(cum.cum_tokens AS DOUBLE) / tot.total AS coverage
+       |FROM cum CROSS JOIN tot
+       |WHERE cum.r IN (${CoverageKs.mkString(", ")})""".stripMargin
+  }) { (s, d) =>
+    val counts = documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = broadcast(counts.agg(sum(col("c")).as("total")))
+    val top = counts.orderBy(col("c").desc, col("w").asc)
+      .limit(CoverageKs.max)
+      .select(col("w"), col("c"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w").asc)).as("r"))
+    val cum = top.select(col("r"), sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)).as("cum_tokens"))
+    cum.filter(col("r").isin(CoverageKs.map(Integer.valueOf): _*))
+      .crossJoin(tot)
+      .select(col("r").cast(LongType).as("k"), col("cum_tokens"),
+        col("total").as("total_tokens"),
+        (col("cum_tokens").cast(DoubleType) / col("total")).as("coverage"))
+  }
+
   // ============================================== mixture drift (KL)
   // Distribution-shift monitor for the data mixture: per-source
   // language-mix KL divergence against the corpus-wide mix —

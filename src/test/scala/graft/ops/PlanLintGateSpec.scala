@@ -61,7 +61,10 @@ class PlanLintGateSpec extends SparkSpec {
     // initialization and after each iteration's aggregation
     "q147_pagerank",
     // q150's corpus-total row broadcasts onto the source×lang cells
-    "q150_mixture_drift")
+    "q150_mixture_drift",
+    // q154's corpus token total is a 1-row broadcast onto the ≤1000-row
+    // coverage frame
+    "q154_vocab_coverage")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
@@ -82,7 +85,10 @@ class PlanLintGateSpec extends SparkSpec {
     // q149's prefix-sum window runs on the partition-count frame
     // (≤ 32 rows by construction) — the corpus itself gets only
     // partitioned windows; that inversion is the point of the operator
-    "q149_global_rownumber")
+    "q149_global_rownumber",
+    // q154's rank+cumsum windows run on the TakeOrdered ≤1000-row
+    // top-vocabulary frame, never the vocabulary itself
+    "q154_vocab_coverage")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
