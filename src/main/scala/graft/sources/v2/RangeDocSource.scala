@@ -225,11 +225,27 @@ final case class RangeDocAggReaderFactory(kinds: Seq[String])
 }
 
 final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-range id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  // Exact row count and a schema-width byte estimate for the (already
+  // filter-narrowed, column-pruned) scan. Without this, DSv2 relations
+  // fall back to spark.sql.defaultSizeInBytes (= "huge") and a small
+  // narrowed range can never be broadcast — with it, Catalyst picks
+  // BroadcastHashJoin for dimension-sized ranges exactly as it does
+  // for file sources with footer statistics (spec-pinned).
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    private val rowWidth = required.fields.map(_.dataType.defaultSize).sum
+      .max(1)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)

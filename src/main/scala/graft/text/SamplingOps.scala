@@ -205,4 +205,76 @@ object SamplingOps extends QueryModule {
       .select(col("doc_id"), col("weight"), col("cum"),
         expr("cum div step").as("tick"))
   }
+
+  // ================================== temporal split + leakage audit
+  // Time-based train/val/test split over the event stream — the split
+  // discipline that prevents future leakage into training — plus the
+  // audit every eval pipeline should run: how many users appear in
+  // MORE THAN ONE split (cross-split user overlap is exactly what
+  // invalidates a per-user holdout built on top of a temporal split).
+  // Output is a flat (metric, n) inventory: per-split event and user
+  // counts plus the three pairwise user overlaps.
+  //
+  // Scale: split assignment is a map-only projection; user counts and
+  // overlaps shuffle once on user_id (the per-user split mask is one
+  // boolean triple per user — bounded aggregation state).
+  val SplitT1 = "2024-01-20 00:00:00" // train < t1
+  val SplitT2 = "2024-01-26 00:00:00" // val [t1, t2); test >= t2
+
+  register("q155_temporal_split",
+    s"""WITH tagged AS (
+       |  SELECT user_id,
+       |    CASE WHEN ts < TIMESTAMP '$SplitT1' THEN 'train'
+       |         WHEN ts < TIMESTAMP '$SplitT2' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM events),
+       |per_user AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+       |    MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+       |    MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+       |  FROM tagged GROUP BY user_id)
+       |SELECT 'events_' || split AS metric, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM tagged GROUP BY split
+       |UNION ALL
+       |SELECT 'users_train', CAST(SUM(in_train) AS BIGINT) FROM per_user
+       |UNION ALL
+       |SELECT 'users_val', CAST(SUM(in_val) AS BIGINT) FROM per_user
+       |UNION ALL
+       |SELECT 'users_test', CAST(SUM(in_test) AS BIGINT) FROM per_user
+       |UNION ALL
+       |SELECT 'leak_train_val', CAST(SUM(in_train * in_val) AS BIGINT)
+       |FROM per_user
+       |UNION ALL
+       |SELECT 'leak_val_test', CAST(SUM(in_val * in_test) AS BIGINT)
+       |FROM per_user
+       |UNION ALL
+       |SELECT 'leak_train_test', CAST(SUM(in_train * in_test) AS BIGINT)
+       |FROM per_user""".stripMargin) { (s, d) =>
+    val tagged = Tables.events(s, d).select(col("user_id"),
+      when(col("ts") < lit(java.sql.Timestamp.valueOf(SplitT1)), "train")
+        .when(col("ts") < lit(java.sql.Timestamp.valueOf(SplitT2)), "val")
+        .otherwise("test").as("split"))
+    val perUser = tagged.groupBy("user_id").agg(
+      max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
+      max(when(col("split") === "val", 1L).otherwise(0L)).as("in_val"),
+      max(when(col("split") === "test", 1L).otherwise(0L)).as("in_test"))
+    val eventCounts = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n"))
+      .select(concat(lit("events_"), col("split")).as("metric"), col("n"))
+    val scalars = Seq(
+      ("users_train", sum(col("in_train"))),
+      ("users_val", sum(col("in_val"))),
+      ("users_test", sum(col("in_test"))),
+      ("leak_train_val", sum(col("in_train") * col("in_val"))),
+      ("leak_val_test", sum(col("in_val") * col("in_test"))),
+      ("leak_train_test", sum(col("in_train") * col("in_test"))))
+    // one aggregation pass computes every scalar; unpivot to rows
+    val agged = perUser.agg(scalars.head._2.as(scalars.head._1),
+      scalars.tail.map { case (n, e) => e.as(n) }: _*)
+    val unpivoted = agged.selectExpr(
+      s"stack(${scalars.size}, " + scalars.map { case (n, _) =>
+        s"'$n', $n" }.mkString(", ") + ") AS (metric, n)")
+    eventCounts.unionAll(unpivoted)
+  }
 }

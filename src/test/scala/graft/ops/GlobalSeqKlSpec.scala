@@ -26,6 +26,29 @@ class GlobalSeqKlSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q155: split boundaries are half-open and leakage counts cross-split users") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("split_fixtures").toString
+    def ev(id: Long, ts: String, user: Long) =
+      (id, Timestamp.valueOf(ts), user, "view", 1.0, "{}")
+    Seq(
+      ev(1, "2024-01-05 00:00:00", 1),  // train
+      ev(2, "2024-01-22 00:00:00", 1),  // val → user 1 leaks train∩val
+      ev(3, "2024-01-19 23:59:59", 2),  // train only (boundary-exclusive)
+      ev(4, "2024-01-20 00:00:00", 3),  // exactly t1 → val (half-open)
+      ev(5, "2024-01-28 00:00:00", 4))  // test only
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("q155_temporal_split")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("events_train") == 2 && got("events_val") == 2 &&
+      got("events_test") == 1)
+    assert(got("users_train") == 2 && got("users_val") == 2 &&
+      got("users_test") == 1)
+    assert(got("leak_train_val") == 1 && got("leak_val_test") == 0 &&
+      got("leak_train_test") == 0)
+  }
+
   test("q150: uniform sources have zero KL; a skewed source drifts") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("kl_fixtures").toString

@@ -139,6 +139,21 @@ class RangeDocSourceSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("reported statistics let Catalyst broadcast a narrowed range") {
+    import spark.implicits._
+    val big = (0L until 60000L).map(i => (i % 97, i)).toDF("bucket2", "payload")
+    val dim = ranged(200000).filter(col("id") >= 100L && col("id") < 150L)
+    val joined = big.join(dim, col("bucket2") === col("bucket"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"narrowed v2 side should broadcast:\n$plan")
+    // and the estimate itself is exact on rows
+    val scan = dim.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    assert(scan.computeStats().rowCount.contains(BigInt(50)))
+  }
+
   test("grouped / non-closed-form aggregations decline pushdown and stay correct") {
     val grouped = ranged(1000).groupBy("category").count()
     assert(!grouped.queryExecution.executedPlan.toString
