@@ -769,4 +769,73 @@ object SimilarityOps extends QueryModule {
       .agg(countDistinct(col("code")).as("codes_used"),
         max(col("err_nano")).as("max_err_nano"))
   }
+
+  // ====================================================== recall@k eval
+  // The evaluation harness every ANN deployment needs: per-query
+  // recall@k of the LSH path (q29) against exact brute force (q28) —
+  // |approx ∩ exact| / |exact| on neighbor ids. Because BOTH retrieval
+  // paths are deterministic and oracle-replicable (the LSH signature
+  // has a DuckDB twin), this is an EXACT hash gate, not a
+  // within_bound estimate: both engines compute identical top-k sets
+  // and therefore identical recall. A query whose signature bucket is
+  // empty (or capped away) retrieves nothing and scores recall 0 —
+  // visible, not silently dropped.
+  //
+  // Scale: reuses the two retrieval plans (broadcast query set; the
+  // LSH side touches only the query's bucket); the overlap join is
+  // |queries|·k rows on both sides.
+  register("q156_ann_recall", {
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+       |e_scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${oDot("qv", "cv")} / (${oNorm("qv")} * ${oNorm("cv")}) AS cosine
+       |  FROM q JOIN c ON q.query_id <> c.vec_id),
+       |e_ranked AS (
+       |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM e_scored),
+       |e_top AS (SELECT query_id, vec_id FROM e_ranked WHERE rank <= $TopK),
+       |sigs AS (
+       |  SELECT vec_id, embedding, ${oLshSignature("embedding")} AS sig
+       |  FROM embeddings),
+       |capped AS (
+       |  SELECT s.* FROM sigs s
+       |  JOIN (SELECT sig FROM sigs GROUP BY sig
+       |        HAVING COUNT(*) <= $MaxSigBucketSize) ok ON s.sig = ok.sig),
+       |aq AS (SELECT vec_id AS query_id, embedding AS qv, sig
+       |       FROM sigs WHERE vec_id < $NumQueries),
+       |a_scored AS (
+       |  SELECT aq.query_id, c2.vec_id,
+       |    ${oDot("aq.qv", "c2.embedding")}
+       |      / (${oNorm("aq.qv")} * ${oNorm("c2.embedding")}) AS cosine
+       |  FROM aq JOIN capped c2 ON aq.sig = c2.sig
+       |    AND aq.query_id <> c2.vec_id),
+       |a_ranked AS (
+       |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM a_scored),
+       |a_top AS (SELECT query_id, vec_id FROM a_ranked WHERE rank <= $TopK)
+       |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS recall
+       |FROM e_top e LEFT JOIN a_top a
+       |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |GROUP BY e.query_id""".stripMargin
+  }) { (s, d) =>
+    val exact = queries("q28_cosine_topk")(s, d)
+      .select(col("query_id"), col("vec_id"))
+    val approx = queries("q29_ann_lsh")(s, d)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("av").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+  }
 }

@@ -64,7 +64,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q150_mixture_drift",
     // q154's corpus token total is a 1-row broadcast onto the ≤1000-row
     // coverage frame
-    "q154_vocab_coverage")
+    "q154_vocab_coverage",
+    // q156 composes q28+q29, inheriting their broadcast ≤10-row query
+    // set × corpus non-equi pairing (both allowlisted above)
+    "q156_ann_recall")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
