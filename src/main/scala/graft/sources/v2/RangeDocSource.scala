@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -225,11 +225,41 @@ final case class RangeDocAggReaderFactory(kinds: Seq[String])
 }
 
 final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-range id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  // ------------------------------------------------- runtime filtering
+  // Dynamic partition pruning for joins: when this scan is the probe
+  // side of a broadcast join on `id`, Spark re-offers the BUILD side's
+  // key set as a runtime `In("id", values)` AFTER planning
+  // (BatchScanExec re-plans partitions through `filter`). The pushed
+  // set is an exact implication of the join, so tightening the
+  // generated range to [min(values), max(values)] and dropping splits
+  // that contain none of the values skips I/O that static pushdown
+  // could never see. At 100 TB this is the file-source DPP story told
+  // on a connector: a fact-scan joined to a filtered dimension reads
+  // only the id-ranges the dimension actually references.
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val idSets = filters.collect {
+      case In("id", vs) =>
+        vs.collect { case n: java.lang.Number => n.longValue }.sorted
+      case EqualTo("id", n: java.lang.Number) => Array(n.longValue)
+    }
+    // intersect with any set pushed by an earlier filter() call
+    val merged = (runtimeIds.toSeq ++ idSets).reduceOption { (a, b) =>
+      a.filter(java.util.Arrays.binarySearch(b, _) >= 0)
+    }
+    runtimeIds = merged.map(_.filter(v => v >= lo && v < hi))
+  }
 
   // Exact row count and a schema-width byte estimate for the (already
   // filter-narrowed, column-pruned) scan. Without this, DSv2 relations
@@ -248,14 +278,31 @@ final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
+    // runtime-filtered bounds: the generated range tightens to the
+    // pushed id set's envelope (an empty set is a legal, empty scan)
+    val (rlo, rhi) = runtimeIds match {
+      case Some(ids) if ids.isEmpty => (lo, lo)
+      case Some(ids)                => (math.max(lo, ids.head), math.min(hi, ids.last + 1))
+      case None                     => (lo, hi)
+    }
+    val n = math.max(rhi - rlo, 0L)
     if (n == 0L) return Array.empty
     val k = math.min(splits.toLong, n).toInt
     val step = n / k
     val rem = n % k
     // first `rem` splits get one extra row: contiguous, gap-free cover
-    val bounds = (0 until k).scanLeft(lo) { (acc, i) => acc + step + (if (i < rem) 1 else 0) }
-    bounds.sliding(2).map { case Seq(a, b) => RangeDocPartition(a, b): InputPartition }.toArray
+    val bounds = (0 until k).scanLeft(rlo) { (acc, i) => acc + step + (if (i < rem) 1 else 0) }
+    val parts = bounds.sliding(2).map { case Seq(a, b) => RangeDocPartition(a, b) }.toArray
+    runtimeIds match {
+      // drop splits containing none of the pushed ids (binary search on
+      // the sorted set); surviving splits keep their contiguous bounds
+      case Some(ids) => parts.filter { p =>
+        val i = java.util.Arrays.binarySearch(ids, p.lo)
+        val at = if (i >= 0) i else -i - 1
+        at < ids.length && ids(at) < p.hi
+      }.map(p => p: InputPartition)
+      case None => parts.map(p => p: InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -154,6 +154,80 @@ class RangeDocSourceSpec extends SparkSpec {
     assert(scan.computeStats().rowCount.contains(BigInt(50)))
   }
 
+  // ------------------------------------------------- runtime filtering
+
+  test("runtime In-filter tightens the range and drops non-intersecting splits") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    def scan() = new graft.sources.v2.RangeDocScan(
+      graft.sources.v2.RangeDocSource.schema, 0L, 1000000L, 16)
+    // two ids at opposite ends: envelope keeps [10, 999991); only the
+    // splits actually containing an id survive
+    val s = scan()
+    s.filter(Array[Filter](In("id", Array[Any](999990L, 10L))))
+    val parts = s.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.v2.RangeDocPartition])
+    assert(parts.length === 2, parts.mkString(","))
+    assert(parts.exists(p => p.lo <= 10L && 10L < p.hi))
+    assert(parts.exists(p => p.lo <= 999990L && 999990L < p.hi))
+    // runtime EqualTo plans exactly one split
+    val s2 = scan()
+    s2.filter(Array[Filter](EqualTo("id", 777777L)))
+    assert(s2.planInputPartitions().length === 1)
+    // an empty pushed set is a legal empty scan
+    val s3 = scan()
+    s3.filter(Array[Filter](In("id", Array.empty[Any])))
+    assert(s3.planInputPartitions().isEmpty)
+    // repeated filter() calls intersect, never widen
+    val s4 = scan()
+    s4.filter(Array[Filter](In("id", Array[Any](5L, 10L, 15L))))
+    s4.filter(Array[Filter](In("id", Array[Any](10L, 20L))))
+    val p4 = s4.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.v2.RangeDocPartition])
+    assert(p4.length === 1 && p4.head.lo <= 10L && 10L < p4.head.hi)
+  }
+
+  test("broadcast join pushes a dynamic-pruning runtime filter into the scan") {
+    // fact: 1M generated rows (too big to broadcast); dim: a second
+    // graft-range scan narrowed by a RESIDUAL (non-id) predicate — the
+    // selective-filter shape Spark's PartitionPruning rule requires on
+    // the build side. DPP then re-offers dim's id set to the fact scan
+    // as a runtime In-filter, and the fact side generates only the
+    // envelope of dim's ids instead of all 1M rows.
+    val fact = read(1000000L, 16)
+    val dim = read(2000L, 2).filter(col("bucket") === 3)
+      .select(col("id").as("fk"))
+    val joined = fact.join(dim, col("id") === col("fk"))
+    // collect() executes THIS DataFrame's QueryExecution, so its plan
+    // metrics populate (count() would spawn a separate one, zeroed here)
+    val n = joined.collect().length
+    assert(n === (0L until 2000L).count(_ % 97 == 3))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"no runtime filter reached the scan:\n$planStr")
+    // the fact scan's executed output is the dim-id envelope (≤ 1944
+    // generated rows — ids ≡ 3 mod 97 under 2000 span [3, 1944)), not 1M
+    val factRows = collectLeaves(joined.queryExecution.executedPlan)
+      .collectFirst {
+        case b: BatchScanExec if b.scan.description().contains("1000000") =>
+          b.metrics("numOutputRows").value
+      }
+    assert(factRows.exists(r => r >= n && r < 10000L),
+      s"fact scan read ${factRows} rows — runtime pruning did not engage")
+  }
+
+  private def collectLeaves(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectLeaves(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectLeaves(q.plan)
+    case other => other.collectLeaves().flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectLeaves(q.plan)
+      case l => Seq(l)
+    }
+  }
+
   test("grouped / non-closed-form aggregations decline pushdown and stay correct") {
     val grouped = ranged(1000).groupBy("category").count()
     assert(!grouped.queryExecution.executedPlan.toString
