@@ -36,6 +36,44 @@ object SourceGate extends QueryModule {
         "max(id) AS max_id")
   }
 
+  // ============================================== write path (DSv2 sink)
+  // Full connector write path: orders is projected to (key, bucket,
+  // payload), written through graft-sink — Catalyst inserts the
+  // clustered-by-bucket shuffle + (bucket, key) sort the sink REQUIRES
+  // via RequiresDistributionAndOrdering, tasks two-phase-commit JSON
+  // files + a stats manifest — then read back from the committed files
+  // and re-aggregated. The oracle computes the same aggregation from the
+  // original parquet: any row lost, duplicated, or corrupted by the
+  // write path breaks the hash. Layout invariants (bucket→one file,
+  // in-file sort, manifest min/max) are ClusteredSinkSpec's territory;
+  // this gate proves end-to-end data fidelity.
+  register("q157_clustered_sink_roundtrip",
+    """SELECT o_custkey % 64 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      |  MIN(o_orderstatus || '|' || o_orderpriority) AS min_payload,
+      |  MAX(o_orderstatus || '|' || o_orderpriority) AS max_payload
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_q157").toString
+    graft.ops.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("key"),
+        (col("o_custkey") % 64).cast("long").as("bucket"),
+        concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("payload"))
+      .write.format("graft-sink")
+      .option("path", out).option("clusterBy", "bucket").option("sortBy", "key")
+      .option("partitions", "8").mode("append").save()
+    s.read.schema("key LONG, bucket LONG, payload STRING").json(out + "/data")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("key").as("sum_key"),
+        min("key").as("min_key"),
+        max("key").as("max_key"),
+        min("payload").as("min_payload"),
+        max("payload").as("max_payload"))
+  }
+
   register("q125_custom_source",
     """WITH src AS (
       |  SELECT id, CAST(id % 97 AS INTEGER) AS bucket,

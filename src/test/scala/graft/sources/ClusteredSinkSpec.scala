@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Layout + protocol invariants of the graft-sink DSv2 write path.
+  *
+  * The oracle gate (q157) proves data fidelity; these tests pin what the
+  * oracle cannot see: that RequiresDistributionAndOrdering actually shaped
+  * the files (clustered: every bucket in exactly one file; sorted within
+  * file), that the manifest statistics match the committed bytes, that
+  * overwrite truncates, and that JSON escaping survives hostile strings.
+  */
+class ClusteredSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_sink_spec").toString
+
+  private def sample(n: Int): DataFrame =
+    spark.range(n.toLong)
+      .select(col("id").as("key"), (col("id") % 7).as("bucket"),
+        concat(lit("p"), col("id")).as("payload"))
+
+  private def readBack(dir: String): DataFrame =
+    spark.read.schema("key LONG, bucket LONG, payload STRING").json(dir + "/data")
+
+  private def write(df: DataFrame, dir: String, mode: String = "append",
+      partitions: Int = 4): Unit =
+    df.write.format("graft-sink")
+      .option("path", dir).option("clusterBy", "bucket").option("sortBy", "key")
+      .option("partitions", partitions.toString).mode(mode).save()
+
+  test("round-trip preserves every row exactly") {
+    val dir = freshDir()
+    write(sample(1000), dir)
+    val back = readBack(dir)
+    assert(back.count() === 1000L)
+    assert(back.except(sample(1000)).isEmpty && sample(1000).except(back).isEmpty)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")))
+  }
+
+  test("clustered distribution: every bucket lands in exactly one file") {
+    val dir = freshDir()
+    write(sample(1000), dir)
+    val spread = readBack(dir)
+      .select(col("bucket"), input_file_name().as("f"))
+      .groupBy("bucket").agg(countDistinct("f").as("nf"))
+      .agg(max("nf")).as[Long].head()
+    assert(spread === 1L, "a bucket was split across files")
+  }
+
+  test("required ordering: files are sorted by (bucket, key)") {
+    val dir = freshDir()
+    write(sample(1000), dir)
+    val files = Files.list(Paths.get(dir, "data")).iterator().asScala.toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = Files.readAllLines(f).asScala.map { line =>
+        val k = """"key":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+        val b = """"bucket":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+        (b, k)
+      }
+      assert(keys == keys.sorted, s"$f is not sorted by (bucket, key)")
+    }
+  }
+
+  test("manifest statistics match committed file contents") {
+    val dir = freshDir()
+    write(sample(1000), dir)
+    // note: spark.read skips `_`-prefixed files (hidden-file convention),
+    // which is exactly why data and metadata can share the directory —
+    // parse the manifest directly
+    val mre = ("""\{"file":"([^"]+)","rows":(\d+),"min_cluster":(-?\d+),""" +
+      """"max_cluster":(-?\d+),"min_sort":(-?\d+),"max_sort":(-?\d+)\}""").r
+    val manifest = Files.readAllLines(Paths.get(dir, "_manifest.jsonl")).asScala
+      .map { case mre(f, r, mnc, mxc, mns, mxs) =>
+        (f, r.toLong, mnc.toLong, mxc.toLong, mns.toLong, mxs.toLong)
+      }.toSet
+    val actual = readBack(dir)
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
+        col("bucket"), col("key"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("rows"),
+        min("bucket").as("min_cluster"), max("bucket").as("max_cluster"),
+        min("key").as("min_sort"), max("key").as("max_sort"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(manifest.nonEmpty)
+    assert(manifest === actual)
+  }
+
+  test("overwrite truncates previous committed data") {
+    val dir = freshDir()
+    write(sample(1000), dir)
+    val second = spark.range(50L)
+      .select((col("id") + 10000).as("key"), lit(3L).as("bucket"),
+        lit("v2").as("payload"))
+    write(second, dir, mode = "overwrite")
+    val back = readBack(dir)
+    assert(back.count() === 50L)
+    assert(back.agg(min("key")).as[Long].head() === 10000L)
+    // a single bucket under 4 required partitions commits exactly one file
+    assert(Files.list(Paths.get(dir, "data")).count() === 1L)
+  }
+
+  test("hostile strings survive the JSON encoding round-trip") {
+    val dir = freshDir()
+    val nasty = Seq(
+      (1L, 0L, "tab\there"), (2L, 0L, "quote\"back\\slash"),
+      (3L, 1L, "new\nline\rret"), (4L, 1L, "ctrl"),
+      (5L, 2L, "unicode é中文"))
+      .toDF("key", "bucket", "payload")
+    write(nasty, dir)
+    val back = readBack(dir).orderBy("key").as[(Long, Long, String)].collect()
+    assert(back.map(_._3).toSeq ===
+      Seq("tab\there", "quote\"back\\slash", "new\nline\rret",
+        "ctrl", "unicode é中文"))
+  }
+
+  test("empty input commits a manifest with no data files") {
+    val dir = freshDir()
+    write(sample(1000).filter(col("key") < 0), dir)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")))
+    assert(!Files.exists(Paths.get(dir, "data")) ||
+      Files.list(Paths.get(dir, "data")).count() === 0L)
+  }
+
+  test("requiredNumPartitions bounds the file count") {
+    val dir = freshDir()
+    write(sample(10000), dir, partitions = 2)
+    assert(Files.list(Paths.get(dir, "data")).count() <= 2L)
+  }
+}
