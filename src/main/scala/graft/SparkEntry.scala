@@ -19,7 +19,8 @@ object SparkEntry {
     streaming.StreamingOps, multimodal.MultimodalOps, engine.InsuranceGate,
     ops.TemporalJoins, text.SamplingOps, text.CorpusStats, engine.Snapshots,
     text.ChunkingOps, ops.GraphOps, text.QualityOps, ops.ProfilingOps,
-    ops.ArrayOps, ops.TimeSeriesOps, ops.EventAnalytics, sources.SourceGate)
+    ops.ArrayOps, ops.TimeSeriesOps, ops.EventAnalytics, sources.SourceGate,
+    ops.RuntimeFilterOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
