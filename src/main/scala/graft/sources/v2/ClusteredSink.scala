@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,7 +105,8 @@ final class ClusteredSinkTable(
   override def name(): String = "graft_sink"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // options arrive on the write info (the getTable `properties` map is
@@ -154,6 +156,60 @@ final class ClusteredSinkWrite(
 
   override def toBatch: BatchWrite =
     new ClusteredSinkBatchWrite(schema, path, idx(clusterBy), idx(sortBy), truncateFirst)
+
+  override def toStreaming: StreamingWrite =
+    new ClusteredSinkStreamingWrite(schema, path, idx(clusterBy), idx(sortBy))
+}
+
+/** Structured Streaming write path: same files, same manifest, same
+  * required distribution — commits are PER-EPOCH and idempotent. File
+  * names are keyed by (epoch, partition) and each epoch rewrites its own
+  * `_manifest-<epoch>.jsonl` wholesale, so a replayed epoch (failure
+  * recovery re-runs the last uncommitted batch) lands byte-identical
+  * instead of duplicating — the exactly-once contract a streaming sink
+  * must provide OVER an at-least-once execution engine. */
+final class ClusteredSinkStreamingWrite(
+    schema: StructType, path: String, clusterIdx: Int, sortIdx: Int)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path, "_tmp"))
+    ClusteredSinkStreamingFactory(schema, Paths.get(path, "_tmp").toString,
+      clusterIdx, sortIdx)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dataDir = Paths.get(path, "data")
+    Files.createDirectories(dataDir)
+    val manifest = new StringBuilder
+    messages.collect { case m: ClusteredSinkCommit if m.rows > 0 =>
+      val name = f"part-$epochId%05d-${m.partitionId}%05d.json"
+      Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      manifest.append(
+        s"""{"file":"$name","rows":${m.rows},"min_cluster":${m.minCluster},""" +
+        s""""max_cluster":${m.maxCluster},"min_sort":${m.minSort},"max_sort":${m.maxSort}}""" + "\n")
+    }
+    Files.write(Paths.get(path, f"_manifest-$epochId%05d.jsonl"),
+      manifest.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: ClusteredSinkCommit => Files.deleteIfExists(Paths.get(m.tmpPath))
+      case _                      =>
+    }
+}
+
+/** Top-level (serializable) streaming factory — epoch id joins the temp
+  * name so concurrent epoch attempts never collide. */
+final case class ClusteredSinkStreamingFactory(
+    schema: StructType, tmpDir: String, clusterIdx: Int, sortIdx: Int)
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ClusteredSinkDataWriter(schema, tmpDir, partitionId, s"$taskId-e$epochId",
+      clusterIdx, sortIdx)
 }
 
 final class ClusteredSinkBatchWrite(
@@ -203,14 +259,15 @@ final case class ClusteredSinkWriterFactory(
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ClusteredSinkDataWriter(schema, tmpDir, partitionId, taskId, clusterIdx, sortIdx)
+    new ClusteredSinkDataWriter(schema, tmpDir, partitionId, taskId.toString,
+      clusterIdx, sortIdx)
 }
 
 final class ClusteredSinkDataWriter(
-    schema: StructType, tmpDir: String, partitionId: Int, taskId: Long,
+    schema: StructType, tmpDir: String, partitionId: Int, attempt: String,
     clusterIdx: Int, sortIdx: Int) extends DataWriter[InternalRow] {
 
-  private val tmpPath: Path = Paths.get(tmpDir, s"attempt-$partitionId-$taskId")
+  private val tmpPath: Path = Paths.get(tmpDir, s"attempt-$partitionId-$attempt")
   private var out: java.io.BufferedWriter = _
   private var rows = 0L
   private var minCluster = Long.MaxValue
