@@ -74,6 +74,35 @@ object SourceGate extends QueryModule {
         max("payload").as("max_payload"))
   }
 
+  // ============================================== metadata columns
+  // `_split` is a connector METADATA column (SupportsMetadataColumns) —
+  // the DSv2 analogue of the file source's `_metadata.file_path`:
+  // row-level provenance, resolved only when referenced, absent from
+  // SELECT *. The oracle recomputes the split index closed-form from the
+  // narrowed range's split arithmetic (n=160000 over 8 splits → width
+  // 20000, rem 0), which is exactly the planner's contract — so this
+  // gate pins that planned partitions and the rows they emit agree.
+  register("q159_source_metadata",
+    """WITH src AS (
+      |  SELECT id, (id - 20000) // 20000 AS split_id,
+      |    (id * 37 + 11) % 1000003 AS amount
+      |  FROM range(20000, 180000) t(id))
+      |SELECT CAST(split_id AS INTEGER) AS split_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(id) AS min_id, MAX(id) AS max_id,
+      |  CAST(SUM(amount) AS BIGINT) AS total_amount
+      |FROM src GROUP BY 1""".stripMargin) { (s, _) =>
+    s.read.format("graft-range")
+      .option("rows", "200000").option("splits", "8").load()
+      .filter(col("id") >= 20000L && col("id") < 180000L)
+      .select(col("_split").as("split_id"), col("id"), col("amount"))
+      .groupBy("split_id")
+      .agg(count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("amount")).as("total_amount"))
+  }
+
   register("q125_custom_source",
     """WITH src AS (
       |  SELECT id, CAST(id % 97 AS INTEGER) AS bucket,

@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -79,13 +79,28 @@ object RangeDocSource {
   }
 }
 
-final class RangeDocTable(rows: Long, splits: Int) extends Table with SupportsRead {
+final class RangeDocTable(rows: Long, splits: Int) extends Table
+    with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = RangeDocSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RangeDocScanBuilder(rows, splits)
+
+  // `_split` = the planned input-partition index a row was read from —
+  // the connector analogue of the file source's `_metadata.file_path`
+  // (row-level provenance/lineage, resolvable only when referenced, never
+  // part of `SELECT *`). The reader emits it from partition context; the
+  // oracle twin recomputes it closed-form from the narrowed range's split
+  // arithmetic (q159).
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_split"
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String = "planned input-partition index"
+    })
 }
 
 /** Accumulates pruned columns, the pushed id-range bounds, and (when the
@@ -292,7 +307,8 @@ final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
     val rem = n % k
     // first `rem` splits get one extra row: contiguous, gap-free cover
     val bounds = (0 until k).scanLeft(rlo) { (acc, i) => acc + step + (if (i < rem) 1 else 0) }
-    val parts = bounds.sliding(2).map { case Seq(a, b) => RangeDocPartition(a, b) }.toArray
+    val parts = bounds.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => RangeDocPartition(a, b, i) }.toArray
     runtimeIds match {
       // drop splits containing none of the pushed ids (binary search on
       // the sorted set); surviving splits keep their contiguous bounds
@@ -309,7 +325,7 @@ final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
     new RangeDocReaderFactory(required.fieldNames)
 }
 
-final case class RangeDocPartition(lo: Long, hi: Long) extends InputPartition
+final case class RangeDocPartition(lo: Long, hi: Long, idx: Int = -1) extends InputPartition
 
 final class RangeDocReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -318,7 +334,10 @@ final class RangeDocReaderFactory(fields: Array[String]) extends PartitionReader
       private var cur = p.lo - 1
       override def next(): Boolean = { cur += 1; cur < p.hi }
       override def get(): InternalRow =
-        new GenericInternalRow(fields.map(f => RangeDocSource.valueOf(f, cur)).asInstanceOf[Array[Any]])
+        new GenericInternalRow(fields.map {
+          case "_split" => p.idx: Any // metadata column: partition provenance
+          case f        => RangeDocSource.valueOf(f, cur)
+        })
       override def close(): Unit = ()
     }
   }

@@ -228,6 +228,28 @@ class RangeDocSourceSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- metadata columns
+
+  test("_split metadata column maps rows to their planned partition") {
+    val df = read(1000L, 4).select(col("_split"), col("id"))
+    // 1000 rows / 4 splits → width 250; _split = id / 250
+    val bad = df.filter(col("_split") =!= (col("id") / 250).cast("int")).count()
+    assert(bad === 0L)
+    assert(df.select(countDistinct(col("_split"))).head().getLong(0) === 4L)
+  }
+
+  test("_split is absent from SELECT * and survives pushdown narrowing") {
+    val df = read(1000L, 4)
+    assert(!df.columns.contains("_split"))
+    // narrowed range [100, 600) re-plans splits over n=500 (width 125)
+    val narrowed = read(1000L, 4)
+      .filter(col("id") >= 100L && col("id") < 600L)
+      .select(col("_split"), col("id"))
+    val bad = narrowed
+      .filter(col("_split") =!= ((col("id") - 100) / 125).cast("int")).count()
+    assert(bad === 0L)
+  }
+
   test("grouped / non-closed-form aggregations decline pushdown and stay correct") {
     val grouped = ranged(1000).groupBy("category").count()
     assert(!grouped.queryExecution.executedPlan.toString
