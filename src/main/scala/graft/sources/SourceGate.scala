@@ -103,6 +103,59 @@ object SourceGate extends QueryModule {
         sum(col("amount")).as("total_amount"))
   }
 
+  // ============================================== top-N pushdown gate
+  // ORDER BY id DESC LIMIT 50 over a filter-narrowed scan: the source
+  // accepts the top-N (sort key = id, the generation order) and narrows
+  // the generated range to the 50-row TAIL — the scan reads 50 rows, not
+  // 160 000 (RangeDocSourceSpec pins the narrowed description and the
+  // no-re-scan row count; plain LIMIT is pinned as a FULL push with no
+  // Limit operator in the plan). The oracle runs the same top-N over the
+  // closed-form range.
+  register("q160_source_topn_pushdown",
+    """SELECT id, (id * 37 + 11) % 1000003 AS amount
+      |FROM range(20000, 180000) t(id)
+      |ORDER BY id DESC LIMIT 50""".stripMargin) { (s, _) =>
+    s.read.format("graft-range")
+      .option("rows", "200000").option("splits", "8").load()
+      .filter(col("id") >= 20000L && col("id") < 180000L)
+      .select(col("id"), col("amount"))
+      .orderBy(col("id").desc)
+      .limit(50)
+  }
+
+  // ====================================== storage-partitioned join gate
+  // Two bucket-clustered graft-range tables joined on (bucket, id): both
+  // scans report KeyGroupedPartitioning over `bucket`, so with DSv2
+  // bucketing enabled Spark zips the aligned residue-class splits — the
+  // executed plan has ZERO shuffle exchanges, and the reported
+  // (bucket, id) per-split ordering feeds the merge join without a sort
+  // (both pinned by RangeDocSourceSpec). The sizes (58/87 MB by reported
+  // statistics) put both sides past the broadcast threshold, so this is
+  // the genuine fact-to-fact co-located join path a bucketed warehouse
+  // layout buys at 100 TB. The oracle joins the two closed-form ranges.
+  register("q161_partitioned_join",
+    """WITH a AS (SELECT id, CAST(id % 97 AS INTEGER) AS bucket,
+      |    (id * 37 + 11) % 1000003 AS amount FROM range(0, 2000000) t(id)),
+      |  b AS (SELECT id, CAST(id % 97 AS INTEGER) AS bucket,
+      |    (id * 37 + 11) % 1000003 AS amount FROM range(0, 3000000) t(id))
+      |SELECT a.bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(a.amount + b.amount) AS BIGINT) AS total,
+      |  MIN(a.id) AS min_id, MAX(a.id) AS max_id
+      |FROM a JOIN b ON a.bucket = b.bucket AND a.id = b.id
+      |GROUP BY 1""".stripMargin) { (s, _) =>
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def side(rows: Long) = s.read.format("graft-range")
+      .option("rows", rows.toString).option("partitionBy", "bucket").load()
+    val a = side(2000000L)
+    val b = side(3000000L)
+    a.join(b, a("bucket") === b("bucket") && a("id") === b("id"))
+      .groupBy(a("bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(a("amount") + b("amount")).as("total"),
+        min(a("id")).as("min_id"),
+        max(a("id")).as("max_id"))
+  }
+
   register("q125_custom_source",
     """WITH src AS (
       |  SELECT id, CAST(id % 97 AS INTEGER) AS bucket,

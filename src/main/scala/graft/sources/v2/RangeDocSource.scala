@@ -57,7 +57,17 @@ final class RangeDocSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val splits = Option(properties.get("splits")).map(_.toInt).getOrElse(4)
-    new RangeDocTable(rows, splits)
+    // `partitionBy=bucket`: the table is stored clustered by `bucket`
+    // (one split per residue class id % 97) and reports that layout as a
+    // KeyGroupedPartitioning — the connector analogue of Iceberg-style
+    // bucketed tables, enabling storage-partitioned (zero-shuffle) joins.
+    val bucketed = Option(properties.get("partitionBy")) match {
+      case None           => false
+      case Some("bucket") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-range: unsupported partitionBy=$other (only 'bucket')")
+    }
+    new RangeDocTable(rows, splits, bucketed)
   }
 }
 
@@ -79,14 +89,14 @@ object RangeDocSource {
   }
 }
 
-final class RangeDocTable(rows: Long, splits: Int) extends Table
-    with SupportsRead with SupportsMetadataColumns {
+final class RangeDocTable(rows: Long, splits: Int, bucketed: Boolean = false)
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = RangeDocSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeDocScanBuilder(rows, splits)
+    new RangeDocScanBuilder(rows, splits, bucketed)
 
   // `_split` = the planned input-partition index a row was read from —
   // the connector analogue of the file source's `_metadata.file_path`
@@ -105,15 +115,18 @@ final class RangeDocTable(rows: Long, splits: Int) extends Table
 
 /** Accumulates pruned columns, the pushed id-range bounds, and (when the
   * whole aggregation is answerable in closed form) a pushed aggregation. */
-final class RangeDocScanBuilder(rows: Long, splits: Int)
+final class RangeDocScanBuilder(rows: Long, splits: Int, bucketed: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = RangeDocSource.schema
   private var lo: Long = 0L
   private var hi: Long = rows
   private var pushed: Array[Filter] = Array.empty
   private var aggKinds: Option[Seq[String]] = None
+  private var limitTag: Option[String] = None
+  private var partialPush: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark passes the pruned top-level fields in schema order; an empty
@@ -191,11 +204,47 @@ final class RangeDocScanBuilder(rows: Long, splits: Int)
     t.isDefined
   }
 
+  // ------------------------------------------------ limit / top-N pushdown
+  // LIMIT over an (already filter-narrowed) range is FULLY enforceable by
+  // generating only the first `limit` ids — isPartiallyPushed()=false, so
+  // Spark plans no Limit operator at all. Top-N is accepted only when the
+  // single sort key is `id` (the one column with generation-order
+  // semantics): ascending keeps the range head, descending the tail —
+  // either way the scan shrinks from N rows to `limit` rows. Top-N stays
+  // PARTIALLY pushed (Spark keeps its TakeOrdered above the tiny scan),
+  // which is the correct contract for a multi-split source: the narrowing
+  // is exact, the final ordering is Spark's.
+  override def pushLimit(limit: Int): Boolean =
+    aggKinds.isEmpty && {
+      hi = math.min(hi, math.max(lo, 0L) + limit)
+      limitTag = Some(s"limit=$limit")
+      partialPush = false
+      true
+    }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean =
+    aggKinds.isEmpty && orders.length == 1 &&
+      fieldOf(orders(0).expression()).contains("id") && {
+        import org.apache.spark.sql.connector.expressions.SortDirection
+        if (orders(0).direction() == SortDirection.ASCENDING)
+          hi = math.min(hi, math.max(lo, 0L) + limit)
+        else lo = math.max(lo, math.min(hi, rows) - limit)
+        limitTag = Some(s"topN=$limit")
+        partialPush = true
+        true
+      }
+
+  override def isPartiallyPushed(): Boolean = partialPush
+
   override def build(): Scan = {
     val (l, h) = (math.max(lo, 0L), math.min(hi, rows))
     aggKinds match {
       case Some(kinds) => new RangeDocAggScan(l, h, kinds)
-      case None        => new RangeDocScan(required, l, h, splits)
+      case None if bucketed => new RangeDocBucketedScan(required, l, h)
+      case None => new RangeDocScan(required, l, h, splits,
+        limitTag.map(t => s" $t").getOrElse(""))
     }
   }
 }
@@ -239,13 +288,23 @@ final case class RangeDocAggReaderFactory(kinds: Seq[String])
   }
 }
 
-final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
-    extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int,
+    tag: String = "") extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-range id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"graft-range id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}$tag"
+
+  // Each split generates ids ascending — reported so Catalyst can elide
+  // per-partition sorts on `id` (only meaningful when `id` survives
+  // column pruning; an empty report is the honest fallback otherwise).
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (required.fieldNames.contains("id"))
+      Array(Expressions.sort(Expressions.column("id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   // ------------------------------------------------- runtime filtering
   // Dynamic partition pruning for joins: when this scan is the probe
@@ -323,6 +382,87 @@ final class RangeDocScan(required: StructType, lo: Long, hi: Long, splits: Int)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeDocReaderFactory(required.fieldNames)
+}
+
+/** Bucket-clustered scan: one split per residue class of `bucket = id % 97`,
+  * reported to Catalyst as a [[KeyGroupedPartitioning]] over the identity
+  * transform of `bucket` — the connector contract behind storage-partitioned
+  * joins. Two graft-range tables with `partitionBy=bucket` joined on
+  * (bucket, …) plan with NO shuffle exchange on either side
+  * (`spark.sql.sources.v2.bucketing.enabled`): Spark zips the aligned
+  * residue-class splits directly, exactly as it co-locates Iceberg bucket
+  * files. At 100 TB this is the difference between re-shuffling two fact
+  * tables per join and reading both pre-clustered — the layout cost is paid
+  * once at write time (see the graft-sink clusterBy contract).
+  *
+  * Per-split rows are generated ascending, and `bucket` is constant within
+  * a split, so the reported ordering (bucket, id) is exact — a join on
+  * (bucket, id) needs neither exchange NOR sort (spec-pinned).
+  */
+final class RangeDocBucketedScan(required: StructType, lo: Long, hi: Long)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning with SupportsReportOrdering {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  private val mod = 97
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-range-bucketed id=[$lo,$hi) mod=$mod cols=${required.fieldNames.mkString(",")}"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity("bucket")), mod)
+
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+    val cols = Seq("bucket", "id").takeWhile(required.fieldNames.contains)
+    cols.map(c => Expressions.sort(Expressions.column(c), ASCENDING)).toArray
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    private val rowWidth = required.fields.map(_.dataType.defaultSize).sum.max(1)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(mod)(r => RangeDocBucketPartition(lo, hi, mod, r))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RangeDocBucketReaderFactory(required.fieldNames)
+}
+
+/** One residue class: ids in [lo, hi) with id % mod == r. The partition
+  * key row makes split↔key alignment explicit for Spark's SPJ planner. */
+final case class RangeDocBucketPartition(lo: Long, hi: Long, mod: Int, r: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](r))
+}
+
+final case class RangeDocBucketReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RangeDocBucketPartition]
+    // first id >= lo in this residue class, then stride by the modulus
+    val first = p.lo + (((p.r - (p.lo % p.mod)) % p.mod + p.mod) % p.mod)
+    new PartitionReader[InternalRow] {
+      private var cur = first - p.mod
+      override def next(): Boolean = { cur += p.mod; cur < p.hi }
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map {
+          case "_split" => p.r: Any
+          case f        => RangeDocSource.valueOf(f, cur)
+        })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class RangeDocPartition(lo: Long, hi: Long, idx: Int = -1) extends InputPartition

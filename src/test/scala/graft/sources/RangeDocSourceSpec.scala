@@ -263,4 +263,81 @@ class RangeDocSourceSpec extends SparkSpec {
     assert(summed.collect().head.getLong(0) ==
       (0L until 1000L).map(id => (id * 37 + 11) % 1000003).sum)
   }
+
+  // ------------------------------------------------- limit / top-N pushdown
+
+  test("LIMIT pushes fully: the scan generates only `limit` rows") {
+    val df = read(1000000, 8).limit(37)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("limit=37"),
+      scan.scan.description())
+    assert(scan.scan.description().contains("id=[0,37)"))
+    assert(df.collect().length === 37)
+  }
+
+  test("top-N on id desc narrows the scan to the range tail") {
+    val df = read(1000000, 8)
+      .filter(col("id") >= 20000L && col("id") < 180000L)
+      .orderBy(col("id").desc).limit(50)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("topN=50"), scan.scan.description())
+    assert(scan.scan.description().contains("id=[179950,180000)"))
+    val got = df.collect().map(_.getLong(0))
+    assert(got.toSeq === (179999L until 179949L by -1L).toSeq)
+  }
+
+  test("top-N on a non-id column is declined and stays a full scan") {
+    val df = read(10000, 4).orderBy(col("amount").desc).limit(5)
+    assert(scanOf(df).scan.description().contains("id=[0,10000)"))
+    val expect = (0L until 10000L).map(id => (id * 37 + 11) % 1000003)
+      .sorted.reverse.take(5)
+    assert(df.collect().map(_.getLong(3)).toSeq === expect)
+  }
+
+  // ------------------------------------------- storage-partitioned join
+
+  private def bucketed(rows: Long) = spark.read.format("graft-range")
+    .option("rows", rows.toString).option("partitionBy", "bucket").load()
+
+  test("bucketed scan plans one residue-class split per bucket value") {
+    val df = bucketed(1000L)
+    assert(df.rdd.getNumPartitions === 97)
+    assert(df.count() === 1000L)
+    assert(df.filter(col("bucket") =!= (col("id") % 97).cast("int")).count() === 0L)
+    // each split holds exactly its residue class (provenance = bucket)
+    assert(df.select(col("_split"), col("bucket"))
+      .filter(col("_split") =!= col("bucket")).count() === 0L)
+  }
+
+  test("storage-partitioned join runs with zero shuffles and zero sorts") {
+    val conf = spark.conf
+    val prevBucketing = conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = bucketed(200000L)
+      val b = bucketed(300000L)
+      val joined = a.join(b, a("bucket") === b("bucket") && a("id") === b("id"))
+        .groupBy(a("bucket")).agg(count(lit(1)).as("n"),
+          sum(a("amount") + b("amount")).as("total"))
+      val rows = joined.collect()
+      // correctness: every shared id joins exactly once
+      assert(rows.map(_.getLong(1)).sum === 200000L)
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"SPJ should need no exchange:\n$plan")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        s"reported (bucket,id) ordering should elide the merge sort:\n$plan")
+    } finally {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
 }
