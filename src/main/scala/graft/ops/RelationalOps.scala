@@ -1545,4 +1545,29 @@ object RelationalOps extends QueryModule {
           <= col("exact_tokens") * HllRelBound).as("within_bound"))
       .union(global)
   }
+
+  // ==================================== bitmap exact-distinct
+  /** [[q162]] key domain: covers custkey through sf1 (150k). */
+  val BitmapDomain = 1 << 18
+
+  // EXACT distinct counting via [[BitmapAgg]]: one standard aggregation
+  // whose per-group state is a fixed 32 KiB bitset, map-side OR-combined —
+  // no Expand, no second shuffle keyed on (group, key), and the exchange
+  // carries |groups| × 32 KiB regardless of fact row count. The oracle is
+  // Spark's own semantics (COUNT(DISTINCT)) computed by DuckDB, so the
+  // gate proves the bitmap path exactly equivalent; BitmapAggSpec pins
+  // partitioning invariance and the out-of-domain failure contract.
+  register("q162_bitmap_distinct",
+    """SELECT o_orderpriority AS priority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    val bd = org.apache.spark.sql.functions.udaf(
+      BitmapAgg.aggregator(BitmapDomain),
+      org.apache.spark.sql.Encoders.scalaLong)
+    orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(bd(col("o_custkey").cast(LongType)).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+  }
 }
