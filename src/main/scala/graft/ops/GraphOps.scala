@@ -178,4 +178,64 @@ object GraphOps extends QueryModule {
       .select(col("id").as("doc_id"), col("component"),
         (col("component") === col("id")).cast("int").as("is_representative"))
   }
+
+  // ==================================================== triangle counting
+  // Exact triangle count over the part co-occurrence graph (parts sharing
+  // an order), via the DEGREE-ORDERED node-iterator: orient every edge
+  // from its (degree, id)-smaller endpoint to the larger, enumerate
+  // wedges only among each node's OUT-neighbors, close them against
+  // oriented edges. Orientation bounds every out-degree by O(√m), so
+  // wedge volume is O(m^1.5) instead of Σ deg² — the difference between
+  // a skewed hub exploding quadratically and a balanced join at 100 TB.
+  // Shuffles: one per join, all keyed; degrees broadcast (≤ |parts|).
+  //
+  // The oracle is deliberately INDEPENDENT of the orientation trick: the
+  // canonical a<b<c triple-join. Equality of the two formulations is the
+  // theorem the gate re-proves on real data at every scale.
+  register("q163_triangle_count",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |nodes AS (SELECT a AS n FROM e UNION SELECT b AS n FROM e),
+      |tri AS (SELECT COUNT(*) AS n FROM e e1
+      |        JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |  (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles""".stripMargin) {
+    (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.select(col("o"), col("p").as("pa"))
+      .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b")).distinct()
+
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("n").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("n").as("b"), col("deg").as("degb"))
+    val aFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    // oriented edge src→dst with dst's (deg, id) kept for wedge ordering
+    val oriented = e.join(broadcast(da), Seq("a")).join(broadcast(db), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val triangles = wedges.join(closing, Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    // 1×1 scalar frames — broadcast cross joins (the q09 pattern)
+    broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(triangles)
+  }
 }

@@ -67,7 +67,11 @@ class PlanLintGateSpec extends SparkSpec {
     "q154_vocab_coverage",
     // q156 composes q28+q29, inheriting their broadcast ≤10-row query
     // set × corpus non-equi pairing (both allowlisted above)
-    "q156_ann_recall")
+    "q156_ann_recall",
+    // q163 assembles its final row from three 1-row scalar count frames
+    // (nodes, edges, triangles) — the graph passes themselves are keyed
+    // joins with broadcast degree frames
+    "q163_triangle_count")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
