@@ -164,4 +164,71 @@ object ProfilingOps extends QueryModule {
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(10)
   }
+
+  // ====================================== two-proportion z-test (A/B)
+  // Cohort-vs-complement significance test: for each order priority,
+  // is its 'F'-status share significantly different from the rest of
+  // the population? Pooled two-proportion z², reported on the 1e-6
+  // micro-grid with a χ²(1)@95% significance flag.
+  //
+  // Determinism: the inputs are exact integer counts; every float op
+  // (divisions, the products in the pooled variance) is IEEE-exactly
+  // rounded and written in THE SAME order in both engines, and the
+  // final grid snap uses FLOOR(x + 0.5) (identical on identical
+  // doubles) — the q141 micro-grid discipline without the LN step.
+  // Degenerate pools (p ∈ {0,1} ⇒ se²=0) yield NULL via a mirrored
+  // CASE guard (Spark ANSI throws on double division by zero).
+  //
+  // Scale: one aggregation over the fact table (map-side combinable),
+  // then arithmetic on a |cohorts|-row frame with a broadcast 1-row
+  // totals join.
+  register("q165_ab_test",
+    """WITH c AS (
+      |  SELECT o_orderpriority AS cohort,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(k) AS BIGINT) AS tk
+      |      FROM c),
+      |z AS (
+      |  SELECT cohort, n, k,
+      |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+      |    CAST(tk - k AS DOUBLE) / CAST(tn - n AS DOUBLE) AS p2,
+      |    CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE) AS pp,
+      |    CAST(1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + CAST(1 AS DOUBLE) / CAST(tn - n AS DOUBLE) AS invn
+      |  FROM c CROSS JOIN t),
+      |z2 AS (
+      |  SELECT cohort, n, k,
+      |    CASE WHEN pp * (CAST(1 AS DOUBLE) - pp) * invn = 0 THEN NULL
+      |      ELSE (p1 - p2) * (p1 - p2) / (pp * (CAST(1 AS DOUBLE) - pp) * invn)
+      |    END AS z2
+      |  FROM z)
+      |SELECT cohort, n, k,
+      |  CAST(FLOOR(z2 * 1000000 + 0.5) AS BIGINT) AS z2_micro,
+      |  CAST(FLOOR(z2 * 1000000 + 0.5) > 3841459 AS INTEGER) AS significant
+      |FROM z2""".stripMargin) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("k"))
+    val t = c.agg(sum(col("n")).as("tn"), sum(col("k")).as("tk"))
+    val z = c.crossJoin(broadcast(t))
+      .select(col("cohort"), col("n"), col("k"),
+        (col("k").cast(DoubleType) / col("n").cast(DoubleType)).as("p1"),
+        ((col("tk") - col("k")).cast(DoubleType)
+          / (col("tn") - col("n")).cast(DoubleType)).as("p2"),
+        (col("tk").cast(DoubleType) / col("tn").cast(DoubleType)).as("pp"),
+        (lit(1.0) / col("n").cast(DoubleType)
+          + lit(1.0) / (col("tn") - col("n")).cast(DoubleType)).as("invn"))
+    val z2 = z.select(col("cohort"), col("n"), col("k"),
+      when(col("pp") * (lit(1.0) - col("pp")) * col("invn") === 0.0, lit(null))
+        .otherwise((col("p1") - col("p2")) * (col("p1") - col("p2"))
+          / (col("pp") * (lit(1.0) - col("pp")) * col("invn"))).as("z2"))
+    z2.select(col("cohort"), col("n"), col("k"),
+      floor(col("z2") * 1000000 + 0.5).cast(LongType).as("z2_micro"),
+      (floor(col("z2") * 1000000 + 0.5) > 3841459L)
+        .cast(IntegerType).as("significant"))
+  }
 }

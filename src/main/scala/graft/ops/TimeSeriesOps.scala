@@ -213,4 +213,55 @@ object TimeSeriesOps extends QueryModule {
       (col("rev_cents").cast(DoubleType) / 100.0).as("revenue"),
       (num.cast(DoubleType) / den / 100.0).as("ewma"))
   }
+
+  // ============================================ rolling z-score anomaly
+  // Per-customer anomaly flags: an order is anomalous when its price
+  // sits more than 2σ from the mean of the customer's 5 PRECEDING
+  // orders (trailing stats exclude the current row — the monitored
+  // value must not contaminate its own baseline). The σ test runs
+  // entirely on integer cents: |x − s/n| > 2σ with n=5 becomes
+  // (5x − s)² > 4(5q − s²) over window sums s=Σc, q=Σc² — no sqrt, no
+  // float variance, hash-exact by construction (max magnitude ~2.5e17,
+  // well inside BIGINT).
+  //
+  // Scale: one shuffle keyed by o_custkey; the frame is ROWS-bounded
+  // (constant state per row), and all three window sums share one spec
+  // so CollapseWindow plans a single Window operator.
+  register("q164_rolling_anomaly",
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |win AS (
+      |  SELECT o_custkey, o_orderkey, cents,
+      |    COUNT(*) OVER w AS n,
+      |    SUM(cents) OVER w AS s,
+      |    SUM(cents * cents) OVER w AS q
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+      |SELECT o_custkey, o_orderkey, cents,
+      |  CAST(s AS BIGINT) AS trailing_sum,
+      |  CAST((5 * cents - s) * (5 * cents - s) > 4 * (5 * q - s * s)
+      |    AS INTEGER) AS is_anomaly
+      |FROM win WHERE n = 5""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-5, -1)
+    // all three window sums in ONE projection under fresh names (the
+    // chained-withColumn window trap — see the verify recipe)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("cents")).over(w).as("s"),
+        sum(col("cents") * col("cents")).over(w).as("q"))
+      .filter(col("n") === 5)
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        col("s").as("trailing_sum"),
+        ((lit(5) * col("cents") - col("s")) * (lit(5) * col("cents") - col("s"))
+          > lit(4) * (lit(5) * col("q") - col("s") * col("s")))
+          .cast(IntegerType).as("is_anomaly"))
+  }
 }
