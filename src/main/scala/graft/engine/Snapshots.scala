@@ -219,4 +219,49 @@ object Snapshots extends QueryModule {
         (col("valid_to").isNull || col("valid_to") > col("probe_ts"))
           .cast("integer").as("interval_covers"))
   }
+
+  // ========================== incremental aggregate-state maintenance
+  // The aggregate sibling of q71's row-level incremental merge: a
+  // periodic pipeline keeps per-key PARTIAL aggregate state (count, sum,
+  // min, max — all mergeable) and folds each new batch in with a keyed
+  // full-outer merge, never reprocessing history. At 100 TB this is the
+  // difference between scanning the full fact table per run and scanning
+  // one day's partition: state size is |keys|, merge cost is
+  // |keys| + |batch|. Non-mergeable forms (exact median, distinct) need
+  // sketch state instead — see q146's HLL union for that contract.
+  //
+  // The gate splits orders at a date cutoff, builds state from the old
+  // half, merges the new half's partials, and the ORACLE aggregates the
+  // whole table directly — merged state must equal the full recompute,
+  // which is exactly the invariant an incremental materialization owes
+  // its consumers.
+  register("q168_incremental_state",
+    """SELECT o_custkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  MIN(CAST(o_orderdate AS DATE)) AS first_date,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_date
+      |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        col("o_orderdate").cast("date").as("odate"))
+    def partials(df: DataFrame, sfx: String): DataFrame = df
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as(s"n$sfx"), sum(col("cents")).as(s"s$sfx"),
+        min(col("odate")).as(s"lo$sfx"), max(col("odate")).as(s"hi$sfx"))
+    val state = partials(base.filter(col("odate") < lit("1997-01-01")), "0")
+    val delta = partials(base.filter(col("odate") >= lit("1997-01-01")), "1")
+    // keyed full-outer merge; Spark's least/greatest skip nulls, so keys
+    // present on only one side keep that side's bounds
+    state.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L)))
+          .as("sum_cents"),
+        least(col("lo0"), col("lo1")).as("first_date"),
+        greatest(col("hi0"), col("hi1")).as("last_date"))
+  }
 }

@@ -1570,4 +1570,78 @@ object RelationalOps extends QueryModule {
       .agg(bd(col("o_custkey").cast(LongType)).as("n_cust"),
         count(lit(1)).as("n_orders"))
   }
+
+  // ================================= distinct-over-window (trailing N)
+  // Rolling 3-month distinct part count per supplier. Spark has no
+  // COUNT(DISTINCT) OVER — the idiomatic encoding is collect_set over a
+  // RANGE frame on an integer month index, then size(). State per frame
+  // is the distinct set itself, so the pattern is only safe when the
+  // frame's distinct cardinality is bounded (parts-per-supplier-per-
+  // quarter here; for unbounded domains use the HLL-over-window
+  // estimator instead). The oracle is the independent month-band
+  // self-join formulation — proving the window encoding against
+  // relational semantics, not against itself.
+  register("q166_window_distinct",
+    """WITH mp AS (
+      |  SELECT DISTINCT l_suppkey AS s,
+      |    YEAR(l_shipdate) * 12 + MONTH(l_shipdate) - 1 AS m,
+      |    l_partkey AS p
+      |  FROM lineitem),
+      |mm AS (SELECT DISTINCT s, m FROM mp)
+      |SELECT mm.s AS suppkey, CAST(mm.m AS BIGINT) AS month_idx,
+      |  CAST(COUNT(DISTINCT mp.p) AS BIGINT) AS parts_3mo
+      |FROM mm JOIN mp ON mp.s = mm.s AND mp.m BETWEEN mm.m - 2 AND mm.m
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val mp = lineitem(s, d)
+      .select(col("l_suppkey").as("s"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast(LongType).as("m"),
+        col("l_partkey").as("p"))
+      .distinct()
+    val w = Window.partitionBy(col("s")).orderBy(col("m"))
+      .rangeBetween(-2, 0)
+    mp.select(col("s"), col("m"),
+        size(collect_set(col("p")).over(w)).cast(LongType).as("parts_3mo"))
+      .groupBy(col("s").as("suppkey"), col("m").as("month_idx"))
+      .agg(max(col("parts_3mo")).as("parts_3mo"))
+  }
+
+  // ================================= rendezvous-hash shard assignment
+  // Highest-random-weight (rendezvous) hashing: each key lands on the
+  // shard maximizing h(key, shard). The property that matters for a
+  // 100 TB re-shard is MINIMAL MOVEMENT — growing 8 → 10 shards moves
+  // only the keys whose new shards win (≈ 2/10 of keys), where mod-N
+  // assignment reshuffles nearly everything. The gate computes both
+  // assignments and the per-key moved flag, measuring that property on
+  // real keys. Determinism: h is pure BIGINT modular arithmetic; the
+  // argmax is encoded as MAX(h·16 + shard) so ties (impossible by
+  // h-injectivity mod 16, but still) break identically in both engines.
+  register("q167_rendezvous_shards",
+    """WITH k AS (SELECT c_custkey AS key FROM customer),
+      |h8 AS (
+      |  SELECT key, ((key * 2654435761 + (s.x + 1) * 40503 + 12345)
+      |    % 1000000007) * 16 + s.x AS hw
+      |  FROM k CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) s),
+      |h10 AS (
+      |  SELECT key, ((key * 2654435761 + (s.x + 1) * 40503 + 12345)
+      |    % 1000000007) * 16 + s.x AS hw
+      |  FROM k CROSS JOIN (SELECT UNNEST(range(0, 10)) AS x) s),
+      |a8 AS (SELECT key, MAX(hw) % 16 AS shard8 FROM h8 GROUP BY key),
+      |a10 AS (SELECT key, MAX(hw) % 16 AS shard10 FROM h10 GROUP BY key)
+      |SELECT a8.key AS key, CAST(shard8 AS BIGINT) AS shard8,
+      |  CAST(shard10 AS BIGINT) AS shard10,
+      |  CAST(shard8 <> shard10 AS INTEGER) AS moved
+      |FROM a8 JOIN a10 ON a8.key = a10.key""".stripMargin) { (s, d) =>
+    val k = customer(s, d).select(col("c_custkey").cast(LongType).as("key"))
+    def assign(shards: Int, out: String) = k
+      .select(col("key"), explode(sequence(lit(0), lit(shards - 1))).as("x"))
+      .select(col("key"),
+        (((col("key") * 2654435761L + (col("x") + 1) * 40503L + 12345L)
+          % 1000000007L) * 16 + col("x")).as("hw"))
+      .groupBy("key")
+      .agg((max(col("hw")) % 16).cast(LongType).as(out))
+    assign(8, "shard8").join(assign(10, "shard10"), Seq("key"))
+      .select(col("key"), col("shard8"), col("shard10"),
+        (col("shard8") =!= col("shard10")).cast(IntegerType).as("moved"))
+  }
 }

@@ -71,7 +71,10 @@ class PlanLintGateSpec extends SparkSpec {
     // q163 assembles its final row from three 1-row scalar count frames
     // (nodes, edges, triangles) — the graph passes themselves are keyed
     // joins with broadcast degree frames
-    "q163_triangle_count")
+    "q163_triangle_count",
+    // q165's pooled totals are a 1-row broadcast onto the |cohorts|-row
+    // frame (the corpus pass is a single map-side-combinable aggregation)
+    "q165_ab_test")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
