@@ -136,6 +136,71 @@ object SimilarityOps extends QueryModule {
       .select("query_id", "rank", "vec_id", "label", "cosine")
   }
 
+  // =============================================== matryoshka audit
+  /** [[q170]] truncated prefix length (matryoshka-style half dim). */
+  val HalfDim: Int = Dim / 2
+
+  private def oDotK(a: String, b: String, k: Int): String =
+    s"""list_reduce(list_transform(range(1, $k + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |      (x, y) -> x + y)""".stripMargin
+
+  // Embedding-truncation quality audit: how much does the cosine ranking
+  // move when vectors are cut to their first Dim/2 coordinates
+  // (matryoshka-representation inference trades dim for cost exactly
+  // this way)? Both rankings run over the same query×corpus frame; the
+  // output is INTEGER ranks + per-candidate rank drift for the full-dim
+  // top-k, so the hash pins the entire rank permutation, not a summary.
+  // Plan shape inherits q28: broadcast ≤10-row query set, one corpus
+  // pass, two same-partition windows (one shuffle).
+  register("q170_matryoshka_audit", {
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${oDot("qv", "cv")} / (${oNorm("qv")} * ${oNorm("cv")}) AS cf,
+       |    ${oDotK("qv", "cv", HalfDim)}
+       |      / (sqrt(${oDotK("qv", "qv", HalfDim)})
+       |         * sqrt(${oDotK("cv", "cv", HalfDim)})) AS ch
+       |  FROM q JOIN c ON q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cf DESC, vec_id ASC) AS rank_full,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ch DESC, vec_id ASC) AS rank_half
+       |  FROM scored)
+       |SELECT query_id, CAST(rank_full AS BIGINT) AS rank_full, vec_id,
+       |  CAST(rank_half AS BIGINT) AS rank_half,
+       |  CAST(ABS(rank_full - rank_half) AS BIGINT) AS rank_drift
+       |FROM ranked WHERE rank_full <= $TopK""".stripMargin
+  }) { (s, d) =>
+    val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(col("qv"), col("cv")).as("cf"),
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(slice(col("qv"), 1, HalfDim),
+            slice(col("cv"), 1, HalfDim)).as("ch"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cf").desc, col("vec_id").asc)
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("ch").desc, col("vec_id").asc)
+    scored
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wf).as("rank_full"),
+        row_number().over(wh).as("rank_half"))
+      .filter(col("rank_full") <= TopK)
+      .select(col("query_id"), col("rank_full").cast("long").as("rank_full"),
+        col("vec_id"), col("rank_half").cast("long").as("rank_half"),
+        abs(col("rank_full") - col("rank_half")).cast("long").as("rank_drift"))
+  }
+
   // ============================================================ LSH ANN
   // approximate top-k: candidates restricted to the query's LSH bucket
   register("q29_ann_lsh", {

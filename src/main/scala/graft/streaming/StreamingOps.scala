@@ -94,6 +94,35 @@ object StreamingOps extends QueryModule {
           .as("total_value"))
   }
 
+  // ======================================================= hopping window
+  // Sliding/hopping aggregation — Spark's native `window(ts, 2h, 30m)`
+  // generator: every event replicates into its 4 overlapping windows
+  // (constant W/S factor, map-side — the replication happens before the
+  // shuffle but multiplies rows by exactly 4, never by data skew). The
+  // oracle reconstructs the same windows with integer epoch-micro
+  // arithmetic and an UNNEST(range(0,4)) hop join, so the gate pins
+  // Spark's window-alignment semantics (floor to the slide grid, one
+  // window per hop) against the closed form.
+  register("q169_hopping_window",
+    """WITH hopped AS (
+      |  SELECT event_type, value,
+      |    make_timestamp(((epoch_us(ts) // 1800000000) - x.i) * 1800000000)
+      |      AS window_start
+      |  FROM events CROSS JOIN (SELECT UNNEST(range(0, 4)) AS i) x)
+      |SELECT event_type, window_start,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM hopped GROUP BY event_type, window_start""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("event_count"), col("total_value"))
+  }
+
   // ============================================================ user funnel
   // per-user event-type rollup with conversion flags (stream-shaped
   // per-key state summary)

@@ -74,7 +74,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q163_triangle_count",
     // q165's pooled totals are a 1-row broadcast onto the |cohorts|-row
     // frame (the corpus pass is a single map-side-combinable aggregation)
-    "q165_ab_test")
+    "q165_ab_test",
+    // q170 inherits q28's broadcast ≤10-row query set × corpus non-equi
+    // pairing (two rankings over the same scored frame)
+    "q170_matryoshka_audit")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
