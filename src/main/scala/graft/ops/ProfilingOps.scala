@@ -231,4 +231,114 @@ object ProfilingOps extends QueryModule {
       (floor(col("z2") * 1000000 + 0.5) > 3841459L)
         .cast(IntegerType).as("significant"))
   }
+
+  // ============================== exact Kolmogorov–Smirnov drift
+  // Distribution drift between two order-year cohorts as the EXACT KS
+  // statistic, kept integral: at every distinct price point v,
+  // D(v) = |F₁(v)·n₁·n₂ − F₂(v)·n₁·n₂| = |cum₁·n₂ − cum₂·n₁| — the
+  // cross-multiplied form never divides, so the argmax row hashes
+  // exactly. The global cumulative counts use the q149 two-pass shape
+  // (range-partition by value, per-partition window, partition-count
+  // prefix offsets) — never a single-partition window over the value
+  // census. The oracle runs the plain global-window formulation, so the
+  // gate also re-proves the two-pass decomposition.
+  register("q172_ks_drift",
+    """WITH b AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1995 THEN 1 ELSE 0 END AS g1,
+      |    CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1996 THEN 1 ELSE 0 END AS g2
+      |  FROM orders
+      |  WHERE YEAR(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+      |cen AS (SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1,
+      |        CAST(SUM(g2) AS BIGINT) AS c2 FROM b GROUP BY 1),
+      |cum AS (SELECT cents,
+      |        SUM(c1) OVER (ORDER BY cents) AS cum1,
+      |        SUM(c2) OVER (ORDER BY cents) AS cum2 FROM cen),
+      |t AS (SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+      |      CAST(SUM(g2) AS BIGINT) AS n2 FROM b)
+      |SELECT cents AS at_cents, CAST(cum1 AS BIGINT) AS cum1,
+      |  CAST(cum2 AS BIGINT) AS cum2, n1, n2,
+      |  CAST(ABS(cum1 * n2 - cum2 * n1) AS BIGINT) AS ks_num
+      |FROM cum CROSS JOIN t
+      |ORDER BY ABS(cum1 * n2 - cum2 * n1) DESC, cents ASC LIMIT 1""".stripMargin) {
+    (s, d) =>
+    val b = Tables.orders(s, d)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"),
+        (year(col("o_orderdate").cast(DateType)) === 1995).cast(LongType).as("g1"),
+        (year(col("o_orderdate").cast(DateType)) === 1996).cast(LongType).as("g2"))
+      .filter(col("g1") + col("g2") > 0)
+    val cen = b.groupBy("cents")
+      .agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
+    // two-pass global cumsum (q149 shape): local window per range
+    // partition + broadcast per-partition offsets
+    val local = cen.repartitionByRange(32, col("cents"))
+      .select(col("cents"), col("c1"), col("c2"),
+        spark_partition_id().as("pid"))
+    val wloc = Window.partitionBy(col("pid")).orderBy(col("cents"))
+    val cumLocal = local.select(col("cents"), col("pid"),
+      sum(col("c1")).over(wloc).as("l1"), sum(col("c2")).over(wloc).as("l2"))
+    val woff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid")
+      .agg(sum(col("c1")).as("p1"), sum(col("c2")).as("p2"))
+      .select(col("pid"),
+        coalesce(sum(col("p1")).over(woff), lit(0L)).as("o1"),
+        coalesce(sum(col("p2")).over(woff), lit(0L)).as("o2"))
+    val t = b.agg(sum(col("g1")).as("n1"), sum(col("g2")).as("n2"))
+    cumLocal.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(t))
+      .select(col("cents").as("at_cents"),
+        (col("o1") + col("l1")).as("cum1"),
+        (col("o2") + col("l2")).as("cum2"),
+        col("n1"), col("n2"))
+      .select(col("at_cents"), col("cum1"), col("cum2"), col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("ks_num"))
+      .orderBy(col("ks_num").desc, col("at_cents").asc)
+      .limit(1)
+  }
+
+  // ========================================= Gini concentration index
+  // Per-cohort revenue concentration: the exact rank formula
+  // G = (2·Σ rank·x − (n+1)·Σ x) / (n·Σ x) over integer cents with
+  // (rank, orderkey)-deterministic ties. Rank·cents products stay in
+  // BIGINT per row (≤1.5e13); their sums ride DECIMAL(38,0) (the q109
+  // contract), and the single float step is the DECIMAL→DOUBLE cast +
+  // one division, identical in both engines, snapped to the 1e-6 grid.
+  // One partitioned window + one aggregation — no global sort.
+  register("q173_gini",
+    """WITH b AS (
+      |  SELECT o_orderpriority AS cohort,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders),
+      |r AS (SELECT cohort, cents, ROW_NUMBER() OVER (PARTITION BY cohort
+      |      ORDER BY cents ASC, o_orderkey ASC) AS rk FROM b),
+      |a AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+      |      SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+      |      SUM(CAST(rk * cents AS DECIMAL(38,0))) AS srx
+      |      FROM r GROUP BY 1)
+      |SELECT cohort, n, CAST(sx AS BIGINT) AS sum_cents,
+      |  CAST(FLOOR((CAST(2 AS DOUBLE) * CAST(srx AS DOUBLE)
+      |    - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000 + 0.5)
+      |    AS BIGINT) AS gini_micro
+      |FROM a""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("cohort"))
+      .orderBy(col("cents").asc, col("o_orderkey").asc)
+    val r = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("cohort"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"),
+        col("o_orderkey"))
+      .select(col("cohort"), col("cents"),
+        row_number().over(w).cast(LongType).as("rk"))
+    val a = r.groupBy("cohort")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("sx"),
+        sum((col("rk") * col("cents")).cast(DecimalType(38, 0))).as("srx"))
+    a.select(col("cohort"), col("n"), col("sx").cast(LongType).as("sum_cents"),
+      floor((lit(2.0) * col("srx").cast(DoubleType)
+        - (col("n").cast(DoubleType) + lit(1.0)) * col("sx").cast(DoubleType))
+        / (col("n").cast(DoubleType) * col("sx").cast(DoubleType))
+        * 1000000 + 0.5).cast(LongType).as("gini_micro"))
+  }
 }

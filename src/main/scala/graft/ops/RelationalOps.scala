@@ -1644,4 +1644,57 @@ object RelationalOps extends QueryModule {
       .select(col("key"), col("shard8"), col("shard10"),
         (col("shard8") =!= col("shard10")).cast(IntegerType).as("moved"))
   }
+
+  // ================================= frequent pairs (market basket)
+  /** [[q171]] support floor / result cap. */
+  val PairMinSupport = 3
+  val PairTopK = 100
+
+  // Frequent-itemset mining at pair granularity: co-occurrence support
+  // from the per-order basket self-join, per-item supports joined back,
+  // lift on the integer 1e6 grid (sup_ab·N·10⁶ div sup_a·sup_b — exact
+  // BIGINT, max ~2.2e18 at soak). The support floor prunes the long
+  // tail BEFORE the item joins, and the basket self-join inherits
+  // q163's per-order bound (baskets are small by construction; a
+  // hot-basket cap would bolt on exactly like MaxBucketSize). TopK by
+  // (support, pair) is TakeOrdered — no global sort.
+  register("q171_frequent_pairs",
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+       |item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM li GROUP BY 1),
+       |pair AS (
+       |  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS sup_ab
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT a, b, sup_ab, ia.sup AS sup_a, ib.sup AS sup_b,
+       |    sup_ab * n.n_orders * 1000000 // (ia.sup * ib.sup) AS lift_grid
+       |  FROM pair JOIN item ia ON ia.p = pair.a
+       |            JOIN item ib ON ib.p = pair.b
+       |            CROSS JOIN n
+       |  WHERE sup_ab >= $PairMinSupport)
+       |SELECT a, b, sup_ab, sup_a, sup_b, lift_grid
+       |FROM scored
+       |ORDER BY sup_ab DESC, a ASC, b ASC LIMIT $PairTopK""".stripMargin) {
+    (s, d) =>
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val n = li.agg(count_distinct(col("o")).as("n_orders"))
+    val item = li.groupBy("p").agg(count(lit(1)).as("sup"))
+    val pair = li.select(col("o"), col("p").as("pa"))
+      .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= PairMinSupport)
+    pair
+      .join(broadcast(item.select(col("p").as("a"), col("sup").as("sup_a"))), Seq("a"))
+      .join(broadcast(item.select(col("p").as("b"), col("sup").as("sup_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("sup_ab"), col("sup_a"), col("sup_b"),
+        expr("sup_ab * n_orders * 1000000 div (sup_a * sup_b)").as("lift_grid"))
+      .orderBy(col("sup_ab").desc, col("a").asc, col("b").asc)
+      .limit(PairTopK)
+  }
 }

@@ -77,7 +77,12 @@ class PlanLintGateSpec extends SparkSpec {
     "q165_ab_test",
     // q170 inherits q28's broadcast ≤10-row query set × corpus non-equi
     // pairing (two rankings over the same scored frame)
-    "q170_matryoshka_audit")
+    "q170_matryoshka_audit",
+    // q171's basket total N is a 1-row broadcast onto the pair frame
+    "q171_frequent_pairs",
+    // q172's cohort totals (n1, n2) are a 1-row broadcast onto the
+    // cumulative census
+    "q172_ks_drift")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
@@ -101,7 +106,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q149_global_rownumber",
     // q154's rank+cumsum windows run on the TakeOrdered ≤1000-row
     // top-vocabulary frame, never the vocabulary itself
-    "q154_vocab_coverage")
+    "q154_vocab_coverage",
+    // q172's prefix-sum offsets window covers the ≤32-row partition-count
+    // frame (the census itself gets pid-partitioned windows — q149 shape)
+    "q172_ks_drift")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
