@@ -1697,4 +1697,55 @@ object RelationalOps extends QueryModule {
       .orderBy(col("sup_ab").desc, col("a").asc, col("b").asc)
       .limit(PairTopK)
   }
+
+  // ======================================================= global skyline
+  // The GLOBAL Pareto frontier q144's scaladoc promises: same dominance
+  // semantics with no partition key, WITHOUT the single-partition sort a
+  // naive `MIN(...) OVER (ORDER BY ... )` plans. Range-partition on the
+  // scan dimension (date desc, then the q144 tie order), compute each
+  // partition's running previous-minimum locally, and merge with the
+  // EXCLUSIVE prefix-min of per-partition minimum prices — a
+  // ≤32-row frame. best_prev = least(partition prefix, local running
+  // min) reproduces the global scan's running minimum exactly, because
+  // range partitioning preserves the scan order across partitions. The
+  // oracle runs the global-window formulation directly — the gate proves
+  // the two-pass decomposition (the q149 pattern with MIN as the monoid).
+  register("q174_global_skyline",
+    """WITH scanned AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |    o_totalprice,
+      |    MIN(o_totalprice) OVER (
+      |      ORDER BY o_orderdate DESC, o_totalprice ASC, o_orderkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderdate, o_totalprice
+      |FROM scanned
+      |WHERE best_prev IS NULL OR o_totalprice < best_prev""".stripMargin) {
+    (s, d) =>
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"),
+        col("o_totalprice"))
+      .repartitionByRange(32, col("o_orderdate").desc, col("o_totalprice").asc,
+        col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        spark_partition_id().as("pid"))
+    val wloc = Window.partitionBy(col("pid"))
+      .orderBy(col("o_orderdate").desc, col("o_totalprice").asc,
+        col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.select(col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice"), col("pid"),
+      min(col("o_totalprice")).over(wloc).as("local_prev"))
+    val woff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("pid")
+      .agg(min(col("o_totalprice")).as("pmin"))
+      .select(col("pid"), min(col("pmin")).over(woff).as("prefix_min"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        least(col("prefix_min"), col("local_prev")).as("best_prev"))
+      .filter(col("best_prev").isNull ||
+        col("o_totalprice") < col("best_prev"))
+      .drop("best_prev")
+  }
 }

@@ -118,7 +118,8 @@ final class RangeDocTable(rows: Long, splits: Int, bucketed: Boolean = false)
 final class RangeDocScanBuilder(rows: Long, splits: Int, bucketed: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var required: StructType = RangeDocSource.schema
   private var lo: Long = 0L
@@ -127,6 +128,7 @@ final class RangeDocScanBuilder(rows: Long, splits: Int, bucketed: Boolean = fal
   private var aggKinds: Option[Seq[String]] = None
   private var limitTag: Option[String] = None
   private var partialPush: Boolean = true
+  private var offsetVal: Long = 0L
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark passes the pruned top-level fields in schema order; an empty
@@ -216,16 +218,19 @@ final class RangeDocScanBuilder(rows: Long, splits: Int, bucketed: Boolean = fal
   // is exact, the final ordering is Spark's.
   override def pushLimit(limit: Int): Boolean =
     aggKinds.isEmpty && {
-      hi = math.min(hi, math.max(lo, 0L) + limit)
+      // stored, not applied: a later pushOffset shifts the range head,
+      // and the pushed limit counts POST-offset rows (applied in build)
+      limitVal = Some(limit)
       limitTag = Some(s"limit=$limit")
       partialPush = false
       true
     }
+  private var limitVal: Option[Int] = None
 
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean =
-    aggKinds.isEmpty && orders.length == 1 &&
+    aggKinds.isEmpty && offsetVal == 0L && orders.length == 1 &&
       fieldOf(orders(0).expression()).contains("id") && {
         import org.apache.spark.sql.connector.expressions.SortDirection
         if (orders(0).direction() == SortDirection.ASCENDING)
@@ -238,8 +243,26 @@ final class RangeDocScanBuilder(rows: Long, splits: Int, bucketed: Boolean = fal
 
   override def isPartiallyPushed(): Boolean = partialPush
 
+  // OFFSET (pagination) skips the first `offset` generated ids — fully
+  // enforced by shifting the range head, composable with a pushed LIMIT
+  // (Spark's contract: the limit it pushes is the post-offset row
+  // count, so build() applies offset first). Declined once a top-N
+  // narrowed the range tail-wise — the offset would then be relative to
+  // the sorted result, not the generation order.
+  override def pushOffset(offset: Int): Boolean =
+    aggKinds.isEmpty && !limitTag.exists(_.startsWith("topN")) && {
+      offsetVal = offset
+      limitTag = Some(limitTag.fold(s"offset=$offset")(t => s"$t offset=$offset"))
+      true
+    }
+
   override def build(): Scan = {
-    val (l, h) = (math.max(lo, 0L), math.min(hi, rows))
+    val (l0, h0) = (math.max(lo, 0L), math.min(hi, rows))
+    // MEASURED contract: with both pushed, Spark's limit is the PRE-skip
+    // row budget (limit+offset combined) — emit the first `limit` rows,
+    // then skip `offset` of them: [l0+offset, l0+limit)
+    val h = limitVal.fold(h0)(n => math.min(h0, l0 + n))
+    val l = math.min(l0 + offsetVal, h)
     aggKinds match {
       case Some(kinds) => new RangeDocAggScan(l, h, kinds)
       case None if bucketed => new RangeDocBucketedScan(required, l, h)

@@ -109,7 +109,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q154_vocab_coverage",
     // q172's prefix-sum offsets window covers the ≤32-row partition-count
     // frame (the census itself gets pid-partitioned windows — q149 shape)
-    "q172_ks_drift")
+    "q172_ks_drift",
+    // q174's prefix-MIN offsets window covers the ≤32-row partition-min
+    // frame (the corpus gets pid-partitioned windows — q149 with MIN)
+    "q174_global_skyline")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered

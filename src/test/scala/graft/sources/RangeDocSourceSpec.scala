@@ -286,6 +286,20 @@ class RangeDocSourceSpec extends SparkSpec {
     assert(got.toSeq === (179999L until 179949L by -1L).toSeq)
   }
 
+  test("OFFSET pushes fully and composes with a pushed LIMIT (pagination)") {
+    // plain offset: scan head shifts
+    val df = read(1000, 4).offset(990)
+    assert(scanOf(df).scan.description().contains("offset=990"),
+      scanOf(df).scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq === (990L until 1000L).toSeq)
+    // offset + limit pagination: page 3 of size 20
+    val page = read(1000000, 8).offset(60).limit(20)
+    val got = page.collect().map(_.getLong(0))
+    assert(got.toSeq === (60L until 80L).toSeq, got.mkString(","))
+    val desc = scanOf(page).scan.description()
+    assert(desc.contains("offset=60"), desc)
+  }
+
   test("top-N on a non-id column is declined and stays a full scan") {
     val df = read(10000, 4).orderBy(col("amount").desc).limit(5)
     assert(scanOf(df).scan.description().contains("id=[0,10000)"))
