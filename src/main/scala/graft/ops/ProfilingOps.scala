@@ -341,4 +341,51 @@ object ProfilingOps extends QueryModule {
         / (col("n").cast(DoubleType) * col("sx").cast(DoubleType))
         * 1000000 + 0.5).cast(LongType).as("gini_micro"))
   }
+
+  // ====================================== Benford first-digit audit
+  // Fraud/data-entry screening staple: the leading-digit distribution of
+  // order totals vs Benford's law. Everything rides the integer ppm
+  // grid — the first digit comes from the exact-cents BIGINT rendered as
+  // a string (integer-to-string is engine-portable, unlike decimal
+  // formatting), the observed share is cnt·10⁶ div total, and the
+  // expected shares are the same nine ppm literals on both sides
+  // (round(log10(1+1/d)·10⁶) — constants, so no runtime transcendentals).
+  // Plan: map-only digit extraction + one 9-group aggregation + two
+  // 1-row/9-row broadcasts. Nothing here grows with data size except the
+  // single map pass.
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  register("q175_benford", {
+    val values = BenfordPpm.map { case (dg, p) => s"($dg, $p)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders),
+       |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM d GROUP BY digit),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM obs),
+       |e AS (SELECT * FROM (VALUES $values) v(digit, expected_ppm))
+       |SELECT o.digit, o.cnt,
+       |  (o.cnt * 1000000) // t.total AS observed_ppm,
+       |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       |  (o.cnt * 1000000) // t.total - e.expected_ppm AS deviation_ppm
+       |FROM obs o JOIN e ON o.digit = e.digit CROSS JOIN t""".stripMargin
+  }) { (s, d) =>
+    val digits = orders(s, d)
+      .select(substring(floor(col("o_totalprice") * 100 + 0.5)
+        .cast(LongType).cast(StringType), 1, 1).cast(LongType).as("digit"))
+    val obs = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = obs.agg(sum(col("cnt")).as("total"))
+    val expected = s.createDataFrame(BenfordPpm.map { case (dg, p) =>
+      (dg.toLong, p)
+    }).toDF("digit", "expected_ppm")
+    obs.join(broadcast(expected), Seq("digit"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("observed_ppm"),
+        col("expected_ppm"),
+        expr("(cnt * 1000000) div total - expected_ppm").as("deviation_ppm"))
+  }
 }

@@ -1546,6 +1546,52 @@ object RelationalOps extends QueryModule {
       .union(global)
   }
 
+  // ================================ sketch set algebra: intersection
+  // HLL sketches union natively but do NOT intersect — the standard
+  // estimator is inclusion–exclusion over three unions:
+  // |A∩B| ≈ est(A) + est(B) − est(A∪B). That algebra is what powers
+  // audience-overlap / retention-overlap dashboards over sketch columns
+  // at 100 TB: two single-pass sketches and a driver-free merge replace
+  // a distinct-pair self-join. Error compounds across the three
+  // estimates, so the bound is relative to the UNION size (each term's
+  // rse ≈ 1.04/√2^lgK ≈ 1.6% at lgK=12; √3·1.6% ≈ 2.8% 1σ —
+  // [[HllIeBound]] = 10% is >3σ). The sketch is deterministic: the
+  // exact counts hash-gate the relational side, and the boolean is a
+  // pass-forever property of this data.
+  val HllIeBound = 0.10
+
+  register("q176_hll_intersection",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate < DATE '1995-01-01'),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE o_orderdate >= DATE '1995-01-01')
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+      |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+      |  CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+      |    AS exact_both,
+      |  TRUE AS within_bound""".stripMargin) { (s, d) =>
+    val split = lit(java.sql.Date.valueOf("1995-01-01"))
+    val o = orders(s, d).select(col("o_custkey"),
+      col("o_orderdate").cast(DateType).as("dt"))
+    val a = o.filter(col("dt") < split).select("o_custkey")
+    val b = o.filter(col("dt") >= split).select("o_custkey")
+    val sk = a.agg(hll_sketch_agg(col("o_custkey"), lit(HllLgK)).as("ska"),
+        count_distinct(col("o_custkey")).as("exact_a"))
+      .crossJoin(b.agg(hll_sketch_agg(col("o_custkey"), lit(HllLgK)).as("skb"),
+        count_distinct(col("o_custkey")).as("exact_b")))
+      .crossJoin(a.join(b, Seq("o_custkey"), "left_semi")
+        .agg(count_distinct(col("o_custkey")).as("exact_both")))
+    sk.select(col("exact_a"), col("exact_b"), col("exact_both"),
+        (hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+          - hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+          .as("est_both"),
+        (col("exact_a") + col("exact_b") - col("exact_both")).as("exact_union"))
+      .select(col("exact_a"), col("exact_b"), col("exact_both"),
+        (abs(col("est_both") - col("exact_both"))
+          <= col("exact_union") * HllIeBound).as("within_bound"))
+  }
+
   // ==================================== bitmap exact-distinct
   /** [[q162]] key domain: covers custkey through sf1 (150k). */
   val BitmapDomain = 1 << 18

@@ -82,7 +82,12 @@ class PlanLintGateSpec extends SparkSpec {
     "q171_frequent_pairs",
     // q172's cohort totals (n1, n2) are a 1-row broadcast onto the
     // cumulative census
-    "q172_ks_drift")
+    "q172_ks_drift",
+    // q175's corpus total is a 1-row broadcast onto the 9-digit frame
+    "q175_benford",
+    // q176 assembles its single row from three 1-row sketch/count frames
+    // (the corpus passes are plain aggregations)
+    "q176_hll_intersection")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
