@@ -20,7 +20,7 @@ object SparkEntry {
     ops.TemporalJoins, text.SamplingOps, text.CorpusStats, engine.Snapshots,
     text.ChunkingOps, ops.GraphOps, text.QualityOps, ops.ProfilingOps,
     ops.ArrayOps, ops.TimeSeriesOps, ops.EventAnalytics, sources.SourceGate,
-    ops.RuntimeFilterOps)
+    ops.RuntimeFilterOps, ops.LayoutOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -85,6 +85,9 @@ class PlanLintGateSpec extends SparkSpec {
     "q172_ks_drift",
     // q175's corpus total is a 1-row broadcast onto the 9-digit frame
     "q175_benford",
+    // q177's quantization bounds and total-count frames are 1-row
+    // broadcasts onto the map-only quantize/bucket passes
+    "q177_zorder_layout",
     // q176 assembles its single row from three 1-row sketch/count frames
     // (the corpus passes are plain aggregations)
     "q176_hll_intersection")
@@ -117,7 +120,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q172_ks_drift",
     // q174's prefix-MIN offsets window covers the ≤32-row partition-min
     // frame (the corpus gets pid-partitioned windows — q149 with MIN)
-    "q174_global_skyline")
+    "q174_global_skyline",
+    // q177's prefix-sum offsets window covers the ≤32-row partition-count
+    // frame (q149 shape — the corpus gets only pid-partitioned windows)
+    "q177_zorder_layout")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
