@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed connected components — the dedup-pipeline step that turns
   * near-duplicate PAIRS into duplicate CLUSTERS with a canonical
@@ -237,5 +238,87 @@ object GraphOps extends QueryModule {
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     // 1×1 scalar frames — broadcast cross joins (the q09 pattern)
     broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(triangles)
+  }
+
+  // ======================================================== k-core
+  // k-core decomposition by iterative peeling: drop every node whose
+  // degree (within the surviving subgraph) is below k, recompute
+  // degrees, repeat to fixpoint. The k-core is the standard "dense
+  // enough to matter" filter before community detection or influence
+  // ranking, and at 100 TB it is exactly this loop — each round is ONE
+  // keyed degree aggregation (map-side combinable) over edges
+  // semi-joined to survivors, never a collected node set.
+  //
+  // Determinism/oracle contract: peeling is a monotone set-shrinking
+  // process, so a CONVERGED result is a fixpoint — extra rounds are
+  // no-ops. Spark runs early-stopping rounds capped at [[KCoreRounds]];
+  // the oracle runs exactly [[KCoreRounds]] chained-CTE rounds. If both
+  // converge within the cap the results are the true k-core and
+  // identical; if the cap ever bound first, both sides did the same
+  // [[KCoreRounds]] rounds and are STILL identical — the gate cannot
+  // silently diverge. Edges are materialized once (localCheckpoint) so
+  // per-round lineage doesn't re-read parquet; the per-round driver
+  // sync is one scalar count (the q90 convergence pattern).
+  val KCoreK = 4
+  val KCoreRounds = 12
+
+  register("q178_kcore", {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.src AS v FROM edges e
+         |  JOIN s${i - 1} a ON e.src = a.v
+         |  JOIN s${i - 1} b ON e.dst = b.v
+         |  GROUP BY e.src HAVING COUNT(*) >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+       |$rounds
+       |SELECT CAST(e.src AS BIGINT) AS node,
+       |  CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM edges e
+       |JOIN s$KCoreRounds a ON e.src = a.v
+       |JOIN s$KCoreRounds b ON e.dst = b.v
+       |GROUP BY e.src""".stripMargin
+  }) { (s, d) =>
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 3000000L).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      .localCheckpoint(true)
+    var survivors = edges.select(col("src").as("v")).distinct()
+      .localCheckpoint(true)
+    var prev = survivors.count()
+    var round = 0
+    var changed = true
+    while (changed && round < KCoreRounds) {
+      val next = edges
+        .join(survivors.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select("v")
+        .localCheckpoint(true)
+      val n = next.count()
+      changed = n != prev
+      prev = n
+      survivors = next
+      round += 1
+    }
+    edges
+      .join(survivors.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(survivors.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .select(col("node").cast(LongType).as("node"), col("core_degree"))
   }
 }
