@@ -264,4 +264,55 @@ object TimeSeriesOps extends QueryModule {
           > lit(4) * (lit(5) * col("q") - col("s") * col("s")))
           .cast(IntegerType).as("is_anomaly"))
   }
+
+  // ================================= classical seasonal decomposition
+  // Multiplicative seasonal indices for the monthly revenue series:
+  // trend = centered 12-month moving window, seasonal ratio = month /
+  // trend, index = mean ratio per calendar month — the textbook
+  // ratio-to-moving-average decomposition, entirely on the integer ppm
+  // grid. ratio_ppm = cents·12·10⁶ div Σ₁₂(cents) avoids the float
+  // trend average (both engines truncate the BIGINT division
+  // identically); only full 12-month windows contribute (the window
+  // COUNT gates edge months out, same in both engines).
+  //
+  // Scale: the raw scan partial-aggregates to ONE row per calendar
+  // month before any window runs — the global window covers the
+  // |months| mart frame (q12/W3 precedent), never the orders. The
+  // month-of-year rollup is a 12-group aggregation of that same frame.
+  register("q179_seasonal_decomposition",
+    """WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT month, cents,
+      |    CAST(SUM(cents) OVER w12 AS BIGINT) AS trend_sum,
+      |    COUNT(*) OVER w12 AS wn
+      |  FROM monthly
+      |  WINDOW w12 AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
+      |r AS (
+      |  SELECT MONTH(month) AS moy,
+      |    (cents * 12000000) // trend_sum AS ratio_ppm
+      |  FROM t WHERE wn = 12)
+      |SELECT CAST(moy AS BIGINT) AS moy, CAST(COUNT(*) AS BIGINT) AS n_months,
+      |  CAST(SUM(ratio_ppm) AS BIGINT) // COUNT(*) AS seasonal_ppm
+      |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+        .as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    val w12 = Window.orderBy(col("month")).rowsBetween(-6, 5)
+    val r = monthly
+      .select(col("month"), col("cents"),
+        sum(col("cents")).over(w12).as("trend_sum"),
+        count(lit(1)).over(w12).as("wn"))
+      .filter(col("wn") === 12)
+      .select(month(col("month")).cast(LongType).as("moy"),
+        expr("(cents * 12000000) div trend_sum").as("ratio_ppm"))
+    r.groupBy("moy")
+      .agg(count(lit(1)).as("n_months"), sum(col("ratio_ppm")).as("sr"))
+      .select(col("moy"), col("n_months"),
+        expr("sr div n_months").as("seasonal_ppm"))
+  }
 }

@@ -729,4 +729,49 @@ object CorpusStats extends QueryModule {
     }
     merges.reduce(_.union(_))
   }
+
+  // ============================================ unigram entropy filter
+  // Per-document token-distribution entropy — the pretraining quality
+  // signal that separates natural prose (high entropy) from boilerplate
+  // and keyword-stuffed spam (low entropy, few tokens dominating).
+  // H = −Σ (c/T)·ln(c/T) computed on the q141 measured-safe grid: each
+  // LN sees an exact integer ratio c/T and snaps to the BIGINT 1e-6
+  // grid BEFORE any aggregation (1-ulp libm wobble is ~10 orders below
+  // the grid); Σ c·L(c/T) is then an order-free integer sum, and the
+  // final div T truncates identically in both engines.
+  //
+  // Scale: one (doc_id, token) aggregation with map-side combine — the
+  // same shuffle shape as TF — then a per-doc rollup; the join back is
+  // keyed on doc_id. Per-doc state never materializes the token set.
+  register("q180_token_entropy",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM tok GROUP BY doc_id, w),
+      |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS vocab
+      |        FROM cnt GROUP BY doc_id),
+      |terms AS (
+      |  SELECT c.doc_id, t.n_tokens, t.vocab,
+      |    c.c * CAST(ROUND(LN(CAST(c.c AS DOUBLE) / t.n_tokens) * 1000000)
+      |      AS BIGINT) AS term_micro
+      |  FROM cnt c JOIN tot t ON c.doc_id = t.doc_id)
+      |SELECT doc_id, n_tokens, vocab,
+      |  (0 - CAST(SUM(term_micro) AS BIGINT)) // n_tokens AS entropy_micro
+      |FROM terms GROUP BY doc_id, n_tokens, vocab""".stripMargin) { (s, d) =>
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val cnt = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    cnt.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("vocab"),
+        (col("c") * round(log(col("c").cast(DoubleType) / col("n_tokens"))
+          * 1000000).cast(LongType)).as("term_micro"))
+      .groupBy("doc_id", "n_tokens", "vocab")
+      .agg(sum(col("term_micro")).as("sm"))
+      .select(col("doc_id"), col("n_tokens"), col("vocab"),
+        expr("(0 - sm) div n_tokens").as("entropy_micro"))
+  }
 }

@@ -123,7 +123,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q174_global_skyline",
     // q177's prefix-sum offsets window covers the ≤32-row partition-count
     // frame (q149 shape — the corpus gets only pid-partitioned windows)
-    "q177_zorder_layout")
+    "q177_zorder_layout",
+    // q179's centered-12 window runs on the |months| monthly mart
+    // (q12/W3 precedent), never the orders scan
+    "q179_seasonal_decomposition")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
