@@ -388,4 +388,84 @@ object ProfilingOps extends QueryModule {
         col("expected_ppm"),
         expr("(cnt * 1000000) div total - expected_ppm").as("deviation_ppm"))
   }
+
+  // ==================================================== correlation matrix
+  // Pairwise Pearson correlation across the lineitem measures in ONE
+  // corpus pass: every Σx, Σx², Σxy rides the q109/q91 exact-moment
+  // contract (integer cents first, products exact in BIGINT, sums in
+  // DECIMAL(38,0), one correctly-rounded cast to DOUBLE at the end). The
+  // matrix explodes from the 1-row moment frame into |pairs| rows —
+  // driver-free, no second scan. corr = cov/√(dxx·dyy) uses IEEE-754
+  // correctly-rounded sqrt (identical in JVM and DuckDB) and snaps to
+  // the 1e-6 grid; zero-variance pairs yield NULL (Spark ANSI would
+  // throw on the raw division).
+  //
+  // Scale: one map-side-combinable aggregation — 15 running sums —
+  // regardless of column-pair count; the pair explosion is O(k²) on a
+  // 1-row frame. This is the shape a 100 TB profiler needs: never one
+  // pass per pair.
+  private val CorrCols = Seq(
+    "qty" -> "l_quantity", "price" -> "l_extendedprice",
+    "disc" -> "l_discount", "tax" -> "l_tax")
+  private val CorrPairs = for {
+    ((a, _), i) <- CorrCols.zipWithIndex
+    (b, _) <- CorrCols.drop(i + 1)
+  } yield (a, b)
+
+  register("q182_corr_matrix", {
+    def cts(src: String) = s"CAST(FLOOR($src * 100 + 0.5) AS BIGINT)"
+    val moments = CorrCols.map { case (n2, src) =>
+      s"CAST(SUM(CAST(${cts(src)} AS DECIMAL(38,0))) AS DOUBLE) AS s_$n2,\n" +
+        s"    CAST(SUM(CAST(${cts(src)} * ${cts(src)} AS DECIMAL(38,0))) AS DOUBLE) AS ss_$n2"
+    }.mkString(",\n    ")
+    val crosses = CorrPairs.map { case (a, b) =>
+      val sa = cts(CorrCols.toMap.apply(a).toString)
+      val sb = cts(CorrCols.toMap.apply(b).toString)
+      s"CAST(SUM(CAST($sa * $sb AS DECIMAL(38,0))) AS DOUBLE) AS sx_${a}_$b"
+    }.mkString(",\n    ")
+    val legs = CorrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CASE WHEN (n0 * ss_$a - s_$a * s_$a) * (n0 * ss_$b - s_$b * s_$b) = 0
+         |    THEN NULL
+         |    ELSE CAST(FLOOR((n0 * sx_${a}_$b - s_$a * s_$b)
+         |      / SQRT((n0 * ss_$a - s_$a * s_$a) * (n0 * ss_$b - s_$b * s_$b))
+         |      * 1000000 + 0.5) AS BIGINT)
+         |  END AS corr_micro
+         |FROM sums""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sums AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n0,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    $moments,
+       |    $crosses
+       |  FROM lineitem)
+       |$legs""".stripMargin
+  }) { (s, d) =>
+    import Tables.lineitem
+    def cts(src: String): org.apache.spark.sql.Column =
+      floor(col(src) * 100 + 0.5)
+    def dsumD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val srcOf = CorrCols.toMap
+    val moments = CorrCols.flatMap { case (n2, src) =>
+      Seq(dsumD(cts(src)).as(s"s_$n2"),
+        dsumD(cts(src) * cts(src)).as(s"ss_$n2"))
+    }
+    val crosses = CorrPairs.map { case (a, b) =>
+      dsumD(cts(srcOf(a)) * cts(srcOf(b))).as(s"sx_${a}_$b")
+    }
+    val aggs = (count(lit(1)).cast(DoubleType).as("n0") +: // parity column
+      count(lit(1)).as("n") +: (moments ++ crosses))
+    val sums = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val legs = CorrPairs.map { case (a, b) =>
+      val dxx = col("n0") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val dyy = col("n0") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      val cov = col("n0") * col(s"sx_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      sums.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(dxx * dyy === 0, lit(null))
+          .otherwise(floor(cov / sqrt(dxx * dyy) * 1000000 + 0.5)
+            .cast(LongType)).as("corr_micro"))
+    }
+    legs.reduce(_.unionAll(_))
+  }
 }

@@ -1652,6 +1652,60 @@ object RelationalOps extends QueryModule {
       .agg(max(col("parts_3mo")).as("parts_3mo"))
   }
 
+  // ============================== distinct-over-window, sketch-grade
+  // The unbounded-domain path q166's scaladoc points to: per-(supplier,
+  // month) HLL sketches built once, then UNIONED over the trailing
+  // RANGE frame — window state is a fixed-size sketch per cell instead
+  // of the distinct set itself, so the pattern survives frames whose
+  // distinct cardinality is unbounded. Gate = q55/q56 shape: the exact
+  // trailing counts (independent band-join formulation, the same oracle
+  // as q166) hash-gate the relational side; within_bound checks the
+  // estimate against [[HllRelBound]] with a small absolute slack for
+  // the near-exact sparse range (deterministic sketch — a pass is a
+  // pass forever on this data).
+  //
+  // Scale: sketches aggregate with map-side combine on (s, m); the
+  // window moves |cells| × sketch-size, never fact rows; the exactness
+  // check's band join is the oracle's own formulation and would be
+  // dropped in production (est-only path is sketch-sized end to end).
+  register("q181_hll_window_distinct",
+    """WITH mp AS (
+      |  SELECT DISTINCT l_suppkey AS s,
+      |    YEAR(l_shipdate) * 12 + MONTH(l_shipdate) - 1 AS m,
+      |    l_partkey AS p
+      |  FROM lineitem),
+      |mm AS (SELECT DISTINCT s, m FROM mp)
+      |SELECT mm.s AS suppkey, CAST(mm.m AS BIGINT) AS month_idx,
+      |  CAST(COUNT(DISTINCT mp.p) AS BIGINT) AS exact_3mo,
+      |  TRUE AS within_bound
+      |FROM mm JOIN mp ON mp.s = mm.s AND mp.m BETWEEN mm.m - 2 AND mm.m
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val mp = lineitem(s, d)
+      .select(col("l_suppkey").as("s"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast(LongType).as("m"),
+        col("l_partkey").as("p"))
+      .distinct()
+    val w = Window.partitionBy(col("s")).orderBy(col("m"))
+      .rangeBetween(-2, 0)
+    val est = mp.groupBy("s", "m")
+      .agg(hll_sketch_agg(col("p"), lit(HllLgK)).as("sk"))
+      .select(col("s"), col("m"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("est"))
+    val mm = mp.select("s", "m").distinct()
+    val exact = mm.select(col("s"), col("m").as("m0"))
+      .join(mp.select(col("s"), col("m").as("mb"), col("p")), Seq("s"))
+      .filter(col("mb").between(col("m0") - 2, col("m0")))
+      .groupBy(col("s"), col("m0").as("m"))
+      .agg(count_distinct(col("p")).as("exact_3mo"))
+    est.join(exact, Seq("s", "m"))
+      .select(col("s").as("suppkey"), col("m").as("month_idx"),
+        col("exact_3mo"),
+        (abs(col("est") - col("exact_3mo"))
+          <= greatest(col("exact_3mo") * HllRelBound, lit(3.0)))
+          .as("within_bound"))
+  }
+
   // ================================= rendezvous-hash shard assignment
   // Highest-random-weight (rendezvous) hashing: each key lands on the
   // shard maximizing h(key, shard). The property that matters for a
