@@ -468,4 +468,73 @@ object ProfilingOps extends QueryModule {
     }
     legs.reduce(_.unionAll(_))
   }
+
+  // ======================================== frozen-distribution PIT scoring
+  // Probability-integral-transform features: score each new observation
+  // by its percentile within a FROZEN reference cohort (train-time
+  // distribution), the leakage-safe normalization a feature store
+  // applies at serving time. The reference ECDF is compressed to 100
+  // exact rank-and-pick boundary values per cohort (integer index
+  // arithmetic — ((n−1)·p) div 100 + 1 truncates identically in both
+  // engines); scoring counts boundaries ≤ x. The Spark side carries the
+  // boundaries as a sorted 100-element array on a |cohorts|-row
+  // broadcast frame and scores with a map-only array fold — no per-row
+  // join blowup, no data-sized window; the oracle expands the same
+  // count through a boundary join.
+  //
+  // Scale: the reference pass is one cohort-partitioned window; scoring
+  // is map-only against a broadcast that is O(cohorts × 100) regardless
+  // of data size. Exactly the shape a 100 TB serving pipeline wants.
+  register("q184_pit_scoring",
+    """WITH ref AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+      |ranked AS (
+      |  SELECT prio, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY prio ORDER BY cents, o_orderkey)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY prio) AS n
+      |  FROM ref),
+      |ps AS (SELECT * FROM generate_series(1, 100) t(p)),
+      |bnd AS (
+      |  SELECT prio, p,
+      |    MAX(CASE WHEN rn = ((n - 1) * p) // 100 + 1 THEN cents END) AS bv
+      |  FROM ranked, ps WHERE rn = ((n - 1) * p) // 100 + 1
+      |  GROUP BY prio, p),
+      |score AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderdate >= DATE '1996-01-01')
+      |SELECT s.o_orderkey, s.prio AS o_orderpriority, s.cents,
+      |  CAST(COUNT(CASE WHEN b.bv <= s.cents THEN 1 END) AS BIGINT)
+      |    AS pit_pct
+      |FROM score s JOIN bnd b ON s.prio = b.prio
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val split = lit(java.sql.Date.valueOf("1996-01-01"))
+    val o = orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"),
+      col("o_orderdate").cast(DateType).as("dt"))
+    val wP = Window.partitionBy(col("prio"))
+    val ranked = o.filter(col("dt") < split)
+      .select(col("prio"), col("cents"),
+        row_number().over(wP.orderBy(col("cents"), col("o_orderkey")))
+          .as("rn"),
+        count(lit(1)).over(wP).as("n"))
+    val ps = (1 to 100).toDF("p")
+    val bnd = ranked
+      .join(broadcast(ps), col("rn") === expr("((n - 1) * p) div 100 + 1"))
+      .groupBy("prio")
+      .agg(sort_array(collect_list(col("cents"))).as("bnds"))
+    o.filter(col("dt") >= split)
+      .join(broadcast(bnd), Seq("prio"))
+      .select(col("o_orderkey"), col("prio").as("o_orderpriority"),
+        col("cents"),
+        aggregate(col("bnds"), lit(0L),
+          (acc, b) => acc + when(b <= col("cents"), 1L).otherwise(0L))
+          .as("pit_pct"))
+  }
 }

@@ -315,4 +315,46 @@ object TimeSeriesOps extends QueryModule {
       .select(col("moy"), col("n_months"),
         expr("sr div n_months").as("seasonal_ppm"))
   }
+
+  // ================================== time-weighted average (TWAP)
+  // Interval-weighted mean of an irregular event series: each
+  // observation holds until the next one, so its weight is the gap to
+  // the successor (the metrics/markets standard where a plain AVG
+  // over-counts bursts). Exact arithmetic end to end: values snap to
+  // integer cents, gaps are exact epoch-micro differences from LEAD,
+  // cents·gap products sum in DECIMAL(38,0) (the q91 contract), and
+  // the single division happens once on the final doubles. The last
+  // observation per key has no successor and drops out — mirrored
+  // WHERE on both sides.
+  //
+  // Scale: one window shuffle keyed by event_type (LEAD needs only
+  // 1-row lookahead state) feeding a map-side-combinable aggregation.
+  register("q183_twap",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(CAST(cents * gap_us AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) / 100.0
+      |    AS twap
+      |FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+      |GROUP BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"),
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+          .as("gap_us"))
+      .filter(col("gap_us").isNotNull && col("gap_us") > 0)
+    g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        (sum((col("cents") * col("gap_us")).cast(DecimalType(38, 0)))
+          .cast(DoubleType)
+          / sum(col("gap_us").cast(DecimalType(38, 0))).cast(DoubleType)
+          / 100.0).as("twap"))
+  }
 }

@@ -90,7 +90,11 @@ class PlanLintGateSpec extends SparkSpec {
     "q177_zorder_layout",
     // q176 assembles its single row from three 1-row sketch/count frames
     // (the corpus passes are plain aggregations)
-    "q176_hll_intersection")
+    "q176_hll_intersection",
+    // q184's boundary pick pairs the ranked reference against the
+    // broadcast 100-row percentile frame (q66's rank-and-pick shape);
+    // scoring itself is a keyed broadcast join + map-only array fold
+    "q184_pit_scoring")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
