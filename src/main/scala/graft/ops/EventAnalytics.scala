@@ -271,4 +271,56 @@ object EventAnalytics extends QueryModule {
       .filter(col("rank") <= TopPaths)
       .select(col("path"), col("n_sessions"), col("rank"))
   }
+
+  // ============================================== survival / churn curve
+  // Survival analysis over time-to-next-event: each consecutive event
+  // pair contributes one observed duration (the gap to the successor,
+  // in whole hours), and with complete observation the survival
+  // function needs no cumulative product — S(t) = |gap > t| / |gaps|
+  // exactly, so every figure stays on the integer ppm grid: at_risk(t)
+  // and ended(t) come from one gap histogram plus a suffix sum over the
+  // |distinct gaps| frame, and hazard/survival are exact integer
+  // divisions. (With right-censoring the product-limit form returns;
+  // it composes over the same histogram like q149's prefix sums.)
+  //
+  // Scale: one user-keyed window (LEAD needs 1-row state), a
+  // calendar-bounded histogram, and windows only over that tiny frame —
+  // the curve never touches raw events again.
+  register("q186_survival_curve",
+    """WITH gaps AS (
+      |  SELECT (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) - epoch_us(ts)) // 3600000000
+      |    AS gap_hours
+      |  FROM events),
+      |hist AS (SELECT gap_hours, CAST(COUNT(*) AS BIGINT) AS ended
+      |         FROM gaps WHERE gap_hours IS NOT NULL GROUP BY gap_hours),
+      |curve AS (
+      |  SELECT gap_hours, ended,
+      |    CAST(SUM(ended) OVER (ORDER BY gap_hours
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS at_risk,
+      |    CAST(SUM(ended) OVER () AS BIGINT) AS n_gaps
+      |  FROM hist)
+      |SELECT gap_hours, at_risk, ended,
+      |  (ended * 1000000) // at_risk AS hazard_ppm,
+      |  ((at_risk - ended) * 1000000) // n_gaps AS survival_ppm
+      |FROM curve""".stripMargin) { (s, d) =>
+    val gaps = events(s, d)
+      .select(expr(
+        "(lead(unix_micros(ts)) over (partition by user_id order by ts, event_id)"
+          + " - unix_micros(ts)) div 3600000000").as("gap_hours"))
+      .filter(col("gap_hours").isNotNull)
+    val hist = gaps.groupBy("gap_hours").agg(count(lit(1)).as("ended"))
+    val wSuffix = Window.orderBy(col("gap_hours"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.partitionBy()
+    hist
+      .select(col("gap_hours"), col("ended"),
+        sum(col("ended")).over(wSuffix).as("at_risk"),
+        sum(col("ended")).over(wAll).as("n_gaps"))
+      .select(col("gap_hours"), col("at_risk"), col("ended"),
+        expr("(ended * 1000000) div at_risk").as("hazard_ppm"),
+        expr("((at_risk - ended) * 1000000) div n_gaps")
+          .as("survival_ppm"))
+  }
 }

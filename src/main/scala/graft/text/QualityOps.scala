@@ -374,4 +374,70 @@ object QualityOps extends QueryModule {
           .as("score"),
         (col("sum_w") > 0).as("positive"))
   }
+
+  // ================================== classifier calibration audit
+  // Reliability diagram for the q142 hashed classifier: bin documents
+  // by score decile and compare the bin's predicted level against the
+  // observed rate of a ground-truth proxy (long documents, n_chars ≥
+  // [[CalibLongChars]]). The audit a quality-filter pipeline runs
+  // before trusting a score threshold at corpus scale. All-integer:
+  // score_mil = (Σw·1000) div n_tokens ∈ [−10⁶, 10⁶] maps to a decile
+  // by exact integer arithmetic; rates ride the ppm grid.
+  //
+  // Scale: reuses q142's map-side scoring pass (one doc_id shuffle),
+  // then a 10-group rollup. Nothing new materializes.
+  val CalibLongChars = 500L
+
+  register("q185_calibration",
+    s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(w, ''),
+       |        c -> CAST(ord(c) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % 2147483647) AS fp
+       |  FROM tok),
+       |wt AS (
+       |  SELECT doc_id,
+       |    ((fp % $ClassifierBuckets) * 2654435761 + 12345) % 2001 - 1000
+       |      AS weight
+       |  FROM f),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (CAST(SUM(weight) AS BIGINT) * 1000) // COUNT(*) AS score_mil
+       |  FROM wt GROUP BY doc_id),
+       |binned AS (
+       |  SELECT s.doc_id,
+       |    LEAST(GREATEST(((s.score_mil + 1000000) * 10) // 2000001, 0), 9)
+       |      AS bin,
+       |    s.score_mil,
+       |    CASE WHEN d.n_chars >= $CalibLongChars THEN 1 ELSE 0 END AS pos
+       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  (CAST(SUM(pos) AS BIGINT) * 1000000) // COUNT(*) AS pos_rate_ppm,
+       |  CAST(SUM(score_mil) AS BIGINT) // COUNT(*) AS avg_score_mil
+       |FROM binned GROUP BY bin""".stripMargin) { (s, d) =>
+    val fp = aggregate(split(col("w"), ""), lit(0L),
+      (acc, c) => (acc * 131 + ascii(c)) % 2147483647L)
+    val weight = (fp % ClassifierBuckets) * 2654435761L + 12345
+    val scored = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), (weight % 2001 - 1000).as("weight"))
+      .groupBy("doc_id")
+      .agg(expr("(sum(weight) * 1000) div count(1)").as("score_mil"))
+    scored
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .select(
+        least(greatest(
+          expr("((score_mil + 1000000) * 10) div 2000001"), lit(0L)),
+          lit(9L)).as("bin"),
+        col("score_mil"),
+        when(col("n_chars") >= CalibLongChars, 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        expr("(sum(pos) * 1000000) div count(1)").as("pos_rate_ppm"),
+        expr("sum(score_mil) div count(1)").as("avg_score_mil"))
+  }
 }

@@ -130,7 +130,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q177_zorder_layout",
     // q179's centered-12 window runs on the |months| monthly mart
     // (q12/W3 precedent), never the orders scan
-    "q179_seasonal_decomposition")
+    "q179_seasonal_decomposition",
+    // q186's suffix-sum windows run on the calendar-bounded gap
+    // histogram (≤ |distinct gap hours| rows), never the events scan
+    "q186_survival_curve")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
