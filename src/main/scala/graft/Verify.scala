@@ -6,9 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query-name filter (iteration aid)
+    // optional 3rd arg: comma-separated query-name filter (iteration aid);
+    // a blank arg means "no filter" — an empty shell expansion must not
+    // silently select zero queries and fake a green full run
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && args(2).trim.nonEmpty)
+        Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

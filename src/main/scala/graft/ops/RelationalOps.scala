@@ -1706,6 +1706,96 @@ object RelationalOps extends QueryModule {
           .as("within_bound"))
   }
 
+  // ============================ exact global median, selection-style
+  // The distributed-selection classic: an EXACT global quantile with no
+  // global sort and no data-sized window. Pass 1 bins the column into
+  // [[MedianBuckets]] equal-width integer ranges and prefix-sums the
+  // 1024-row histogram to locate the bucket holding rank k; pass 2
+  // scans ONLY that bucket, builds its value census (distinct values ≤
+  // the bucket's integer width, bounded by construction), and walks the
+  // prefix to the residual rank. Every pass is a map-side-combinable
+  // aggregation; the windows ride the histogram/census frames, never
+  // rows. This is how a 100 TB exact median actually gets computed —
+  // q52's window formulation is the per-group mart-scale shape, this is
+  // the global fact-scale shape.
+  //
+  // All arithmetic is exact: cents are integers, the bucket map
+  // ((v−mn)·B) div (mx−mn+1) is BIGINT-exact, and rank k = (n+1) div 2
+  // (lower median — value-rank semantics, ties collapse in the census).
+  val MedianBuckets = 1024
+
+  register("q187_global_median",
+    s"""WITH base AS (
+       |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem),
+       |b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+       |             CAST(COUNT(*) AS BIGINT) AS n FROM base),
+       |hist AS (
+       |  SELECT ((cents - mn) * $MedianBuckets) // (mx - mn + 1) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM base, b GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, cnt,
+       |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM hist),
+       |win AS (
+       |  SELECT c.bucket, c.cnt AS bucket_rows, c.cum_before, b.n,
+       |    (b.n + 1) // 2 AS k
+       |  FROM cum c, b
+       |  WHERE c.cum_before < (b.n + 1) // 2
+       |    AND (b.n + 1) // 2 <= c.cum_before + c.cnt),
+       |census AS (
+       |  SELECT base.cents, CAST(COUNT(*) AS BIGINT) AS vc
+       |  FROM base, b, win
+       |  WHERE ((cents - mn) * $MedianBuckets) // (mx - mn + 1) = win.bucket
+       |  GROUP BY base.cents),
+       |walk AS (
+       |  SELECT cents,
+       |    CAST(SUM(vc) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM census)
+       |SELECT w.n, w.k, CAST(w.bucket AS BIGINT) AS bucket, w.bucket_rows,
+       |  (SELECT MIN(cents) FROM walk
+       |   WHERE cum >= w.k - w.cum_before) AS median_cents
+       |FROM win w""".stripMargin) { (s, d) =>
+    val base = lineitem(s, d)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
+        .as("cents"))
+    val b = base.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+      count(lit(1)).as("n"))
+    val binned = base.crossJoin(broadcast(b))
+      .select(col("cents"),
+        expr(s"((cents - mn) * $MedianBuckets) div (mx - mn + 1)")
+          .as("bucket"))
+    val hist = binned.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("bucket"), col("cnt"),
+      coalesce(sum(col("cnt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("cum_before"))
+    val win = cum.crossJoin(broadcast(b))
+      .filter(col("cum_before") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum_before") + col("cnt"))
+      .select(col("bucket"), col("cnt").as("bucket_rows"),
+        col("cum_before"), col("n"), expr("(n + 1) div 2").as("k"))
+    val census = binned
+      .join(broadcast(win.select(col("bucket"))), Seq("bucket"))
+      .groupBy("cents").agg(count(lit(1)).as("vc"))
+    val walk = census.select(col("cents"),
+      sum(col("vc")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"))
+    val median = walk.crossJoin(broadcast(win.select(
+        col("k").as("k2"), col("cum_before").as("cb2"))))
+      .filter(col("cum") >= col("k2") - col("cb2"))
+      .agg(min(col("cents")).as("median_cents"))
+    win.select(col("n"), col("k"), col("bucket").cast(LongType).as("bucket"),
+        col("bucket_rows"))
+      .crossJoin(broadcast(median))
+  }
+
   // ================================= rendezvous-hash shard assignment
   // Highest-random-weight (rendezvous) hashing: each key lands on the
   // shard maximizing h(key, shard). The property that matters for a

@@ -148,6 +148,72 @@ object StreamingOps extends QueryModule {
       min(col("ts")).as("first_seen"),
       max(col("ts")).as("last_seen"))
   }
+
+  // ==================================================== interval merge
+  // Coalesce overlapping VARIABLE-length intervals per user into maximal
+  // islands — the harder gaps-and-islands variant: q31's fixed-gap
+  // sessionization only needs LAG(ts), but once each event carries its
+  // own duration an island break is "start exceeds the RUNNING MAX of
+  // every previous end" (a long early interval can bridge over several
+  // short later ones). Used for outage windows, coverage/uptime math,
+  // and availability SLAs.
+  //
+  // Determinism under ties: both windows use RANGE frames on the integer
+  // start_us ordering — equal-start rows see the same prev_max and get
+  // the same island id regardless of physical tie order (a ROWS frame
+  // here would be order-dependent and soak-flaky). Durations are exact:
+  // value snapped to integer milli-units, × [[IntervalUsPerValueMilli]]
+  // µs. Scale: one user-keyed shuffle; both windows and the final
+  // rollup ride the same partitioning — islands never materialize
+  // driver-side.
+  val IntervalUsPerValueMilli = 750000L
+
+  register("q188_interval_merge",
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS start_us,
+       |    epoch_us(ts) + CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)
+       |      * $IntervalUsPerValueMilli AS end_us
+       |  FROM events),
+       |m AS (
+       |  SELECT *, MAX(end_us) OVER (PARTITION BY user_id ORDER BY start_us
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM iv),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_max IS NULL OR start_us > prev_max
+       |    THEN 1 ELSE 0 END AS is_new
+       |  FROM m),
+       |n AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY start_us
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS island
+       |  FROM f)
+       |SELECT user_id, island,
+       |  MIN(start_us) AS island_start_us,
+       |  MAX(end_us) AS island_end_us,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MAX(end_us) - MIN(start_us) AS covered_us
+       |FROM n GROUP BY user_id, island""".stripMargin) { (s, d) =>
+    val startUs = unix_micros(col("ts"))
+    val endUs = startUs + floor(col("value") * 1000 + 0.5).cast(LongType) *
+      IntervalUsPerValueMilli
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), startUs.as("start_us"), endUs.as("end_us"))
+      .withColumn("prev_max", max(col("end_us")).over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_max").isNull || col("start_us") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(wCum))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start_us")).as("island_start_us"),
+        max(col("end_us")).as("island_end_us"),
+        count(lit(1)).as("n_events"),
+        (max(col("end_us")) - min(col("start_us"))).as("covered_us"))
+  }
 }
 
 /** Structured Streaming wrappers: the same transforms as [[StreamingOps]],

@@ -94,7 +94,10 @@ class PlanLintGateSpec extends SparkSpec {
     // q184's boundary pick pairs the ranked reference against the
     // broadcast 100-row percentile frame (q66's rank-and-pick shape);
     // scoring itself is a keyed broadcast join + map-only array fold
-    "q184_pit_scoring")
+    "q184_pit_scoring",
+    // q187's bounds/winning-bucket/median frames are all 1-row
+    // broadcasts onto the map-only binning passes
+    "q187_global_median")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
@@ -133,7 +136,12 @@ class PlanLintGateSpec extends SparkSpec {
     "q179_seasonal_decomposition",
     // q186's suffix-sum windows run on the calendar-bounded gap
     // histogram (≤ |distinct gap hours| rows), never the events scan
-    "q186_survival_curve")
+    "q186_survival_curve",
+    // q187's prefix-sum windows ride the ≤1024-row bucket histogram and
+    // the single winning bucket's value census (distinct values ≤ the
+    // bucket's integer width by construction) — never the corpus; that
+    // inversion is the selection algorithm's point
+    "q187_global_median")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
