@@ -321,4 +321,81 @@ object GraphOps extends QueryModule {
       .agg(count(lit(1)).as("core_degree"))
       .select(col("node").cast(LongType).as("node"), col("core_degree"))
   }
+
+  // ================================================== BFS hop levels
+  // Multi-source breadth-first search over the trade graph: exact
+  // shortest-hop distance from a seed set (every ~97th customer) to
+  // every node within [[BfsMaxHops]] hops — the reachability/blast-
+  // radius primitive (influence spheres, contamination spread through
+  // a supply graph, N-hop feature neighborhoods).
+  //
+  // Synchronous frontier expansion: round i semi-joins edges to the
+  // current frontier, dedups, and anti-joins the visited set — each
+  // round is two keyed shuffles over ids only, no path enumeration
+  // (a path-based oracle would be combinatorial; the chained frontier
+  // CTEs below dedup per level, so both sides do linear work). Fixed
+  // [[BfsMaxHops]] rounds, no driver convergence sync: an empty
+  // frontier makes the remaining rounds no-ops identically in both
+  // engines (the q178 cap contract). Unreached nodes are absent.
+  //
+  // Scale: per round, frontier/visited hold node ids only; the
+  // localCheckpoint truncates lineage so round R doesn't replan rounds
+  // 1..R−1 (the q90 contract). Nothing data-sized ever reaches the
+  // driver.
+  val BfsMaxHops = 4
+  val BfsSeedMod = 97L
+
+  register("q190_bfs_levels", {
+    val rounds = (1 to BfsMaxHops).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM vis${i - 1})),
+         |vis$i AS MATERIALIZED (
+         |  SELECT node FROM vis${i - 1} UNION SELECT node FROM f$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val levels = (0 to BfsMaxHops)
+      .map(i => s"SELECT node, CAST($i AS BIGINT) AS lvl FROM f$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |f0 AS MATERIALIZED (
+       |  SELECT DISTINCT cust AS node FROM pairs
+       |  WHERE cust % $BfsSeedMod = 0),
+       |vis0 AS (SELECT node FROM f0),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, lvl FROM (
+       |  $levels)""".stripMargin
+  }) { (s, d) =>
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 3000000L).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      .localCheckpoint(true)
+    var frontier = pairs.select(col("cust").as("node")).distinct()
+      .filter(col("node") % BfsSeedMod === 0)
+      .localCheckpoint(true)
+    var visited = frontier
+    var out = frontier.select(col("node"), lit(0L).as("lvl"))
+    for (i <- 1 to BfsMaxHops) {
+      val next = edges
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    out.select(col("node").cast(LongType).as("node"), col("lvl"))
+  }
 }

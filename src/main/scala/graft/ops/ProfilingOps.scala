@@ -537,4 +537,53 @@ object ProfilingOps extends QueryModule {
           (acc, b) => acc + when(b <= col("cents"), 1L).otherwise(0L))
           .as("pit_pct"))
   }
+
+  // ============================================ Wilson-bound ranking
+  // Rank suppliers by return rate the statistically honest way: the
+  // Wilson score lower bound at z = 1.96 penalizes small samples, so a
+  // 2/2 supplier doesn't outrank a 180/200 one — the standard fix for
+  // naive-proportion leaderboards (quality filters, reviewer scores,
+  // variant ranking).
+  //
+  // Determinism (the q165 measured contract): counts are exact BIGINTs;
+  // the bound is ONE double chain — identical literals (1.9208 = z²/2,
+  // 0.9604 = z²/4, 3.8416 = z² written as literals, never recomputed,
+  // so both engines parse the same double), identical operation order,
+  // IEEE-correctly-rounded /,·,√ — snapped once to the ppm grid.
+  //
+  // Scale: one supplier-keyed aggregation (map-side combined), then a
+  // TakeOrdered top-[[WilsonTopK]] over the bounded supplier frame —
+  // no global sort, no window.
+  val WilsonTopK = 50
+
+  register("q191_wilson_ranking",
+    s"""WITH s AS (
+       |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+       |      AS x
+       |  FROM lineitem GROUP BY 1),
+       |w AS (
+       |  SELECT l_suppkey, n, x, CAST(x AS DOUBLE) / n AS p FROM s)
+       |SELECT l_suppkey AS suppkey, n AS n_lines, x AS n_returns,
+       |  CAST(FLOOR((p + 1.9208 / n
+       |      - 1.96 * SQRT((p * (1 - p) + 0.9604 / n) / n))
+       |    / (1 + 3.8416 / n) * 1000000 + 0.5) AS BIGINT) AS wilson_lb_ppm
+       |FROM w
+       |ORDER BY wilson_lb_ppm DESC, suppkey ASC LIMIT $WilsonTopK"""
+      .stripMargin) { (s, d) =>
+    val agg = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_returnflag") === "R", 1)).as("x"))
+    val p = col("x").cast(DoubleType) / col("n")
+    agg.select(col("l_suppkey").as("suppkey"), col("n").as("n_lines"),
+        col("x").as("n_returns"),
+        floor((p + lit(1.9208) / col("n")
+            - lit(1.96) * sqrt((p * (lit(1) - p) + lit(0.9604) / col("n"))
+              / col("n")))
+          / (lit(1) + lit(3.8416) / col("n")) * 1000000 + 0.5)
+          .cast(LongType).as("wilson_lb_ppm"))
+      .orderBy(col("wilson_lb_ppm").desc, col("suppkey").asc)
+      .limit(WilsonTopK)
+  }
 }

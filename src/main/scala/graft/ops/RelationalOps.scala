@@ -1938,4 +1938,83 @@ object RelationalOps extends QueryModule {
         col("o_totalprice") < col("best_prev"))
       .drop("best_prev")
   }
+
+  // ================================================ data-quality audit
+  // The dbt generic-test family (not_null / accepted_values / range /
+  // unique / relationships) evaluated as DATA — one summary row per
+  // expectation with checked/failed counts, the artifact a pipeline
+  // persists per run to trend quality over time. Complements
+  // `engine.Checks` (which throws): this is the reporting shape.
+  //
+  // Three bounded probes, all map-side-combinable: the five scan-wide
+  // expectations share ONE pass (conditional counts); uniqueness is one
+  // keyed aggregation (rows in duplicated key groups — and testdata's
+  // (l_orderkey, l_linenumber) really is non-unique, so the check
+  // exercises a real failure); referential integrity is one anti-join
+  // count. The three 1-row frames cross-assemble and unpivot to six
+  // rows. At 100 TB: two shuffles (unique key, anti-join) + one scan.
+  register("q192_dq_audit",
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+      |      AS f_null,
+      |    CAST(COUNT(CASE WHEN l_returnflag IS NULL
+      |      OR l_returnflag NOT IN ('A','N','R') THEN 1 END) AS BIGINT)
+      |      AS f_acc,
+      |    CAST(COUNT(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+      |      OR l_quantity > 50 THEN 1 END) AS BIGINT) AS f_qty,
+      |    CAST(COUNT(CASE WHEN l_discount IS NULL OR l_discount < 0
+      |      OR l_discount > 0.1 THEN 1 END) AS BIGINT) AS f_disc
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS f_uniq FROM (
+      |    SELECT COUNT(*) AS c FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+      |r AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS f_rel FROM lineitem l
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT check_name, n_checked, n_failed, n_failed = 0 AS passed
+      |FROM (
+      |  SELECT 'not_null:l_shipdate' AS check_name, n AS n_checked,
+      |    f_null AS n_failed FROM a
+      |  UNION ALL SELECT 'accepted_values:l_returnflag', n, f_acc FROM a
+      |  UNION ALL SELECT 'range:l_quantity:1-50', n, f_qty FROM a
+      |  UNION ALL SELECT 'range:l_discount:0-0.1', n, f_disc FROM a
+      |  UNION ALL SELECT 'unique:l_orderkey+l_linenumber', a.n, u.f_uniq
+      |    FROM a, u
+      |  UNION ALL SELECT 'relationships:l_orderkey->orders', a.n, r.f_rel
+      |    FROM a, r)""".stripMargin) { (s, d) =>
+    val li = lineitem(s, d)
+    val a = li.agg(count(lit(1)).as("n"),
+      count(when(col("l_shipdate").isNull, 1)).as("f_null"),
+      count(when(col("l_returnflag").isNull ||
+        !col("l_returnflag").isin("A", "N", "R"), 1)).as("f_acc"),
+      count(when(col("l_quantity").isNull || col("l_quantity") < 1 ||
+        col("l_quantity") > 50, 1)).as("f_qty"),
+      count(when(col("l_discount").isNull || col("l_discount") < 0 ||
+        col("l_discount") > 0.1, 1)).as("f_disc"))
+    val u = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("f_uniq"))
+    val r = li.select(col("l_orderkey"))
+      .join(orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("f_rel"))
+    def chk(name: String, failed: Column) =
+      struct(lit(name).as("check_name"), col("n").as("n_checked"),
+        failed.as("n_failed"))
+    a.crossJoin(broadcast(u)).crossJoin(broadcast(r))
+      .select(explode(array(
+        chk("not_null:l_shipdate", col("f_null")),
+        chk("accepted_values:l_returnflag", col("f_acc")),
+        chk("range:l_quantity:1-50", col("f_qty")),
+        chk("range:l_discount:0-0.1", col("f_disc")),
+        chk("unique:l_orderkey+l_linenumber", col("f_uniq")),
+        chk("relationships:l_orderkey->orders", col("f_rel")))).as("c"))
+      .select(col("c.check_name").as("check_name"),
+        col("c.n_checked").as("n_checked"),
+        col("c.n_failed").as("n_failed"),
+        (col("c.n_failed") === 0).as("passed"))
+  }
 }

@@ -357,4 +357,52 @@ object TimeSeriesOps extends QueryModule {
           / sum(col("gap_us").cast(DecimalType(38, 0))).cast(DoubleType)
           / 100.0).as("twap"))
   }
+
+  // ====================================================== max drawdown
+  // Peak-to-trough drawdown per user over the cumulative value series:
+  // cum_t = Σ value (integer milli-units) through event t, peak_t =
+  // running MAX(cum), drawdown_t = peak_t − cum_t; report each user's
+  // worst. The risk/health metric for any monotone-hope series (account
+  // balance, cumulative engagement, quota consumption).
+  //
+  // All-integer: values snap to the 1e3 grid before any sum, so the
+  // cumulative series is exact BIGINT at any length. The (ts, event_id)
+  // ordering is a total order — ROWS frames are deterministic (q31
+  // contract). One user-keyed shuffle; both windows and the rollup ride
+  // it.
+  register("q193_max_drawdown",
+    """WITH v AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS mil
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(SUM(mil) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM v),
+      |p AS (
+      |  SELECT user_id, cum,
+      |    CAST(MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS peak
+      |  FROM c)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(cum) AS final_cum_mil,
+      |  MAX(peak - cum) AS max_drawdown_mil
+      |FROM p GROUP BY user_id""".stripMargin) { (s, d) =>
+    val wEv = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1000 + 0.5).cast(LongType).as("mil"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        sum(col("mil")).over(wEv).as("cum"))
+      .select(col("user_id"), col("cum"), max(col("cum")).over(wEv).as("peak"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("cum")).as("final_cum_mil"),
+        max(col("peak") - col("cum")).as("max_drawdown_mil"))
+  }
 }

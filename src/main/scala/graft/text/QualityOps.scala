@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.ops.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -439,5 +440,101 @@ object QualityOps extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
         expr("(sum(pos) * 1000000) div count(1)").as("pos_rate_ppm"),
         expr("sum(score_mil) div count(1)").as("avg_score_mil"))
+  }
+
+  // ============================================== exact ROC AUC
+  // Threshold-free ranking quality for the q142 classifier against the
+  // q185 ground-truth proxy: AUC as the exact Mann–Whitney rank-sum,
+  // tie-correct (tied scores contribute ½). Computed WITHOUT ranking
+  // rows: group by distinct score (the score_mil domain is ≤ 2·10⁶+1
+  // cells by construction), then over the score census
+  //   2·U = Σ_s  pos_at(s) · (2·cum_neg≤s − neg_at(s))
+  // — all BIGINT, summed in DECIMAL(38,0) (q173 contract). The only
+  // float is the final u2/(2·P·N) division, snapped to the ppm grid.
+  //
+  // Scale: one doc_id shuffle (scoring), one score-keyed census
+  // aggregation, then the q149/q172 two-pass cumsum over the bounded
+  // census (pid-partitioned local windows + a ≤32-row offsets frame).
+  // A rank-based AUC would need a global sort of the corpus; this shape
+  // never ranks a row.
+  register("q189_auc",
+    s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(w, ''),
+       |        c -> CAST(ord(c) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % 2147483647) AS fp
+       |  FROM tok),
+       |wt AS (
+       |  SELECT doc_id,
+       |    ((fp % $ClassifierBuckets) * 2654435761 + 12345) % 2001 - 1000
+       |      AS weight
+       |  FROM f),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (CAST(SUM(weight) AS BIGINT) * 1000) // COUNT(*) AS score_mil
+       |  FROM wt GROUP BY doc_id),
+       |lab AS (
+       |  SELECT s.score_mil,
+       |    CASE WHEN d.n_chars >= $CalibLongChars THEN 1 ELSE 0 END AS pos
+       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |cen AS (
+       |  SELECT score_mil, CAST(SUM(pos) AS BIGINT) AS p,
+       |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS q
+       |  FROM lab GROUP BY 1),
+       |cum AS (
+       |  SELECT p, q,
+       |    CAST(SUM(q) OVER (ORDER BY score_mil) AS BIGINT) AS cq
+       |  FROM cen),
+       |a AS (
+       |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+       |    CAST(SUM(q) AS BIGINT) AS n_neg,
+       |    SUM(CAST(p * (2 * cq - q) AS DECIMAL(38,0))) AS u2
+       |  FROM cum)
+       |SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |    ELSE CAST(FLOOR(CAST(u2 AS DOUBLE)
+       |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2)
+       |      * 1000000 + 0.5) AS BIGINT) END AS auc_ppm
+       |FROM a""".stripMargin) { (s, d) =>
+    val fp = aggregate(split(col("w"), ""), lit(0L),
+      (acc, c) => (acc * 131 + ascii(c)) % 2147483647L)
+    val weight = (fp % ClassifierBuckets) * 2654435761L + 12345
+    val scored = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), (weight % 2001 - 1000).as("weight"))
+      .groupBy("doc_id")
+      .agg(expr("(sum(weight) * 1000) div count(1)").as("score_mil"))
+    val cen = scored
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("score_mil"),
+        when(col("n_chars") >= CalibLongChars, 1L).otherwise(0L).as("pos"))
+      .groupBy("score_mil")
+      .agg(sum(col("pos")).as("p"),
+        (count(lit(1)) - sum(col("pos"))).as("q"))
+    // q149/q172 two-pass global cumsum over the bounded score census
+    val local = cen.repartitionByRange(32, col("score_mil"))
+      .select(col("score_mil"), col("p"), col("q"),
+        spark_partition_id().as("pid"))
+    val wloc = Window.partitionBy(col("pid")).orderBy(col("score_mil"))
+    val cumLocal = local.select(col("p"), col("q"), col("pid"),
+      sum(col("q")).over(wloc).as("lq"))
+    val woff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid").agg(sum(col("q")).as("pq"))
+      .select(col("pid"),
+        coalesce(sum(col("pq")).over(woff), lit(0L)).as("oq"))
+    val a = cumLocal.join(broadcast(offsets), Seq("pid"))
+      .select(col("p"), col("q"), (col("oq") + col("lq")).as("cq"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum((col("p") * (lit(2L) * col("cq") - col("q")))
+          .cast(DecimalType(38, 0))).as("u2"))
+    a.select(col("n_pos"), col("n_neg"), col("u2").cast(LongType).as("u2"),
+      when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+        .otherwise(floor(col("u2").cast(DoubleType)
+          / (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType)
+            * lit(2.0)) * 1000000 + 0.5).cast(LongType)).as("auc_ppm"))
   }
 }

@@ -97,7 +97,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q184_pit_scoring",
     // q187's bounds/winning-bucket/median frames are all 1-row
     // broadcasts onto the map-only binning passes
-    "q187_global_median")
+    "q187_global_median",
+    // q192 cross-assembles its six audit rows from three 1-row check
+    // frames (scan-wide conditionals, uniqueness rollup, anti-join count)
+    "q192_dq_audit")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
@@ -141,7 +144,10 @@ class PlanLintGateSpec extends SparkSpec {
     // the single winning bucket's value census (distinct values ≤ the
     // bucket's integer width by construction) — never the corpus; that
     // inversion is the selection algorithm's point
-    "q187_global_median")
+    "q187_global_median",
+    // q189's prefix-sum offsets window covers the ≤32-row partition-count
+    // frame (q149 shape — the score census gets pid-partitioned windows)
+    "q189_auc")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
