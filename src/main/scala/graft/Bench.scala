@@ -30,6 +30,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // DSv2 storage-partitioned joins (KeyGroupedPartitioning zip) —
+      // set at session build so q161 never mutates the shared session
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

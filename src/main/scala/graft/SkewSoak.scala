@@ -28,6 +28,9 @@ object SkewSoak {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // DSv2 storage-partitioned joins (KeyGroupedPartitioning zip) —
+      // set at session build so q161 never mutates the shared session
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // force sort-merge: broadcast would (correctly) sidestep the skew,
       // but the point is the shape where the dim does NOT fit in memory
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // DSv2 storage-partitioned joins (KeyGroupedPartitioning zip) —
+      // set at session build so q161 never mutates the shared session
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); Tables.events converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -83,16 +83,60 @@ object GraphOps extends QueryModule {
   //
   // Scale: each iteration is the textbook pair of keyed shuffles
   //   contribs: join(ranks, edges on src) → groupBy(dst) SUM
-  // with map-side partial aggregation; edges/degrees are computed once
-  // (ReuseExchange dedupes their shuffle across iteration branches —
-  // same reuse the gate silvers rely on). No driver sync at all: the
-  // K-iteration loop is pure lineage, and the result is a TakeOrdered
-  // top-[[PrTopK]]. A diameter-bound dynamic loop would add q90's
-  // scalar-count convergence check; fixed K matches the oracle's
-  // chained-CTE form.
+  // with map-side partial aggregation; edges/degrees are materialized
+  // once (localCheckpoint) so iteration R never replans or rescans
+  // rounds 1..R−1 — the q90/q178 lineage contract. The loop is
+  // CONVERGED-OR-CAPPED like k-core: each round pays one scalar action
+  // (did any node's integer rank move?); because the update is a pure
+  // function of the previous rank vector, a converged vector is a
+  // fixpoint and the oracle's remaining fixed-K rounds are no-ops —
+  // early stop can never diverge from the K-round chained-CTE oracle
+  // (PageRankSpec proves the early-stop case hash-matches).
   val PrIters = 4
   val PrTopK = 50
   private val PrGrid = 1000000000000L // 1e12 integer rank grid
+
+  /** Integer-grid PageRank over a directed edge list (`src`, `dst`).
+    * Returns (ranks, roundsRun): (node, rank) for every node with
+    * out-degree > 0, after at most maxIters damped synchronous updates,
+    * stopping early when the rank vector reaches a fixpoint. Every
+    * round: two keyed shuffles (rank⋈edges on src → groupBy dst) plus
+    * one node-keyed equality join for the convergence scalar; state is
+    * localCheckpoint-ed so lineage stays one round deep.
+    */
+  def pageRank(edgesIn: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    val teleport = expr(s"${(PrGrid * 15L) / 100L} div n")
+    var r = deg.crossJoin(nn)
+      .select(col("src").as("node"), expr(s"$PrGrid div n").as("rank"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (changed && it < maxIters) {
+      val next = edges
+        .join(r, edges("src") === r("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("csum"))
+        .crossJoin(nn)
+        .select(col("node"),
+          (teleport + expr("(85 * csum) div 100")).as("rank"))
+        .localCheckpoint(true)
+      // fixpoint test: one node-keyed join, short-circuited by LIMIT 1 —
+      // the only thing that reaches the driver is a 0/1 count
+      changed = next
+        .join(r.select(col("node"), col("rank").as("prev")), Seq("node"))
+        .filter(col("rank") =!= col("prev"))
+        .limit(1).count() > 0
+      r = next
+      it += 1
+    }
+    (r, it)
+  }
 
   register("q147_pagerank", {
     val iters = (1 to PrIters).map { i =>
@@ -131,22 +175,7 @@ object GraphOps extends QueryModule {
       .distinct()
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
-    var r = deg.crossJoin(nn)
-      .select(col("src").as("node"), expr(s"$PrGrid div n").as("rank"))
-    for (_ <- 1 to PrIters) {
-      r = edges
-        .join(r, edges("src") === r("node"))
-        .join(deg, Seq("src"))
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib")).as("csum"))
-        .crossJoin(nn)
-        .select(col("node"),
-          (expr("150000000000 div n")
-            + expr("(85 * csum) div 100")).as("rank"))
-    }
+    val (r, _) = pageRank(edges, PrIters)
     r.orderBy(col("rank").desc, col("node").asc).limit(PrTopK)
   }
 
@@ -218,8 +247,12 @@ object GraphOps extends QueryModule {
     val db = deg.select(col("n").as("b"), col("deg").as("degb"))
     val aFirst = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("a") < col("b"))
-    // oriented edge src→dst with dst's (deg, id) kept for wedge ordering
-    val oriented = e.join(broadcast(da), Seq("a")).join(broadcast(db), Seq("b"))
+    // oriented edge src→dst with dst's (deg, id) kept for wedge ordering.
+    // No broadcast hint on the degree tables: they are NODE-sized (one
+    // row per graph node — billions at 100 TB), so the keyed sort-merge/
+    // AQE choice is the scale path; AQE still broadcasts them when they
+    // measure small at runtime.
+    val oriented = e.join(da, Seq("a")).join(db, Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))

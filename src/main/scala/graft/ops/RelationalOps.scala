@@ -456,12 +456,19 @@ object RelationalOps extends QueryModule {
       |  UNION ALL
       |  SELECT 'customer.parquet', CAST(COUNT(*) AS BIGINT) FROM customer
       |)""".stripMargin) { (s, d) =>
+    // Aggregate on the RAW file path first (a per-file constant, so the
+    // groupBy collapses to one row per file during the scan's partial
+    // aggregation), then regexp the basename on the few-row result —
+    // the extract runs O(files) times, not O(rows).
     Seq(lineitem(s, d), orders(s, d), customer(s, d))
-      .map(_.select(
-        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("source_file")))
+      .map(_.select(col("_metadata.file_path").as("fp")))
       .reduce(_ unionAll _)
-      .groupBy("source_file")
+      .groupBy("fp")
       .agg(count(lit(1)).as("row_count"))
+      .select(regexp_extract(col("fp"), "[^/]+$", 0).as("source_file"),
+        col("row_count"))
+      .groupBy("source_file")
+      .agg(sum(col("row_count")).as("row_count"))
   }
 
   // ============================================================ top-k

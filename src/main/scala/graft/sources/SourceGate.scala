@@ -143,7 +143,9 @@ object SourceGate extends QueryModule {
       |  MIN(a.id) AS min_id, MAX(a.id) AS max_id
       |FROM a JOIN b ON a.bucket = b.bucket AND a.id = b.id
       |GROUP BY 1""".stripMargin) { (s, _) =>
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // spark.sql.sources.v2.bucketing.enabled is set ONCE at session build
+    // (Verify/Bench/SparkSpec) — setting it here would leak a
+    // plan-affecting config into every later query on the shared session
     def side(rows: Long) = s.read.format("graft-range")
       .option("rows", rows.toString).option("partitionBy", "bucket").load()
     val a = side(2000000L)

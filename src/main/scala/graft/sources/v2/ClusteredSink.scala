@@ -186,9 +186,7 @@ final class ClusteredSinkStreamingWrite(
       val name = f"part-$epochId%05d-${m.partitionId}%05d.json"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      manifest.append(
-        s"""{"file":"$name","rows":${m.rows},"min_cluster":${m.minCluster},""" +
-        s""""max_cluster":${m.maxCluster},"min_sort":${m.minSort},"max_sort":${m.maxSort}}""" + "\n")
+      manifest.append(ClusteredSinkCommit.manifestLine(name, m))
     }
     Files.write(Paths.get(path, f"_manifest-$epochId%05d.jsonl"),
       manifest.toString.getBytes(StandardCharsets.UTF_8))
@@ -216,6 +214,13 @@ final class ClusteredSinkBatchWrite(
     schema: StructType, path: String, clusterIdx: Int, sortIdx: Int,
     truncateFirst: Boolean) extends BatchWrite {
 
+  // Per-JOB commit id: committed file names are namespaced by it, so a
+  // second append to the same path can never collide with (and silently
+  // REPLACE) a prior job's part files — append is genuinely append.
+  // The manifest is appended to (not rewritten) for the same reason.
+  private val jobId: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -226,21 +231,23 @@ final class ClusteredSinkBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dataDir = Paths.get(path, "data")
+    val manifestPath = Paths.get(path, "_manifest.jsonl")
     if (truncateFirst && Files.exists(dataDir)) {
       Files.list(dataDir).forEach(f => Files.delete(f))
+      Files.deleteIfExists(manifestPath)
     }
     Files.createDirectories(dataDir)
     val manifest = new StringBuilder
     messages.collect { case m: ClusteredSinkCommit if m.rows > 0 =>
-      val name = f"part-${m.partitionId}%05d.json"
+      val name = f"part-$jobId-${m.partitionId}%05d.json"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      manifest.append(
-        s"""{"file":"$name","rows":${m.rows},"min_cluster":${m.minCluster},""" +
-        s""""max_cluster":${m.maxCluster},"min_sort":${m.minSort},"max_sort":${m.maxSort}}""" + "\n")
+      manifest.append(ClusteredSinkCommit.manifestLine(name, m))
     }
-    Files.write(Paths.get(path, "_manifest.jsonl"),
-      manifest.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(manifestPath,
+      manifest.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
 
@@ -306,11 +313,19 @@ final class ClusteredSinkDataWriter(
     b.append('}').append('\n')
     out.write(b.toString)
     rows += 1
-    val c = longAt(row, clusterIdx); val s = longAt(row, sortIdx)
-    if (c < minCluster) minCluster = c
-    if (c > maxCluster) maxCluster = c
-    if (s < minSort) minSort = s
-    if (s > maxSort) maxSort = s
+    // null keys contribute NO bound: an InternalRow getter on a null slot
+    // returns an arbitrary value (0), which would falsely tighten the
+    // manifest's file-skipping range
+    if (!row.isNullAt(clusterIdx)) {
+      val c = longAt(row, clusterIdx)
+      if (c < minCluster) minCluster = c
+      if (c > maxCluster) maxCluster = c
+    }
+    if (!row.isNullAt(sortIdx)) {
+      val s = longAt(row, sortIdx)
+      if (s < minSort) minSort = s
+      if (s > maxSort) maxSort = s
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -331,3 +346,19 @@ final case class ClusteredSinkCommit(
     partitionId: Int, tmpPath: String, rows: Long,
     minCluster: Long, maxCluster: Long, minSort: Long, maxSort: Long)
     extends WriterCommitMessage
+
+object ClusteredSinkCommit {
+  /** One manifest JSONL line. A file whose keys were all null carries
+    * `null` bounds (untouched MaxValue/MinValue sentinels) — a reader
+    * must treat null as "no bound, cannot skip", never as a real range.
+    */
+  def manifestLine(name: String, m: ClusteredSinkCommit): String = {
+    def bound(lo: Long, hi: Long, v: Long): String =
+      if (lo > hi) "null" else v.toString
+    s"""{"file":"$name","rows":${m.rows},""" +
+      s""""min_cluster":${bound(m.minCluster, m.maxCluster, m.minCluster)},""" +
+      s""""max_cluster":${bound(m.minCluster, m.maxCluster, m.maxCluster)},""" +
+      s""""min_sort":${bound(m.minSort, m.maxSort, m.minSort)},""" +
+      s""""max_sort":${bound(m.minSort, m.maxSort, m.maxSort)}}""" + "\n"
+  }
+}

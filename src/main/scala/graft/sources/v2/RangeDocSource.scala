@@ -275,9 +275,13 @@ final class RangeDocScanBuilder(rows: Long, splits: Int, bucketed: Boolean = fal
 /** Complete-pushdown aggregate scan: one partition, one closed-form row. */
 final class RangeDocAggScan(lo: Long, hi: Long, kinds: Seq[String])
     extends Scan with Batch {
-  override def readSchema(): StructType = StructType(kinds.map {
-    case "count" => StructField("count", LongType, nullable = false)
-    case k       => StructField(k, LongType, nullable = true) // empty → NULL
+  // Result fields are matched POSITIONALLY by Spark, but names must still
+  // be unique — COUNT(*) plus COUNT(col) would otherwise both land as
+  // "count" and trip StructType validation; the ordinal suffix keeps
+  // every pushed-agg field distinct.
+  override def readSchema(): StructType = StructType(kinds.zipWithIndex.map {
+    case ("count", i) => StructField(s"count_$i", LongType, nullable = false)
+    case (k, i)       => StructField(s"${k}_$i", LongType, nullable = true) // empty → NULL
   })
   override def toBatch: Batch = this
   override def description(): String =

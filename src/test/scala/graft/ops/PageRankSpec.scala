@@ -47,4 +47,25 @@ class PageRankSpec extends SparkSpec {
     val b = graft.SparkEntry.queries("q147_pagerank")(spark, dir).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
+
+  test("converged-or-capped: early stop fires on a regular graph and " +
+    "matches the fixed-round fixpoint") {
+    import spark.implicits._
+    // symmetrized 10-cycle: 2-regular, so the uniform vector is an EXACT
+    // integer fixpoint after one round (1e11 is divisible by outdeg 2 and
+    // 85*1e11 by 100) — rounds 2..4 of the fixed-K oracle are no-ops
+    val n = 10L
+    val fwd = (0L until n).map(i => (i, (i + 1) % n))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val (r1, rounds1) = GraphOps.pageRank(edges, maxIters = 4)
+    assert(rounds1 < 4, "fixpoint must stop the loop before the cap")
+    val got = r1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 10)
+    // uniform fixpoint: teleport 1.5e10 + damped 8.5e10 = 1e11 for all
+    assert(got.values.forall(_ == 100000000000L))
+    // capped run at exactly 1 round produces the same vector (fixpoint)
+    val (r2, _) = GraphOps.pageRank(edges, maxIters = 1)
+    val gotCapped = r2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCapped == got)
+  }
 }

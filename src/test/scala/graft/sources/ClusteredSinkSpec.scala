@@ -136,6 +136,43 @@ class ClusteredSinkSpec extends SparkSpec {
     assert(Files.list(Paths.get(dir, "data")).count() <= 2L)
   }
 
+  test("append is append: a second job never clobbers the first") {
+    val dir = freshDir()
+    write(sample(1000), dir)
+    val second = spark.range(50L)
+      .select((col("id") + 10000).as("key"), (col("id") % 7).as("bucket"),
+        lit("v2").as("payload"))
+    write(second, dir, mode = "append")
+    val back = readBack(dir)
+    // both jobs' rows survive — colliding partition ids must not REPLACE
+    assert(back.count() === 1050L)
+    assert(back.filter(col("payload") === "v2").count() === 50L)
+    // and the manifest accumulates entries for BOTH jobs' files
+    val manifestFiles = Files.readAllLines(Paths.get(dir, "_manifest.jsonl"))
+      .asScala.map(l => """"file":"([^"]+)"""".r.findFirstMatchIn(l).get.group(1))
+    assert(manifestFiles.toSet.size === manifestFiles.size, "duplicate manifest entry")
+    val onDisk = Files.list(Paths.get(dir, "data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(manifestFiles.toSet === onDisk, "manifest out of sync with data dir")
+  }
+
+  test("null cluster keys contribute no manifest bound (null, not 0)") {
+    val dir = freshDir()
+    val df = spark.range(10L)
+      .select((col("id") + 100).as("key"),
+        lit(null).cast("long").as("bucket"), lit("n").as("payload"))
+    write(df, dir, partitions = 1)
+    val lines = Files.readAllLines(Paths.get(dir, "_manifest.jsonl")).asScala
+    assert(lines.nonEmpty)
+    // all-null cluster keys: the skipping range must be "no bound", never
+    // a fabricated min_cluster=0 that would let a reader skip the file
+    assert(lines.forall(_.contains(""""min_cluster":null""")), lines.mkString)
+    assert(lines.forall(_.contains(""""max_cluster":null""")), lines.mkString)
+    // sort key is real: bounds present
+    assert(lines.forall(_.contains(""""min_sort":100""")), lines.mkString)
+    assert(readBack(dir).count() === 10L)
+  }
+
   // ------------------------------------------------- streaming write path
 
   test("streaming write commits per-epoch files and manifests") {

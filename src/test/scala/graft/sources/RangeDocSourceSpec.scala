@@ -131,6 +131,14 @@ class RangeDocSourceSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) == 1000L)
   }
 
+  test("COUNT(*) plus COUNT(col) push together (distinct result field names)") {
+    val df = ranged(1000).filter(col("id") >= 100L)
+      .selectExpr("count(*) AS a", "count(bucket) AS b", "min(id) AS mn")
+    assert(df.queryExecution.executedPlan.toString.contains("graft-range-agg"))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((900L, 900L, 100L)))
+  }
+
   test("empty pushed range aggregates to count 0 with NULL min/max") {
     val df = ranged(1000).filter(col("id") >= 5000L)
       .selectExpr("count(*) AS n", "min(id) AS mn", "max(id) AS mx")
