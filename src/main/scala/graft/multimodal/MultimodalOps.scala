@@ -50,21 +50,28 @@ object MultimodalOps extends QueryModule {
     StructField("n_frames", IntegerType),
     StructField("payload_md5", StringType)))
 
-  /** Partition-batched decode + feature extraction. Runs the (stub) codec
-    * once per record inside `mapPartitions`, so a real codec would
-    * amortize model/codec init per partition — the standard batch shape
-    * for `mapInPandas`/`mapPartitions` UDF decoding.
+  /** Partition-batched decode + feature extraction. Runs the codec once
+    * per record inside `mapPartitions`, so a real codec would amortize
+    * model/codec init per partition — the standard batch shape for
+    * `mapInPandas`/`mapPartitions` UDF decoding.
+    *
+    * The codec is the ONLY pluggable seam: swapping [[StubCodec]] for a
+    * real image/audio binding changes no query code, no schema, and no
+    * plan shape. The decode stage is also the ONLY stage that reads
+    * `payload` — its output carries extracted features (fixed-width
+    * numerics + an md5), so no downstream shuffle ever moves media
+    * bytes. MultimodalCodecSpec pins both contracts.
     */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  def decodeFeatures(media: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     val rows = media.select("media_id", "kind", "payload", "byte_len").rdd
       .mapPartitions { it =>
-        val codec = StubCodec // per-partition init point for a real codec
+        val c = codec.open() // per-partition init point for a real codec
         it.map { r =>
           val id = r.getAs[Long]("media_id")
           val kind = r.getAs[String]("kind")
           val payload = r.getAs[Array[Byte]]("payload")
-          val f = codec.decode(kind, payload)
+          val f = c.decode(kind, payload)
           Row(id, kind, r.getAs[Long]("byte_len"), f.width, f.height,
             f.nFrames, f.md5)
         }
@@ -168,12 +175,42 @@ object MultimodalOps extends QueryModule {
   }
 }
 
+/** The codec seam: everything a real media binding must provide.
+  *
+  * Deployment contract:
+  *   - the codec instance is serialized to executors once per task; any
+  *     heavyweight native state (libjpeg/ffmpeg handles, model weights)
+  *     belongs in [[MediaCodec.open]]'s return value, which is invoked
+  *     once per PARTITION inside `mapPartitions` — never per record;
+  *   - `decode` sees the raw payload bytes exactly once, on the executor
+  *     that scanned them; implementations must return fixed-width
+  *     features only (no payload echoes), which is what keeps media
+  *     bytes out of every downstream shuffle;
+  *   - `decode` must be total: corrupt payloads should map to a
+  *     sentinel `Features` (or throw, failing the task) — returning
+  *     data-dependent nondeterminism breaks retry idempotence under
+  *     speculative execution.
+  */
+trait MediaCodec extends Serializable {
+
+  /** Per-partition initialization: open native handles, load weights.
+    * The default is stateless (returns the decoder itself). */
+  def open(): MediaDecoder
+}
+
+/** The per-partition decoder handle produced by [[MediaCodec.open]]. */
+trait MediaDecoder {
+  def decode(kind: String, payload: Array[Byte]): StubCodec.Features
+}
+
 /** STUB codec — deterministic fake decode. A real deployment replaces
   * this object with bindings to an image/audio library; the surrounding
   * plumbing (schemas, mapPartitions batching, feature columns) is real.
   */
-object StubCodec {
+object StubCodec extends MediaCodec with MediaDecoder {
   final case class Features(width: Int, height: Int, nFrames: Int, md5: String)
+
+  override def open(): MediaDecoder = this
 
   def decode(kind: String, payload: Array[Byte]): Features = {
     // ??? <- real codec goes here; deterministic fake below mirrors the
