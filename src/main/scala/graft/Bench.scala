@@ -36,6 +36,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // config-bisect hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overrides
+    // session confs for A/B measurements without code edits
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     // warmup: exercise the parquet reader, codegen, and the decimal
     // aggregation path once so JIT/init isn't charged to the first query

@@ -187,7 +187,7 @@ object MultimodalOps extends QueryModule {
   *     features only (no payload echoes), which is what keeps media
   *     bytes out of every downstream shuffle;
   *   - `decode` must be total: corrupt payloads should map to a
-  *     sentinel `Features` (or throw, failing the task) — returning
+  *     sentinel [[MediaFeatures]] (or throw, failing the task) — returning
   *     data-dependent nondeterminism breaks retry idempotence under
   *     speculative execution.
   */
@@ -198,9 +198,13 @@ trait MediaCodec extends Serializable {
   def open(): MediaDecoder
 }
 
+/** Fixed-width feature record every codec must produce — the trait layer
+  * depends only on this, so implementations never reference [[StubCodec]]. */
+final case class MediaFeatures(width: Int, height: Int, nFrames: Int, md5: String)
+
 /** The per-partition decoder handle produced by [[MediaCodec.open]]. */
 trait MediaDecoder {
-  def decode(kind: String, payload: Array[Byte]): StubCodec.Features
+  def decode(kind: String, payload: Array[Byte]): MediaFeatures
 }
 
 /** STUB codec — deterministic fake decode. A real deployment replaces
@@ -208,11 +212,9 @@ trait MediaDecoder {
   * plumbing (schemas, mapPartitions batching, feature columns) is real.
   */
 object StubCodec extends MediaCodec with MediaDecoder {
-  final case class Features(width: Int, height: Int, nFrames: Int, md5: String)
-
   override def open(): MediaDecoder = this
 
-  def decode(kind: String, payload: Array[Byte]): Features = {
+  def decode(kind: String, payload: Array[Byte]): MediaFeatures = {
     // ??? <- real codec goes here; deterministic fake below mirrors the
     // geometry derivation of MultimodalOps.q34 (hash-driven dimensions)
     def h60(bytes: Array[Byte]): Long = {
@@ -225,7 +227,7 @@ object StubCodec extends MediaCodec with MediaDecoder {
     val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
       .map("%02x".format(_)).mkString
     val h = java.lang.Long.parseLong(hex.take(15), 16)
-    Features(
+    MediaFeatures(
       width = (16 * (1 + h % 120)).toInt,
       height = (16 * (1 + seeded(1) % 68)).toInt,
       nFrames = if (kind == "video") (1 + seeded(2) % 300).toInt else 1,

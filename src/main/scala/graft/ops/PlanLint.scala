@@ -29,6 +29,14 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     Conditions made only of null guards or computed expressions
   *     (modulo, size(...), UDF outputs) are not findings — parquet
   *     cannot evaluate them, so nothing was lost.
+  *   - `window-collect` — a `collect_set`/`collect_list` aggregate
+  *     evaluated over a Window frame. WindowExec buffers the frame per
+  *     row and the collect buffer is unbounded in the domain of the
+  *     collected column, so an innocuous-looking rolling-distinct
+  *     explodes on a hot key at scale. Bounded-domain uses (q166's
+  *     ≤ |parts-per-supplier-quarter| frame) are allowlisted by the
+  *     caller with a cardinality rationale — the lint reports all of
+  *     them.
   *   - `shuffle-count` — one informational finding with the number of
   *     shuffle exchanges in the plan.
   */
@@ -123,12 +131,27 @@ object PlanLint {
         }
     }.flatten
 
+    // collect_set/collect_list inside a window frame: per-row unbounded
+    // buffers — a hot key turns a rolling-distinct into an OOM at scale
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    val windowCollects = nodes.collect {
+      case w: WindowExec =>
+        w.windowExpression.flatMap(_.collect {
+          case c: CollectSet =>
+            Finding("window-collect", "Window",
+              s"collect_set(${c.child.sql.take(60)}) over a window frame")
+          case c: CollectList =>
+            Finding("window-collect", "Window",
+              s"collect_list(${c.child.sql.take(60)}) over a window frame")
+        })
+    }.flatten
+
     val shuffles = nodes.count {
       case _: ShuffleExchangeExec => true
       case _                      => false
     }
 
-    crosses ++ globalWindows ++ unpushedScans :+
+    crosses ++ globalWindows ++ unpushedScans ++ windowCollects :+
       Finding("shuffle-count", "Exchange", shuffles.toString)
   }
 

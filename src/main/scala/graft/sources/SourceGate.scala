@@ -143,10 +143,19 @@ object SourceGate extends QueryModule {
       |  MIN(a.id) AS min_id, MAX(a.id) AS max_id
       |FROM a JOIN b ON a.bucket = b.bucket AND a.id = b.id
       |GROUP BY 1""".stripMargin) { (s, _) =>
-    // spark.sql.sources.v2.bucketing.enabled is set ONCE at session build
-    // (Verify/Bench/SparkSpec) — setting it here would leak a
-    // plan-affecting config into every later query on the shared session
-    def side(rows: Long) = s.read.format("graft-range")
+    // SPJ needs TWO confs: v2.bucketing.enabled, and (because the join
+    // keys (bucket, id) are a SUPERSET of the reported partition key
+    // (bucket)) the relaxed co-partition check — with the strict default
+    // Spark silently falls back to a 3-exchange SMJ (found round 6; the
+    // old plan assert was vacuous under AQE). The relaxed check is set on
+    // an ISOLATED child session: measured round 6, setting it globally
+    // lets OTHER queries ride subset co-partitionings and regresses
+    // q46 ~35% / q181 ~20% — this query's plan needs must not leak into
+    // the shared session (the r5 lesson, now with the conf scoped right).
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def side(rows: Long) = iso.read.format("graft-range")
       .option("rows", rows.toString).option("partitionBy", "bucket").load()
     val a = side(2000000L)
     val b = side(3000000L)

@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Pins the codec deployment contract `MultimodalOps.decodeFeatures`
+  * documents:
+  *   (a) `MediaCodec.open()` runs once per PARTITION (where a real codec
+  *       amortizes native init), `decode` once per record;
+  *   (b) the decode stage is the only stage that touches `payload`: its
+  *       output schema carries no BinaryType, and no shuffle above the
+  *       decode boundary moves media bytes;
+  *   (c) swapping [[StubCodec]] for another [[MediaCodec]] changes no
+  *       query code, no schema, and (for a semantics-preserving codec)
+  *       no results — the seam is the trait, not the stub.
+  */
+class MultimodalCodecSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("open() is called once per partition, decode once per record") {
+    CountingCodec.reset()
+    val media = MultimodalOps.mediaFromDocuments(spark, sf).repartition(3)
+    val n = MultimodalOps.decodeFeatures(media, CountingCodec).count()
+    assert(n > 0)
+    assert(CountingCodec.opens.get() === 3,
+      s"expected one open() per partition, got ${CountingCodec.opens.get()}")
+    assert(CountingCodec.decodes.get() === n)
+  }
+
+  test("decode output schema matches featureSchema and carries no binary") {
+    val media = MultimodalOps.mediaFromDocuments(spark, sf)
+    val out = MultimodalOps.decodeFeatures(media)
+    assert(out.schema === MultimodalOps.featureSchema)
+    assert(!out.schema.exists(_.dataType == BinaryType))
+  }
+
+  // AQE wraps the executed plan; descend into the adaptive final plan
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+    case q: QueryStageExec => shuffles(q.plan)
+    case e: ShuffleExchangeExec => e +: e.children.flatMap(shuffles)
+    case other => other.children.flatMap(shuffles)
+  }
+
+  test("no shuffle above the decode boundary moves BinaryType") {
+    val media = MultimodalOps.mediaFromDocuments(spark, sf)
+    // decode input is a map-only projection: zero exchanges below decode
+    val decodeInput = media.select("media_id", "kind", "payload", "byte_len")
+    assert(shuffles(decodeInput.queryExecution.executedPlan).isEmpty,
+      "decode input must be map-only")
+    // a downstream shuffle (groupBy over features) carries no media bytes
+    val agg = MultimodalOps.decodeFeatures(media)
+      .groupBy("kind").agg(sum("byte_len").as("bytes"), count(lit(1)).as("n"))
+    agg.collect()
+    val exchanges = shuffles(agg.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"shuffle carries BinaryType: ${e.output.map(_.dataType)}")
+    }
+  }
+
+  test("swapping the codec changes no schema; a faithful codec changes no rows") {
+    val media = MultimodalOps.mediaFromDocuments(spark, sf)
+    val viaStub = MultimodalOps.decodeFeatures(media, StubCodec)
+    val viaFake = MultimodalOps.decodeFeatures(media, DelegatingFakeCodec)
+    assert(viaStub.schema === viaFake.schema)
+    assert(viaStub.exceptAll(viaFake).count() === 0)
+    assert(viaFake.exceptAll(viaStub).count() === 0)
+  }
+}
+
+/** Test codec that counts per-partition open() and per-record decode()
+  * calls. Counters are JVM-static, which is exactly what local-mode
+  * executors share; reset() before each use. */
+object CountingCodec extends MediaCodec {
+  val opens = new AtomicInteger(0)
+  val decodes = new AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); decodes.set(0) }
+
+  override def open(): MediaDecoder = {
+    opens.incrementAndGet()
+    new MediaDecoder {
+      def decode(kind: String, payload: Array[Byte]): MediaFeatures = {
+        decodes.incrementAndGet()
+        StubCodec.decode(kind, payload)
+      }
+    }
+  }
+}
+
+/** A "real" codec stand-in that depends only on the trait layer
+  * (MediaCodec/MediaDecoder/MediaFeatures — never StubCodec's type) and
+  * happens to compute the same geometry, proving the swap contract. */
+object DelegatingFakeCodec extends MediaCodec {
+  override def open(): MediaDecoder = new MediaDecoder {
+    private val inner: MediaDecoder = StubCodec.open()
+    def decode(kind: String, payload: Array[Byte]): MediaFeatures =
+      inner.decode(kind, payload)
+  }
+}

@@ -155,6 +155,14 @@ class PlanLintGateSpec extends SparkSpec {
     * evaluate). */
   private val unpushedScanAllowed = Set.empty[String]
 
+  /** Queries with an INTENTIONAL collect_set/collect_list over a window
+    * frame, each with a bounded collected domain: q166's rolling
+    * COUNT(DISTINCT part) collects part ids over a 3-quarter RANGE frame
+    * per supplier — the buffer is ≤ |parts one supplier ships in 3
+    * quarters|, and its scaladoc points hot-key cases at q167, the
+    * HLL-sketch formulation that never buffers the domain. */
+  private val windowCollectAllowed = Set("q166_window_distinct")
+
   test("suite-wide gate: every query's plan is lint-clean modulo the allowlist") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val findings = PlanLint.lint(graft.SparkEntry.queries(name)(spark, sf))
@@ -165,11 +173,27 @@ class PlanLintGateSpec extends SparkSpec {
           Some(s"$name [${f.rule}] ${f.detail.take(90)}")
         case f if f.rule == "unpushed-scan" && !unpushedScanAllowed(name) =>
           Some(s"$name [${f.rule}] ${f.detail.take(90)}")
+        case f if f.rule == "window-collect" && !windowCollectAllowed(name) =>
+          Some(s"$name [${f.rule}] ${f.detail.take(90)}")
         case _ => None
       }
     }
     assert(offenders.isEmpty,
       s"PlanLint gate: new findings need a fix or a rationaled allowlist entry:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("q161 storage-partitioned join executes with ZERO shuffle exchanges") {
+    // r5 regression gate: the DSv2 bucketing flag moved from a per-query
+    // conf.set to session build; this pins that the EXECUTED q161 plan
+    // (same session-build flag as Bench/Verify) still zips the aligned
+    // residue-class splits with no exchange — the whole point of the
+    // storage-partitioned join path.
+    val df = graft.SparkEntry.queries("q161_partitioned_join")(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val shuffleCount = PlanLint.lint(df)
+      .find(_.rule == "shuffle-count").map(_.detail)
+    assert(shuffleCount.contains("0"),
+      s"q161 must stay zero-shuffle, got $shuffleCount")
   }
 
   test("a deliberately bad plan trips every rule") {
@@ -201,6 +225,16 @@ class PlanLintGateSpec extends SparkSpec {
     val modOnly = spark.read.parquet(s"$d/t.parquet")
       .filter(pmod(col("v"), lit(7)) === 3)
     assert(!PlanLint.lint(modOnly).exists(_.rule == "unpushed-scan"))
+
+    // window-collect: collect_set over an unbounded-domain window frame
+    val wc = a.withColumn("seen",
+      collect_set(col("x")).over(Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(PlanLint.lint(wc).exists(_.rule == "window-collect"))
+    // while the same collect_set under a groupBy is NOT a finding — the
+    // buffer lives in a hash aggregate, bounded per group, not per row
+    val ga = a.groupBy(pmod(col("x"), lit(3))).agg(collect_set(col("x")))
+    assert(!PlanLint.lint(ga).exists(_.rule == "window-collect"))
 
     // and the shuffle-count informational finding is always present
     assert(PlanLint.lint(a).exists(_.rule == "shuffle-count"))

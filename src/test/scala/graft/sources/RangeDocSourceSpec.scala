@@ -335,8 +335,12 @@ class RangeDocSourceSpec extends SparkSpec {
     val conf = spark.conf
     val prevBucketing = conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
     val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevRequireAll = conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true")
     conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // join keys (bucket, id) ⊃ partition key (bucket): the strict default
+    // co-partition check rejects SPJ for superset join keys
+    conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     try {
       val a = bucketed(200000L)
       val b = bucketed(300000L)
@@ -346,20 +350,23 @@ class RangeDocSourceSpec extends SparkSpec {
       val rows = joined.collect()
       // correctness: every shared id joins exactly once
       assert(rows.map(_.getLong(1)).sum === 200000L)
-      val plan = joined.queryExecution.executedPlan
-      val shuffles = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      assert(shuffles.isEmpty,
-        s"SPJ should need no exchange:\n$plan")
-      val sorts = plan.collect {
-        case s: org.apache.spark.sql.execution.SortExec => s
-      }
-      assert(sorts.isEmpty,
-        s"reported (bucket,id) ordering should elide the merge sort:\n$plan")
+      // NOTE: a raw plan.collect{case e: ShuffleExchangeExec} is VACUOUS
+      // under AQE — TreeNode.collect does not descend into
+      // AdaptiveSparkPlanExec's executedPlan, so it always found zero and
+      // this test passed for a round while SPJ silently wasn't engaging
+      // (join keys (bucket,id) ⊃ partition key (bucket) needs
+      // spark.sql.requireAllClusterKeysForCoPartition=false, now set at
+      // session build). PlanLint.lint descends properly.
+      val findings = graft.ops.PlanLint.lint(joined)
+      assert(findings.find(_.rule == "shuffle-count").map(_.detail).contains("0"),
+        s"SPJ should need no exchange: $findings")
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Sort "),
+        s"reported (bucket,id) ordering should elide the merge sort:\n${planStr.take(1500)}")
     } finally {
       conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevRequireAll)
     }
   }
 }
