@@ -2,10 +2,12 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.DataType
 
 /** Sort-merge physical operator for [[AsOfJoinPlan]].
   *
@@ -28,12 +30,18 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * future left row; skipped rows (keys with no left partner, null times)
   * cost zero allocations. Key and time comparisons run through
   * codegen'd orderings over UnsafeProjection outputs — no per-row
-  * boxing anywhere in the merge. Whole-stage codegen of the merge
-  * itself is deliberately not implemented: a binary streaming merge
-  * cannot fuse into a parent pipeline the way unary operators do (SMJ's
-  * own codegen materializes both sides at a pipeline break), and the
-  * children's sort/exchange stages — where the real work is — already
-  * codegen independently.
+  * boxing anywhere in the merge.
+  *
+  * Whole-stage codegen (r6, the SortMergeJoinExec produce-root shape):
+  * the node is the START of a codegen stage — its two sorted inputs
+  * stay iterator-fed (a binary merge cannot fuse its inputs), but the
+  * merge loop itself is generated Java and everything DOWNSTREAM of the
+  * join (project/filter/partial aggregate) fuses with it, consuming the
+  * joined row directly. That deletes the iterator's per-row
+  * `resultProj` UnsafeRow copy and the virtual next() calls — the
+  * interpreted doExecute remains as the spark.sql.codegen.wholeStage=
+  * false fallback and pins semantics in NativeAsOfSpec's codegen-off
+  * equality case.
   */
 final case class AsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -42,7 +50,7 @@ final case class AsOfJoinExec(
     rightTime: Expression,
     rightTies: Seq[Expression],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -171,4 +179,163 @@ final case class AsOfJoinExec(
       }
     }
   }
+
+  // ========================================================== codegen
+  // Stage-root codegen: both inputs arrive as iterators (zipped by
+  // WholeStageCodegenExec when inputRDDs has two entries); the merge
+  // state machine below is the doExecute iterator transcribed to Java,
+  // and consume() fuses the downstream pipeline over the JoinedRow.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the left sorter's reused buffer (and the
+  // shared JoinedRow) — a buffering parent must copy, same as SMJ
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val init = new AsOfCodegenInit(leftKeys, rightKeys, leftTime, rightTime,
+      left.output, right.output, leftKeys.map(_.dataType), leftTime.dataType)
+    val initRef = ctx.addReferenceObj("asofInit", init,
+      classOf[AsOfCodegenInit].getName)
+
+    val row = "org.apache.spark.sql.catalyst.InternalRow"
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];", forceInline = true)
+    val lKeyProj = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeProjection",
+      "asofLKeyProj", v => s"$v = $initRef.lKeyProj();")
+    val rKeyProj = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeProjection",
+      "asofRKeyProj", v => s"$v = $initRef.rKeyProj();")
+    val lTimeProj = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeProjection",
+      "asofLTimeProj", v => s"$v = $initRef.lTimeProj();")
+    val rTimeProj = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeProjection",
+      "asofRTimeProj", v => s"$v = $initRef.rTimeProj();")
+    val keyOrd = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.BaseOrdering",
+      "asofKeyOrd", v => s"$v = $initRef.keyOrdering();")
+    val timeOrd = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.BaseOrdering",
+      "asofTimeOrd", v => s"$v = $initRef.timeOrdering();")
+    val nullRight = ctx.addMutableState(row,
+      "asofNullRight", v => s"$v = $initRef.nullRight();")
+    val joinedRow = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.JoinedRow",
+      "asofJoinedRow", v => s"$v = new org.apache.spark.sql.catalyst.expressions.JoinedRow();")
+
+    val rHead = ctx.addMutableState(row, "asofRHead")
+    val rHeadKey = ctx.addMutableState(row, "asofRHeadKey")
+    val rHeadOwned = ctx.addMutableState("boolean", "asofRHeadOwned")
+    val carry = ctx.addMutableState(row, "asofCarry")
+    val carryKey = ctx.addMutableState(row, "asofCarryKey")
+    val started = ctx.addMutableState("boolean", "asofStarted")
+
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  if ($rightInput.hasNext()) {
+         |    $rHead = ($row) $rightInput.next();
+         |    $rHeadKey = $rKeyProj.apply($rHead);
+         |    $rHeadOwned = false;
+         |  } else {
+         |    $rHead = null;
+         |    $rHeadKey = null;
+         |    $rHeadOwned = true;
+         |  }
+         |}
+       """.stripMargin)
+    val persistHead = ctx.addNewFunction("asofPersistHead",
+      s"""
+         |private void asofPersistHead() {
+         |  if (!$rHeadOwned) {
+         |    $rHead = $rHead.copy();
+         |    $rHeadKey = $rHeadKey.copy();
+         |    $rHeadOwned = true;
+         |  }
+         |}
+       """.stripMargin)
+
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    val lRow = ctx.freshName("asofLeftRow")
+    val lKey = ctx.freshName("asofLeftKey")
+    val lTimeRow = ctx.freshName("asofLeftTime")
+    val lTimeNull = ctx.freshName("asofLeftTimeNull")
+    val cont = ctx.freshName("asofCont")
+    val cmp = ctx.freshName("asofCmp")
+    val rTimeRow = ctx.freshName("asofRightTime")
+    val matched = ctx.freshName("asofMatched")
+
+    s"""
+       |if (!$started) {
+       |  $advanceRight();
+       |  $started = true;
+       |}
+       |while ($leftInput.hasNext()) {
+       |  $row $lRow = ($row) $leftInput.next();
+       |  $row $lKey = $lKeyProj.apply($lRow);
+       |  $row $lTimeRow = $lTimeProj.apply($lRow);
+       |  boolean $lTimeNull = $lTimeRow.isNullAt(0);
+       |  boolean $cont = $rHead != null;
+       |  while ($cont) {
+       |    int $cmp = $keyOrd.compare($rHeadKey, $lKey);
+       |    if ($cmp < 0) {
+       |      $advanceRight();
+       |    } else if ($cmp > 0) {
+       |      $persistHead();
+       |      $cont = false;
+       |    } else {
+       |      $row $rTimeRow = $rTimeProj.apply($rHead);
+       |      if ($rTimeRow.isNullAt(0)) {
+       |        $advanceRight();
+       |      } else if (!$lTimeNull && $timeOrd.compare($rTimeRow, $lTimeRow) <= 0) {
+       |        $persistHead();
+       |        $carry = $rHead;
+       |        $carryKey = $rHeadKey;
+       |        $advanceRight();
+       |      } else {
+       |        $persistHead();
+       |        $cont = false;
+       |      }
+       |    }
+       |    if ($rHead == null) $cont = false;
+       |  }
+       |  boolean $matched = $carry != null && $keyOrd.compare($carryKey, $lKey) == 0;
+       |  $numOutputRows.add(1);
+       |  if ($matched) $numMatched.add(1);
+       |  $joinedRow.apply($lRow, $matched ? $carry : $nullRight);
+       |  ${consume(ctx, null, joinedRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+}
+
+/** Per-partition runtime factory for [[AsOfJoinExec]]'s generated merge:
+  * the generated class's init() calls these once per partition, so each
+  * task gets its own projection buffers (UnsafeProjection is stateful;
+  * sharing one instance across concurrent partitions would race).
+  * Orderings and the all-null right row are stateless but built through
+  * the same seam for symmetry. Lives in the plan's references array —
+  * must stay Serializable.
+  */
+final class AsOfCodegenInit(
+    lKeys: Seq[Expression], rKeys: Seq[Expression],
+    lTime: Expression, rTime: Expression,
+    lOut: Seq[Attribute], rOut: Seq[Attribute],
+    keyTypes: Seq[DataType], timeType: DataType) extends Serializable {
+  def lKeyProj(): UnsafeProjection = UnsafeProjection.create(lKeys, lOut)
+  def rKeyProj(): UnsafeProjection = UnsafeProjection.create(rKeys, rOut)
+  def lTimeProj(): UnsafeProjection = UnsafeProjection.create(Seq(lTime), lOut)
+  def rTimeProj(): UnsafeProjection = UnsafeProjection.create(Seq(rTime), rOut)
+  def keyOrdering(): BaseOrdering =
+    RowOrdering.createNaturalAscendingOrdering(keyTypes)
+  def timeOrdering(): BaseOrdering =
+    RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+  def nullRight(): InternalRow = new GenericInternalRow(rOut.size)
 }

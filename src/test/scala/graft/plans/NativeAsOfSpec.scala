@@ -111,6 +111,35 @@ class NativeAsOfSpec extends SparkSpec {
     assert(exchanges === 2, s"expected 2 shuffles, got $exchanges in:\n$plan")
   }
 
+  test("merge is whole-stage-codegen'd, and codegen-off results are identical") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    def run() = GraftPlans.asofJoin(purchases, views, "user_id", "ts",
+      "v_user_id", "v_ts", ties = Seq("view_id"))
+      // a downstream projection + aggregate that must FUSE with the merge
+      .groupBy(col("user_id")).agg(count(col("view_id")).as("n_matched"),
+        count(lit(1)).as("n"))
+    val withCg = run()
+    withCg.collect()
+    val planStr = withCg.queryExecution.executedPlan.toString
+    // the join sits inside a WholeStageCodegen span (stage-root shape):
+    // its tree string carries the codegen star marker
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("AsOfJoin") && l.contains("*(")),
+      s"AsOfJoinExec should codegen:\n${planStr.take(1500)}")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val noCg = run()
+      assert(withCg.exceptAll(noCg).isEmpty && noCg.exceptAll(withCg).isEmpty,
+        "codegen and interpreted merges must agree row-for-row")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("column pruning reaches through the custom node's children") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
