@@ -163,9 +163,30 @@ class PlanLintGateSpec extends SparkSpec {
     * HLL-sketch formulation that never buffers the domain. */
   private val windowCollectAllowed = Set("q166_window_distinct")
 
-  test("suite-wide gate: every query's plan is lint-clean modulo the allowlist") {
+  test("suite-wide gate: every query's plan is lint-clean modulo the allowlist, " +
+      "and per-query shuffle counts match the golden budget") {
+    // The golden budget (src/test/resources/shuffle_budget.tsv) is
+    // SCALE.md's shuffle inventory mechanized: a refactor that silently
+    // adds an exchange to ANY of the 193 queries fails here. Regenerate
+    // with `sbt "Test/runMain graft.ops.ShuffleBudgetDump"` only when a
+    // plan change is intentional, and say why in the commit message.
+    val golden: Map[String, String] = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/shuffle_budget.tsv"), "UTF-8")
+      try src.getLines().map { l =>
+        val Array(n, c) = l.split("\t"); n -> c
+      }.toMap finally src.close()
+    }
+    val drift = scala.collection.mutable.ArrayBuffer[String]()
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val findings = PlanLint.lint(graft.SparkEntry.queries(name)(spark, sf))
+      val shuffles = findings.find(_.rule == "shuffle-count").map(_.detail)
+      (golden.get(name), shuffles) match {
+        case (Some(g), Some(actual)) if g != actual =>
+          drift += s"$name: golden $g, actual $actual"
+        case (None, _) => drift += s"$name: not in golden budget (regenerate)"
+        case _ =>
+      }
       findings.flatMap {
         case f if f.rule == "cross-join" && !boundedCrossAllowed(name) =>
           Some(s"$name [${f.rule}] ${f.detail.take(90)}")
@@ -180,6 +201,8 @@ class PlanLintGateSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"PlanLint gate: new findings need a fix or a rationaled allowlist entry:\n  ${offenders.mkString("\n  ")}")
+    assert(drift.isEmpty,
+      s"shuffle budget drift (intentional? regenerate via ShuffleBudgetDump and explain):\n  ${drift.mkString("\n  ")}")
   }
 
   test("q161 storage-partitioned join executes with ZERO shuffle exchanges") {
