@@ -72,8 +72,13 @@ object Bench {
     val qs = names.map { case (k, _) => "\"" + k + f"""\":${best(k)}%.3f""" }
       .mkString("{", ",", "}")
     val total = names.map { case (k, _) => best(k) }.sum
+    // 1-minute load average at END of run: lets a reader judge whether
+    // the numbers were taken on a noisy box (±15% cron spikes, NOTES.md)
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+    } catch { case _: Throwable => "-1" }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load":$load}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
