@@ -54,8 +54,14 @@ for name in sorted(os.listdir(outdir)):
     if decs:
         print(f"{name}: DECIMAL-OUTPUT {decs} — cast to DOUBLE on both sides")
         continue
-    raw_s = con.execute(f"SELECT * FROM '{p}/*.parquet'").df()
-    raw_o = con.execute(oracles[name]).df()
+    # an oracle that exhausts DuckDB (soak-quadratic pair sets) must not
+    # kill the whole sweep — report and move on
+    try:
+        raw_s = con.execute(f"SELECT * FROM '{p}/*.parquet'").df()
+        raw_o = con.execute(oracles[name]).df()
+    except Exception as e:
+        print(f"{name}: ORACLE-ERROR {type(e).__name__}: {str(e)[:120]}")
+        continue
     s, o = canon(raw_s), canon(raw_o)
     if len(s) != len(o):
         print(f"{name}: ROWCOUNT {len(s)} vs {len(o)}")
