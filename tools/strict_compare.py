@@ -11,7 +11,6 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
-con = duckdb.connect()
 # big-soak oracles (list aggregates over 50k docs) exceed the in-memory
 # budget — enable out-of-core spilling. Do NOT set
 # preserve_insertion_order=false: the native-ASOF oracles (q58/q62/q77)
@@ -19,11 +18,19 @@ con = duckdb.connect()
 # what makes its equal-timestamp pick line up with the Spark side's
 # max-payload tie-break on tie-heavy (soak-replicated) data — measured:
 # disabling it flips ~150k soak rows to arbitrary tied copies.
-os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
-for t in glob.glob(os.path.join(sfdir, "*.parquet")):
-    name = os.path.basename(t)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+def connect():
+    c = duckdb.connect()
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # leave headroom below system RAM so a doomed oracle dies while the
+    # box (and a reconnect) still has memory to work with
+    c.execute("SET memory_limit='64GB'")
+    for t in glob.glob(os.path.join(sfdir, "*.parquet")):
+        name = os.path.basename(t)[:-len(".parquet")]
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+    return c
+
+con = connect()
 
 with open(os.path.join(outdir, "oracle_sql.json")) as f:
     oracles = json.load(f)
@@ -55,12 +62,28 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name}: DECIMAL-OUTPUT {decs} — cast to DOUBLE on both sides")
         continue
     # an oracle that exhausts DuckDB (soak-quadratic pair sets) must not
-    # kill the whole sweep — report and move on
+    # kill the whole sweep — report, RECONNECT (a failed query leaves the
+    # allocator's reservation poisoned on DuckDB 1.0: every later
+    # allocation OOMs), and move on
     try:
         raw_s = con.execute(f"SELECT * FROM '{p}/*.parquet'").df()
         raw_o = con.execute(oracles[name]).df()
     except Exception as e:
-        print(f"{name}: ORACLE-ERROR {type(e).__name__}: {str(e)[:120]}")
+        print(f"{name}: ORACLE-ERROR {type(e).__name__}: {str(e)[:120]}", flush=True)
+        try:
+            con.close()
+        except Exception:
+            pass
+        del con
+        import gc, time
+        gc.collect()
+        for attempt in range(10):
+            try:
+                con = connect()
+                break
+            except Exception:
+                gc.collect()
+                time.sleep(6)
         continue
     s, o = canon(raw_s), canon(raw_o)
     if len(s) != len(o):
