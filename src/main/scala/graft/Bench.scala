@@ -38,9 +38,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // config-bisect hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overrides
     // session confs for A/B measurements without code edits
+    // NOTE: q161 plans on an isolated child session and does not see
+    // these runtime overrides (newSession inherits builder confs only)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => ()
+        case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF: expected k=v, got '$kv'")
+      }
     })
 
     // warmup: exercise the parquet reader, codegen, and the decimal

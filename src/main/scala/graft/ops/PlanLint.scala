@@ -45,8 +45,11 @@ object PlanLint {
   final case class Finding(rule: String, node: String, detail: String)
 
   /** Walk the physical plan, descending through AQE wrappers, query
-    * stages, codegen boundaries, and exchange reuse. */
-  private def expand(p: SparkPlan): Seq[SparkPlan] = {
+    * stages, codegen boundaries, and exchange reuse. Public because a
+    * raw `plan.collect` is VACUOUS on adaptive plans (TreeNode.collect
+    * does not enter AdaptiveSparkPlanExec) — every plan-shape assertion
+    * in the repo must walk through here. */
+  def expand(p: SparkPlan): Seq[SparkPlan] = {
     val inner: Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec        => Seq(q.plan)
@@ -55,6 +58,12 @@ object PlanLint {
     }
     p +: inner.flatMap(expand)
   }
+
+  /** Every shuffle exchange in the (possibly adaptive) plan. */
+  def shuffleExchanges(df: DataFrame): Seq[ShuffleExchangeExec] =
+    expand(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec => e
+    }
 
   def lint(df: DataFrame): Seq[Finding] = {
     val nodes = expand(df.queryExecution.executedPlan)

@@ -152,6 +152,9 @@ object SourceGate extends QueryModule {
     // lets OTHER queries ride subset co-partitionings and regresses
     // q46 ~35% / q181 ~20% — this query's plan needs must not leak into
     // the shared session (the r5 lesson, now with the conf scoped right).
+    // Trade-off, documented: newSession inherits BUILDER confs only, so
+    // runtime overrides on the parent (Bench's SPARK_GRAFT_EXTRA_CONF
+    // A/B hook) do not reach this query.
     val iso = s.newSession()
     iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")

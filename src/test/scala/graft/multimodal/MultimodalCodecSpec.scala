@@ -3,9 +3,7 @@ package graft.multimodal
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.ops.PlanLint
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
@@ -40,25 +38,17 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!out.schema.exists(_.dataType == BinaryType))
   }
 
-  // AQE wraps the executed plan; descend into the adaptive final plan
-  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
-    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-    case q: QueryStageExec => shuffles(q.plan)
-    case e: ShuffleExchangeExec => e +: e.children.flatMap(shuffles)
-    case other => other.children.flatMap(shuffles)
-  }
-
   test("no shuffle above the decode boundary moves BinaryType") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf)
     // decode input is a map-only projection: zero exchanges below decode
     val decodeInput = media.select("media_id", "kind", "payload", "byte_len")
-    assert(shuffles(decodeInput.queryExecution.executedPlan).isEmpty,
+    assert(PlanLint.shuffleExchanges(decodeInput).isEmpty,
       "decode input must be map-only")
     // a downstream shuffle (groupBy over features) carries no media bytes
     val agg = MultimodalOps.decodeFeatures(media)
       .groupBy("kind").agg(sum("byte_len").as("bytes"), count(lit(1)).as("n"))
     agg.collect()
-    val exchanges = shuffles(agg.queryExecution.executedPlan)
+    val exchanges = PlanLint.shuffleExchanges(agg)
     assert(exchanges.nonEmpty)
     exchanges.foreach { e =>
       assert(!e.output.exists(_.dataType == BinaryType),

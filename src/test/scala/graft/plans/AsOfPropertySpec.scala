@@ -48,8 +48,13 @@ class AsOfPropertySpec extends SparkSpec {
         .map { case ((k, t), i) => (k, t.map(Long.box).orNull, i.toLong) }
         .toDF("rk", "rt", "rid")
 
-      val got = GraftPlans.asofJoin(left, right, "k", "t", "rk", "rt", Seq("rid"))
+      val gotRows = GraftPlans.asofJoin(left, right, "k", "t", "rk", "rt", Seq("rid"))
         .select("lid", "rid").collect()
+      // exactly one output row per left row — a Map would silently
+      // collapse a duplicate-emission bug in the codegen produce loop
+      assert(gotRows.length === lRows.length,
+        s"expected ${lRows.length} output rows, got ${gotRows.length}")
+      val got = gotRows
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
         .toMap
 

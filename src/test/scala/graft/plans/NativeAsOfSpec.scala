@@ -124,7 +124,10 @@ class NativeAsOfSpec extends SparkSpec {
       .groupBy(col("user_id")).agg(count(col("view_id")).as("n_matched"),
         count(lit(1)).as("n"))
     val withCg = run()
-    withCg.collect()
+    // COLLECT while codegen is still on: a lazy DataFrame compared after
+    // the conf flips would replan BOTH sides interpreted and the
+    // equality check would be vacuous (the AQE-assert lesson, again)
+    val cgRows = withCg.collect().map(_.toString).sorted
     val planStr = withCg.queryExecution.executedPlan.toString
     // the join sits inside a WholeStageCodegen span (stage-root shape):
     // its tree string carries the codegen star marker
@@ -135,7 +138,12 @@ class NativeAsOfSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
       val noCg = run()
-      assert(withCg.exceptAll(noCg).isEmpty && noCg.exceptAll(withCg).isEmpty,
+      val noCgPlan = noCg.queryExecution.executedPlan.toString
+      assert(!noCgPlan.linesIterator.exists(l =>
+        l.contains("AsOfJoin") && l.contains("*(")),
+        "codegen-off run must take the interpreted merge")
+      val noCgRows = noCg.collect().map(_.toString).sorted
+      assert(cgRows.sameElements(noCgRows),
         "codegen and interpreted merges must agree row-for-row")
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }

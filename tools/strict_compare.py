@@ -23,8 +23,12 @@ def connect():
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
     # leave headroom below system RAM so a doomed oracle dies while the
-    # box (and a reconnect) still has memory to work with
-    c.execute("SET memory_limit='64GB'")
+    # box (and a reconnect) still has memory to work with; derive from
+    # the actual machine (a hardcoded figure could RAISE the cap above
+    # physical RAM on a smaller box and invite the kernel OOM-killer)
+    half_ram_gb = max(1, (os.sysconf("SC_PAGE_SIZE") *
+                          os.sysconf("SC_PHYS_PAGES")) // (2 * 1024**3))
+    c.execute(f"SET memory_limit='{half_ram_gb}GB'")
     for t in glob.glob(os.path.join(sfdir, "*.parquet")):
         name = os.path.basename(t)[:-len(".parquet")]
         c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
@@ -74,7 +78,7 @@ for name in sorted(os.listdir(outdir)):
             con.close()
         except Exception:
             pass
-        del con
+        con = None
         import gc, time
         gc.collect()
         for attempt in range(10):
@@ -84,6 +88,10 @@ for name in sorted(os.listdir(outdir)):
             except Exception:
                 gc.collect()
                 time.sleep(6)
+        if con is None:
+            print("RECONNECT-FAILED: box memory never recovered; aborting sweep",
+                  flush=True)
+            sys.exit(2)
         continue
     s, o = canon(raw_s), canon(raw_o)
     if len(s) != len(o):
