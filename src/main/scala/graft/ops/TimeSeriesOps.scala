@@ -279,6 +279,15 @@ object TimeSeriesOps extends QueryModule {
   // month before any window runs — the global window covers the
   // |months| mart frame (q12/W3 precedent), never the orders. The
   // month-of-year rollup is a 12-group aggregation of that same frame.
+  //
+  // Overflow headroom (r6 soak finding): cents·12·10⁶ overflows BIGINT
+  // once monthly revenue passes ~$7.7e9 (hit at the 20× soak). The ppm
+  // ratio is therefore computed by STAGED division — with A = cents·12000,
+  //   floor(A·1000 / T) = (A div T)·1000 + ((A mod T)·1000) div T
+  // an exact identity for nonnegative integers, so every value is
+  // bit-identical to the single-multiply form while the largest
+  // intermediate is cents·12000 (safe to ~$7.6e12/month, ~1400× the
+  // 20× soak). Mirrored verbatim in both engines.
   register("q179_seasonal_decomposition",
     """WITH monthly AS (
       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -293,7 +302,9 @@ object TimeSeriesOps extends QueryModule {
       |  WINDOW w12 AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
       |r AS (
       |  SELECT MONTH(month) AS moy,
-      |    (cents * 12000000) // trend_sum AS ratio_ppm
+      |    ((cents * 12000) // trend_sum) * 1000
+      |      + (((cents * 12000) % trend_sum) * 1000) // trend_sum
+      |      AS ratio_ppm
       |  FROM t WHERE wn = 12)
       |SELECT CAST(moy AS BIGINT) AS moy, CAST(COUNT(*) AS BIGINT) AS n_months,
       |  CAST(SUM(ratio_ppm) AS BIGINT) // COUNT(*) AS seasonal_ppm
@@ -309,7 +320,9 @@ object TimeSeriesOps extends QueryModule {
         count(lit(1)).over(w12).as("wn"))
       .filter(col("wn") === 12)
       .select(month(col("month")).cast(LongType).as("moy"),
-        expr("(cents * 12000000) div trend_sum").as("ratio_ppm"))
+        expr("((cents * 12000) div trend_sum) * 1000" +
+          " + (((cents * 12000) % trend_sum) * 1000) div trend_sum")
+          .as("ratio_ppm"))
     r.groupBy("moy")
       .agg(count(lit(1)).as("n_months"), sum(col("ratio_ppm")).as("sr"))
       .select(col("moy"), col("n_months"),
