@@ -36,6 +36,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg(): String = try {
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
+    } catch { case _: Throwable => "-1" }
+    // ambient load BEFORE any work: the end-of-run figure includes the
+    // bench's own local[32] load (r6's 4.15 was self-inflicted); this is
+    // the number that says whether the box was otherwise idle
+    val loadStart = loadavg()
     // config-bisect hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overrides
     // session confs for A/B measurements without code edits
     // NOTE: q161 plans on an isolated child session and does not see
@@ -79,11 +87,9 @@ object Bench {
     val total = names.map { case (k, _) => best(k) }.sum
     // 1-minute load average at END of run: lets a reader judge whether
     // the numbers were taken on a noisy box (±15% cron spikes, NOTES.md)
-    val load = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-    } catch { case _: Throwable => "-1" }
+    val load = loadavg()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load":$load}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load":$load,"load_start":$loadStart}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

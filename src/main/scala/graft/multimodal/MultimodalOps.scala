@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, processed in partition-sized batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB ([[StubCodec]]); everything around
-  * it — schema, batch iteration, partitioning, feature-column shapes — is
-  * real and is what survives contact with a real decoder at scale
-  * (decode is embarrassingly parallel; keep payloads out of shuffles and
-  * only move extracted features).
+  * Two codecs plug into the seam: [[ImageHeaderCodec]] (r7) parses REAL
+  * image container headers — PNG IHDR/acTL, JPEG SOFn, GIF screen
+  * descriptor + frame blocks — pure-JVM from payload bytes; and
+  * [[StubCodec]], the deterministic hash-geometry fake kept as the
+  * default because this repo's test corpus is synthetic text (and the
+  * stub's arithmetic is what the DuckDB oracle can mirror). Everything
+  * around the seam — schema, batch iteration, partitioning,
+  * feature-column shapes — is codec-independent (decode is
+  * embarrassingly parallel; keep payloads out of shuffles and only move
+  * extracted features).
   */
 object MultimodalOps extends QueryModule {
   import Tables.documents

@@ -280,14 +280,17 @@ object EventAnalytics extends QueryModule {
   // exactly, so every figure stays on the integer ppm grid: at_risk(t)
   // and ended(t) come from one gap histogram plus a suffix sum over the
   // |distinct gaps| frame, and hazard/survival are exact integer
-  // divisions. (With right-censoring the product-limit form returns;
+  // divisions — via GridMath's staged identity (r7): ended·10⁶ would
+  // overflow BIGINT past 9.2e12 observed gaps; the staged form is
+  // bit-identical and holds to n_gaps ≤ 9.2e15 (SCALE.md). (With
+  // right-censoring the product-limit form returns;
   // it composes over the same histogram like q149's prefix sums.)
   //
   // Scale: one user-keyed window (LEAD needs 1-row state), a
   // calendar-bounded histogram, and windows only over that tiny frame —
   // the curve never touches raw events again.
   register("q186_survival_curve",
-    """WITH gaps AS (
+    s"""WITH gaps AS (
       |  SELECT (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) - epoch_us(ts)) // 3600000000
       |    AS gap_hours
@@ -302,8 +305,8 @@ object EventAnalytics extends QueryModule {
       |    CAST(SUM(ended) OVER () AS BIGINT) AS n_gaps
       |  FROM hist)
       |SELECT gap_hours, at_risk, ended,
-      |  (ended * 1000000) // at_risk AS hazard_ppm,
-      |  ((at_risk - ended) * 1000000) // n_gaps AS survival_ppm
+      |  ${GridMath.ppmDuck("ended", "at_risk")} AS hazard_ppm,
+      |  ${GridMath.ppmDuck("at_risk - ended", "n_gaps")} AS survival_ppm
       |FROM curve""".stripMargin) { (s, d) =>
     val gaps = events(s, d)
       .select(expr(
@@ -319,8 +322,8 @@ object EventAnalytics extends QueryModule {
         sum(col("ended")).over(wSuffix).as("at_risk"),
         sum(col("ended")).over(wAll).as("n_gaps"))
       .select(col("gap_hours"), col("at_risk"), col("ended"),
-        expr("(ended * 1000000) div at_risk").as("hazard_ppm"),
-        expr("((at_risk - ended) * 1000000) div n_gaps")
+        expr(GridMath.ppmSpark("ended", "at_risk")).as("hazard_ppm"),
+        expr(GridMath.ppmSpark("at_risk - ended", "n_gaps"))
           .as("survival_ppm"))
   }
 }

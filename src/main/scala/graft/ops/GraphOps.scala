@@ -139,8 +139,14 @@ object GraphOps extends QueryModule {
   }
 
   register("q147_pagerank", {
+    // AS MATERIALIZED on every shared CTE (the q178 contract): DuckDB
+    // inlines plain CTEs per reference, so `edges` (referenced by deg,
+    // r0, every r_i, and the final select) would be recomputed from the
+    // orders⋈lineitem distinct ~7 times — at the 20× soak that
+    // re-evaluation is what exhausted spill disk (r6 oracle hole).
+    // Materialization changes cost only, never results.
     val iters = (1 to PrIters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    (150000000000 // nn.n)
          |      + (85 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 100
@@ -151,17 +157,17 @@ object GraphOps extends QueryModule {
          |  CROSS JOIN nn
          |  GROUP BY e.dst, nn.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT cust AS src, supp AS dst FROM pairs
        |  UNION ALL
        |  SELECT supp AS src, cust AS dst FROM pairs),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
        |  FROM edges GROUP BY src),
-       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
-       |r0 AS (SELECT src AS node, $PrGrid // nn.n AS rank
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |r0 AS MATERIALIZED (SELECT src AS node, $PrGrid // nn.n AS rank
        |  FROM deg CROSS JOIN nn),
        |$iters
        |SELECT node, rank FROM r$PrIters
@@ -261,6 +267,11 @@ object GraphOps extends QueryModule {
     // they are edge/node-sized (the artifacts any multi-pass graph
     // algorithm materializes — q147/q178/q190 do the same per
     // iteration), computed once, read back by every pass.
+    // NOTE (r6 ADVICE): eager localCheckpoint(true) runs three Spark
+    // jobs at DataFrame-CONSTRUCTION time, so merely building this
+    // query (PlanLint, ShuffleBudgetDump, explain tooling) executes the
+    // edge/degree/orientation front; the recorded shuffle budget covers
+    // only the post-checkpoint assembly.
     val e = baskets.select(explode(pairCol).as("ab"))
       .select(col("ab.a").as("a"), col("ab.b").as("b")).distinct()
       .localCheckpoint(true)

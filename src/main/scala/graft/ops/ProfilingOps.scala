@@ -134,20 +134,23 @@ object ProfilingOps extends QueryModule {
   // 100 TB pipeline runs BEFORE choosing salting factors or AQE skew
   // thresholds (SCALE.md): per-key counts, the hottest keys' share of
   // all rows, and a skew coefficient (hottest key vs perfectly-uniform
-  // share). All-integer arithmetic — shares on the 1e6 grid via floor
-  // division, which truncates identically for these positive counts in
-  // both engines. One partial-aggregated shuffle on the key; the totals
+  // share). All-integer arithmetic — shares on the 1e6 grid via
+  // GridMath's exact staged division (r7): the naive cnt·10⁶ /
+  // max_cnt·n_keys·10⁶ products overflow BIGINT past ~9.2e12; the
+  // staged identity is bit-identical and moves the ceiling to
+  // max_cnt·n_keys ≤ 9.2e18 with n_rows ≤ 9.2e15 (SCALE.md). One
+  // partial-aggregated shuffle on the key; the totals
   // frame is 1 row, broadcast; top-10 is TakeOrdered, never a full sort.
   register("q108_key_skew",
-    """WITH per_key AS (
+    s"""WITH per_key AS (
       |  SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
       |tot AS (
       |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
       |         MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt
       |  FROM per_key)
       |SELECT p.key, p.cnt,
-      |  p.cnt * 1000000 // t.n_rows AS share_grid,
-      |  t.max_cnt * t.n_keys * 1000000 // t.n_rows AS skew_grid,
+      |  ${GridMath.ppmDuck("p.cnt", "t.n_rows")} AS share_grid,
+      |  ${GridMath.ppmDuck("t.max_cnt * t.n_keys", "t.n_rows")} AS skew_grid,
       |  t.n_keys, t.n_rows, t.max_cnt, t.min_cnt
       |FROM per_key p, tot t
       |ORDER BY p.cnt DESC, p.key ASC LIMIT 10""".stripMargin) { (s, d) =>
@@ -158,8 +161,8 @@ object ProfilingOps extends QueryModule {
       max(col("cnt")).as("max_cnt"), min(col("cnt")).as("min_cnt"))
     perKey.crossJoin(broadcast(tot))
       .select(col("key"), col("cnt"),
-        expr("cnt * 1000000 div n_rows").as("share_grid"),
-        expr("max_cnt * n_keys * 1000000 div n_rows").as("skew_grid"),
+        expr(GridMath.ppmSpark("cnt", "n_rows")).as("share_grid"),
+        expr(GridMath.ppmSpark("max_cnt * n_keys", "n_rows")).as("skew_grid"),
         col("n_keys"), col("n_rows"), col("max_cnt"), col("min_cnt"))
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(10)

@@ -1849,8 +1849,12 @@ object RelationalOps extends QueryModule {
 
   // Frequent-itemset mining at pair granularity: co-occurrence support
   // from the per-order basket self-join, per-item supports joined back,
-  // lift on the integer 1e6 grid (sup_ab·N·10⁶ div sup_a·sup_b — exact
-  // BIGINT, max ~2.2e18 at soak). The support floor prunes the long
+  // lift on the integer 1e6 grid via GridMath's exact staged division
+  // (r7, the q179 identity): the naive sup_ab·N·10⁶ product overflows
+  // BIGINT once sup_ab·N passes ~9.2e12; the staged form is
+  // bit-identical (GridMathSpec proves the identity) and holds to
+  // sup_ab·N ≤ 9.2e18 with sup_a·sup_b ≤ 9.2e15 — past 10¹² orders at
+  // realistic supports. The support floor prunes the long
   // tail BEFORE the item joins, and the basket self-join inherits
   // q163's per-order bound (baskets are small by construction; a
   // hot-basket cap would bolt on exactly like MaxBucketSize). TopK by
@@ -1866,7 +1870,8 @@ object RelationalOps extends QueryModule {
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT a, b, sup_ab, ia.sup AS sup_a, ib.sup AS sup_b,
-       |    sup_ab * n.n_orders * 1000000 // (ia.sup * ib.sup) AS lift_grid
+       |    ${GridMath.ppmDuck("sup_ab * n.n_orders", "ia.sup * ib.sup")}
+       |      AS lift_grid
        |  FROM pair JOIN item ia ON ia.p = pair.a
        |            JOIN item ib ON ib.p = pair.b
        |            CROSS JOIN n
@@ -1890,7 +1895,8 @@ object RelationalOps extends QueryModule {
       .join(broadcast(item.select(col("p").as("b"), col("sup").as("sup_b"))), Seq("b"))
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("sup_ab"), col("sup_a"), col("sup_b"),
-        expr("sup_ab * n_orders * 1000000 div (sup_a * sup_b)").as("lift_grid"))
+        expr(GridMath.ppmSpark("sup_ab * n_orders", "sup_a * sup_b"))
+          .as("lift_grid"))
       .orderBy(col("sup_ab").desc, col("a").asc, col("b").asc)
       .limit(PairTopK)
   }

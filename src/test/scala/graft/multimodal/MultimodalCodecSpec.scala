@@ -26,9 +26,15 @@ class MultimodalCodecSpec extends SparkSpec {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).repartition(3)
     val n = MultimodalOps.decodeFeatures(media, CountingCodec).count()
     assert(n > 0)
-    assert(CountingCodec.opens.get() === 3,
+    // >= not ===: opens counts per task ATTEMPT, and a retried or
+    // speculative task would legitimately re-open (r6 ADVICE) — the
+    // contract is "no more than one open per attempt", i.e. at least
+    // one per partition and never one per record
+    assert(CountingCodec.opens.get() >= 3,
       s"expected one open() per partition, got ${CountingCodec.opens.get()}")
-    assert(CountingCodec.decodes.get() === n)
+    assert(CountingCodec.opens.get() < n,
+      "open() must be per-partition, not per-record")
+    assert(CountingCodec.decodes.get() >= n)
   }
 
   test("decode output schema matches featureSchema and carries no binary") {
@@ -63,6 +69,25 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(viaStub.schema === viaFake.schema)
     assert(viaStub.exceptAll(viaFake).count() === 0)
     assert(viaFake.exceptAll(viaStub).count() === 0)
+  }
+
+  test("the REAL header codec is a drop-in: same schema, same plumbing, " +
+      "sentinel geometry for these non-image payloads") {
+    // r7: ImageHeaderCodec parses genuine PNG/JPEG/GIF headers
+    // (ImageHeaderCodecSpec covers true image bytes); run it through the
+    // same seam on the synthetic corpus to pin that deploying the real
+    // codec is JUST a constructor argument — schema and md5 column
+    // identical, geometry falls back to the documented total-decode
+    // sentinel because these payloads are text, not media.
+    val media = MultimodalOps.mediaFromDocuments(spark, sf)
+    val real = MultimodalOps.decodeFeatures(media, ImageHeaderCodec)
+    val stub = MultimodalOps.decodeFeatures(media, StubCodec)
+    assert(real.schema === stub.schema)
+    assert(real.filter(col("width") =!= 0 || col("n_frames") =!= 0).count() === 0)
+    val md5Mismatch = real.select("media_id", "payload_md5")
+      .join(stub.select(col("media_id"), col("payload_md5").as("m2")), Seq("media_id"))
+      .filter(col("payload_md5") =!= col("m2"))
+    assert(md5Mismatch.count() === 0)
   }
 }
 

@@ -182,6 +182,10 @@ class PlanLintGateSpec extends SparkSpec {
       }.toMap finally src.close()
     }
     val drift = scala.collection.mutable.ArrayBuffer[String]()
+    // drift is bidirectional (r6 ADVICE): a query deleted from the suite
+    // must also leave the golden file, or stale rows accumulate unseen
+    golden.keySet.diff(graft.SparkEntry.queries.keySet).toSeq.sorted
+      .foreach(n => drift += s"$n: in golden budget but not in the suite (regenerate)")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val findings = PlanLint.lint(graft.SparkEntry.queries(name)(spark, sf))
       val shuffles = findings.find(_.rule == "shuffle-count").map(_.detail)

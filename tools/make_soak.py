@@ -3,24 +3,60 @@
 the engine never reads this script's output except through the normal
 parquet readers).
 
-Facts are replicated K times with primary keys offset per copy so
-uniqueness invariants hold (orders.o_orderkey, events.event_id,
-documents.doc_id, embeddings.vec_id); lineitem.l_orderkey follows the
-orders offset so the order->lineitem join keeps its shape. Foreign keys
-into dimensions (custkey/suppkey/partkey) are left as-is: dimensions
-stay single-copy, so per-dimension fan-in grows K-fold — exactly the
-join-pressure profile a larger corpus would create. Document/embedding
-payloads repeat verbatim, which seeds K-way exact/near-duplicate
-clusters for the dedup family at scale.
+REPLICATE mode (default): facts are replicated K times with primary
+keys offset per copy so uniqueness invariants hold (orders.o_orderkey,
+events.event_id, documents.doc_id, embeddings.vec_id);
+lineitem.l_orderkey follows the orders offset so the order->lineitem
+join keeps its shape. Foreign keys into dimensions
+(custkey/suppkey/partkey) are left as-is: dimensions stay single-copy,
+so per-dimension fan-in grows K-fold — exactly the join-pressure
+profile a larger corpus would create. Document/embedding payloads
+repeat verbatim, which seeds K-way exact/near-duplicate clusters for
+the dedup family at scale.
 
-Usage: python3 tools/make_soak.py [K] [outdir]   (defaults: 10 /tmp/soak)
+ORGANIC mode (--organic [U], U defaults to K): for the GRAPH family.
+Replicate mode keeps FKs fixed, so the distinct co-occurrence graphs
+(part–part via shared orders, customer–supplier via order lines) are
+the SAME graph with K-fold edge multiplicity — exponents measured on
+it prove the linear dedup front-end, not the graph core (r6 SCALE.md
+caveat). Organic mode also remaps the FK columns per copy across a
+U-times-larger key universe:
+
+    fk' = ((fk - 1 + i * stride) % (U * max_fk)) + 1
+
+with stride ~= 1.43 * max_fk, so copy i is a structure-preserving
+(degree-skew-preserving) shifted image of the base graph interleaved
+into the larger universe. With U = K the graph grows ~K-fold in both
+nodes and edges at constant degree (a corpus that got K-times bigger
+at constant popularity); with U < K (the "dense" variant, e.g.
+--organic 3 with K=10) the K images fold into a smaller universe so
+per-node degree grows ~K/U — the axis that stresses the O(m^1.5)
+triangle wedge bound. Dimension tables stay single-copy: the graph
+queries (q90/q147/q163/q178/q190) never join dimensions; organic
+output is a GRAPH soak, not a full-suite dataset (remapped FKs
+dangle past the dimension tables by design).
+
+Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]]
+       (defaults: 10 /tmp/soak)
 """
 import sys
 
 import duckdb
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak"
+args = [a for a in sys.argv[1:]]
+organic = False
+U = None
+if "--organic" in args:
+    j = args.index("--organic")
+    organic = True
+    rest = args[j + 1:]
+    args = args[:j]
+    if rest:
+        U = int(rest[0])
+K = int(args[0]) if len(args) > 0 else 10
+OUT = args[1] if len(args) > 1 else "/tmp/soak"
+if organic and U is None:
+    U = K
 SRC = "/root/testdata/sf0.1"
 
 # table -> columns to offset by copy_index * (max_key + 1)
@@ -30,6 +66,11 @@ OFFSET_KEYS = {
     "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+}
+# organic mode: table -> FK columns remapped across the U-scaled universe
+REMAP_KEYS = {
+    "orders": ["o_custkey"],
+    "lineitem": ["l_partkey", "l_suppkey"],
 }
 SINGLE_COPY = ["region", "nation", "customer", "supplier", "part"]
 
@@ -50,13 +91,22 @@ for t, keys in OFFSET_KEYS.items():
         off = ord_off
     else:
         off = con.sql(f"SELECT MAX({keys[0]}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
+    remap = REMAP_KEYS.get(t, []) if organic else []
+    remap_expr = {}
+    for rk in remap:
+        mx = con.sql(f"SELECT MAX({rk}) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        stride = mx + (mx * 3) // 7 + 1  # ~1.43*max: interleave, don't tile
+        remap_expr[rk] = (f"(({rk} - 1 + i.i * {stride}) % {U * mx}) + 1"
+                          f" AS {rk}")
     select = ", ".join(
         [f"{k} + i.i * {off} AS {k}" for k in keys]
-        + [f'"{c}"' for c in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").df()["column_name"]
+        + [remap_expr.get(c, f'"{c}"')
+           for c in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").df()["column_name"]
            if c not in keys])
     con.execute(
         f"COPY (SELECT {select} FROM '{SRC}/{t}.parquet', "
         f"(SELECT unnest(range(0, {K})) AS i) i ORDER BY i.i) "
         f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
     n = con.sql(f"SELECT COUNT(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
-    print(t, f"replicated {K}x ->", n)
+    mode = f"organic U={U}" if organic and t in REMAP_KEYS else "replicated"
+    print(t, f"{mode} {K}x ->", n)

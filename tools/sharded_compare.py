@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Sharded strict compare — closes oracle-side resource holes (r6: q114
+OOM, q147 disk spill at the 20x soak) by partitioning the COMPARISON
+key space into k hash slices and verifying one slice at a time, with a
+DuckDB reconnect between slices so each shard starts from a clean
+allocator.
+
+The shard predicate `<col> % k = i` is applied identically to both
+sides: to the Spark parquet dump (a cheap scan filter) and wrapped
+around the oracle SQL (`SELECT * FROM (<oracle>) q WHERE q.<col> % k
+= i`). DuckDB pushes the outer predicate through the oracle's
+projections and equi-joins down to the base column that produced
+<col>, so the quadratic intermediates (candidate-pair sets, rank
+vectors) shrink ~1/k per shard — that is the whole point: the oracle
+never has to hold the full output's working set at once. Union of
+shards == full comparison because `% k` tiles the key domain exactly.
+
+Semantics are identical to tools/strict_compare.py (repr-level
+canonicalization, column sort, mergesort row order); only the slicing
+is new.
+
+Usage:
+  python3 tools/sharded_compare.py <sfDir> <verifyOutDir> <query> <shardCol> <k>
+"""
+import sys, json, glob, os, gc, time
+import duckdb
+import pandas as pd
+
+sfdir, outdir, qname, shard_col = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+k = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+
+
+def connect():
+    c = duckdb.connect()
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    half_ram_gb = max(1, (os.sysconf("SC_PAGE_SIZE") *
+                          os.sysconf("SC_PHYS_PAGES")) // (2 * 1024**3))
+    c.execute(f"SET memory_limit='{half_ram_gb}GB'")
+    for t in glob.glob(os.path.join(sfdir, "*.parquet")):
+        name = os.path.basename(t)[: -len(".parquet")]
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: "NULL" if pd.isna(v) else repr(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+with open(os.path.join(outdir, "oracle_sql.json")) as f:
+    oracle = json.load(f)[qname]
+spark_glob = os.path.join(outdir, qname, "*.parquet")
+
+total_rows = 0
+failed_shards = []
+for i in range(k):
+    con = None
+    for attempt in range(10):
+        try:
+            con = connect()
+            break
+        except Exception:
+            gc.collect()
+            time.sleep(6)
+    if con is None:
+        print("RECONNECT-FAILED: box memory never recovered; aborting")
+        sys.exit(2)
+    pred = f"{shard_col} % {k} = {i}"
+    try:
+        raw_s = con.execute(
+            f"SELECT * FROM '{spark_glob}' WHERE {pred}").df()
+        raw_o = con.execute(
+            f"SELECT * FROM ({oracle}) __q WHERE __q.{pred}").df()
+    except Exception as e:
+        print(f"shard {i}/{k}: ORACLE-ERROR {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
+        failed_shards.append(i)
+        try:
+            con.close()
+        except Exception:
+            pass
+        continue
+    s, o = canon(raw_s), canon(raw_o)
+    if len(s) != len(o):
+        print(f"shard {i}/{k}: ROWCOUNT {len(s)} vs {len(o)}", flush=True)
+        failed_shards.append(i)
+    else:
+        bad = []
+        for c in s.columns:
+            neq = (s[c].values != o[c].values)
+            if neq.any():
+                j = int(neq.argmax())
+                bad.append(f"{c} n={int(neq.sum())} e.g. "
+                           f"{s[c].iloc[j]} != {o[c].iloc[j]}")
+        if bad:
+            print(f"shard {i}/{k}: STRICT-MISMATCH", flush=True)
+            for b in bad[:6]:
+                print(f"    {b}")
+            failed_shards.append(i)
+        else:
+            print(f"shard {i}/{k}: strict-pass rows={len(s)}", flush=True)
+            total_rows += len(s)
+    try:
+        con.close()
+    except Exception:
+        pass
+    del raw_s, raw_o, s, o
+    gc.collect()
+
+if failed_shards:
+    print(f"{qname}: SHARDED-FAIL shards={failed_shards}")
+    sys.exit(1)
+print(f"{qname}: sharded-strict-pass rows={total_rows} shards={k}")

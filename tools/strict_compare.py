@@ -39,6 +39,11 @@ con = connect()
 with open(os.path.join(outdir, "oracle_sql.json")) as f:
     oracles = json.load(f)
 
+# queries that were never actually value-compared (oracle error, missing
+# output, decimal ban) — without this list a consumer grepping only for
+# STRICT-MISMATCH reads an errored query as covered (r6 ADVICE)
+not_compared = []
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify every value exactly (repr distinguishes Decimal('1.40') vs 1.4)
@@ -59,11 +64,13 @@ for name in sorted(os.listdir(outdir)):
     parts = glob.glob(f"{p}/*.parquet")
     if not parts:
         print(f"{name}: NO-OUTPUT (query failed during Verify?)")
+        not_compared.append(name)
         continue
     sch = pq.read_schema(parts[0])
     decs = [f.name for f in sch if "decimal" in str(f.type)]
     if decs:
         print(f"{name}: DECIMAL-OUTPUT {decs} — cast to DOUBLE on both sides")
+        not_compared.append(name)
         continue
     # an oracle that exhausts DuckDB (soak-quadratic pair sets) must not
     # kill the whole sweep — report, RECONNECT (a failed query leaves the
@@ -74,6 +81,7 @@ for name in sorted(os.listdir(outdir)):
         raw_o = con.execute(oracles[name]).df()
     except Exception as e:
         print(f"{name}: ORACLE-ERROR {type(e).__name__}: {str(e)[:120]}", flush=True)
+        not_compared.append(name)
         try:
             con.close()
         except Exception:
@@ -109,3 +117,10 @@ for name in sorted(os.listdir(outdir)):
             print(f"    {b}")
     else:
         print(f"{name}: strict-pass rows={len(s)}")
+
+if not_compared:
+    print(f"NOT-COMPARED ({len(not_compared)}): {','.join(not_compared)}",
+          flush=True)
+    sys.exit(1)
+else:
+    print("ALL-COMPARED", flush=True)
