@@ -177,6 +177,44 @@ object MultimodalOps extends QueryModule {
           .cast(IntegerType).as("out_height"),
         (lit(TargetWidth).cast(DoubleType) / col("width")).as("scale"))
   }
+
+  // ===================================================== real-codec decode
+  // r8 (VERDICT r7 task 6): the REAL ImageHeaderCodec, end-to-end. Each
+  // document synthesizes a GENUINE container via [[ImageFixtures]] —
+  // PNG/APNG with correct chunk CRCs and a live deflate stream, baseline
+  // and progressive JFIF marker walks, multi-frame GIF89a — with
+  // geometry chosen by doc_id arithmetic. The engine then parses the
+  // BYTES back through decodeFeatures(ImageHeaderCodec); the oracle
+  // recomputes the same arithmetic directly. A match proves the codec
+  // read the true headers (any mis-parse of IHDR/acTL/SOFn/LSD or the
+  // GIF block walk would diverge). byte_len is excluded: the PNG deflate
+  // body's size is deterministic but not SQL-expressible.
+  register("q194_image_header_decode",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS container,
+      |  CAST(1 + doc_id % 64 AS INTEGER) AS width,
+      |  CAST(1 + (doc_id * 7) % 48 AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 11
+      |            WHEN doc_id % 3 = 1 THEN 1
+      |            ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames
+      |FROM documents""".stripMargin) { (s, d) =>
+    // fixture synthesis is per-row and cheap (≤64×48 canvas); a plain
+    // Scala UDF is fine here — the codec path under test is the
+    // mapPartitions decode stage, which stays the hot-path shape
+    val buildPayload = udf((docId: Long) => ImageFixtures.payloadFor(docId))
+    val media = documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg")
+        .otherwise("gif").as("kind"),
+      buildPayload(col("doc_id")).as("payload"),
+      col("source"),
+      lit(0L).as("byte_len")) // placeholder; q194 output drops byte_len
+    decodeFeatures(media, ImageHeaderCodec).select(
+      col("media_id"), col("kind").as("container"),
+      col("width"), col("height"), col("n_frames"))
+  }
 }
 
 /** The codec seam: everything a real media binding must provide.

@@ -1,87 +1,11 @@
 package graft.multimodal
 
-import java.io.ByteArrayOutputStream
-import java.util.zip.{CRC32, Deflater}
-
 import graft.SparkSpec
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-/** Genuine image containers built byte-by-byte to the PUBLIC format
-  * specs (PNG RFC 2083 / APNG, JPEG/JFIF ITU T.81, GIF89a) — real
-  * signatures, real chunk CRCs, real deflate streams, real marker
-  * segments — so [[ImageHeaderCodec]] is tested against true payload
-  * bytes, not hand-waved stubs. The 1×1 GIF is the canonical 43-byte
-  * file every tracking pixel on the web ships. */
-object ImageFixtures {
-
-  private def u8s(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
-  private def be16(v: Int) = u8s(v >> 8, v & 0xff)
-  private def le16(v: Int) = u8s(v & 0xff, v >> 8)
-  private def be32(v: Int) = u8s(v >>> 24, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
-
-  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
-    val crc = new CRC32
-    val t = ctype.getBytes("US-ASCII")
-    crc.update(t); crc.update(data)
-    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
-  }
-
-  /** Fully valid truecolor PNG (correct CRCs, decodable deflate stream);
-    * with frames > 1, an APNG acTL chunk precedes IDAT. */
-  def png(w: Int, h: Int, frames: Int = 1): Array[Byte] = {
-    val sig = u8s(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-    val ihdr = pngChunk("IHDR", be32(w) ++ be32(h) ++ u8s(8, 2, 0, 0, 0))
-    val actl = if (frames > 1) pngChunk("acTL", be32(frames) ++ be32(0))
-               else Array.empty[Byte]
-    val raw = Array.fill(h * (1 + 3 * w))(0.toByte) // filter byte + RGB rows
-    val deflater = new Deflater
-    deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
-    deflater.end()
-    val idat = pngChunk("IDAT", buf.take(n))
-    val iend = pngChunk("IEND", Array.empty)
-    sig ++ ihdr ++ actl ++ idat ++ iend
-  }
-
-  /** Structurally valid JFIF: SOI, APP0, DQT, SOF0 (or SOF2 when
-    * progressive), DHT, SOS, entropy byte, EOI. */
-  def jpeg(w: Int, h: Int, progressive: Boolean = false): Array[Byte] = {
-    val soi = u8s(0xff, 0xd8)
-    val app0 = u8s(0xff, 0xe0) ++ be16(16) ++
-      "JFIF".getBytes("US-ASCII") ++ u8s(0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ u8s(0, 0)
-    val dqt = u8s(0xff, 0xdb) ++ be16(67) ++ u8s(0) ++ Array.fill(64)(16.toByte)
-    val sofMarker = if (progressive) 0xc2 else 0xc0
-    val sof = u8s(0xff, sofMarker) ++ be16(11) ++ u8s(8) ++ be16(h) ++ be16(w) ++
-      u8s(1, 1, 0x11, 0)
-    val dht = u8s(0xff, 0xc4) ++ be16(20) ++ u8s(0) ++
-      (u8s(1) ++ Array.fill(15)(0.toByte)) ++ u8s(0)
-    val sos = u8s(0xff, 0xda) ++ be16(8) ++ u8s(1, 1, 0x00, 0, 63, 0)
-    soi ++ app0 ++ dqt ++ sof ++ dht ++ sos ++ u8s(0x7f) ++ u8s(0xff, 0xd9)
-  }
-
-  /** The canonical 43-byte 1×1 GIF89a (2-color global table, graphic
-    * control extension, one image descriptor, valid LZW stream). */
-  val onePixelGif: Array[Byte] = u8s(
-    0x47, 0x49, 0x46, 0x38, 0x39, 0x61, // "GIF89a"
-    0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00, // LSD 1×1, GCT of 2
-    0x00, 0x00, 0x00, 0xff, 0xff, 0xff, // global color table
-    0x21, 0xf9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00, // GCE
-    0x2c, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00, // image desc
-    0x02, 0x02, 0x44, 0x01, 0x00, // LZW min 2, 2-byte block, terminator
-    0x3b) // trailer
-
-  /** Multi-frame GIF89a: `frames` image descriptors over one canvas. */
-  def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
-    val header = "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
-      u8s(0x80, 0, 0) ++ u8s(0, 0, 0, 0xff, 0xff, 0xff)
-    val frame = u8s(0x2c) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
-      u8s(0) ++ u8s(0x02, 0x02, 0x44, 0x01, 0x00)
-    header ++ Array.fill(frames)(frame).flatten ++ u8s(0x3b)
-  }
-}
-
+/** [[ImageFixtures]] (main scope since r8 — q194 builds its corpus with
+  * it) provides the genuine container bytes these tests decode. */
 class ImageHeaderCodecSpec extends SparkSpec {
   import ImageFixtures._
 

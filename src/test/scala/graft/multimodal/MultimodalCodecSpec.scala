@@ -26,14 +26,28 @@ class MultimodalCodecSpec extends SparkSpec {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).repartition(3)
     val n = MultimodalOps.decodeFeatures(media, CountingCodec).count()
     assert(n > 0)
-    // >= not ===: opens counts per task ATTEMPT, and a retried or
-    // speculative task would legitimately re-open (r6 ADVICE) — the
-    // contract is "no more than one open per attempt", i.e. at least
-    // one per partition and never one per record
+    // opens counts per task ATTEMPT, and a retried or speculative task
+    // would legitimately re-open (r6 ADVICE) — the contract is "exactly
+    // one open per attempt", i.e. at least one per partition and never
+    // one per record
     assert(CountingCodec.opens.get() >= 3,
       s"expected one open() per partition, got ${CountingCodec.opens.get()}")
     assert(CountingCodec.opens.get() < n,
       "open() must be per-partition, not per-record")
+    assert(CountingCodec.perAttempt.size() === CountingCodec.opens.get(),
+      "every open() must belong to exactly one task attempt")
+    // retry slack bounded at task-attempt granularity (r7 ADVICE): each
+    // attempt decodes its partition's rows exactly once per record — a
+    // codec that double-decodes within an attempt fails here even
+    // though whole-task replays (which re-open) still pass
+    val partRows = media.groupBy(spark_partition_id().as("p"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import scala.jdk.CollectionConverters._
+    CountingCodec.perAttempt.asScala.foreach { case (attempt, (pid, ctr)) =>
+      assert(ctr.get().toLong === partRows(pid),
+        s"attempt $attempt decoded ${ctr.get()} records of partition " +
+          s"$pid which holds ${partRows(pid)}")
+    }
     assert(CountingCodec.decodes.get() >= n)
   }
 
@@ -97,13 +111,23 @@ class MultimodalCodecSpec extends SparkSpec {
 object CountingCodec extends MediaCodec {
   val opens = new AtomicInteger(0)
   val decodes = new AtomicInteger(0)
-  def reset(): Unit = { opens.set(0); decodes.set(0) }
+  // taskAttemptId -> (partitionId, decodes in that attempt): lets the
+  // spec bound retry slack to task-attempt granularity — each attempt
+  // decodes its partition exactly once per record, never more (r7
+  // ADVICE: a plain >= would tolerate double-decoding within a task)
+  val perAttempt =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Int, AtomicInteger)]()
+  def reset(): Unit = { opens.set(0); decodes.set(0); perAttempt.clear() }
 
   override def open(): MediaDecoder = {
     opens.incrementAndGet()
+    val tc = org.apache.spark.TaskContext.get()
+    val ctr = new AtomicInteger(0)
+    if (tc != null) perAttempt.put(tc.taskAttemptId(), (tc.partitionId(), ctr))
     new MediaDecoder {
       def decode(kind: String, payload: Array[Byte]): MediaFeatures = {
         decodes.incrementAndGet()
+        ctr.incrementAndGet()
         StubCodec.decode(kind, payload)
       }
     }

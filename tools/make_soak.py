@@ -39,6 +39,7 @@ dangle past the dimension tables by design).
 Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]]
        (defaults: 10 /tmp/soak)
 """
+import math
 import sys
 
 import duckdb
@@ -96,8 +97,18 @@ for t, keys in OFFSET_KEYS.items():
     for rk in remap:
         mx = con.sql(f"SELECT MAX({rk}) FROM '{SRC}/{t}.parquet'").fetchone()[0]
         stride = mx + (mx * 3) // 7 + 1  # ~1.43*max: interleave, don't tile
+        # the shifted images of the K copies only stay distinct (the
+        # documented ~K-fold node growth, constant degree) when stride
+        # shares no factor with the modulus; gcd(stride, U*mx) = g > 1
+        # would alias copies i and i + (U*mx//g)/... onto the same image
+        # and silently fatten the degree profile (r7 ADVICE) — bump
+        # stride to the next coprime value and report it
+        while math.gcd(stride, U * mx) != 1:
+            stride += 1
         remap_expr[rk] = (f"(({rk} - 1 + i.i * {stride}) % {U * mx}) + 1"
                           f" AS {rk}")
+        print(f"  {t}.{rk}: stride={stride} mod={U * mx} "
+              f"gcd={math.gcd(stride, U * mx)}")
     select = ", ".join(
         [f"{k} + i.i * {off} AS {k}" for k in keys]
         + [remap_expr.get(c, f'"{c}"')

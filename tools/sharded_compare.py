@@ -5,15 +5,24 @@ key space into k hash slices and verifying one slice at a time, with a
 DuckDB reconnect between slices so each shard starts from a clean
 allocator.
 
-The shard predicate `<col> % k = i` is applied identically to both
-sides: to the Spark parquet dump (a cheap scan filter) and wrapped
-around the oracle SQL (`SELECT * FROM (<oracle>) q WHERE q.<col> % k
-= i`). DuckDB pushes the outer predicate through the oracle's
+The shard predicate `abs(<col>) % k = i` is applied identically to
+both sides: to the Spark parquet dump (a cheap scan filter) and
+wrapped around the oracle SQL (`SELECT * FROM (<oracle>) q WHERE
+abs(q.<col>) % k = i`). DuckDB pushes the outer predicate through the oracle's
 projections and equi-joins down to the base column that produced
 <col>, so the quadratic intermediates (candidate-pair sets, rank
 vectors) shrink ~1/k per shard — that is the whole point: the oracle
-never has to hold the full output's working set at once. Union of
-shards == full comparison because `% k` tiles the key domain exactly.
+never has to hold the full output's working set at once.
+
+Union of shards == full comparison needs care (r7 ADVICE): a plain
+`col % k = i` predicate silently drops NULL rows (NULL % k = NULL)
+and, since both DuckDB and Spark take `%`'s sign from the dividend,
+negative keys land in -(k-1)..0 and miss every nonnegative slice. So
+the slices are `abs(col) % k = i` plus one dedicated `col IS NULL`
+shard — a complete tiling for any BIGINT-ish domain — and the sum of
+per-shard Spark rowcounts is cross-checked against the unsharded
+Spark dump count at the end, so an incomplete tiling can never report
+sharded-strict-pass.
 
 Semantics are identical to tools/strict_compare.py (repr-level
 canonicalization, column sort, mergesort row order); only the slicing
@@ -56,7 +65,8 @@ spark_glob = os.path.join(outdir, qname, "*.parquet")
 
 total_rows = 0
 failed_shards = []
-for i in range(k):
+# k hash slices + one NULL shard (index k) so the tiling is complete
+for i in range(k + 1):
     con = None
     for attempt in range(10):
         try:
@@ -68,7 +78,8 @@ for i in range(k):
     if con is None:
         print("RECONNECT-FAILED: box memory never recovered; aborting")
         sys.exit(2)
-    pred = f"{shard_col} % {k} = {i}"
+    pred = (f"abs({shard_col}) % {k} = {i}" if i < k
+            else f"{shard_col} IS NULL")
     try:
         raw_s = con.execute(
             f"SELECT * FROM '{spark_glob}' WHERE {pred}").df()
@@ -113,4 +124,15 @@ for i in range(k):
 if failed_shards:
     print(f"{qname}: SHARDED-FAIL shards={failed_shards}")
     sys.exit(1)
-print(f"{qname}: sharded-strict-pass rows={total_rows} shards={k}")
+
+# tiling completeness: every Spark dump row must have landed in exactly
+# one shard — catches any key-domain case the predicates still miss
+con = connect()
+spark_total = con.execute(
+    f"SELECT count(*) FROM '{spark_glob}'").fetchone()[0]
+con.close()
+if total_rows != spark_total:
+    print(f"{qname}: SHARD-TILING-INCOMPLETE sum(shards)={total_rows} "
+          f"!= dump={spark_total}")
+    sys.exit(1)
+print(f"{qname}: sharded-strict-pass rows={total_rows} shards={k}+null")

@@ -43,6 +43,10 @@ with open(os.path.join(outdir, "oracle_sql.json")) as f:
 # output, decimal ban) — without this list a consumer grepping only for
 # STRICT-MISMATCH reads an errored query as covered (r6 ADVICE)
 not_compared = []
+# value-level failures (ROWCOUNT / STRICT-MISMATCH) — exit nonzero on
+# these too, and with a SMALLER code than skipped-only: a CI consumer
+# must never read an actual mismatch as success (r7 ADVICE)
+mismatched = []
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -104,6 +108,7 @@ for name in sorted(os.listdir(outdir)):
     s, o = canon(raw_s), canon(raw_o)
     if len(s) != len(o):
         print(f"{name}: ROWCOUNT {len(s)} vs {len(o)}")
+        mismatched.append(name)
         continue
     bad = []
     for c in s.columns:
@@ -115,12 +120,20 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name}: STRICT-MISMATCH")
         for b in bad[:6]:
             print(f"    {b}")
+        mismatched.append(name)
     else:
         print(f"{name}: strict-pass rows={len(s)}")
 
+# exit codes: 0 = all compared, all match; 1 = value-level failure
+# (STRICT-MISMATCH or ROWCOUNT) regardless of skips; 3 = no value
+# failures but some queries were never compared (weaker evidence)
 if not_compared:
     print(f"NOT-COMPARED ({len(not_compared)}): {','.join(not_compared)}",
           flush=True)
+if mismatched:
+    print(f"MISMATCHED ({len(mismatched)}): {','.join(mismatched)}",
+          flush=True)
     sys.exit(1)
-else:
-    print("ALL-COMPARED", flush=True)
+if not_compared:
+    sys.exit(3)
+print("ALL-COMPARED", flush=True)
