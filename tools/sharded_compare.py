@@ -37,15 +37,38 @@ import pandas as pd
 
 sfdir, outdir, qname, shard_col = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 k = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+# Optional INJECTION mode (args 6+7): wrap-around sharding relies on the
+# oracle engine pushing the outer output-column predicate down into the
+# quadratic intermediate — DuckDB 1.0 does NOT push through the
+# DISTINCT + list-join chain of e.g. q114, so every shard still
+# materializes the full candidate join (measured r8: OOM at 62 GB even
+# at 1/16 output). Injection shards the oracle at the SOURCE of the
+# blowup instead: `anchor` must occur exactly once in the oracle text
+# (e.g. the candidate-join ON clause) and is rewritten to
+# `anchor AND abs(<oracle_col>) % k = i`, pruning the a-side BEFORE the
+# join explodes. The Spark dump keeps the outer predicate on shard_col;
+# the two tilings agree because the output column IS the anchored join
+# column. The NULL shard injects `<oracle_col> IS NULL` at the same
+# site (cheap — pushed into the base scan), so completeness still holds
+# for a nullable domain.
+anchor = sys.argv[6] if len(sys.argv) > 6 else None
+oracle_col = sys.argv[7] if len(sys.argv) > 7 else None
+if anchor and not oracle_col:
+    sys.exit("injection mode needs both anchor and oracle_col")
 
 
 def connect():
     c = duckdb.connect()
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # default half of RAM; override when the box is otherwise idle —
+    # q114's 20x shards need ~70 GB with 32 threads but pass at 100 GB /
+    # 16 threads (fewer threads = smaller per-thread operator state)
     half_ram_gb = max(1, (os.sysconf("SC_PAGE_SIZE") *
                           os.sysconf("SC_PHYS_PAGES")) // (2 * 1024**3))
-    c.execute(f"SET memory_limit='{half_ram_gb}GB'")
+    c.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', f'{half_ram_gb}GB')}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        c.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in glob.glob(os.path.join(sfdir, "*.parquet")):
         name = os.path.basename(t)[: -len(".parquet")]
         c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
@@ -61,6 +84,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 with open(os.path.join(outdir, "oracle_sql.json")) as f:
     oracle = json.load(f)[qname]
+if anchor and oracle.count(anchor) != 1:
+    sys.exit(f"anchor must occur exactly once in the oracle "
+             f"(found {oracle.count(anchor)})")
 spark_glob = os.path.join(outdir, qname, "*.parquet")
 
 total_rows = 0
@@ -78,13 +104,20 @@ for i in range(k + 1):
     if con is None:
         print("RECONNECT-FAILED: box memory never recovered; aborting")
         sys.exit(2)
-    pred = (f"abs({shard_col}) % {k} = {i}" if i < k
-            else f"{shard_col} IS NULL")
+    # qualify the COLUMN, never prefix the whole predicate: `__q.abs(c)`
+    # parses as a schema-qualified function and fails (r8 finding)
+    def pred(col):
+        return (f"abs({col}) % {k} = {i}" if i < k else f"{col} IS NULL")
+    if anchor:
+        oracle_sql = oracle.replace(
+            anchor, f"{anchor} AND {pred(oracle_col)}")
+        oracle_q = f"SELECT * FROM ({oracle_sql}) __q"
+    else:
+        oracle_q = f"SELECT * FROM ({oracle}) __q WHERE {pred('__q.' + shard_col)}"
     try:
         raw_s = con.execute(
-            f"SELECT * FROM '{spark_glob}' WHERE {pred}").df()
-        raw_o = con.execute(
-            f"SELECT * FROM ({oracle}) __q WHERE __q.{pred}").df()
+            f"SELECT * FROM '{spark_glob}' WHERE {pred(shard_col)}").df()
+        raw_o = con.execute(oracle_q).df()
     except Exception as e:
         print(f"shard {i}/{k}: ORACLE-ERROR {type(e).__name__}: {str(e)[:120]}",
               flush=True)
