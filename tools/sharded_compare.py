@@ -57,7 +57,7 @@ if anchor and not oracle_col:
     sys.exit("injection mode needs both anchor and oracle_col")
 
 
-def connect():
+def connect(threads=None):
     c = duckdb.connect()
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
@@ -67,8 +67,9 @@ def connect():
     half_ram_gb = max(1, (os.sysconf("SC_PAGE_SIZE") *
                           os.sysconf("SC_PHYS_PAGES")) // (2 * 1024**3))
     c.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', f'{half_ram_gb}GB')}'")
-    if os.environ.get("DUCKDB_THREADS"):
-        c.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    threads = threads or os.environ.get("DUCKDB_THREADS")
+    if threads:
+        c.execute(f"SET threads={int(threads)}")
     for t in glob.glob(os.path.join(sfdir, "*.parquet")):
         name = os.path.basename(t)[: -len(".parquet")]
         c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
@@ -92,18 +93,13 @@ spark_glob = os.path.join(outdir, qname, "*.parquet")
 total_rows = 0
 failed_shards = []
 # k hash slices + one NULL shard (index k) so the tiling is complete
+# selective rerun of specific shard indices (comma-separated); tiling
+# cross-check is skipped in this mode since the union is partial
+shard_only = (set(int(x) for x in os.environ["SHARD_ONLY"].split(","))
+              if os.environ.get("SHARD_ONLY") else None)
 for i in range(k + 1):
-    con = None
-    for attempt in range(10):
-        try:
-            con = connect()
-            break
-        except Exception:
-            gc.collect()
-            time.sleep(6)
-    if con is None:
-        print("RECONNECT-FAILED: box memory never recovered; aborting")
-        sys.exit(2)
+    if shard_only is not None and i not in shard_only:
+        continue
     # qualify the COLUMN, never prefix the whole predicate: `__q.abs(c)`
     # parses as a schema-qualified function and fails (r8 finding)
     def pred(col):
@@ -114,18 +110,46 @@ for i in range(k + 1):
         oracle_q = f"SELECT * FROM ({oracle_sql}) __q"
     else:
         oracle_q = f"SELECT * FROM ({oracle}) __q WHERE {pred('__q.' + shard_col)}"
-    try:
-        raw_s = con.execute(
-            f"SELECT * FROM '{spark_glob}' WHERE {pred(shard_col)}").df()
-        raw_o = con.execute(oracle_q).df()
-    except Exception as e:
-        print(f"shard {i}/{k}: ORACLE-ERROR {type(e).__name__}: {str(e)[:120]}",
-              flush=True)
-        failed_shards.append(i)
+    # a shard at the memory boundary is retried with halved thread
+    # counts — DuckDB's per-thread operator state shrinks the peak
+    base_threads = int(os.environ.get("DUCKDB_THREADS", "0")) or None
+    thread_ladder = [base_threads,
+                     max(4, (base_threads or 32) // 2),
+                     max(2, (base_threads or 32) // 4)]
+    err = None
+    for ti, threads in enumerate(thread_ladder):
+        con = None
+        for attempt in range(10):
+            try:
+                con = connect(threads)
+                break
+            except Exception:
+                gc.collect()
+                time.sleep(6)
+        if con is None:
+            print("RECONNECT-FAILED: box memory never recovered; aborting")
+            sys.exit(2)
         try:
-            con.close()
-        except Exception:
-            pass
+            raw_s = con.execute(
+                f"SELECT * FROM '{spark_glob}' WHERE {pred(shard_col)}").df()
+            raw_o = con.execute(oracle_q).df()
+            err = None
+            break
+        except Exception as e:
+            err = e
+            if ti < len(thread_ladder) - 1:
+                print(f"shard {i}/{k}: retrying with threads="
+                      f"{thread_ladder[ti + 1]} after "
+                      f"{type(e).__name__}", flush=True)
+            try:
+                con.close()
+            except Exception:
+                pass
+            gc.collect()
+    if err is not None:
+        print(f"shard {i}/{k}: ORACLE-ERROR {type(err).__name__}: "
+              f"{str(err)[:120]}", flush=True)
+        failed_shards.append(i)
         continue
     s, o = canon(raw_s), canon(raw_o)
     if len(s) != len(o):
@@ -157,6 +181,11 @@ for i in range(k + 1):
 if failed_shards:
     print(f"{qname}: SHARDED-FAIL shards={failed_shards}")
     sys.exit(1)
+
+if shard_only is not None:
+    print(f"{qname}: partial rerun OK shards={sorted(shard_only)} "
+          f"rows={total_rows} (no tiling check in SHARD_ONLY mode)")
+    sys.exit(0)
 
 # tiling completeness: every Spark dump row must have landed in exactly
 # one shard — catches any key-domain case the predicates still miss
