@@ -40,6 +40,25 @@ object Bench {
       java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
     } catch { case _: Throwable => "-1" }
+    // Per-query AMBIENT load (r8 verdict #1): the 1-min loadavg can't
+    // separate the bench's own local[32] load from the box's cron
+    // spikes, so instead we difference /proc/stat's whole-box busy
+    // jiffies against this JVM's own utime+stime over each query's
+    // window. ambient cores = (box_busy - self_busy) / elapsed — the
+    // average number of CPU cores OTHER processes burned while the
+    // query ran. A "drifted" query with ambient>1 was measured under
+    // interference; ambient~0 means the number is the engine's.
+    def cpuJiffies(): (Long, Long) = try {
+      val stat = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat")).linesIterator.next()
+      val v = stat.trim.split("\\s+").drop(1).map(_.toLong)
+      // user+nice+system+irq+softirq+steal (skip idle, iowait)
+      val busy = v(0) + v(1) + v(2) + v(5) + v(6) + v(7)
+      val self = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+      (busy, rest(11).toLong + rest(12).toLong) // utime+stime, all threads
+    } catch { case _: Throwable => (-1L, -1L) }
     // ambient load BEFORE any work: the end-of-run figure includes the
     // bench's own local[32] load (r6's 4.15 was self-inflicted); this is
     // the number that says whether the box was otherwise idle
@@ -70,26 +89,40 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map[String, Double]()
+    // ambient CPU-cores during the rep that produced each query's
+    // reported (minimum) time — the context a reader needs to judge it
+    val bestAmbient = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to reps) {
       spark.catalog.clearCache() // each rep self-contained, cold SQL cache
       names.foreach { case (name, fn) =>
+        val (busy0, self0) = cpuJiffies()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        val (busy1, self1) = cpuJiffies()
+        val ambient =
+          if (busy0 < 0 || busy1 < 0 || dt <= 0) -1.0
+          else ((busy1 - busy0) - (self1 - self0)).max(0L) / (dt * 100.0)
+        if (dt < best.getOrElse(name, Double.MaxValue)) {
+          best(name) = dt
+          bestAmbient(name) = ambient
+        }
       }
     }
     val qs = names.map { case (k, _) => "\"" + k + f"""\":${best(k)}%.3f""" }
+      .mkString("{", ",", "}")
+    val amb = names.map { case (k, _) =>
+      "\"" + k + f"""\":${bestAmbient.getOrElse(k, -1.0)}%.2f""" }
       .mkString("{", ",", "}")
     val total = names.map { case (k, _) => best(k) }.sum
     // 1-minute load average at END of run: lets a reader judge whether
     // the numbers were taken on a noisy box (±15% cron spikes, NOTES.md)
     val load = loadavg()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load":$load,"load_start":$loadStart}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ambient_cores":$amb,"sf":"$sfDir","reps":$reps,"load":$load,"load_start":$loadStart}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

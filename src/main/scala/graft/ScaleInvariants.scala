@@ -70,13 +70,17 @@ object ScaleInvariants {
     // ---- identical-graph family: soak output must equal base output
     for (name <- Seq("q147_pagerank", "q163_triangle_count",
                      "q178_kcore", "q190_bfs_levels")) {
-      val soak = timedSoak(name)
-      val base = SparkEntry.queries(name)(spark, baseDir)
+      // cache both sides: the noop-sink timing plus the bidirectional
+      // exceptAll would otherwise recompute the heaviest 50x queries
+      // twice (r8 ADVICE)
+      val soak = timedSoak(name).cache()
+      val base = SparkEntry.queries(name)(spark, baseDir).cache()
       val extra = soak.exceptAll(base).count()
       val missing = base.exceptAll(soak).count()
       check(s"$name soak==base", extra == 0 && missing == 0,
         s"extra=$extra missing=$missing (replicated soak graph must be " +
           "identical to base)")
+      soak.unpersist(); base.unpersist()
     }
 
     // ---- q90: connected-components algebra on the K-fold grown graph
@@ -118,6 +122,19 @@ object ScaleInvariants {
       val badSelfC = selfPerDoc.filter(col("c") =!= expSelf).count()
       check(s"q114 self-pair count C($k,2)=$expSelf per doc", badSelfC == 0,
         s"$badSelfC base docs with wrong self-pair count")
+      // r8 ADVICE: the per-doc count check above is vacuous for a base
+      // doc whose self pairs are dropped ENTIRELY (absent from
+      // selfPerDoc => never inspected). Every base doc with >=3 tokens
+      // has a nonempty shingle set, so its K identical copies MUST
+      // self-pair (jaccard 1.0 >= threshold, shared prefix => candidate);
+      // compare the group count against that expectation directly.
+      val expDocs = spark.read.parquet(s"$baseDir/documents.parquet")
+        .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+      val gotDocs = selfPerDoc.count()
+      check(s"q114 all $expDocs shingled base docs self-pair",
+        gotDocs == expDocs,
+        s"selfPerDoc has $gotDocs docs, expected $expDocs (missing docs " +
+          "lost ALL their self pairs)")
 
       val crossProj = soak
         .filter(col("doc_a") % off =!= col("doc_b") % off)

@@ -40,11 +40,20 @@ for name in sorted(common):
         else:
             x = math.log(ts[i] / ts[i - 1]) / math.log(ks[i] / ks[i - 1])
             pair.append(f"{x:+.2f}")
-    lx = [math.log(k) for k in ks]
-    ly = [math.log(t) for t in ts]
-    n = len(ks)
-    mx, my = sum(lx) / n, sum(ly) / n
-    den = sum((x - mx) ** 2 for x in lx)
-    slope = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den if den else 0.0
+    # lsq over the SAME points the pairwise column trusts: sub-FLOOR
+    # times are JVM/session fixed cost, and log() of a 0.0 reading
+    # raises — drop both from the fit (r8 ADVICE)
+    fit = [(k, t) for k, t in zip(ks, ts) if t >= FLOOR_SEC]
+    if len(fit) < 2:
+        slope_s = "    ~"
+    else:
+        lx = [math.log(k) for k, _ in fit]
+        ly = [math.log(t) for _, t in fit]
+        n = len(fit)
+        mx, my = sum(lx) / n, sum(ly) / n
+        den = sum((x - mx) ** 2 for x in lx)
+        slope = (sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den
+                 if den else 0.0)
+        slope_s = f"{slope:+.2f}"
     print(f"{name:<28} " + " ".join(f"{t:>8.2f}" for t in ts) +
-          f"  {','.join(pair):>10}  {slope:+.2f}")
+          f"  {','.join(pair):>10}  {slope_s}")

@@ -36,7 +36,22 @@ queries (q90/q147/q163/q178/q190) never join dimensions; organic
 output is a GRAPH soak, not a full-suite dataset (remapped FKs
 dangle past the dimension tables by design).
 
-Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]]
+MUTATED mode (--mutate P, percent): for the DEDUP family. Replicate
+mode repeats document text verbatim, so every base doc becomes a
+K-clique of exact duplicates — dedup scale numbers measured on it
+reflect the pathological output-quadratic regime (K² pairs by
+construction), not the near-dup density a real crawl presents (r8
+verdict task 5). With --mutate P, copy 0 stays verbatim and each copy
+i>0 rewrites every whitespace token independently with probability
+P/100 (deterministic hash of (token, copy, doc_id) — no RNG state, so
+reruns are bit-identical). A 3-token shingle survives with prob
+(1-p)^3, so base↔copy jaccard ≈ (1-p)^3 / (2-(1-p)^3): p=5% → ~0.84
+(most pairs survive q114's 0.7 threshold — dense near-dup regime);
+p=20% → ~0.34 (almost all pairs drop out — mostly-unique corpus).
+Only documents.text is rewritten; composes with --organic (documents
+never join the remapped FK columns).
+
+Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]] [--mutate P]
        (defaults: 10 /tmp/soak)
 """
 import math
@@ -47,6 +62,11 @@ import duckdb
 args = [a for a in sys.argv[1:]]
 organic = False
 U = None
+mutate_p = None
+if "--mutate" in args:
+    j = args.index("--mutate")
+    mutate_p = int(args[j + 1])
+    args = args[:j] + args[j + 2:]
 if "--organic" in args:
     j = args.index("--organic")
     organic = True
@@ -109,9 +129,24 @@ for t, keys in OFFSET_KEYS.items():
                           f" AS {rk}")
         print(f"  {t}.{rk}: stride={stride} mod={U * mx} "
               f"gcd={math.gcd(stride, U * mx)}")
+    mut_expr = {}
+    if mutate_p and t == "documents":
+        # copy 0 verbatim (exact-dup anchors survive); copies i>0 rewrite
+        # each token with prob P/100, keyed by (token, copy, doc_id) so
+        # repeated tokens in a doc mutate together (word-replacement
+        # model) and reruns are deterministic. The rewritten token gets a
+        # copy-specific suffix, so two different copies never mutate a
+        # token to the SAME replacement (no accidental re-convergence).
+        mut_expr["text"] = (
+            "CASE WHEN i.i = 0 THEN text ELSE array_to_string("
+            "list_transform(string_split_regex(trim(text), '\\s+'), "
+            f"w -> CASE WHEN hash(concat(w, '|', i.i, '|', doc_id)) % 100 "
+            f"< {mutate_p} THEN concat(w, '~m', i.i) ELSE w END), ' ') "
+            "END AS text")
+        print(f"  documents.text: mutate p={mutate_p}% (copy 0 verbatim)")
     select = ", ".join(
         [f"{k} + i.i * {off} AS {k}" for k in keys]
-        + [remap_expr.get(c, f'"{c}"')
+        + [remap_expr.get(c, mut_expr.get(c, f'"{c}"'))
            for c in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").df()["column_name"]
            if c not in keys])
     con.execute(

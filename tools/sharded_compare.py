@@ -113,9 +113,15 @@ for i in range(k + 1):
     # a shard at the memory boundary is retried with halved thread
     # counts — DuckDB's per-thread operator state shrinks the peak
     base_threads = int(os.environ.get("DUCKDB_THREADS", "0")) or None
-    thread_ladder = [base_threads,
-                     max(4, (base_threads or 32) // 2),
-                     max(2, (base_threads or 32) // 4)]
+    # dedupe while keeping the ladder strictly decreasing: with
+    # DUCKDB_THREADS<=5 the naive [t, t//2 max 4, t//4 max 2] degenerates
+    # to duplicate steps (r8 ADVICE)
+    thread_ladder = [base_threads]
+    for cand in (max(4, (base_threads or 32) // 2),
+                 max(2, (base_threads or 32) // 4)):
+        prev = thread_ladder[-1]
+        if prev is None or cand < prev:
+            thread_ladder.append(cand)
     err = None
     for ti, threads in enumerate(thread_ladder):
         con = None
@@ -137,15 +143,22 @@ for i in range(k + 1):
             break
         except Exception as e:
             err = e
-            if ti < len(thread_ladder) - 1:
-                print(f"shard {i}/{k}: retrying with threads="
-                      f"{thread_ladder[ti + 1]} after "
-                      f"{type(e).__name__}", flush=True)
             try:
                 con.close()
             except Exception:
                 pass
             gc.collect()
+            # only a memory blowup shrinks with fewer threads; a
+            # deterministic SQL error would just rerun a multi-GB shard
+            # pointlessly (r8 ADVICE)
+            is_mem = ("OutOfMemory" in type(e).__name__
+                      or "memory" in str(e).lower())
+            if not is_mem:
+                break
+            if ti < len(thread_ladder) - 1:
+                print(f"shard {i}/{k}: retrying with threads="
+                      f"{thread_ladder[ti + 1]} after "
+                      f"{type(e).__name__}", flush=True)
     if err is not None:
         print(f"shard {i}/{k}: ORACLE-ERROR {type(err).__name__}: "
               f"{str(err)[:120]}", flush=True)
@@ -182,9 +195,16 @@ if failed_shards:
     print(f"{qname}: SHARDED-FAIL shards={failed_shards}")
     sys.exit(1)
 
+# the recorded verdict must carry its trust level: injection mode rests
+# on the operator-supplied assumption that the anchored join column IS
+# the output shard column under an inner join (r8 ADVICE)
+mode_tag = (f"mode=injection anchor={anchor!r} oracle_col={oracle_col}"
+            if anchor else "mode=pushdown")
+
 if shard_only is not None:
     print(f"{qname}: partial rerun OK shards={sorted(shard_only)} "
-          f"rows={total_rows} (no tiling check in SHARD_ONLY mode)")
+          f"rows={total_rows} {mode_tag} "
+          f"(no tiling check in SHARD_ONLY mode)")
     sys.exit(0)
 
 # tiling completeness: every Spark dump row must have landed in exactly
@@ -197,4 +217,5 @@ if total_rows != spark_total:
     print(f"{qname}: SHARD-TILING-INCOMPLETE sum(shards)={total_rows} "
           f"!= dump={spark_total}")
     sys.exit(1)
-print(f"{qname}: sharded-strict-pass rows={total_rows} shards={k}+null")
+print(f"{qname}: sharded-strict-pass rows={total_rows} shards={k}+null "
+      f"{mode_tag}")
