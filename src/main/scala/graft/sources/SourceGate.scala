@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object SourceGate extends QueryModule {
 
+  /** Per-JVM warehouse for the q195 catalog: the catalog instance is
+    * cached by Spark under its name on first reference, so the warehouse
+    * must be stable for the session's lifetime; the query drops and
+    * recreates its table every run for determinism. */
+  lazy val q195Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_cat_q195").toString
+
   // ================================================== agg pushdown gate
   // COUNT(*)/MIN(id)/MAX(id) over a filter-narrowed graft-range scan:
   // the source answers the ENTIRE aggregation in closed form (hi-lo,
@@ -168,6 +175,74 @@ object SourceGate extends QueryModule {
         sum(a("amount") + b("amount")).as("total"),
         min(a("id")).as("min_id"),
         max(a("id")).as("max_id"))
+  }
+
+  // ===================================== overwrite write-modes gate
+  // DSv2 write-side completion (r8 verdict task 7a): the same orders
+  // projection is (1) appended through a GraftCatalog table, (2) has its
+  // low buckets replaced via writeTo().overwrite(bucket < 8) —
+  // OverwriteByExpression → SupportsOverwrite, manifest-pruned
+  // copy-on-write — and (3) has three buckets replaced via
+  // writeTo().overwritePartitions() — OverwritePartitionsDynamic →
+  // SupportsDynamicOverwrite at cluster-key granularity. The oracle
+  // recomputes the overwrite ALGEBRA relationally (anti-filter UNION ALL
+  // replacement, twice); any row the commit protocol loses, duplicates,
+  // resurrects from a replaced file, or fails to replace breaks the
+  // hash. ClusteredSinkOverwriteSpec pins the layout-level invariants
+  // (untouched files, copy-on-write, manifest consistency).
+  register("q195_sink_overwrite_roundtrip",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS key,
+      |    CAST(o_custkey % 64 AS BIGINT) AS bucket,
+      |    o_orderstatus || '|' || o_orderpriority AS payload
+      |  FROM orders),
+      |after_filter AS (
+      |  SELECT * FROM base WHERE NOT (bucket < 8)
+      |  UNION ALL
+      |  SELECT key + 10000000, bucket, upper(payload)
+      |  FROM base WHERE bucket < 8),
+      |after_dynamic AS (
+      |  SELECT * FROM after_filter WHERE bucket NOT IN (3, 12, 60)
+      |  UNION ALL
+      |  SELECT key + 20000000, bucket, lower(payload)
+      |  FROM base WHERE bucket IN (3, 12, 60))
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(key) AS BIGINT) AS sum_key,
+      |  MIN(key) AS min_key, MAX(key) AS max_key,
+      |  MIN(payload) AS min_payload, MAX(payload) AS max_payload
+      |FROM after_dynamic GROUP BY 1""".stripMargin) { (s, dir) =>
+    val cat = "graft_cat_q195"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", SourceGate.q195Warehouse)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
+    s.sql(s"DROP TABLE IF EXISTS $cat.g.orders_mart")
+    s.sql(s"CREATE TABLE $cat.g.orders_mart " +
+      "(key BIGINT, bucket BIGINT, payload STRING) PARTITIONED BY (bucket)")
+    val t = s"$cat.g.orders_mart"
+    val base = graft.ops.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("key"),
+        (col("o_custkey") % 64).cast("long").as("bucket"),
+        concat(col("o_orderstatus"), lit("|"), col("o_orderpriority"))
+          .as("payload"))
+    base.writeTo(t).append()
+    base.filter(col("bucket") < 8)
+      .select((col("key") + 10000000L).as("key"), col("bucket"),
+        upper(col("payload")).as("payload"))
+      .writeTo(t).overwrite(col("bucket") < 8)
+    base.filter(col("bucket").isin(3L, 12L, 60L))
+      .select((col("key") + 20000000L).as("key"), col("bucket"),
+        lower(col("payload")).as("payload"))
+      .writeTo(t).overwritePartitions()
+    s.read.schema("key LONG, bucket LONG, payload STRING")
+      .json(SourceGate.q195Warehouse + "/g/orders_mart/data")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("key").as("sum_key"),
+        min("key").as("min_key"),
+        max("key").as("max_key"),
+        min("payload").as("min_payload"),
+        max("payload").as("max_payload"))
   }
 
   register("q125_custom_source",

@@ -100,13 +100,22 @@ object ClusteredSink {
 }
 
 final class ClusteredSinkTable(
-    writeSchema: StructType, properties: util.Map[String, String])
+    writeSchema: StructType, properties: util.Map[String, String],
+    tableName: String = "graft_sink")
     extends Table with SupportsWrite {
-  override def name(): String = "graft_sink"
+  override def name(): String = tableName
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  // the cluster key IS the table's partitioning: cataloged tables
+  // declare it so Catalyst routes INSERT OVERWRITE through the dynamic
+  // path when spark.sql.sources.partitionOverwriteMode=dynamic
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(
+      Option(properties.get("clusterBy")).getOrElse("bucket")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // options arrive on the write info (the getTable `properties` map is
@@ -122,18 +131,48 @@ final class ClusteredSinkTable(
   }
 }
 
+/** What the commit must do to PRE-EXISTING committed files. */
+sealed trait SinkWriteMode
+object SinkWriteMode {
+  /** keep everything, add new files */
+  case object Append extends SinkWriteMode
+  /** drop everything, then add */
+  case object Truncate extends SinkWriteMode
+  /** drop the rows matching the filters (Iceberg-style overwrite-by-
+    * filter: fully-matched files are dropped from the manifest,
+    * partially-matched files are copy-on-write rewritten) */
+  final case class OverwriteFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]) extends SinkWriteMode
+  /** drop the rows whose cluster key appears in the incoming data
+    * (dynamic partition overwrite at cluster-key granularity) */
+  case object DynamicOverwrite extends SinkWriteMode
+}
+
 final class ClusteredSinkWriteBuilder(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
-    partitions: Int) extends WriteBuilder with SupportsTruncate {
-  private var truncateFirst = false
-  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+    partitions: Int) extends WriteBuilder
+    with SupportsOverwrite with SupportsDynamicOverwrite {
+  private var mode: SinkWriteMode = SinkWriteMode.Append
+  override def truncate(): WriteBuilder = {
+    mode = SinkWriteMode.Truncate; this
+  }
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    // validate NOW (analysis time), not at commit: an unsupported
+    // predicate must fail the query before any task runs
+    ClusteredSinkOverwrite.compile(filters, clusterBy)
+    mode = SinkWriteMode.OverwriteFilters(filters); this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = SinkWriteMode.DynamicOverwrite; this
+  }
   override def build(): Write =
-    new ClusteredSinkWrite(schema, path, clusterBy, sortBy, partitions, truncateFirst)
+    new ClusteredSinkWrite(schema, path, clusterBy, sortBy, partitions, mode)
 }
 
 final class ClusteredSinkWrite(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
-    partitions: Int, truncateFirst: Boolean)
+    partitions: Int, mode: SinkWriteMode)
     extends Write with RequiresDistributionAndOrdering {
 
   private def idx(col: String): Int = {
@@ -155,7 +194,8 @@ final class ClusteredSinkWrite(
   override def requiredNumPartitions(): Int = partitions
 
   override def toBatch: BatchWrite =
-    new ClusteredSinkBatchWrite(schema, path, idx(clusterBy), idx(sortBy), truncateFirst)
+    new ClusteredSinkBatchWrite(schema, path, idx(clusterBy), idx(sortBy),
+      clusterBy, sortBy, mode)
 
   override def toStreaming: StreamingWrite =
     new ClusteredSinkStreamingWrite(schema, path, idx(clusterBy), idx(sortBy))
@@ -212,7 +252,8 @@ final case class ClusteredSinkStreamingFactory(
 
 final class ClusteredSinkBatchWrite(
     schema: StructType, path: String, clusterIdx: Int, sortIdx: Int,
-    truncateFirst: Boolean) extends BatchWrite {
+    clusterBy: String, sortBy: String, mode: SinkWriteMode)
+    extends BatchWrite {
 
   // Per-JOB commit id: committed file names are namespaced by it, so a
   // second append to the same path can never collide with (and silently
@@ -232,23 +273,114 @@ final class ClusteredSinkBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dataDir = Paths.get(path, "data")
     val manifestPath = Paths.get(path, "_manifest.jsonl")
-    if (truncateFirst && Files.exists(dataDir)) {
-      Files.list(dataDir).forEach(f => Files.delete(f))
-      Files.deleteIfExists(manifestPath)
+    val news = messages.collect { case m: ClusteredSinkCommit if m.rows > 0 => m }
+
+    mode match {
+      case SinkWriteMode.Append | SinkWriteMode.Truncate =>
+        if (mode == SinkWriteMode.Truncate && Files.exists(dataDir)) {
+          Files.list(dataDir).forEach(f => Files.delete(f))
+          Files.deleteIfExists(manifestPath)
+        }
+        Files.createDirectories(dataDir)
+        val manifest = new StringBuilder
+        news.foreach { m =>
+          val name = f"part-$jobId-${m.partitionId}%05d.json"
+          Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          manifest.append(ClusteredSinkCommit.manifestLine(name, m))
+        }
+        Files.write(manifestPath,
+          manifest.toString.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+
+      case SinkWriteMode.OverwriteFilters(filters) =>
+        val region = ClusteredSinkOverwrite.compile(filters, clusterBy)
+        commitReplacing(dataDir, manifestPath, news, region)
+
+      case SinkWriteMode.DynamicOverwrite =>
+        // "partition" = cluster key: replace exactly the keys the
+        // incoming data carries, leave every other key untouched — the
+        // v2 dynamic-partition-overwrite contract at key granularity
+        val keys = news.iterator.flatMap(_.keys).toSet
+        val hasNull = news.exists(_.hasNullKey)
+        commitReplacing(dataDir, manifestPath, news,
+          ClusteredSinkOverwrite.Region(
+            matches = keys.contains, lo = keys.minOption, hi = keys.maxOption,
+            matchesNull = hasNull, matchesAll = false))
     }
+    Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+  }
+
+  /** Overwrite commit protocol (both filter and dynamic modes). Mirrors
+    * Iceberg's overwrite-by-filter at file granularity:
+    *
+    *   1. PRUNE from the manifest: a committed file whose cluster-key
+    *      [min,max] cannot intersect the replaced region is KEPT without
+    *      being opened — at scale this is the metadata-only planning
+    *      step; only files overlapping the region are touched at all.
+    *   2. COPY-ON-WRITE the overlapping files: surviving rows (those NOT
+    *      in the region) land in a new file with recomputed stats; a
+    *      file with zero survivors is dropped. (Driver-side here —
+    *      bounded by the files actually overlapping the region; a
+    *      cluster deployment runs the same rewrite as a distributed job.
+    *      The PROTOCOL — manifest pruning, copy-on-write, atomic
+    *      metadata swap — is identical.)
+    *   3. ATOMIC COMMIT: the new manifest (kept + rewritten + new
+    *      entries) is staged and ATOMIC_MOVEd over _manifest.jsonl —
+    *      that move is the commit point. Replaced files are deleted only
+    *      AFTER it, so a manifest reader never observes a missing file;
+    *      a crash before the move leaves orphan data files that the
+    *      manifest does not reference (invisible, swept by the next
+    *      overwrite).
+    */
+  private def commitReplacing(
+      dataDir: Path, manifestPath: Path,
+      news: Seq[ClusteredSinkCommit],
+      region: ClusteredSinkOverwrite.Region): Unit = {
     Files.createDirectories(dataDir)
+    val old = ClusteredSinkOverwrite.readManifest(manifestPath)
     val manifest = new StringBuilder
-    messages.collect { case m: ClusteredSinkCommit if m.rows > 0 =>
+    val toDelete = Seq.newBuilder[Path]
+    var rw = 0
+    old.foreach { e =>
+      val canSkip =
+        if (region.matchesAll) false
+        else if (e.minCluster == null || e.maxCluster == null)
+          // file of all-null keys: untouched unless the region matches null
+          !region.matchesNull
+        else if (region.matchesNull)
+          // bounds describe only non-null rows; a mixed file could still
+          // hold matching null-key rows — must open it
+          false
+        else region.lo.exists(lo => e.maxCluster < lo) ||
+          region.hi.exists(hi => e.minCluster > hi)
+      if (canSkip) manifest.append(e.line)
+      else {
+        val oldFile = dataDir.resolve(e.file)
+        val (survivors, stats) = ClusteredSinkOverwrite.rewrite(
+          oldFile, schema, clusterBy, sortBy, region)
+        toDelete += oldFile
+        if (survivors > 0) {
+          val name = f"part-$jobId-rw-$rw%05d.json"
+          rw += 1
+          Files.move(Paths.get(stats.tmpPath), dataDir.resolve(name),
+            StandardCopyOption.ATOMIC_MOVE)
+          manifest.append(ClusteredSinkCommit.manifestLine(name, stats))
+        } else Files.deleteIfExists(Paths.get(stats.tmpPath))
+      }
+    }
+    news.foreach { m =>
       val name = f"part-$jobId-${m.partitionId}%05d.json"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       manifest.append(ClusteredSinkCommit.manifestLine(name, m))
     }
-    Files.write(manifestPath,
-      manifest.toString.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+    val staged = manifestPath.resolveSibling("_manifest.jsonl.staged")
+    Files.write(staged, manifest.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(staged, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING) // <- the commit point
+    toDelete.result().foreach(Files.deleteIfExists(_))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -281,6 +413,11 @@ final class ClusteredSinkDataWriter(
   private var maxCluster = Long.MinValue
   private var minSort = Long.MaxValue
   private var maxSort = Long.MinValue
+  // distinct cluster keys, for dynamic partition overwrite. Input is
+  // sorted by (clusterBy, sortBy) (RequiresDistributionAndOrdering), so
+  // distinct keys are key TRANSITIONS — one append per key, not per row
+  private val distinctKeys = scala.collection.mutable.ArrayBuffer[Long]()
+  private var hasNullKey = false
 
   private def longAt(row: InternalRow, i: Int): Long =
     schema.fields(i).dataType match {
@@ -320,7 +457,13 @@ final class ClusteredSinkDataWriter(
       val c = longAt(row, clusterIdx)
       if (c < minCluster) minCluster = c
       if (c > maxCluster) maxCluster = c
-    }
+      if (distinctKeys.isEmpty || distinctKeys.last != c) {
+        distinctKeys += c
+        require(distinctKeys.size <= 1000000,
+          "graft-sink: >1M distinct cluster keys in one task — cluster " +
+            "keys are partition-grained; use a coarser clusterBy column")
+      }
+    } else hasNullKey = true
     if (!row.isNullAt(sortIdx)) {
       val s = longAt(row, sortIdx)
       if (s < minSort) minSort = s
@@ -331,7 +474,8 @@ final class ClusteredSinkDataWriter(
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     ClusteredSinkCommit(partitionId, tmpPath.toString, rows,
-      minCluster, maxCluster, minSort, maxSort)
+      minCluster, maxCluster, minSort, maxSort,
+      distinctKeys.toArray, hasNullKey)
   }
 
   override def abort(): Unit = {
@@ -344,7 +488,8 @@ final class ClusteredSinkDataWriter(
 
 final case class ClusteredSinkCommit(
     partitionId: Int, tmpPath: String, rows: Long,
-    minCluster: Long, maxCluster: Long, minSort: Long, maxSort: Long)
+    minCluster: Long, maxCluster: Long, minSort: Long, maxSort: Long,
+    keys: Array[Long] = Array.empty, hasNullKey: Boolean = false)
     extends WriterCommitMessage
 
 object ClusteredSinkCommit {
@@ -360,5 +505,153 @@ object ClusteredSinkCommit {
       s""""max_cluster":${bound(m.minCluster, m.maxCluster, m.maxCluster)},""" +
       s""""min_sort":${bound(m.minSort, m.maxSort, m.minSort)},""" +
       s""""max_sort":${bound(m.minSort, m.maxSort, m.maxSort)}}""" + "\n"
+  }
+}
+
+/** Overwrite-region compilation and the copy-on-write file rewrite.
+  *
+  * A Region is the set of cluster-key values being REPLACED: a row
+  * predicate (exact), a conservative [lo,hi] envelope (for manifest
+  * pruning — None = unbounded on that side), and whether null keys are
+  * in the region. SQL three-valued logic applies: a NULL key never
+  * matches a value predicate, only IsNull / AlwaysTrue reach it.
+  */
+object ClusteredSinkOverwrite {
+  import org.apache.spark.sql.sources._
+
+  final case class Region(
+      matches: Long => Boolean,
+      lo: Option[Long], hi: Option[Long],
+      matchesNull: Boolean, matchesAll: Boolean)
+
+  /** Compile v1 Filters into a Region. Only predicates over the cluster
+    * key are accepted — the sink's files are pruned/rewritten by that
+    * key alone; arbitrary-column overwrite would make every file a
+    * rewrite candidate and belongs to a row-level-delete connector,
+    * not a clustered sink. Unsupported filters fail ANALYSIS, loudly. */
+  def compile(filters: Array[Filter], clusterBy: String): Region = {
+    def long(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case o => throw new IllegalArgumentException(
+        s"graft-sink overwrite: non-integral literal $o")
+    }
+    def one(f: Filter): Region = f match {
+      case AlwaysTrue() => Region(_ => true, None, None,
+        matchesNull = true, matchesAll = true)
+      case AlwaysFalse() => Region(_ => false, Some(0L), Some(-1L),
+        matchesNull = false, matchesAll = false)
+      case EqualTo(c, v) if c == clusterBy =>
+        val k = long(v); Region(_ == k, Some(k), Some(k), false, false)
+      case In(c, vs) if c == clusterBy =>
+        val ks = vs.map(long).toSet
+        Region(ks.contains, ks.minOption, ks.maxOption, false, false)
+      case GreaterThan(c, v) if c == clusterBy =>
+        val k = long(v); Region(_ > k, Some(k), None, false, false)
+      case GreaterThanOrEqual(c, v) if c == clusterBy =>
+        val k = long(v); Region(_ >= k, Some(k), None, false, false)
+      case LessThan(c, v) if c == clusterBy =>
+        val k = long(v); Region(_ < k, None, Some(k), false, false)
+      case LessThanOrEqual(c, v) if c == clusterBy =>
+        val k = long(v); Region(_ <= k, None, Some(k), false, false)
+      case IsNull(c) if c == clusterBy =>
+        Region(_ => false, Some(0L), Some(-1L), matchesNull = true,
+          matchesAll = false)
+      case IsNotNull(c) if c == clusterBy =>
+        Region(_ => true, None, None, false, false)
+      case And(l, r) =>
+        val (a, b) = (one(l), one(r))
+        Region(k => a.matches(k) && b.matches(k),
+          Seq(a.lo, b.lo).flatten.maxOption, // intersect: tightest bounds
+          Seq(a.hi, b.hi).flatten.minOption,
+          a.matchesNull && b.matchesNull, a.matchesAll && b.matchesAll)
+      case Or(l, r) =>
+        val (a, b) = (one(l), one(r))
+        Region(k => a.matches(k) || b.matches(k),
+          for (x <- a.lo; y <- b.lo) yield math.min(x, y), // union hull
+          for (x <- a.hi; y <- b.hi) yield math.max(x, y),
+          a.matchesNull || b.matchesNull, a.matchesAll || b.matchesAll)
+      case Not(c) =>
+        val a = one(c)
+        // NOT over three-valued logic: null stays unmatched; envelope
+        // of a complement is unbounded (conservative)
+        Region(k => !a.matches(k), None, None, matchesNull = false,
+          matchesAll = false)
+      case other => throw new IllegalArgumentException(
+        s"graft-sink overwrite supports only cluster-key ('$clusterBy') " +
+          s"predicates (=, IN, <, <=, >, >=, IS NULL, AND/OR/NOT); got: $other")
+    }
+    // Spark passes the overwrite condition as a conjunction of filters
+    filters.map(one).foldLeft(Region(_ => true, None, None,
+      matchesNull = true, matchesAll = true)) { (acc, r) =>
+      Region(k => acc.matches(k) && r.matches(k),
+        Seq(acc.lo, r.lo).flatten.maxOption,
+        Seq(acc.hi, r.hi).flatten.minOption,
+        acc.matchesNull && r.matchesNull, acc.matchesAll && r.matchesAll)
+    }
+  }
+
+  final case class ManifestEntry(
+      file: String, rows: Long,
+      minCluster: java.lang.Long, maxCluster: java.lang.Long, line: String)
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def readManifest(manifestPath: Path): Seq[ManifestEntry] =
+    if (!Files.exists(manifestPath)) Seq.empty
+    else {
+      val m = mapper
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(manifestPath, StandardCharsets.UTF_8)).asScala
+        .filter(_.nonEmpty).map { ln =>
+          val n = m.readTree(ln)
+          def bound(f: String): java.lang.Long =
+            if (n.get(f).isNull) null else java.lang.Long.valueOf(n.get(f).asLong)
+          ManifestEntry(n.get("file").asText, n.get("rows").asLong,
+            bound("min_cluster"), bound("max_cluster"), ln + "\n")
+        }.toSeq
+    }
+
+  /** Copy-on-write: stream the file's JSON lines, keep rows OUTSIDE the
+    * region (lines pass through byte-identical), recompute stats for the
+    * survivor file. Returns (survivorCount, stats-with-tmpPath). */
+  def rewrite(oldFile: Path, schema: StructType, clusterBy: String,
+      sortBy: String, region: Region): (Long, ClusteredSinkCommit) = {
+    val m = mapper
+    val tmp = oldFile.resolveSibling(oldFile.getFileName.toString + ".rw")
+    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    var rows = 0L
+    var minC = Long.MaxValue; var maxC = Long.MinValue
+    var minS = Long.MaxValue; var maxS = Long.MinValue
+    val in = Files.newBufferedReader(oldFile, StandardCharsets.UTF_8)
+    try {
+      var ln = in.readLine()
+      while (ln != null) {
+        if (ln.nonEmpty) {
+          val node = m.readTree(ln)
+          val kNode = node.get(clusterBy)
+          val dropped =
+            if (kNode == null || kNode.isNull) region.matchesNull
+            else region.matches(kNode.asLong)
+          if (!dropped) {
+            out.write(ln); out.write('\n')
+            rows += 1
+            if (kNode != null && !kNode.isNull) {
+              val c = kNode.asLong
+              if (c < minC) minC = c
+              if (c > maxC) maxC = c
+            }
+            val sNode = node.get(sortBy)
+            if (sNode != null && !sNode.isNull) {
+              val s = sNode.asLong
+              if (s < minS) minS = s
+              if (s > maxS) maxS = s
+            }
+          }
+        }
+        ln = in.readLine()
+      }
+    } finally { in.close(); out.close() }
+    (rows, ClusteredSinkCommit(0, tmp.toString, rows, minC, maxC, minS, maxS))
   }
 }
