@@ -307,7 +307,7 @@ final class ClusteredSinkBatchWrite(
         commitReplacing(dataDir, manifestPath, news,
           ClusteredSinkOverwrite.Region(
             matches = keys.contains, lo = keys.minOption, hi = keys.maxOption,
-            matchesNull = hasNull, matchesAll = false))
+            nullEval = Some(hasNull), matchesAll = false))
     }
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
@@ -519,10 +519,17 @@ object ClusteredSinkCommit {
 object ClusteredSinkOverwrite {
   import org.apache.spark.sql.sources._
 
+  /** nullEval is the KLEENE three-valued result of the predicate on a
+    * null key: Some(true)/Some(false)/None(=UNKNOWN). A null-key row is
+    * replaced only when the result is definitely TRUE — Not(UNKNOWN)
+    * stays UNKNOWN, so Not(EqualTo) never matches null, but
+    * Not(IsNotNull) does (caught by OverwriteRegionPropertySpec). */
   final case class Region(
       matches: Long => Boolean,
       lo: Option[Long], hi: Option[Long],
-      matchesNull: Boolean, matchesAll: Boolean)
+      nullEval: Option[Boolean], matchesAll: Boolean) {
+    def matchesNull: Boolean = nullEval.contains(true)
+  }
 
   /** Compile v1 Filters into a Region. Only predicates over the cluster
     * key are accepted — the sink's files are pruned/rewritten by that
@@ -536,46 +543,59 @@ object ClusteredSinkOverwrite {
       case o => throw new IllegalArgumentException(
         s"graft-sink overwrite: non-integral literal $o")
     }
+    // Kleene conjunction/disjunction over Some(true)/Some(false)/None
+    def kAnd(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      (a, b) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+    def kOr(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      (a, b) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
     def one(f: Filter): Region = f match {
       case AlwaysTrue() => Region(_ => true, None, None,
-        matchesNull = true, matchesAll = true)
+        nullEval = Some(true), matchesAll = true)
       case AlwaysFalse() => Region(_ => false, Some(0L), Some(-1L),
-        matchesNull = false, matchesAll = false)
+        nullEval = Some(false), matchesAll = false)
       case EqualTo(c, v) if c == clusterBy =>
-        val k = long(v); Region(_ == k, Some(k), Some(k), false, false)
+        val k = long(v); Region(_ == k, Some(k), Some(k), None, false)
       case In(c, vs) if c == clusterBy =>
         val ks = vs.map(long).toSet
-        Region(ks.contains, ks.minOption, ks.maxOption, false, false)
+        Region(ks.contains, ks.minOption, ks.maxOption, None, false)
       case GreaterThan(c, v) if c == clusterBy =>
-        val k = long(v); Region(_ > k, Some(k), None, false, false)
+        val k = long(v); Region(_ > k, Some(k), None, None, false)
       case GreaterThanOrEqual(c, v) if c == clusterBy =>
-        val k = long(v); Region(_ >= k, Some(k), None, false, false)
+        val k = long(v); Region(_ >= k, Some(k), None, None, false)
       case LessThan(c, v) if c == clusterBy =>
-        val k = long(v); Region(_ < k, None, Some(k), false, false)
+        val k = long(v); Region(_ < k, None, Some(k), None, false)
       case LessThanOrEqual(c, v) if c == clusterBy =>
-        val k = long(v); Region(_ <= k, None, Some(k), false, false)
+        val k = long(v); Region(_ <= k, None, Some(k), None, false)
       case IsNull(c) if c == clusterBy =>
-        Region(_ => false, Some(0L), Some(-1L), matchesNull = true,
+        Region(_ => false, Some(0L), Some(-1L), nullEval = Some(true),
           matchesAll = false)
       case IsNotNull(c) if c == clusterBy =>
-        Region(_ => true, None, None, false, false)
+        Region(_ => true, None, None, Some(false), false)
       case And(l, r) =>
         val (a, b) = (one(l), one(r))
         Region(k => a.matches(k) && b.matches(k),
           Seq(a.lo, b.lo).flatten.maxOption, // intersect: tightest bounds
           Seq(a.hi, b.hi).flatten.minOption,
-          a.matchesNull && b.matchesNull, a.matchesAll && b.matchesAll)
+          kAnd(a.nullEval, b.nullEval), a.matchesAll && b.matchesAll)
       case Or(l, r) =>
         val (a, b) = (one(l), one(r))
         Region(k => a.matches(k) || b.matches(k),
           for (x <- a.lo; y <- b.lo) yield math.min(x, y), // union hull
           for (x <- a.hi; y <- b.hi) yield math.max(x, y),
-          a.matchesNull || b.matchesNull, a.matchesAll || b.matchesAll)
+          kOr(a.nullEval, b.nullEval), a.matchesAll || b.matchesAll)
       case Not(c) =>
         val a = one(c)
-        // NOT over three-valued logic: null stays unmatched; envelope
-        // of a complement is unbounded (conservative)
-        Region(k => !a.matches(k), None, None, matchesNull = false,
+        // envelope of a complement is unbounded (conservative);
+        // Not(UNKNOWN) stays UNKNOWN
+        Region(k => !a.matches(k), None, None, a.nullEval.map(!_),
           matchesAll = false)
       case other => throw new IllegalArgumentException(
         s"graft-sink overwrite supports only cluster-key ('$clusterBy') " +
@@ -583,11 +603,11 @@ object ClusteredSinkOverwrite {
     }
     // Spark passes the overwrite condition as a conjunction of filters
     filters.map(one).foldLeft(Region(_ => true, None, None,
-      matchesNull = true, matchesAll = true)) { (acc, r) =>
+      nullEval = Some(true), matchesAll = true)) { (acc, r) =>
       Region(k => acc.matches(k) && r.matches(k),
         Seq(acc.lo, r.lo).flatten.maxOption,
         Seq(acc.hi, r.hi).flatten.minOption,
-        acc.matchesNull && r.matchesNull, acc.matchesAll && r.matchesAll)
+        kAnd(acc.nullEval, r.nullEval), acc.matchesAll && r.matchesAll)
     }
   }
 
