@@ -50,4 +50,12 @@ object GraftFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column-API form of [[CmsEstimate]] probing a frozen sketch. (No SQL
+    * descriptor: the expression embeds the sketch table, which SQL
+    * argument lists cannot carry.) */
+  def cmsEstimate(term: Column, sketch: graft.ml.CMSketch): Column =
+    GraftColumnBridge.column(CmsEstimate(
+      GraftColumnBridge.expression(term),
+      sketch.depth, sketch.width, sketch.table))
 }

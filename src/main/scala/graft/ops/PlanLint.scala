@@ -155,12 +155,26 @@ object PlanLint {
         })
     }.flatten
 
+    // Scala UDFs anywhere in the plan: a UDF is an encoder round-trip
+    // per row and an opaque wall to codegen/pushdown — the repo's rule
+    // is native Expression kernels in operator paths (ShingleHash,
+    // CosineSimilarity, CmsEstimate), so any ScalaUDF is either fixture
+    // plumbing (allowlisted with a rationale) or a regression.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val udfs = nodes.flatMap { n =>
+      n.expressions.flatMap(_.collect {
+        case u: ScalaUDF =>
+          Finding("scala-udf", n.nodeName,
+            s"ScalaUDF ${u.udfName.getOrElse("<anon>")}(${u.children.map(_.sql).mkString(",").take(60)})")
+      })
+    }
+
     val shuffles = nodes.count {
       case _: ShuffleExchangeExec => true
       case _                      => false
     }
 
-    crosses ++ globalWindows ++ unpushedScans ++ windowCollects :+
+    crosses ++ globalWindows ++ unpushedScans ++ windowCollects ++ udfs :+
       Finding("shuffle-count", "Exchange", shuffles.toString)
   }
 

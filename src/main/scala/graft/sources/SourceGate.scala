@@ -245,6 +245,88 @@ object SourceGate extends QueryModule {
         max("payload").as("max_payload"))
   }
 
+  /** Per-JVM warehouse for the q196 catalog (same lifetime contract as
+    * [[q195Warehouse]]). */
+  lazy val q196Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_cat_q196").toString
+
+  // ===================================== catalog lifecycle gate
+  // DSv2 catalog surface completion (r9 verdict task 6): one query
+  // drives the FULL table lifecycle through Catalyst SQL/DataFrameV2 —
+  // CREATE, append, ALTER TABLE ADD COLUMN (metadata-only; old files
+  // read the new column as null), a second append carrying the column,
+  // ALTER TABLE RENAME COLUMN (schema rewrite + copy-on-write data-key
+  // rewrite), plus a second table exercising TRUNCATE TABLE
+  // (TruncatableTable) between appends — then reads everything back
+  // through spark.table(), i.e. the MANIFEST-PLANNED read path
+  // (ClusteredSinkScan), not a raw directory listing. The oracle
+  // recomputes the lifecycle algebra relationally: any row the ALTER
+  // rewrite corrupts, the truncate resurrects, or the manifest read
+  // loses breaks the hash.
+  register("q196_catalog_lifecycle",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS key,
+      |    CAST(o_custkey % 64 AS BIGINT) AS bucket,
+      |    o_orderstatus || '|' || o_orderpriority AS note
+      |  FROM orders),
+      |t1 AS (
+      |  SELECT key, bucket, note, CAST(NULL AS BIGINT) AS score FROM base
+      |  UNION ALL
+      |  SELECT key + 10000000, bucket, upper(note), key % 100
+      |  FROM base WHERE bucket < 16),
+      |t2 AS (
+      |  SELECT key, bucket, note, CAST(NULL AS BIGINT) AS score
+      |  FROM base WHERE bucket >= 62),
+      |unioned AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(key) AS BIGINT) AS sum_key,
+      |  CAST(COUNT(score) AS BIGINT) AS n_scored,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  MIN(note) AS min_note, MAX(note) AS max_note
+      |FROM unioned GROUP BY 1""".stripMargin) { (s, dir) =>
+    val cat = "graft_cat_q196"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", SourceGate.q196Warehouse)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
+    s.sql(s"DROP TABLE IF EXISTS $cat.g.life")
+    s.sql(s"DROP TABLE IF EXISTS $cat.g.scratch")
+    s.sql(s"CREATE TABLE $cat.g.life " +
+      "(key BIGINT, bucket BIGINT, payload STRING) PARTITIONED BY (bucket)")
+    s.sql(s"CREATE TABLE $cat.g.scratch " +
+      "(key BIGINT, bucket BIGINT, payload STRING) PARTITIONED BY (bucket)")
+    val life = s"$cat.g.life"
+    val scratch = s"$cat.g.scratch"
+    val base = graft.ops.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("key"),
+        (col("o_custkey") % 64).cast("long").as("bucket"),
+        concat(col("o_orderstatus"), lit("|"), col("o_orderpriority"))
+          .as("payload"))
+    base.writeTo(life).append()
+    s.sql(s"ALTER TABLE $life ADD COLUMN score BIGINT")
+    base.filter(col("bucket") < 16)
+      .select((col("key") + 10000000L).as("key"), col("bucket"),
+        upper(col("payload")).as("payload"), (col("key") % 100).as("score"))
+      .writeTo(life).append()
+    s.sql(s"ALTER TABLE $life RENAME COLUMN payload TO note")
+    // scratch: append everything, TRUNCATE, append only the tail buckets
+    base.writeTo(scratch).append()
+    s.sql(s"TRUNCATE TABLE $scratch")
+    base.filter(col("bucket") >= 62).writeTo(scratch).append()
+    val t2 = s.table(scratch)
+      .select(col("key"), col("bucket"), col("payload").as("note"),
+        lit(null).cast("long").as("score"))
+    s.table(life).select("key", "bucket", "note", "score")
+      .unionAll(t2)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("key").as("sum_key"),
+        count(col("score")).as("n_scored"),
+        sum("score").as("sum_score"),
+        min("note").as("min_note"),
+        max("note").as("max_note"))
+  }
+
   register("q125_custom_source",
     """WITH src AS (
       |  SELECT id, CAST(id % 97 AS INTEGER) AS bucket,

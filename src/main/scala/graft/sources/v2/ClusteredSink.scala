@@ -102,20 +102,75 @@ object ClusteredSink {
 final class ClusteredSinkTable(
     writeSchema: StructType, properties: util.Map[String, String],
     tableName: String = "graft_sink")
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** Manifest-planned read (see [[ClusteredSinkScanBuilder]]): SELECTs
+    * against the table go through the manifest — crash garbage is
+    * invisible, cluster-key predicates skip files by manifest min/max. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
+    def opt(k: String): Option[String] =
+      Option(options.get(k)).orElse(Option(properties.get(k)))
+    val path = opt("path").getOrElse(
+      sys.error("graft-sink read requires a 'path' option"))
+    new ClusteredSinkScanBuilder(path, writeSchema,
+      opt("clusterBy").getOrElse("bucket"))
+  }
+
+  /** `TRUNCATE TABLE` (TruncateTableExec): drop every committed data
+    * file and the manifest, keep the table definition. Only meaningful
+    * where the table knows its own path (catalog-resolved tables). */
+  override def truncateTable(): Boolean = {
+    val path = Option(properties.get("path")).getOrElse(
+      sys.error("TRUNCATE TABLE requires a catalog-resolved graft-sink table"))
+    val dataDir = Paths.get(path, "data")
+    if (Files.isDirectory(dataDir)) {
+      val ls = Files.list(dataDir)
+      try {
+        val it = ls.iterator()
+        val files = Seq.newBuilder[Path]
+        while (it.hasNext) files += it.next()
+        files.result().foreach(Files.deleteIfExists(_))
+      } finally ls.close()
+    }
+    Files.deleteIfExists(Paths.get(path, "_manifest.jsonl"))
+    true
+  }
   override def name(): String = tableName
   override def schema(): StructType = writeSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+
+  // clusterBy is AUTHORITATIVE only when the table came through
+  // GraftCatalog.loadTable (which stamps it into `properties`); on the
+  // path-based DataFrameWriter.save() route the properties map is empty
+  // and write options are not visible here.
+  private def catalogClusterBy: Option[String] =
+    Option(properties.get("clusterBy"))
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+    // dynamic overwrite keys on the DECLARED partitioning; advertise it
+    // only where clusterBy is authoritative (catalog-resolved tables), so
+    // a global spark.sql.sources.partitionOverwriteMode=dynamic cannot
+    // silently flip a path-based mode("overwrite") from truncate to
+    // key-granular dynamic overwrite on a guessed partition column
+    if (catalogClusterBy.isDefined) caps.add(TableCapability.OVERWRITE_DYNAMIC)
+    caps
+  }
 
   // the cluster key IS the table's partitioning: cataloged tables
   // declare it so Catalyst routes INSERT OVERWRITE through the dynamic
-  // path when spark.sql.sources.partitionOverwriteMode=dynamic
+  // path when spark.sql.sources.partitionOverwriteMode=dynamic. The
+  // `bucket` fallback applies only if the write schema actually has that
+  // column — never a phantom partition column.
   override def partitioning(): Array[Transform] =
-    Array(Expressions.identity(
-      Option(properties.get("clusterBy")).getOrElse("bucket")))
+    catalogClusterBy.orElse(Some("bucket"))
+      .filter(writeSchema.fieldNames.contains)
+      .map(c => Expressions.identity(c)).toArray
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // options arrive on the write info (the getTable `properties` map is
@@ -304,10 +359,19 @@ final class ClusteredSinkBatchWrite(
         // v2 dynamic-partition-overwrite contract at key granularity
         val keys = news.iterator.flatMap(_.keys).toSet
         val hasNull = news.exists(_.hasNullKey)
-        commitReplacing(dataDir, manifestPath, news,
-          ClusteredSinkOverwrite.Region(
+        // an EMPTY incoming commit (no keys, no null key) replaces
+        // nothing: give the region the AlwaysFalse [0,-1] envelope so
+        // manifest pruning keeps every committed file instead of
+        // pointlessly copy-on-write rewriting all of them against a
+        // lo=hi=None (unbounded) region
+        val region =
+          if (keys.isEmpty)
+            ClusteredSinkOverwrite.Region(_ => false, Some(0L), Some(-1L),
+              nullEval = Some(hasNull), matchesAll = false)
+          else ClusteredSinkOverwrite.Region(
             matches = keys.contains, lo = keys.minOption, hi = keys.maxOption,
-            nullEval = Some(hasNull), matchesAll = false))
+            nullEval = Some(hasNull), matchesAll = false)
+        commitReplacing(dataDir, manifestPath, news, region)
     }
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
@@ -329,37 +393,57 @@ final class ClusteredSinkBatchWrite(
     *   3. ATOMIC COMMIT: the new manifest (kept + rewritten + new
     *      entries) is staged and ATOMIC_MOVEd over _manifest.jsonl —
     *      that move is the commit point. Replaced files are deleted only
-    *      AFTER it, so a manifest reader never observes a missing file;
-    *      a crash before the move leaves orphan data files that the
-    *      manifest does not reference (invisible, swept by the next
-    *      overwrite).
+    *      AFTER it, so a MANIFEST reader never observes a missing file;
+    *      a crash before the move leaves data/ files the manifest does
+    *      not reference (invisible to manifest readers).
+    *
+    * Crash recovery for RAW-DIRECTORY readers (spark.read.json(dir +
+    * "/data") without the manifest): every overwrite commit begins with
+    * an ORPHAN SWEEP — any data/ file the committed manifest does not
+    * reference is garbage from a crashed prior commit (new files landed
+    * before the manifest move, or replaced originals whose
+    * delete-after-commit didn't finish) and is deleted before planning.
+    * Rewrite temps are staged under _tmp/ (never inside data/), so a
+    * crash mid-rewrite can never leave a half-written file where a raw
+    * reader would see it. Net guarantee: manifest readers get atomic
+    * visibility at every instant; raw-directory readers are correct
+    * after any COMPLETED commit, and a crashed overwrite is healed by
+    * the next one. (The sweep treats _manifest.jsonl as the sole source
+    * of truth — mixing streaming epoch manifests and batch overwrites on
+    * one path is unsupported.)
     */
   private def commitReplacing(
       dataDir: Path, manifestPath: Path,
       news: Seq[ClusteredSinkCommit],
       region: ClusteredSinkOverwrite.Region): Unit = {
     Files.createDirectories(dataDir)
+    val tmpDir = Paths.get(path, "_tmp")
+    Files.createDirectories(tmpDir)
     val old = ClusteredSinkOverwrite.readManifest(manifestPath)
+    // orphan sweep (see scaladoc): data/ minus manifest = crash garbage
+    val referenced = old.map(_.file).toSet
+    locally {
+      val ls = Files.list(dataDir)
+      try {
+        val it = ls.iterator()
+        val orphans = Seq.newBuilder[Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (!referenced(f.getFileName.toString)) orphans += f
+        }
+        orphans.result().foreach(Files.deleteIfExists(_))
+      } finally ls.close()
+    }
     val manifest = new StringBuilder
     val toDelete = Seq.newBuilder[Path]
     var rw = 0
     old.foreach { e =>
-      val canSkip =
-        if (region.matchesAll) false
-        else if (e.minCluster == null || e.maxCluster == null)
-          // file of all-null keys: untouched unless the region matches null
-          !region.matchesNull
-        else if (region.matchesNull)
-          // bounds describe only non-null rows; a mixed file could still
-          // hold matching null-key rows — must open it
-          false
-        else region.lo.exists(lo => e.maxCluster < lo) ||
-          region.hi.exists(hi => e.minCluster > hi)
-      if (canSkip) manifest.append(e.line)
+      if (ClusteredSinkOverwrite.fileOutsideRegion(e, region))
+        manifest.append(e.line)
       else {
         val oldFile = dataDir.resolve(e.file)
         val (survivors, stats) = ClusteredSinkOverwrite.rewrite(
-          oldFile, schema, clusterBy, sortBy, region)
+          oldFile, tmpDir, schema, clusterBy, sortBy, region)
         toDelete += oldFile
         if (survivors > 0) {
           val name = f"part-$jobId-rw-$rw%05d.json"
@@ -615,6 +699,21 @@ object ClusteredSinkOverwrite {
       file: String, rows: Long,
       minCluster: java.lang.Long, maxCluster: java.lang.Long, line: String)
 
+  /** True iff the file's manifest stats PROVE no row in it can be inside
+    * the region — the shared file-skipping test for overwrite pruning
+    * (skip = keep without rewriting) and the read path (skip = don't
+    * open). Three-valued rules: a file of all-null keys has null bounds
+    * (outside any region that doesn't match null); a region matching
+    * null could hit null rows hiding in ANY file, so nothing with
+    * non-null bounds can be skipped then. */
+  def fileOutsideRegion(e: ManifestEntry, region: Region): Boolean =
+    if (region.matchesAll) false
+    else if (e.minCluster == null || e.maxCluster == null)
+      !region.matchesNull
+    else if (region.matchesNull) false
+    else region.lo.exists(lo => e.maxCluster < lo) ||
+      region.hi.exists(hi => e.minCluster > hi)
+
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   def readManifest(manifestPath: Path): Seq[ManifestEntry] =
@@ -634,11 +733,14 @@ object ClusteredSinkOverwrite {
 
   /** Copy-on-write: stream the file's JSON lines, keep rows OUTSIDE the
     * region (lines pass through byte-identical), recompute stats for the
-    * survivor file. Returns (survivorCount, stats-with-tmpPath). */
-  def rewrite(oldFile: Path, schema: StructType, clusterBy: String,
-      sortBy: String, region: Region): (Long, ClusteredSinkCommit) = {
+    * survivor file. The temp is staged under `tmpDir` (i.e. `_tmp/`),
+    * NEVER inside `data/` — a crash mid-rewrite must not leave a
+    * half-written file visible to raw-directory readers. Returns
+    * (survivorCount, stats-with-tmpPath). */
+  def rewrite(oldFile: Path, tmpDir: Path, schema: StructType,
+      clusterBy: String, sortBy: String, region: Region): (Long, ClusteredSinkCommit) = {
     val m = mapper
-    val tmp = oldFile.resolveSibling(oldFile.getFileName.toString + ".rw")
+    val tmp = tmpDir.resolve(oldFile.getFileName.toString + ".rw")
     val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
     var rows = 0L
     var minC = Long.MaxValue; var maxC = Long.MinValue

@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Minimal DataSource V2 `TableCatalog` backing [[ClusteredSink]] tables
@@ -58,11 +58,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def metaFile(ident: Identifier): Path =
     tblDir(ident).resolve("_table.json")
 
+  /** `Files.list` returns a Stream holding an OPEN directory descriptor —
+    * every call site goes through here so the stream is always closed
+    * (a long-lived session doing metadata ops must not leak fds). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator.asScala.toSeq finally s.close()
+  }
+
   // ------------------------------------------------------------- tables
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val dir = nsDir(ns)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(ns)
-    Files.list(dir).iterator.asScala
+    listDir(dir)
       .filter(d => Files.exists(d.resolve("_table.json")))
       .map(d => Identifier.of(ns, d.getFileName.toString))
       .toArray
@@ -101,23 +109,137 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schema.fieldNames.contains(sortBy),
       s"clusterBy/sortBy ($clusterBy/$sortBy) must be table columns")
     Files.createDirectories(tblDir(ident))
+    writeMeta(ident, schema, clusterBy, sortBy)
+    loadTable(ident)
+  }
+
+  /** Schema evolution by `_table.json` rewrite. JSON-lines files encode
+    * columns BY NAME (no Iceberg field ids), which dictates what each
+    * change costs:
+    *
+    *   - ADD COLUMN (nullable): metadata-only — a reader with the new
+    *     schema resolves the missing key to null in every old file,
+    *     which is exactly the add-column semantics.
+    *   - DROP COLUMN: metadata-only — the stale key in old files is
+    *     ignored by schema-driven readers. clusterBy/sortBy columns
+    *     cannot be dropped (the layout is keyed on them).
+    *   - RENAME COLUMN: metadata rewrite PLUS a copy-on-write rewrite of
+    *     every data file's JSON keys (by-name encoding makes rename a
+    *     data operation; Iceberg dodges this with field ids). Temps are
+    *     staged under `_tmp/` and atomically moved back, so a crash
+    *     leaves each file either fully-old or fully-new — and since the
+    *     schema commit (the `_table.json` write) happens only after all
+    *     files moved, a crash mid-rename leaves the table readable under
+    *     the OLD schema. Driver-side here; on a cluster this is a
+    *     distributed rewrite job with the same stage-then-move protocol.
+    *
+    * Anything else (type changes, nested fields, nullability) fails
+    * loudly — silently accepting a change the storage cannot honor is
+    * how tables corrupt.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(metaFile(ident)))
+    var schema = DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType]
+    var clusterBy = n.get("clusterBy").asText
+    var sortBy = n.get("sortBy").asText
+    val renames = Seq.newBuilder[(String, String)]
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft catalog ALTER TABLE: nested columns are not supported")
+        require(a.isNullable,
+          "graft catalog ALTER TABLE: added columns must be nullable " +
+            "(rows in existing files read as null)")
+        val name = a.fieldNames.head
+        require(!schema.fieldNames.contains(name),
+          s"ALTER TABLE: column $name already exists")
+        schema = schema.add(StructField(name, a.dataType, nullable = true))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft catalog ALTER TABLE: nested columns are not supported")
+        val from = r.fieldNames.head
+        val to = r.newName
+        require(schema.fieldNames.contains(from),
+          s"ALTER TABLE: no column $from")
+        require(!schema.fieldNames.contains(to),
+          s"ALTER TABLE: column $to already exists")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        if (clusterBy == from) clusterBy = to
+        if (sortBy == from) sortBy = to
+        renames += (from -> to)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft catalog ALTER TABLE: nested columns are not supported")
+        val name = d.fieldNames.head
+        require(name != clusterBy && name != sortBy,
+          s"ALTER TABLE: cannot drop layout column $name (clusterBy/sortBy)")
+        require(schema.fieldNames.contains(name),
+          s"ALTER TABLE: no column $name")
+        schema = StructType(schema.fields.filterNot(_.name == name))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog ALTER TABLE supports ADD/RENAME/DROP COLUMN only; got $other")
+    }
+    val rs = renames.result()
+    if (rs.nonEmpty) rewriteDataKeys(ident, rs.toMap)
+    writeMeta(ident, schema, clusterBy, sortBy)
+    loadTable(ident)
+  }
+
+  /** Copy-on-write JSON-key rename over every data file (see alterTable
+    * scaladoc for the crash story). Lines are parsed and re-emitted with
+    * Jackson — a textual replace could corrupt string VALUES that happen
+    * to contain a key name. */
+  private def rewriteDataKeys(ident: Identifier, renames: Map[String, String]): Unit = {
+    val dataDir = tblDir(ident).resolve("data")
+    if (!Files.isDirectory(dataDir)) return
+    val tmpDir = tblDir(ident).resolve("_tmp")
+    Files.createDirectories(tmpDir)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    listDir(dataDir).foreach { f =>
+      val tmp = tmpDir.resolve(f.getFileName.toString + ".alter")
+      val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+      val in = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+      try {
+        var ln = in.readLine()
+        while (ln != null) {
+          if (ln.nonEmpty) {
+            val node = m.readTree(ln)
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            val renamed = m.createObjectNode()
+            val names = node.fieldNames()
+            while (names.hasNext) {
+              val k = names.next()
+              renamed.set[com.fasterxml.jackson.databind.JsonNode](
+                renames.getOrElse(k, k), node.get(k))
+            }
+            out.write(m.writeValueAsString(renamed)); out.write('\n')
+          }
+          ln = in.readLine()
+        }
+      } finally { in.close(); out.close() }
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def writeMeta(
+      ident: Identifier, schema: StructType, clusterBy: String,
+      sortBy: String): Unit = {
     val meta =
       s"""{"schema":${com.fasterxml.jackson.databind.node.TextNode.valueOf(schema.json)},""" +
         s""""clusterBy":"$clusterBy","sortBy":"$sortBy"}"""
     Files.write(metaFile(ident), meta.getBytes(StandardCharsets.UTF_8))
-    loadTable(ident)
+    ()
   }
-
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables are immutable (drop + recreate)")
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false
     else {
       def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).iterator.asScala.toSeq.foreach(rm)
+        if (Files.isDirectory(p)) listDir(p).foreach(rm)
         Files.deleteIfExists(p); ()
       }
       rm(tblDir(ident)); true
@@ -135,7 +257,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ns.isEmpty || Files.isDirectory(nsDir(ns))
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator.asScala
+    listDir(warehouse)
       .filter(p => Files.isDirectory(p) && !Files.exists(p.resolve("_table.json")))
       .map(p => Array(p.getFileName.toString)).toArray
 
@@ -161,11 +283,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsDir(ns)
     if (!Files.isDirectory(dir)) false
     else {
-      require(cascade || !Files.list(dir).iterator.asScala.hasNext,
+      require(cascade || listDir(dir).isEmpty,
         s"namespace ${ns.mkString(".")} is not empty")
       def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).iterator.asScala.toSeq.foreach(rm)
+        if (Files.isDirectory(p)) listDir(p).foreach(rm)
         Files.deleteIfExists(p); ()
       }
       rm(dir); true

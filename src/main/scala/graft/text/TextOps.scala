@@ -194,15 +194,17 @@ object TextOps extends QueryModule {
       .select(explode(tokens(col("text"))).as("term"))
     val sketch = tok.as[String]
       .select(CMSketch.aggregator().toColumn.name("sk")).head()
-    val bc = s.sparkContext.broadcast(sketch)
-    val estimate = udf((t: String) => bc.value.estimate(t))
+    // native cms_estimate expression (no ScalaUDF node — the frozen
+    // sketch table rides the plan as a reference object and the probe
+    // stays inside whole-stage codegen; see graft.catalyst.CmsEstimate)
+    val estimate = graft.catalyst.GraftFunctions.cmsEstimate(col("term"), sketch)
     val bound = math.ceil(2.0 * math.E * sketch.totalCount / sketch.width).toLong
     tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("term").asc)
       .limit(20)
       .select(col("term"), col("exact_count"),
-        (estimate(col("term")) >= col("exact_count") &&
-          estimate(col("term")) <= col("exact_count") + bound)
+        (estimate >= col("exact_count") &&
+          estimate <= col("exact_count") + bound)
           .as("within_bound"))
   }
 

@@ -45,8 +45,9 @@ verdict task 5). With --mutate P, copy 0 stays verbatim and each copy
 i>0 rewrites every whitespace token independently with probability
 P/100 (deterministic hash of (token, copy, doc_id) — no RNG state, so
 reruns are bit-identical). A 3-token shingle survives with prob
-(1-p)^3, so base↔copy jaccard ≈ (1-p)^3 / (2-(1-p)^3): p=5% → ~0.84
-(most pairs survive q114's 0.7 threshold — dense near-dup regime);
+(1-p)^3, so base↔copy jaccard ≈ (1-p)^3 / (2-(1-p)^3): p=5% → ~0.75
+(pairs sit just ABOVE q114's 0.7 threshold — dense near-dup regime,
+but the margin over the cutoff is thin);
 p=20% → ~0.34 (almost all pairs drop out — mostly-unique corpus).
 Only documents.text is rewritten; composes with --organic (documents
 never join the remapped FK columns).
