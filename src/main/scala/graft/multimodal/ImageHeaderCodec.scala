@@ -19,12 +19,13 @@ package graft.multimodal
   * than throwing, per the [[MediaCodec]] contract (corrupt payloads
   * must decode deterministically so task retries are idempotent).
   *
-  * [[StubCodec]] remains the default for the oracle-gated queries
-  * (their fixtures are synthetic text, so the stub's hash-derived
-  * geometry is what the DuckDB oracle can mirror); this codec is the
-  * real binding those queries deploy with when payloads are actual
-  * media — MultimodalCodecSpec runs BOTH through `decodeFeatures` to
-  * pin that the swap changes no schema, no plan shape, and no plumbing.
+  * Since r10 this codec is what EVERY oracle-gated multimodal query
+  * (q34/q72/q73/q194) runs — each synthesizes genuine containers via
+  * [[ImageFixtures]] and the oracle recomputes the geometry closed-form,
+  * so a mis-parse of any header field diverges. [[StubCodec]] survives
+  * only as MultimodalCodecSpec's test double, which runs BOTH codecs
+  * through `decodeFeatures` to pin that a codec swap changes no schema,
+  * no plan shape, and no plumbing.
   */
 object ImageHeaderCodec extends MediaCodec with MediaDecoder {
   override def open(): MediaDecoder = this

@@ -9,16 +9,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, processed in partition-sized batches.
   *
-  * Two codecs plug into the seam: [[ImageHeaderCodec]] (r7) parses REAL
+  * Two codecs plug into the seam: [[ImageHeaderCodec]] parses REAL
   * image container headers — PNG IHDR/acTL, JPEG SOFn, GIF screen
-  * descriptor + frame blocks — pure-JVM from payload bytes; and
-  * [[StubCodec]], the deterministic hash-geometry fake kept as the
-  * default because this repo's test corpus is synthetic text (and the
-  * stub's arithmetic is what the DuckDB oracle can mirror). Everything
-  * around the seam — schema, batch iteration, partitioning,
-  * feature-column shapes — is codec-independent (decode is
-  * embarrassingly parallel; keep payloads out of shuffles and only move
-  * extracted features).
+  * descriptor + frame blocks — pure-JVM from payload bytes, and is what
+  * EVERY oracle-gated multimodal query (q34/q72/q73/q194) runs against
+  * genuine [[ImageFixtures]] byte streams (r9 verdict task 3);
+  * [[StubCodec]] is a spec-only test double for the codec-independence
+  * contract (MultimodalCodecSpec). Everything around the seam — schema,
+  * batch iteration, partitioning, feature-column shapes — is
+  * codec-independent (decode is embarrassingly parallel; keep payloads
+  * out of shuffles and only move extracted features).
   */
 object MultimodalOps extends QueryModule {
   import Tables.documents
@@ -83,94 +83,98 @@ object MultimodalOps extends QueryModule {
     spark.createDataFrame(rows, featureSchema)
   }
 
-  // ============================================================ media meta
-  // payload metadata + stub-decoded dimensions, column-expression form
-  // (oracle-able: the stub's geometry is pure hash arithmetic)
-  register("q34_media_features", {
-    val h = PortableHash.oHash60("text")
-    val h1 = PortableHash.oHash60Seeded(1, "text")
-    val h2 = PortableHash.oHash60Seeded(2, "text")
-    s"""SELECT doc_id AS media_id,
-       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-       |       WHEN doc_id % 3 = 1 THEN 'audio'
-       |       ELSE 'video' END AS kind,
-       |  octet_length(encode(text)) AS byte_len,
-       |  CAST(16 * (1 + $h % 120) AS INTEGER) AS width,
-       |  CAST(16 * (1 + $h1 % 68) AS INTEGER) AS height,
-       |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + $h2 % 300 ELSE 1 END AS INTEGER) AS n_frames,
-       |  md5(text) AS payload_md5
-       |FROM documents""".stripMargin
-  }) { (s, d) =>
-    val h = PortableHash.hash60(col("text"))
-    val h1 = PortableHash.hash60Seeded(1, col("text"))
-    val h2 = PortableHash.hash60Seeded(2, col("text"))
+  /** Real-container media table shared by q34/q72/q73/q194: each doc
+    * synthesizes a GENUINE PNG/JPEG/GIF byte stream via
+    * [[ImageFixtures.payloadFor]], geometry chosen by doc_id arithmetic
+    * (so the DuckDB oracle can recompute it closed-form while the engine
+    * must PARSE it back out of real headers). The fixture-build UDF is
+    * input construction, not an operator — the one allowlisted ScalaUDF
+    * family (PlanLintGateSpec.scalaUdfAllowed). */
+  def realMedia(s: SparkSession, d: String): DataFrame = {
+    val buildPayload = udf((docId: Long) => ImageFixtures.payloadFor(docId))
     documents(s, d).select(
       col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      octet_length(col("text")).cast(LongType).as("byte_len"),
-      (lit(16) * (lit(1) + h % 120)).cast(IntegerType).as("width"),
-      (lit(16) * (lit(1) + h1 % 68)).cast(IntegerType).as("height"),
-      when(col("doc_id") % 3 === 2, lit(1) + h2 % 300).otherwise(1)
-        .cast(IntegerType).as("n_frames"),
-      md5(col("text").cast(BinaryType)).as("payload_md5"))
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg")
+        .otherwise("gif").as("kind"),
+      buildPayload(col("doc_id")).as("payload"),
+      col("source"),
+      lit(0L).as("byte_len")) // not SQL-expressible (deflate body size)
+  }
+
+  // ============================================================ media meta
+  // feature extraction over REAL containers (r9 verdict task 3): decode
+  // genuine PNG/JPEG/GIF headers through ImageHeaderCodec, then derive
+  // the feature columns a training pipeline filters on (pixel counts,
+  // animation flag). The oracle recomputes the fixture geometry
+  // closed-form — any codec mis-parse diverges. q194 pins the raw
+  // header decode; this query is the downstream feature op.
+  register("q34_media_features",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS container,
+      |  CAST(1 + doc_id % 64 AS INTEGER) AS width,
+      |  CAST(1 + (doc_id * 7) % 48 AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 11
+      |            WHEN doc_id % 3 = 1 THEN 1
+      |            ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames,
+      |  CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48) AS BIGINT) AS n_pixels,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 11
+      |        WHEN doc_id % 3 = 1 THEN 1
+      |        ELSE 1 + doc_id % 7 END) > 1 AS is_animated
+      |FROM documents""".stripMargin) { (s, d) =>
+    decodeFeatures(realMedia(s, d), ImageHeaderCodec).select(
+      col("media_id"), col("kind").as("container"),
+      col("width"), col("height"), col("n_frames"),
+      (col("width").cast(LongType) * col("height")).as("n_pixels"),
+      (col("n_frames") > 1).as("is_animated"))
   }
 
   // ============================================================ frame sample
-  // every-Nth frame sampling of video media: the decode plan's n_frames
-  // drives a sequence explode — one output row per sampled frame, payload
-  // NOT duplicated (frame extraction happens at the consumer against the
-  // original payload + frame index). At scale this is the standard
-  // pre-shuffle shape: move (media_id, frame_idx), never frame bytes.
-  val FrameStep = 10
-  register("q72_frame_sample", {
-    val h2 = PortableHash.oHash60Seeded(2, "text")
-    s"""WITH video AS (
+  // every-Nth frame sampling of ANIMATED media (APNG/GIF — frame counts
+  // parsed from real acTL chunks / image-descriptor walks): the decoded
+  // n_frames drives a sequence explode — one output row per sampled
+  // frame, payload NOT duplicated (frame extraction happens at the
+  // consumer against the original payload + frame index). At scale this
+  // is the standard pre-shuffle shape: move (media_id, frame_idx),
+  // never frame bytes. JPEGs are pruned BEFORE payload synthesis/decode.
+  val FrameStep = 2
+  register("q72_frame_sample",
+    s"""WITH anim AS (
        |  SELECT doc_id AS media_id,
-       |    CAST(1 + $h2 % 300 AS INTEGER) AS n_frames
-       |  FROM documents WHERE doc_id % 3 = 2)
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 11
+       |              ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames
+       |  FROM documents WHERE doc_id % 3 <> 1)
        |SELECT media_id, n_frames,
        |  CAST(unnest(range(0, n_frames, $FrameStep)) AS INTEGER) AS frame_idx
-       |FROM video""".stripMargin
-  }) { (s, d) =>
-    val h2 = PortableHash.hash60Seeded(2, col("text"))
-    documents(s, d)
-      .filter(col("doc_id") % 3 === 2)
-      .select(col("doc_id").as("media_id"),
-        (lit(1) + h2 % 300).cast(IntegerType).as("n_frames"))
+       |FROM anim WHERE n_frames > 1""".stripMargin) { (s, d) =>
+    decodeFeatures(realMedia(s, d).filter(col("kind") =!= "jpeg"),
+        ImageHeaderCodec)
+      .filter(col("n_frames") > 1)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStep)))
           .as("frame_idx"))
   }
 
   // ============================================================ resize plan
-  // aspect-preserving resize geometry to a 224-wide target: integer
-  // arithmetic only (floor division) so both engines agree exactly; the
-  // actual pixel resample is the codec's job — this is the planning
-  // column any batch resize pass needs (and the only part that shuffles)
+  // aspect-preserving resize geometry to a 224-wide target over REAL
+  // decoded dimensions: integer arithmetic only (floor division) so both
+  // engines agree exactly; the actual pixel resample is the codec's job —
+  // this is the planning column any batch resize pass needs (and the
+  // only part that shuffles)
   val TargetWidth = 224
-  register("q73_resize_plan", {
-    val h = PortableHash.oHash60("text")
-    val h1 = PortableHash.oHash60Seeded(1, "text")
+  register("q73_resize_plan",
     s"""WITH geo AS (
        |  SELECT doc_id AS media_id,
-       |    CAST(16 * (1 + $h % 120) AS INTEGER) AS width,
-       |    CAST(16 * (1 + $h1 % 68) AS INTEGER) AS height
-       |  FROM documents WHERE doc_id % 3 = 0)
+       |    CAST(1 + doc_id % 64 AS INTEGER) AS width,
+       |    CAST(1 + (doc_id * 7) % 48 AS INTEGER) AS height
+       |  FROM documents)
        |SELECT media_id, width, height,
        |  $TargetWidth AS out_width,
        |  CAST((height * $TargetWidth) // width AS INTEGER) AS out_height,
        |  CAST($TargetWidth AS DOUBLE) / width AS scale
-       |FROM geo""".stripMargin
-  }) { (s, d) =>
-    val h = PortableHash.hash60(col("text"))
-    val h1 = PortableHash.hash60Seeded(1, col("text"))
-    documents(s, d)
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id").as("media_id"),
-        (lit(16) * (lit(1) + h % 120)).cast(IntegerType).as("width"),
-        (lit(16) * (lit(1) + h1 % 68)).cast(IntegerType).as("height"))
+       |FROM geo""".stripMargin) { (s, d) =>
+    decodeFeatures(realMedia(s, d), ImageHeaderCodec)
       .select(col("media_id"), col("width"), col("height"),
         lit(TargetWidth).as("out_width"),
         floor(col("height").cast(LongType) * TargetWidth / col("width"))
@@ -199,19 +203,7 @@ object MultimodalOps extends QueryModule {
       |            WHEN doc_id % 3 = 1 THEN 1
       |            ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames
       |FROM documents""".stripMargin) { (s, d) =>
-    // fixture synthesis is per-row and cheap (≤64×48 canvas); a plain
-    // Scala UDF is fine here — the codec path under test is the
-    // mapPartitions decode stage, which stays the hot-path shape
-    val buildPayload = udf((docId: Long) => ImageFixtures.payloadFor(docId))
-    val media = documents(s, d).select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "png")
-        .when(col("doc_id") % 3 === 1, "jpeg")
-        .otherwise("gif").as("kind"),
-      buildPayload(col("doc_id")).as("payload"),
-      col("source"),
-      lit(0L).as("byte_len")) // placeholder; q194 output drops byte_len
-    decodeFeatures(media, ImageHeaderCodec).select(
+    decodeFeatures(realMedia(s, d), ImageHeaderCodec).select(
       col("media_id"), col("kind").as("container"),
       col("width"), col("height"), col("n_frames"))
   }
@@ -249,9 +241,12 @@ trait MediaDecoder {
   def decode(kind: String, payload: Array[Byte]): MediaFeatures
 }
 
-/** STUB codec — deterministic fake decode. A real deployment replaces
-  * this object with bindings to an image/audio library; the surrounding
-  * plumbing (schemas, mapPartitions batching, feature columns) is real.
+/** STUB codec — deterministic fake decode, SPEC-ONLY since r10: no
+  * oracle-gated query runs it (q34/q72/q73/q194 all decode real
+  * containers through [[ImageHeaderCodec]]). It remains the
+  * MultimodalCodecSpec test double proving the seam is
+  * codec-independent, and the shape a deployment would fill with
+  * bindings to an audio/video library the JVM alone can't parse.
   */
 object StubCodec extends MediaCodec with MediaDecoder {
   override def open(): MediaDecoder = this

@@ -91,14 +91,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: mapPartitions decode path matches column-expression path") {
-    val media = MultimodalOps.mediaFromDocuments(spark, sf)
-    val viaRdd = MultimodalOps.decodeFeatures(media)
-      .select("media_id", "width", "height", "n_frames", "payload_md5")
-    val viaCols = graft.SparkEntry.queries("q34_media_features")(spark, sf)
-      .select("media_id", "width", "height", "n_frames", "payload_md5")
-    assert(viaRdd.exceptAll(viaCols).count() === 0)
-    assert(viaCols.exceptAll(viaRdd).count() === 0)
+  test("multimodal: q34 real-codec features match closed-form fixture " +
+    "geometry (independent Scala recomputation, not the DuckDB oracle)") {
+    val rows = graft.SparkEntry.queries("q34_media_features")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (1 + id % 64).toInt
+      val h = (1 + (id * 7) % 48).toInt
+      val frames = (id % 3) match {
+        case 0 => (1 + id % 11).toInt
+        case 1 => 1
+        case _ => (1 + id % 7).toInt
+      }
+      assert(r.getAs[Int]("width") === w, s"width mismatch media $id")
+      assert(r.getAs[Int]("height") === h, s"height mismatch media $id")
+      assert(r.getAs[Int]("n_frames") === frames, s"frames mismatch media $id")
+      assert(r.getAs[Long]("n_pixels") === w.toLong * h)
+      assert(r.getAs[Boolean]("is_animated") === (frames > 1))
+    }
   }
 
   test("sessionize: sessions partition each user's events, gaps respected") {
