@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
+    ext.injectFunction(GraftFunctions.sortedIntersectCountDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => RangeJoinBinningRule)
   }
@@ -34,10 +35,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
     (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
 
+  private[catalyst] val sortedIntersectCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)))
+
   /** Idempotently register graft functions on a live session (for
     * sessions built without the extensions config). */
   def register(spark: SparkSession): Unit =
-    Seq(shingleHashesDescriptor, cosineSimilarityDescriptor).foreach {
+    Seq(shingleHashesDescriptor, cosineSimilarityDescriptor,
+      sortedIntersectCountDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -49,6 +57,11 @@ object GraftFunctions {
   /** Column-API form of [[CosineSimilarity]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column-API form of [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column-API form of [[CmsEstimate]] probing a frozen sketch. (No SQL

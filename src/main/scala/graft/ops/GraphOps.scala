@@ -283,26 +283,43 @@ object GraphOps extends QueryModule {
     val db = deg.select(col("n").as("b"), col("deg").as("degb"))
     val aFirst = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("a") < col("b"))
-    // oriented edge src→dst with dst's (deg, id) kept for wedge ordering.
-    // No broadcast hint on the degree tables: they are NODE-sized (one
-    // row per graph node — billions at 100 TB), so the keyed sort-merge/
-    // AQE choice is the scale path; AQE still broadcasts them when they
-    // measure small at runtime.
+    // oriented edge src→dst. No broadcast hint on the degree tables:
+    // they are NODE-sized (one row per graph node — billions at 100 TB),
+    // so the keyed sort-merge/AQE choice is the scale path; AQE still
+    // broadcasts them when they measure small at runtime.
     val oriented = e.join(da, Seq("a")).join(db, Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
-        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint(true)
 
-    val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
-    val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
-    val wedges = o1.join(o2, Seq("src"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("v"), col("w"))
-    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val triangles = wedges.join(closing, Seq("v", "w"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // ADJACENCY-ARRAY closing (r9 verdict task 1, replacing the
+    // wedge-materializing join): with the DAG orientation, every
+    // triangle {u,v,w} has exactly one apex u carrying u→v and u→w plus
+    // the closing edge v→w — so it is counted EXACTLY ONCE as a common
+    // out-neighbor of the endpoints of oriented edge (v→w)'s... more
+    // precisely: for each oriented edge (x→y),
+    // |N⁺(x) ∩ N⁺(y)| counts the triangles whose closing pair is (x,y).
+    // The old plan materialized all O(m^1.5) wedges (41M rows at sf0.1)
+    // through an exchange and sorted 2.4 GB for the closing merge join;
+    // here the wedge volume never leaves the CPU: out-neighbor sets are
+    // node-sized sorted arrays (out-degree ≤ O(√m) by orientation), the
+    // per-edge intersection is the zero-allocation merge-walk kernel
+    // graft.catalyst.SortedIntersectCount inside whole-stage codegen,
+    // and only edge-sized frames (m rows) ever shuffle. The adjacency
+    // build reuses its own groupBy(src) partitioning for the src-side
+    // join, checkpointed once because TWO joins consume it.
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true)
+    val adjX = adj.select(col("src").as("x"), col("nbrs").as("nbrs_x"))
+    val adjY = adj.select(col("src").as("y"), col("nbrs").as("nbrs_y"))
+    val triangles = oriented
+      .select(col("src").as("x"), col("dst").as("y"))
+      .join(adjX, Seq("x")) // inner: an x with no out-list cannot happen
+      .join(adjY, Seq("y")) // inner: y without out-edges closes nothing
+      .select(graft.catalyst.GraftFunctions
+        .sortedIntersectCount(col("nbrs_x"), col("nbrs_y")).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
 
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
