@@ -311,12 +311,18 @@ object GraphOps extends QueryModule {
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint(true)
+    // SHUFFLED_HASH hints: past the broadcast size (org-soak scales) a
+    // plain join goes SMJ, and the SORT streams the edge×array frame
+    // (~m·avg-deg longs) through spill — measured +1.8 pairwise exponent
+    // at org-50×. Hashing builds on the node-sized adjacency partitions
+    // (bounded per partition) and never sorts the array-carrying side;
+    // AQE still upgrades to broadcast when adj measures small at runtime.
     val adjX = adj.select(col("src").as("x"), col("nbrs").as("nbrs_x"))
     val adjY = adj.select(col("src").as("y"), col("nbrs").as("nbrs_y"))
     val triangles = oriented
       .select(col("src").as("x"), col("dst").as("y"))
-      .join(adjX, Seq("x")) // inner: an x with no out-list cannot happen
-      .join(adjY, Seq("y")) // inner: y without out-edges closes nothing
+      .join(adjX.hint("shuffle_hash"), Seq("x")) // x with no out-list: impossible
+      .join(adjY.hint("shuffle_hash"), Seq("y")) // y without out-edges closes nothing
       .select(graft.catalyst.GraftFunctions
         .sortedIntersectCount(col("nbrs_x"), col("nbrs_y")).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))

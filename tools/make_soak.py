@@ -52,7 +52,26 @@ p=20% → ~0.34 (almost all pairs drop out — mostly-unique corpus).
 Only documents.text is rewritten; composes with --organic (documents
 never join the remapped FK columns).
 
-Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]] [--mutate P]
+MUTATED-VECTOR mode (--mutate-vec M, percent): for the SIMILARITY/ANN
+family (r9 verdict task 5). Replicate mode repeats embedding vectors
+verbatim, so ANN scale numbers measure retrieval over exact-duplicate
+clusters — every copy lands in its anchor's LSH bucket by construction.
+With --mutate-vec M, copy 0 stays verbatim and each copy i>0 perturbs
+every coordinate independently and deterministically:
+
+    x' = x * (1 + delta),  delta = ((hash(vec_id|copy|coord) % 2001)
+                                    - 1000) / 1000 * M/100
+
+i.e. relative noise uniform in [-M%, +M%] per coordinate (no RNG
+state — reruns are bit-identical). Cosine between a vector and its
+perturbed copy concentrates near 1 - O((M/100)^2/2) with per-pair
+spread, so copies are NEAR-duplicates whose LSH signatures flip
+hyperplane bits with controlled probability — the borderline-bucket
+regime a real embedding corpus presents, instead of the all-identical
+one. Only embeddings.embedding is rewritten; composes with --organic
+and --mutate (disjoint tables).
+
+Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]] [--mutate P] [--mutate-vec M]
        (defaults: 10 /tmp/soak)
 """
 import math
@@ -64,6 +83,11 @@ args = [a for a in sys.argv[1:]]
 organic = False
 U = None
 mutate_p = None
+mutate_vec = None
+if "--mutate-vec" in args:
+    j = args.index("--mutate-vec")
+    mutate_vec = int(args[j + 1])
+    args = args[:j] + args[j + 2:]
 if "--mutate" in args:
     j = args.index("--mutate")
     mutate_p = int(args[j + 1])
@@ -145,6 +169,19 @@ for t, keys in OFFSET_KEYS.items():
             f"< {mutate_p} THEN concat(w, '~m', i.i) ELSE w END), ' ') "
             "END AS text")
         print(f"  documents.text: mutate p={mutate_p}% (copy 0 verbatim)")
+    if mutate_vec and t == "embeddings":
+        # copy 0 verbatim; copies i>0 get per-coordinate relative noise
+        # in [-M%, +M%], keyed by (vec_id, copy, coordinate) — see the
+        # MUTATED-VECTOR docstring. Cast back to FLOAT so the parquet
+        # schema (FLOAT[]) is unchanged for both engines.
+        f = mutate_vec / 100.0
+        mut_expr["embedding"] = (
+            "CASE WHEN i.i = 0 THEN embedding ELSE "
+            "list_transform(embedding, (x, xi) -> CAST(x * (1 + "
+            f"(CAST(hash(concat(vec_id, '|', i.i, '|', xi)) % 2001 AS BIGINT)"
+            f" - 1000) / 1000.0 * {f}) AS FLOAT)) END AS embedding")
+        print(f"  embeddings.embedding: mutate-vec M={mutate_vec}% "
+              "(copy 0 verbatim)")
     select = ", ".join(
         [f"{k} + i.i * {off} AS {k}" for k in keys]
         + [remap_expr.get(c, mut_expr.get(c, f'"{c}"'))
