@@ -311,18 +311,30 @@ object GraphOps extends QueryModule {
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint(true)
-    // SHUFFLED_HASH hints: past the broadcast size (org-soak scales) a
-    // plain join goes SMJ, and the SORT streams the edge×array frame
-    // (~m·avg-deg longs) through spill — measured +1.8 pairwise exponent
-    // at org-50×. Hashing builds on the node-sized adjacency partitions
-    // (bounded per partition) and never sorts the array-carrying side;
-    // AQE still upgrades to broadcast when adj measures small at runtime.
+    // SIZE-CONDITIONED join strategy for the two adjacency joins. Past
+    // the broadcast size (org-soak scales) a plain join goes SMJ, and
+    // the SORT streams the edge×array frame (~m·avg-deg longs) through
+    // spill — measured +1.80 pairwise exponent at the organic 20→50×
+    // step (260 s). A shuffle_hash hint fixes that (builds the hash
+    // table on the node-sized adjacency side, never sorts the
+    // array-carrying stream → 102 s at org-50×) — but user hints
+    // survive AQE re-planning, so an UNCONDITIONAL hint also pins the
+    // small-graph case away from the strictly-better broadcast plan
+    // (measured +1.2 s at sf0.1). So make the AQE decision where AQE
+    // cannot: e/deg are already eagerly checkpointed, their exact
+    // counts are a cache scan, and the adjacency table's size is
+    // ~8 B/edge + ~32 B/node — hint shuffle_hash only when that
+    // estimate outgrows a safe broadcast, else let AQE broadcast.
+    val adjEstBytes = e.count() * 8L + deg.count() * 32L
+    val hintShj = adjEstBytes > (64L << 20)
+    def shjAboveBroadcast(df: DataFrame): DataFrame =
+      if (hintShj) df.hint("shuffle_hash") else df
     val adjX = adj.select(col("src").as("x"), col("nbrs").as("nbrs_x"))
     val adjY = adj.select(col("src").as("y"), col("nbrs").as("nbrs_y"))
     val triangles = oriented
       .select(col("src").as("x"), col("dst").as("y"))
-      .join(adjX.hint("shuffle_hash"), Seq("x")) // x with no out-list: impossible
-      .join(adjY.hint("shuffle_hash"), Seq("y")) // y without out-edges closes nothing
+      .join(shjAboveBroadcast(adjX), Seq("x")) // x w/o out-list: impossible
+      .join(shjAboveBroadcast(adjY), Seq("y")) // y w/o out-edges closes nothing
       .select(graft.catalyst.GraftFunctions
         .sortedIntersectCount(col("nbrs_x"), col("nbrs_y")).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
