@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
     ext.injectFunction(GraftFunctions.sortedIntersectCountDescriptor)
+    ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => RangeJoinBinningRule)
   }
@@ -41,11 +42,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
     (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)))
 
+  private[catalyst] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (args: Seq[Expression]) => JaroWinkler(args(0), args(1)))
+
   /** Idempotently register graft functions on a live session (for
     * sessions built without the extensions config). */
   def register(spark: SparkSession): Unit =
     Seq(shingleHashesDescriptor, cosineSimilarityDescriptor,
-      sortedIntersectCountDescriptor).foreach {
+      sortedIntersectCountDescriptor, jaroWinklerDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -62,6 +69,11 @@ object GraftFunctions {
   /** Column-API form of [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column-API form of [[JaroWinkler]]. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumnBridge.column(JaroWinkler(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column-API form of [[CmsEstimate]] probing a frozen sketch. (No SQL

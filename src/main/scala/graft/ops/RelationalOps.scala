@@ -2030,4 +2030,48 @@ object RelationalOps extends QueryModule {
         col("c.n_failed").as("n_failed"),
         (col("c.n_failed") === 0).as("passed"))
   }
+
+  // ========================== blocked record linkage (Jaro–Winkler argmax)
+  // Entity resolution, the q87 family upgraded from edit-distance-≤-1 to
+  // a real linkage scorer: candidate pairs form ONLY within a blocking
+  // key (here substr(name, 1, 16) — a 100-key block at every SF since
+  // names are prefix+9 digits; real pipelines block on phonetic/prefix
+  // buckets exactly like this), each pair is scored with the native
+  // [[graft.catalyst.JaroWinkler]] codegen kernel, and each record keeps
+  // its argmax candidate. The argmax is a groupBy max-of-struct — one
+  // shuffle with map-side partials, NOT a window rank (no per-block sort
+  // materializes the pair set). Scores land on the ppm micro-grid
+  // (q141 pattern) before any comparison so the argmax tie-break —
+  // (sim_ppm DESC, key ASC), encoded as max(struct(sim, -key)) — is
+  // exact in both engines. A skewed block would need a MaxBucketSize
+  // cap exactly like DedupOps; this block key is uniform-100 by
+  // construction.
+  register("q197_jw_linkage",
+    """WITH c AS (SELECT c_custkey AS key, c_name AS name,
+      |             substr(c_name, 1, 16) AS blk FROM customer),
+      |p AS (SELECT a.key AS key_a, b.key AS key_b,
+      |        CAST(ROUND(jaro_winkler_similarity(a.name, b.name) * 1e6)
+      |          AS BIGINT) AS sim_ppm
+      |      FROM c a JOIN c b ON a.blk = b.blk AND a.key <> b.key),
+      |r AS (SELECT key_a, key_b, sim_ppm, ROW_NUMBER() OVER (
+      |        PARTITION BY key_a ORDER BY sim_ppm DESC, key_b ASC) AS rn
+      |      FROM p)
+      |SELECT key_a AS c_custkey, key_b AS best_match, sim_ppm
+      |FROM r WHERE rn = 1 AND sim_ppm >= 900000""".stripMargin) { (s, d) =>
+    val c = customer(s, d).select(col("c_custkey").as("key"),
+      col("c_name").as("name"), substring(col("c_name"), 1, 16).as("blk"))
+    val a = c.select(col("blk"), col("key").as("key_a"), col("name").as("name_a"))
+    val b = c.select(col("blk"), col("key").as("key_b"), col("name").as("name_b"))
+    a.join(b, Seq("blk")).filter(col("key_a") =!= col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        round(graft.catalyst.GraftFunctions
+          .jaroWinkler(col("name_a"), col("name_b")) * lit(1e6))
+          .cast(LongType).as("sim_ppm"))
+      .groupBy("key_a")
+      .agg(max(struct(col("sim_ppm"), (-col("key_b")).as("neg_key"))).as("best"))
+      .filter(col("best.sim_ppm") >= 900000L)
+      .select(col("key_a").as("c_custkey"),
+        (-col("best.neg_key")).as("best_match"),
+        col("best.sim_ppm").as("sim_ppm"))
+  }
 }

@@ -231,4 +231,68 @@ object ChunkingOps extends QueryModule {
         ((padded - col("total_tokens")).cast(DoubleType) / padded)
           .as("waste_ratio"))
   }
+
+  /** Shards for the balanced-writer audit (q198) — a writer fleet size,
+    * deliberately independent of [[Shards]] (the packing scatter). */
+  val WriterShards = 16
+
+  // ===================================== token-balanced shard assignment
+  // The training-data WRITER step: assign every document to one of
+  // [[WriterShards]] output shards so the per-shard token bill is
+  // near-equal (straggler-free downstream tokenization), and make the
+  // assignment DETERMINISTIC — rerunning the pipeline reproduces the
+  // same shards bit-for-bit (no rand(), no partition-order dependence).
+  // Longest-processing-time-first round-robin: rank docs by (tokens
+  // DESC, doc_id), shard = (rank-1) mod S. LPT round-robin bounds the
+  // shard spread by the largest document's share, and the rank comes
+  // from the q149 two-pass decomposition — range-partition on the sort
+  // key, rank within partitions, add partition-count prefix offsets —
+  // so there is NO global-sort single partition anywhere: this is the
+  // operator a 100 TB corpus writer actually runs. Output is the
+  // S-row balance audit (doc/token bill per shard + each shard's token
+  // share in ppm), the quantity an operator pages on.
+  register("q198_shard_packing",
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len($oTokens) AS BIGINT) AS tokens FROM documents),
+       |r AS (SELECT doc_id, tokens, ROW_NUMBER() OVER (
+       |        ORDER BY tokens DESC, doc_id ASC) AS rn FROM t),
+       |g AS (SELECT (rn - 1) % $WriterShards AS shard,
+       |        CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(tokens) AS BIGINT) AS token_sum
+       |      FROM r GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM t)
+       |SELECT shard, n_docs, token_sum,
+       |  (token_sum * 1000000) // total_tokens AS share_ppm
+       |FROM g, tot""".stripMargin) { (s, d) =>
+    val t = documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("tokens"))
+    // q149 two-pass global rank on (tokens DESC, doc_id): range
+    // partitions follow the sort key, so pid order IS rank order and
+    // the offsets window rides the ≤32-row partition-count frame.
+    val local = t.repartitionByRange(32, col("tokens").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("tokens"), spark_partition_id().as("pid"))
+      .select(col("doc_id"), col("tokens"), col("pid"),
+        row_number().over(Window.partitionBy(col("pid"))
+          .orderBy(col("tokens").desc, col("doc_id").asc)).as("local_rn"))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"), coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("offset"))
+    val sharded = local.join(broadcast(offsets), Seq("pid"))
+      .select(col("tokens"),
+        ((col("offset") + col("local_rn") - 1) % WriterShards).as("shard"))
+    val g = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("token_sum"))
+    // corpus total as an unbounded window over the 16-row shard frame —
+    // NOT a second corpus scan (a separate t.agg doubles the rank
+    // lineage in the plan) and NOT a cross join; the single-partition
+    // exchange this plans moves exactly WriterShards rows
+    g.select(col("shard"), col("n_docs"), col("token_sum"),
+        sum(col("token_sum")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("total_tokens"))
+      .select(col("shard"), col("n_docs"), col("token_sum"),
+        expr("(token_sum * 1000000) div total_tokens")
+          .as("share_ppm"))
+  }
 }

@@ -147,7 +147,11 @@ class PlanLintGateSpec extends SparkSpec {
     "q187_global_median",
     // q189's prefix-sum offsets window covers the ≤32-row partition-count
     // frame (q149 shape — the score census gets pid-partitioned windows)
-    "q189_auc")
+    "q189_auc",
+    // q198's prefix-sum offsets window covers the ≤32-row partition-count
+    // frame (q149 shape) and its corpus-total window the 16-row shard
+    // frame — the corpus itself gets only pid-partitioned windows
+    "q198_shard_packing")
 
   /** Queries where a FilterExec legitimately sits above a scan with no
     * pushed predicate — populated only with rationaled entries discovered
