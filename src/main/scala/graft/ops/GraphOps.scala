@@ -94,6 +94,16 @@ object GraphOps extends QueryModule {
   // (PageRankSpec proves the early-stop case hash-matches).
   val PrIters = 4
   val PrTopK = 50
+
+  /** Size cap (bytes, conservative ~16 B/id estimate) below which a
+    * node-sized frame is explicitly broadcast into the per-round
+    * semi/anti joins of the iterative family, and above which the
+    * adjacency build (q163) hints shuffled-hash: the driver-side analog
+    * of the AQE decision, made where AQE cannot see (checkpointed
+    * lineage / hint-pinned plans). Past this size on a real cluster the
+    * answer is pre-bucketed edge storage (SPJ, q161), not a bigger
+    * broadcast. */
+  val BcastNodeBytes: Long = 64L << 20
   private val PrGrid = 1000000000000L // 1e12 integer rank grid
 
   /** Integer-grid PageRank over a directed edge list (`src`, `dst`).
@@ -326,7 +336,7 @@ object GraphOps extends QueryModule {
     // ~8 B/edge + ~32 B/node — hint shuffle_hash only when that
     // estimate outgrows a safe broadcast, else let AQE broadcast.
     val adjEstBytes = e.count() * 8L + deg.count() * 32L
-    val hintShj = adjEstBytes > (64L << 20)
+    val hintShj = adjEstBytes > BcastNodeBytes
     def shjAboveBroadcast(df: DataFrame): DataFrame =
       if (hintShj) df.hint("shuffle_hash") else df
     val adjX = adj.select(col("src").as("x"), col("nbrs").as("nbrs_x"))
@@ -402,12 +412,25 @@ object GraphOps extends QueryModule {
     var survivors = edges.select(col("src").as("v")).distinct()
       .localCheckpoint(true)
     var prev = survivors.count()
+    // SIZE-CONDITIONED broadcast of the node-sized survivor frame (the
+    // q163 pattern): between org-50× and org-100× the survivor set
+    // crosses AQE's 10 MB broadcast default (562k → 1.13M ids), which
+    // silently flips BOTH per-round semi-joins from broadcast (edges
+    // never shuffled) to shuffle joins of the full edge frame —
+    // measured 17.6 s → 96.8 s for 2× data, heap-insensitive. The
+    // per-round count() the convergence check already pays gives the
+    // exact size for free; hint broadcast while the estimate fits,
+    // fall back to the keyed join beyond [[GraphOps.BcastNodeBytes]]
+    // (where the 100 TB path is pre-bucketed edges / SPJ, not a
+    // giant broadcast).
+    def sem(df: DataFrame, rows: Long): DataFrame =
+      if (rows * 16L <= BcastNodeBytes) broadcast(df) else df
     var round = 0
     var changed = true
     while (changed && round < KCoreRounds) {
       val next = edges
-        .join(survivors.select(col("v").as("src")), Seq("src"), "left_semi")
-        .join(survivors.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .join(sem(survivors.select(col("v").as("src")), prev), Seq("src"), "left_semi")
+        .join(sem(survivors.select(col("v").as("dst")), prev), Seq("dst"), "left_semi")
         .groupBy(col("src").as("v"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
@@ -420,8 +443,8 @@ object GraphOps extends QueryModule {
       round += 1
     }
     edges
-      .join(survivors.select(col("v").as("src")), Seq("src"), "left_semi")
-      .join(survivors.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .join(sem(survivors.select(col("v").as("src")), prev), Seq("src"), "left_semi")
+      .join(sem(survivors.select(col("v").as("dst")), prev), Seq("dst"), "left_semi")
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
       .select(col("node").cast(LongType).as("node"), col("core_degree"))
@@ -489,16 +512,30 @@ object GraphOps extends QueryModule {
     var frontier = pairs.select(col("cust").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
       .localCheckpoint(true)
+    var frontierN = frontier.count()
     var visited = frontier
+    var visitedN = frontierN
     var out = frontier.select(col("node"), lit(0L).as("lvl"))
+    // Size-conditioned broadcast of the node-sized frontier/visited
+    // frames (q178 rationale: past AQE's 10 MB default the semi/anti
+    // joins silently start shuffling the full edge / dst streams every
+    // round — measured at org-100×). The count() rides the frame the
+    // round just eagerly checkpointed — a cache scan, not a recompute
+    // (and a size probe only, NOT a convergence sync: rounds stay
+    // fixed at [[BfsMaxHops]] in both engines).
+    def sem(df: DataFrame, rows: Long): DataFrame =
+      if (rows * 16L <= BcastNodeBytes) broadcast(df) else df
     for (i <- 1 to BfsMaxHops) {
       val next = edges
-        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(sem(frontier.select(col("node").as("src")), frontierN),
+          Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(sem(visited, visitedN), Seq("node"), "left_anti")
         .localCheckpoint(true)
+      frontierN = next.count()
       out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
       visited = visited.unionAll(next).localCheckpoint(true)
+      visitedN += frontierN
       frontier = next
     }
     out.select(col("node").cast(LongType).as("node"), col("lvl"))
