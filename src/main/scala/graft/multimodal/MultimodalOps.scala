@@ -207,6 +207,60 @@ object MultimodalOps extends QueryModule {
       col("media_id"), col("kind").as("container"),
       col("width"), col("height"), col("n_frames"))
   }
+
+  // ===================================================== real audio decode
+  // The audio modality gets the q194 treatment: every document
+  // synthesizes a GENUINE RIFF/WAVE byte stream ([[WavFixtures]] — real
+  // little-endian fmt chunk, chunk-walk with the spec's odd-size pad
+  // bytes, every 5th doc carrying a LIST/INFO chunk so fixed-offset
+  // "parsers" diverge), and [[AudioHeaderCodec]] parses the header facts
+  // back out: sample rate, channels, bit depth, and the exact frame
+  // count from data-size/block-align — no sample decoding. The oracle
+  // recomputes the fixture arithmetic closed-form; duration lands on
+  // integer milliseconds (both engines truncate positive division
+  // identically). Same scale shape as the image family: decode is
+  // map-only, payload bytes never reach a shuffle.
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType)))
+
+  def realAudio(s: SparkSession, d: String): DataFrame = {
+    val buildPayload = udf((docId: Long) => WavFixtures.payloadFor(docId))
+    documents(s, d).select(col("doc_id").as("media_id"),
+      buildPayload(col("doc_id")).as("payload"))
+  }
+
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val h = AudioHeaderCodec.decode(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(sys.error(s"undecodable WAV for media ${r.get(0)}"))
+        Row(r.getAs[Long]("media_id"), h.sampleRate, h.channels,
+          h.bitsPerSample, h.nFrames)
+      }
+    }
+    spark.createDataFrame(rows, audioFeatureSchema)
+  }
+
+  register("q199_wav_header_decode",
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+      |  CAST(1 + doc_id % 500 AS BIGINT) AS n_frames,
+      |  ((1 + doc_id % 500) * 1000) // (CASE doc_id % 4 WHEN 0 THEN 8000
+      |    WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) AS duration_ms
+      |FROM documents""".stripMargin) { (s, d) =>
+    decodeAudio(realAudio(s, d))
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("n_frames"),
+        expr("(n_frames * 1000) div sample_rate").as("duration_ms"))
+  }
 }
 
 /** The codec seam: everything a real media binding must provide.
