@@ -7,8 +7,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** `sorted_intersect_count(a, b)` — size of the intersection of two
-  * ASCENDING-sorted long arrays, by a single merge walk (O(|a|+|b|),
-  * zero allocation — no intersection array is ever built).
+  * ASCENDING-sorted integral arrays (both `array<bigint>` or both
+  * `array<int>`), by a single merge walk (O(|a|+|b|), zero allocation —
+  * no intersection array is ever built). The int variant exists for
+  * shuffle-byte economy: when node ids fit 32 bits the adjacency
+  * arrays — the bulk of the triangle closing's shuffle traffic — move
+  * at half width (q163's conditioned narrow-id path).
   *
   * This is the triangle-count kernel (q163): with edges degree-oriented,
   * each triangle is counted exactly once as a common out-neighbor of an
@@ -32,20 +36,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count requires two array<bigint>, got " +
-          s"${l.catalogString}, ${r.catalogString}")
+        s"sorted_intersect_count requires two array<bigint> or two " +
+          s"array<int>, got ${l.catalogString}, ${r.catalogString}")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SortedIntersectCount.count(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private def isInt: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (isInt)
+      SortedIntersectCount.countInt(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedIntersectCount.count(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isInt) "countInt" else "count"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.catalyst.SortedIntersectCount.count($a, $b)")
+      s"graft.catalyst.SortedIntersectCount.$m($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
@@ -63,6 +80,23 @@ object SortedIntersectCount {
     while (i < na && j < nb) {
       val x = a.getLong(i)
       val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  /** Int-element variant (same walk, half the bytes per element). */
+  def countInt(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
       if (x < y) i += 1
       else if (x > y) j += 1
       else { n += 1; i += 1; j += 1 }

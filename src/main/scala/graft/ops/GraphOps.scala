@@ -318,6 +318,13 @@ object GraphOps extends QueryModule {
     // and only edge-sized frames (m rows) ever shuffle. The adjacency
     // build reuses its own groupBy(src) partitioning for the src-side
     // join, checkpointed once because TWO joins consume it.
+    // MEASURED NEGATIVE (round 10, do not retry): casting the closing
+    // pipeline to 32-bit ids (int arrays through the kernel's int
+    // variant) is ~10% SLOWER at org-50×/org-100× (116.9 vs 102.0 s,
+    // 330.5 vs 297.9 s min-of-2) and within noise at sf0.1 — the
+    // shuffle compresses sorted neighbor arrays well at either width,
+    // so the halved in-memory bytes don't reach the wire while the
+    // extra cast projection does run over every edge.
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint(true)

@@ -27,6 +27,23 @@ class SortedIntersectCountSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("builtin")).count() === 0)
   }
 
+  test("int-array variant == long variant on the same values") {
+    val rnd = new scala.util.Random(164)
+    val rows = (1 to 300).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60)).distinct.sorted
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+      .select(
+        GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("ints"),
+        GraftFunctions.sortedIntersectCount(
+          col("a").cast("array<long>"), col("b").cast("array<long>"))
+          .as("longs"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+    assert(df.filter(col("ints") =!= col("builtin") ||
+      col("longs") =!= col("builtin")).count() === 0)
+  }
+
   test("edge cases: empty / disjoint / identical / null") {
     val df = Seq(
       (Seq.empty[Long], Seq(1L, 2L)),
