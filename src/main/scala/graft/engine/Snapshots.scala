@@ -264,4 +264,57 @@ object Snapshots extends QueryModule {
         least(col("lo0"), col("lo1")).as("first_date"),
         greatest(col("hi0"), col("hi1")).as("last_date"))
   }
+
+  // ============================================================ CDC apply
+  // Change-data-capture apply — the lakehouse MERGE contract q71's
+  // upsert cannot express: an op-coded change log (I/U/D) with a
+  // per-key sequence number, applied last-writer-wins with DELETE
+  // tombstones, including the delete-then-resurrect ordering (a 'U'
+  // with a later sequence than a 'D' re-creates the row). The log here
+  // is synthesized from orders in four deterministic batches (insert
+  // the missing third, reprice every 5th key, delete every 7th,
+  // resurrect every 14th at a fixed price), so the oracle mirrors it
+  // as UNION ALL branches.
+  //
+  // Scale: the apply is ONE shuffle — groupBy(key) with max-of-struct
+  // (seq-first ordering), map-side partials combining per-key versions
+  // before the exchange — never a window sort over the log (the q197
+  // argmax pattern). A real deployment reads the log from a CDC
+  // source; the per-key winner logic is exactly this aggregate.
+  register("q200_cdc_apply",
+    """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      |log AS (
+      |  SELECT k, 'I' AS op, 0 AS seq, p AS val FROM o WHERE k % 3 <> 2
+      |  UNION ALL
+      |  SELECT k, 'I', 1, p FROM o WHERE k % 3 = 2
+      |  UNION ALL
+      |  SELECT k, 'U', 2, p + 100 FROM o WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k, 'D', 3, CAST(NULL AS DOUBLE) FROM o WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, 'U', 4, 555.0 FROM o WHERE k % 14 = 0),
+      |w AS (
+      |  SELECT k, op, seq, val, ROW_NUMBER() OVER (
+      |    PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM log)
+      |SELECT k AS o_orderkey, val AS final_value,
+      |  CAST(seq AS INTEGER) AS last_seq, op AS last_op
+      |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    def batch(pred: Column, op: String, seq: Int, value: Column) =
+      o.filter(pred).select(col("k"), lit(op).as("op"),
+        lit(seq).as("seq"), value.as("val"))
+    val log = batch(col("k") % 3 =!= 2, "I", 0, col("p"))
+      .unionByName(batch(col("k") % 3 === 2, "I", 1, col("p")))
+      .unionByName(batch(col("k") % 5 === 0, "U", 2, col("p") + 100))
+      .unionByName(batch(col("k") % 7 === 0, "D", 3,
+        lit(null).cast(org.apache.spark.sql.types.DoubleType)))
+      .unionByName(batch(col("k") % 14 === 0, "U", 4, lit(555.0)))
+    log.groupBy("k")
+      .agg(max(struct(col("seq"), col("op"), col("val"))).as("w"))
+      .filter(col("w.op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("w.val").as("final_value"),
+        col("w.seq").as("last_seq"), col("w.op").as("last_op"))
+  }
 }
