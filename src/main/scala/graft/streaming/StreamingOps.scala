@@ -510,8 +510,59 @@ object StructuredStreams {
       .transformWithState(new TtlCountProcessor(ttlMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  /** Streaming CDC apply — q200's last-writer-wins contract held
+    * INCREMENTALLY: per key, a ValueState keeps the current winning
+    * (seq, op, value); each batch folds its records in by max-seq, emits
+    * the new winner only when it changed, and IGNORES late records whose
+    * seq is behind the stored winner (exactly how an out-of-order CDC
+    * feed must behave across micro-batches). Consumers materialize by
+    * treating the latest emit per key as current state and op='D' as a
+    * tombstone. RocksDB-backed: the keyspace is the table's key domain,
+    * off-heap and spillable — the 100 TB path.
+    */
+  final class CdcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CdcRec, CdcRec] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var winner: ValueState[CdcRec] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winner = getHandle.getValueState[CdcRec](
+        "winner", Encoders.product[CdcRec], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcRec],
+        timerValues: TimerValues): Iterator[CdcRec] = {
+      val prev = if (winner.exists) Some(winner.get) else None
+      val best = (prev.iterator ++ rows).maxBy(_.seq)
+      if (prev.forall(_.seq < best.seq)) {
+        winner.update(best)
+        Iterator.single(best)
+      } else Iterator.empty
+    }
+  }
+
+  /** [[CdcProcessor]] wired to a change stream (RocksDB provider
+    * required). No timers and no TTL, so TimeMode.None — which is also
+    * what keeps drain-style waits usable: ProcessingTime mode schedules
+    * empty successor batches forever (the round-4 root cause in
+    * NOTES.md) and is only driveable via Trigger.Once. */
+  def cdcApplyStream(changes: org.apache.spark.sql.Dataset[CdcRec])
+      : org.apache.spark.sql.Dataset[CdcRec] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .transformWithState(new CdcProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }
 
 /** Event record for the typed streaming API. */
 final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
+
+/** Change record for the streaming CDC apply (op ∈ I/U/D). */
+final case class CdcRec(key: Long, op: String, seq: Long, value: Double)
