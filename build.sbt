@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout tails for a single JSON line:
+// pass forked output straight through (no [info] prefix) and suppress
+// the trailing "[success] Total time" banner so the program's own last
+// println IS the last stdout line sbt emits (r10 verdict task 6).
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -130,5 +130,12 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // Re-emit as the FINAL stdout line, after Spark's shutdown chatter
+    // (which goes to stderr) and with build.sbt's showSuccess=false so
+    // sbt adds no trailing banner: the driver's tail parser needs the
+    // JSON to be the last thing on stdout (r10 verdict task 6 — the r9
+    // and r10 BENCH artifacts both came back "parsed": null).
+    println(json)
+    System.out.flush()
   }
 }

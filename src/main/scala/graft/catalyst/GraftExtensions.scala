@@ -39,7 +39,12 @@ object GraftFunctions {
   private[catalyst] val sortedIntersectCountDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_intersect_count"),
-    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    new ExpressionInfo(
+      classOf[SortedIntersectCount].getName, null, "sorted_intersect_count",
+      "sorted_intersect_count(a, b) - Size of the intersection of two " +
+        "integral arrays. PRECONDITION: both arrays sorted ascending, " +
+        "duplicate-free, non-nullable elements (sort_array(collect_set" +
+        "(...))-shaped); unsorted input is silently wrong.", ""),
     (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)))
 
   private[catalyst] val jaroWinklerDescriptor

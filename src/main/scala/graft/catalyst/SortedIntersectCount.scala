@@ -34,13 +34,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // containsNull=false only: the merge walk reads elements with
+      // getLong/getInt, which silently decode a null slot as 0 — a
+      // nullable-element array type would produce wrong counts with no
+      // error. Producers are sort_array(collect_set/collect_list)-shaped,
+      // which never emit null elements (r10 ADVICE).
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+      case (ArrayType(IntegerType, false), ArrayType(IntegerType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"sorted_intersect_count requires two array<bigint> or two " +
-          s"array<int>, got ${l.catalogString}, ${r.catalogString}")
+          s"array<int> with non-nullable elements (inputs must be " +
+          s"ascending-sorted and duplicate-free, e.g. " +
+          s"sort_array(collect_set(...))), got ${l.catalogString}, " +
+          s"${r.catalogString}")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"

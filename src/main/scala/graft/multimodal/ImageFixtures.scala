@@ -81,6 +81,80 @@ object ImageFixtures {
     header ++ Array.fill(frames)(frame).flatten ++ u8s(0x3b)
   }
 
+  /** PNG Paeth predictor (RFC 2083 §6.6) — shared by the fixture
+    * encoder and [[PngPixelCodec]]'s decoder. */
+  def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Truecolor 8-bit PNG whose PIXELS are a closed-form pattern (the
+    * q202 fixture): R(x,y)=x+y+b, G(x,y)=2x+b, B(x,y)=3y+b with
+    * b = docId mod 128 and w,h ≤ 16 — no byte ever wraps 255, so the
+    * per-image channel sums/extrema are polynomial in (w,h,b) and the
+    * DuckDB oracle states them closed-form. Row y is encoded with
+    * filter type (y + docId) mod 5, so one image of height ≥ 5
+    * exercises EVERY filter in the PNG spec (None/Sub/Up/Average/
+    * Paeth) — a decoder that shortcuts any defilter path diverges. */
+  def pixelPngFor(docId: Long): Array[Byte] = {
+    val w = (1 + docId % 16).toInt
+    val h = (1 + (docId * 7) % 16).toInt
+    val base = (docId % 128).toInt
+    val bpp = 3
+    val stride = w * bpp
+    val prev = new Array[Byte](stride) // zero row above the first
+    val filtered = new java.io.ByteArrayOutputStream(h * (1 + stride))
+    val cur = new Array[Byte](stride)
+    for (y <- 0 until h) {
+      var x = 0
+      while (x < w) {
+        cur(x * 3) = (x + y + base).toByte
+        cur(x * 3 + 1) = (2 * x + base).toByte
+        cur(x * 3 + 2) = (3 * y + base).toByte
+        x += 1
+      }
+      val ft = ((y + docId) % 5).toInt
+      filtered.write(ft)
+      var i = 0
+      while (i < stride) {
+        val raw = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => raw
+          case 1 => raw - a
+          case 2 => raw - b
+          case 3 => raw - ((a + b) >> 1)
+          case _ => raw - paeth(a, b, c)
+        }
+        filtered.write(f & 0xff)
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    val rawBytes = filtered.toByteArray
+    val deflater = new Deflater
+    deflater.setInput(rawBytes); deflater.finish()
+    val buf = new Array[Byte](rawBytes.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val sig = u8s(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = pngChunk("IHDR", be32(w) ++ be32(h) ++ u8s(8, 2, 0, 0, 0))
+    // split the deflate stream across TWO IDAT chunks when possible —
+    // the spec allows it and a decoder that inflates only the first
+    // chunk diverges
+    val split = n / 2
+    val idats =
+      if (split > 0 && n - split > 0)
+        pngChunk("IDAT", buf.slice(0, split)) ++
+          pngChunk("IDAT", buf.slice(split, n))
+      else pngChunk("IDAT", buf.take(n))
+    val iend = pngChunk("IEND", Array.empty)
+    sig ++ ihdr ++ idats ++ iend
+  }
+
   /** Deterministic real-container payload for q194: doc_id picks the
     * container (0→PNG incl. APNG, 1→JPEG alternating baseline/
     * progressive, 2→multi-frame GIF) and the geometry, via the same

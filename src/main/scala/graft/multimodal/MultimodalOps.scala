@@ -261,6 +261,82 @@ object MultimodalOps extends QueryModule {
         col("bits"), col("n_frames"),
         expr("(n_frames * 1000) div sample_rate").as("duration_ms"))
   }
+
+  // ==================================================== real pixel decode
+  // From headers to CONTENT (r10 verdict task 5): every document
+  // synthesizes a genuine truecolor PNG whose pixels follow a
+  // closed-form pattern ([[ImageFixtures.pixelPngFor]] — row filters
+  // cycle through ALL FIVE RFC 2083 types, the deflate stream is split
+  // across two IDAT chunks), and [[PngPixelCodec]] decodes it the real
+  // way — chunk walk, Inflater, per-row defilter — before computing
+  // per-channel sums and extrema over the RECONSTRUCTED bytes. The
+  // oracle states the same stats as polynomials in (w, h, b): any
+  // mis-step in the inflate or any filter's reconstruction arithmetic
+  // shifts a sum and diverges. Scale shape: decode is map-only; 48
+  // bytes of stats per image cross the shuffle-free plan, never pixels.
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("min_r", IntegerType), StructField("max_r", IntegerType),
+    StructField("min_g", IntegerType), StructField("max_g", IntegerType),
+    StructField("min_b", IntegerType), StructField("max_b", IntegerType)))
+
+  def pixelMedia(s: SparkSession, d: String): DataFrame = {
+    val buildPayload = udf((docId: Long) => ImageFixtures.pixelPngFor(docId))
+    documents(s, d).select(col("doc_id").as("media_id"),
+      buildPayload(col("doc_id")).as("payload"))
+  }
+
+  def pixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val img = PngPixelCodec.decodeRgb(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(sys.error(s"undecodable PNG for media ${r.get(0)}"))
+        val px = img.pixels
+        val sums = new Array[Long](3)
+        val mins = Array(255, 255, 255)
+        val maxs = Array(0, 0, 0)
+        var i = 0
+        while (i < px.length) {
+          val c = i % 3
+          val v = px(i) & 0xff
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          i += 1
+        }
+        Row(r.getAs[Long]("media_id"), img.width, img.height,
+          sums(0), sums(1), sums(2), mins(0), maxs(0), mins(1), maxs(1),
+          mins(2), maxs(2))
+      }
+    }
+    spark.createDataFrame(rows, pixelStatsSchema)
+  }
+
+  register("q202_image_pixel_stats",
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 7) % 16 AS h,
+      |    doc_id % 128 AS b
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) + w * h * b
+      |    AS BIGINT) AS sum_r,
+      |  CAST(h * w * (w - 1) + w * h * b AS BIGINT) AS sum_g,
+      |  CAST(3 * w * (h * (h - 1) // 2) + w * h * b AS BIGINT) AS sum_b,
+      |  CAST(b AS INTEGER) AS min_r,
+      |  CAST((w - 1) + (h - 1) + b AS INTEGER) AS max_r,
+      |  CAST(b AS INTEGER) AS min_g,
+      |  CAST(2 * (w - 1) + b AS INTEGER) AS max_g,
+      |  CAST(b AS INTEGER) AS min_b,
+      |  CAST(3 * (h - 1) + b AS INTEGER) AS max_b
+      |FROM g""".stripMargin) { (s, d) =>
+    pixelStats(pixelMedia(s, d))
+  }
 }
 
 /** The codec seam: everything a real media binding must provide.

@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import java.util.zip.Inflater
+
+/** PNG PIXEL decode — the next honest rung above [[ImageHeaderCodec]]'s
+  * header parse (r10 verdict task 5): walk the chunk stream, concatenate
+  * every IDAT payload, inflate the zlib stream with the JVM's public
+  * `java.util.zip.Inflater`, and reverse the per-row filter (all five
+  * RFC 2083 filter types: None/Sub/Up/Average/Paeth) to recover raw
+  * RGB bytes. Scope: 8-bit truecolor (color type 2), non-interlaced —
+  * the fixture family q202 grades against; anything else returns None
+  * rather than guessing.
+  *
+  * Scale shape: decode is per-row map work (the payload never reaches a
+  * shuffle — q202 aggregates the decoded stats, ~48 bytes per image,
+  * not pixels). Memory is bounded by ONE image's raw size per call
+  * (h·(1+3w) bytes), and the inflate loop writes into that exact-size
+  * buffer — a truncated or over-long stream fails loudly instead of
+  * allocating unbounded output (zip-bomb guard: the IHDR geometry, not
+  * the compressed stream, sizes the buffer).
+  */
+object PngPixelCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+
+  private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Decoded image: width, height, raw RGB bytes row-major (3·w·h). */
+  final case class Rgb(width: Int, height: Int, pixels: Array[Byte])
+
+  def decodeRgb(png: Array[Byte]): Option[Rgb] = {
+    if (png.length < 8 || (0 until 8).exists(i => u8(png, i) != Sig(i)))
+      return None
+    var pos = 8
+    var w = 0; var h = 0
+    var ok = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= png.length) {
+      val len = be32(png, pos).toInt
+      if (len < 0 || pos + 12L + len > png.length) return None
+      val ctype = new String(png, pos + 4, 4, "US-ASCII")
+      ctype match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(png, pos + 8).toInt
+          h = be32(png, pos + 12).toInt
+          val bitDepth = u8(png, pos + 16)
+          val colorType = u8(png, pos + 17)
+          val interlace = u8(png, pos + 20)
+          // supported scope only; reject rather than misdecode
+          ok = bitDepth == 8 && colorType == 2 && interlace == 0 &&
+            w > 0 && h > 0 && w.toLong * h <= (1L << 26)
+        case "IDAT" => idat.write(png, pos + 8, len)
+        case "IEND" => pos = png.length // stop the walk
+        case _      => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    if (!ok || idat.size == 0) return None
+    inflateExact(idat.toByteArray, h * (1 + 3 * w)).flatMap { filtered =>
+      defilter(filtered, w, h).map(Rgb(w, h, _))
+    }
+  }
+
+  /** Inflate into an exact-size buffer; fail on truncation or overrun. */
+  private def inflateExact(in: Array[Byte], outLen: Int): Option[Array[Byte]] = {
+    val inf = new Inflater
+    try {
+      inf.setInput(in)
+      val out = new Array[Byte](outLen)
+      var off = 0
+      while (off < outLen && !inf.finished()) {
+        val n = inf.inflate(out, off, outLen - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      // the stream must produce exactly the IHDR-implied byte count
+      if (off == outLen && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0))
+        Some(out)
+      else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Reverse per-row filtering in place-ish: each row's filter byte
+    * selects the predictor; reconstruction is mod-256 addition. */
+  private def defilter(filtered: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val bpp = 3
+    val stride = w * bpp
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = u8(filtered, y * (1 + stride))
+      val src = y * (1 + stride) + 1
+      val dst = y * stride
+      val up = dst - stride // valid only when y > 0
+      var i = 0
+      while (i < stride) {
+        val x = u8(filtered, src + i)
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val b = if (y > 0) out(up + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) out(up + i - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 => x + ImageFixtures.paeth(a, b, c)
+          case _ => return None // invalid filter type
+        }
+        out(dst + i) = recon.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+}

@@ -2074,4 +2074,66 @@ object RelationalOps extends QueryModule {
         (-col("best.neg_key")).as("best_match"),
         col("best.sim_ppm").as("sim_ppm"))
   }
+
+  // ==================================== KMV distinct estimation
+  /** [[q203]] sketch size: k smallest distinct hashes kept per group. */
+  val KmvK = 64
+
+  // KMV ("k minimum values") distinct-count estimation via the
+  // [[graft.ml.KmvSketch]] bounded-state Aggregator — the third sketch
+  // family next to HLL (q56/q146/q176) and Count-Min (q55), wired per
+  // r10 ADVICE. Per-group aggregation state is ≤ k longs REGARDLESS of
+  // group size and partials merge by sorted-merge-dedupe-truncate, so
+  // only k-row buffers cross the shuffle (map-side combine, no
+  // pre-distinct pass over the fact table).
+  //
+  // Determinism (the DuckDB mirror): the hash is a Knuth multiplicative
+  // hash kept inside non-overflowing BIGINT arithmetic so BOTH engines
+  // compute it with plain integer ops —
+  //   hv = ((key & (2^31-1)) * 2654435761 >> 15) & (2^31-1)
+  // (max product 2^31 * 2.66e9 < 2^63: ANSI-safe in Spark, no HUGEINT
+  // needed in DuckDB). Estimator, all-integer: with fewer than k
+  // distinct hashes the sketch IS the value set (estimate exact);
+  // otherwise est = (k-1)·2^31 div h_k (truncating BIGINT division in
+  // both engines; h_k ≥ k-1 > 0 since hashes are distinct and
+  // non-negative). exact_nd rides along so the artifact shows the
+  // estimate against truth.
+  register("q203_kmv_distinct",
+    s"""WITH h AS (
+       |  SELECT o_orderpriority AS prio, o_custkey AS k,
+       |    (((o_custkey & 2147483647) * 2654435761) >> 15) & 2147483647
+       |      AS hv
+       |  FROM orders),
+       |ex AS (SELECT prio, COUNT(DISTINCT k) AS exact_nd
+       |       FROM h GROUP BY prio),
+       |d AS (SELECT DISTINCT prio, hv FROM h),
+       |r AS (SELECT prio, hv,
+       |        ROW_NUMBER() OVER (PARTITION BY prio ORDER BY hv) AS rn,
+       |        COUNT(*) OVER (PARTITION BY prio) AS nd
+       |      FROM d),
+       |est AS (SELECT prio,
+       |    CASE WHEN MAX(nd) < $KmvK THEN MAX(nd)
+       |         ELSE (${(KmvK - 1).toLong * 2147483648L})
+       |              // MAX(CASE WHEN rn = $KmvK THEN hv END) END AS kmv_est
+       |  FROM r WHERE rn <= $KmvK GROUP BY prio)
+       |SELECT ex.prio AS o_orderpriority,
+       |  CAST(est.kmv_est AS BIGINT) AS kmv_est,
+       |  CAST(ex.exact_nd AS BIGINT) AS exact_nd
+       |FROM ex JOIN est ON ex.prio = est.prio""".stripMargin) { (s, d) =>
+    val kmv = org.apache.spark.sql.functions.udaf(
+      graft.ml.KmvSketch.aggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    orders(s, d)
+      .select(col("o_orderpriority").as("prio"), col("o_custkey").as("k"),
+        shiftright(col("o_custkey").bitwiseAND(lit(2147483647L))
+          * lit(2654435761L), 15).bitwiseAND(lit(2147483647L)).as("hv"))
+      .groupBy("prio")
+      .agg(kmv(col("hv")).as("vs"), count_distinct(col("k")).as("exact_nd"))
+      .select(col("prio").as("o_orderpriority"),
+        when(size(col("vs")) < KmvK, size(col("vs")).cast(LongType))
+          .otherwise(expr(
+            s"${(KmvK - 1).toLong * 2147483648L} div element_at(vs, $KmvK)"))
+          .as("kmv_est"),
+        col("exact_nd"))
+  }
 }

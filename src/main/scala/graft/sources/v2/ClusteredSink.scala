@@ -56,6 +56,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `partitions` (exact shuffle partition count for the write, 0 = let
   * Spark choose). Modes: `append`, `overwrite` (truncates via
   * `SupportsTruncate`).
+  *
+  * SINGLE-WRITER CONTRACT (r10 ADVICE): at most one writer — batch OR
+  * streaming — may target a path at a time. The overwrite commit's
+  * orphan sweep treats `_manifest.jsonl` as the sole source of truth and
+  * deletes unreferenced `part-*.json` files from `data/`; a concurrent
+  * append or streaming epoch whose files land before its manifest line
+  * is readable would lose committed data to the sweep. This is the same
+  * contract HDFS-committer tables have (no table-level lock service
+  * here); a deployment needing concurrent writers fronts the path with a
+  * catalog that serializes commits ([[GraftCatalog]] does exactly that
+  * for its managed tables). The sweep only ever touches files matching
+  * this sink's own `part-*.json` naming, so foreign files a user drops
+  * into `data/` are never deleted.
   */
 final class ClusteredSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-sink"
@@ -420,7 +433,11 @@ final class ClusteredSinkBatchWrite(
     val tmpDir = Paths.get(path, "_tmp")
     Files.createDirectories(tmpDir)
     val old = ClusteredSinkOverwrite.readManifest(manifestPath)
-    // orphan sweep (see scaladoc): data/ minus manifest = crash garbage
+    // orphan sweep (see scaladoc): data/ minus manifest = crash garbage.
+    // Guarded to THIS sink's part-file naming (r10 ADVICE) so a foreign
+    // file in data/ is never collateral damage; concurrent writers are
+    // excluded by the sink-level single-writer contract, not by the
+    // sweep.
     val referenced = old.map(_.file).toSet
     locally {
       val ls = Files.list(dataDir)
@@ -429,7 +446,9 @@ final class ClusteredSinkBatchWrite(
         val orphans = Seq.newBuilder[Path]
         while (it.hasNext) {
           val f = it.next()
-          if (!referenced(f.getFileName.toString)) orphans += f
+          val n = f.getFileName.toString
+          if (!referenced(n) && n.startsWith("part-") && n.endsWith(".json"))
+            orphans += f
         }
         orphans.result().foreach(Files.deleteIfExists(_))
       } finally ls.close()

@@ -233,6 +233,34 @@ object StructuredStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("event_count"))
 
+  /** q32's EXACT batch aggregate as a watermarked event-time stream
+    * (r10 verdict task 4): 15-minute tumbling windows per event_type,
+    * count + decimal-summed value, emitted in APPEND mode — a window row
+    * is final, written exactly once when the event-time watermark passes
+    * its end, and any record arriving more than `watermark` behind the
+    * observed max event time is DROPPED before the aggregation (the
+    * state store never sees it, which is what bounds state at 100 TB:
+    * open-window state is `|types| × windows-inside-horizon`, not
+    * windows-since-job-start). Output schema and arithmetic match
+    * [[StreamingOps q32_tumbling_window]] column for column —
+    * `window(ts, 15 minutes).start` is the same epoch-floor bucket as
+    * the batch query's integer-µs floor division —
+    * so the batch query over the on-time subset of the input IS this
+    * stream's oracle (WatermarkStreamSpec holds that equality across a
+    * checkpointed restart).
+    */
+  def tumblingTotals(stream: DataFrame, watermark: String = "30 minutes",
+      window: String = "15 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("event_count"), col("total_value"))
+
   /** Built-in session windows: `session_window(ts, gap)` merges
     * overlapping per-key windows in the state store — the declarative
     * sibling of the custom sessionizers below (no user state code; the
@@ -533,11 +561,19 @@ object StructuredStreams {
       winner = getHandle.getValueState[CdcRec](
         "winner", Encoders.product[CdcRec], TTLConfig.NONE)
 
+    // Deterministic tie-break on equal max seq (r10 ADVICE): order by the
+    // full (seq, op, value) tuple — the exact ordering the batch twin's
+    // max(struct(seq, op, val)) aggregate uses — so two same-seq records
+    // for one key in one micro-batch pick the same winner regardless of
+    // iterator order, and batch/streaming stay bit-identical on tied logs.
+    private val ord: Ordering[CdcRec] =
+      Ordering.by((r: CdcRec) => (r.seq, r.op, r.value))
+
     override def handleInputRows(key: Long, rows: Iterator[CdcRec],
         timerValues: TimerValues): Iterator[CdcRec] = {
       val prev = if (winner.exists) Some(winner.get) else None
-      val best = (prev.iterator ++ rows).maxBy(_.seq)
-      if (prev.forall(_.seq < best.seq)) {
+      val best = (prev.iterator ++ rows).max(ord)
+      if (prev.forall(p => ord.lt(p, best))) {
         winner.update(best)
         Iterator.single(best)
       } else Iterator.empty

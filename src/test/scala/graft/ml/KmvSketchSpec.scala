@@ -1,0 +1,52 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[KmvSketch]] — the q203 bounded-state distinct estimator. Pins:
+  * the aggregator returns exactly the k smallest DISTINCT inputs in
+  * ascending order (against a plain Scala reference, through a real
+  * multi-partition Spark aggregation so reduce AND merge both run);
+  * under-filled sketches carry the full value set; and the all-integer
+  * estimator tracks truth within the theoretical KMV error bound on a
+  * uniform-hash domain.
+  */
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 64
+
+  test("k smallest distinct values, sorted, through a multi-partition agg") {
+    val rnd = new scala.util.Random(42)
+    // duplicates on purpose: dedup happens inside reduce/merge
+    val xs = Seq.fill(5000)(rnd.nextLong(1L << 40))
+    val data = xs ++ xs.take(1000)
+    val agg = udaf(KmvSketch.aggregator(K),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val got = data.toDF("v").repartition(7)
+      .agg(agg(col("v")).as("vs")).as[Seq[Long]].head()
+    val want = xs.distinct.sorted.take(K)
+    assert(got == want)
+  }
+
+  test("under-filled sketch is the exact distinct value set") {
+    val data = Seq(5L, 3L, 5L, 9L, 3L, 1L)
+    val agg = udaf(KmvSketch.aggregator(K),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val got = data.toDF("v").repartition(3)
+      .agg(agg(col("v")).as("vs")).as[Seq[Long]].head()
+    assert(got == Seq(1L, 3L, 5L, 9L))
+  }
+
+  test("estimator within KMV error bound on the q203 hash domain") {
+    // the q203 hash: ((x & (2^31-1)) * 2654435761 >> 15) & (2^31-1)
+    def hash(x: Long): Long = (((x & 2147483647L) * 2654435761L) >> 15) & 2147483647L
+    val n = 20000
+    val hs = (1L to n.toLong).map(hash).distinct.sorted
+    val hk = hs(K - 1)
+    val est = (K - 1).toLong * 2147483648L / hk
+    // rse ≈ 1/sqrt(k-2) ≈ 12.7% at k=64; allow 4σ
+    assert(math.abs(est.toDouble - hs.size) / hs.size < 0.51,
+      s"est=$est truth=${hs.size}")
+  }
+}
