@@ -130,12 +130,16 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
-    // Re-emit as the FINAL stdout line, after Spark's shutdown chatter
-    // (which goes to stderr) and with build.sbt's showSuccess=false so
-    // sbt adds no trailing banner: the driver's tail parser needs the
-    // JSON to be the last thing on stdout (r10 verdict task 6 — the r9
-    // and r10 BENCH artifacts both came back "parsed": null).
-    println(json)
+    // FINAL stdout line: a COMPACT summary (<200 chars) rather than the
+    // full per-query map. The driver's tail capture is 2,000 chars and
+    // the 200+-query JSON line is ~8 KB, so re-emitting the full line
+    // (the r11 attempt) still left the captured tail starting mid-line
+    // with no parseable object (r11 verdict #2). The full JSON lives in
+    // BENCH_LAST.json; this line carries the headline total and points
+    // at the file.
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"sf":"$sfDir","reps":$reps,"load":$load,"load_start":$loadStart,"queries_file":"$outFile"}"""
+    println(compact)
     System.out.flush()
   }
 }

@@ -77,10 +77,15 @@ object PngPixelCodec {
         if (n == 0 && inf.needsInput()) return None // truncated stream
         off += n
       }
-      // the stream must produce exactly the IHDR-implied byte count
-      if (off == outLen && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0))
-        Some(out)
-      else None
+      // The stream must produce exactly the IHDR-implied byte count AND
+      // terminate: after a zero-yield probe, only finished() proves the
+      // end-of-stream marker was consumed — a probe returning 0 with the
+      // input merely exhausted is a TRUNCATED trailer and must be
+      // rejected, not accepted (r11 ADVICE).
+      if (off == outLen) {
+        if (!inf.finished()) inf.inflate(new Array[Byte](1))
+        if (inf.finished()) Some(out) else None
+      } else None
     } catch {
       case _: java.util.zip.DataFormatException => None
     } finally inf.end()

@@ -2,6 +2,7 @@ package graft.catalyst
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** [[SortedIntersectCount]] — the q163 triangle-closing kernel. Pins:
   *   1. kernel == size(array_intersect) over random SORTED distinct
@@ -36,8 +37,13 @@ class SortedIntersectCountSpec extends SparkSpec {
     val df = rows.toDF("a", "b")
       .select(
         GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("ints"),
+        // Cast with an explicit containsNull=false target: the DDL string
+        // "array<long>" parses to containsNull=true, which the kernel's
+        // strict type check (correctly) rejects — getLong would silently
+        // read a null slot as 0.
         GraftFunctions.sortedIntersectCount(
-          col("a").cast("array<long>"), col("b").cast("array<long>"))
+          col("a").cast(ArrayType(LongType, containsNull = false)),
+          col("b").cast(ArrayType(LongType, containsNull = false)))
           .as("longs"),
         size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
     assert(df.filter(col("ints") =!= col("builtin") ||
