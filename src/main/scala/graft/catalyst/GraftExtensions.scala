@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
     ext.injectFunction(GraftFunctions.sortedIntersectCountDescriptor)
     ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftFunctions.packSortedLongsDescriptor)
+    ext.injectFunction(GraftFunctions.packedIntersectCountDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => RangeJoinBinningRule)
   }
@@ -53,11 +55,33 @@ object GraftFunctions {
     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
     (args: Seq[Expression]) => JaroWinkler(args(0), args(1)))
 
+  private[catalyst] val packSortedLongsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pack_sorted_longs"),
+    new ExpressionInfo(
+      classOf[PackSortedLongs].getName, null, "pack_sorted_longs",
+      "pack_sorted_longs(arr) - Delta+zigzag-varint packing of an " +
+        "array<bigint> into BINARY. Any array round-trips exactly; " +
+        "sorted distinct ids pack at 1-3 bytes per element.", ""),
+    (args: Seq[Expression]) => PackSortedLongs(args.head))
+
+  private[catalyst] val packedIntersectCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("packed_intersect_count"),
+    new ExpressionInfo(
+      classOf[PackedIntersectCount].getName, null, "packed_intersect_count",
+      "packed_intersect_count(a, b) - Intersection size of two " +
+        "pack_sorted_longs buffers by an on-the-fly varint merge walk. " +
+        "PRECONDITION: packed from ascending-sorted duplicate-free " +
+        "arrays; unsorted input is silently wrong.", ""),
+    (args: Seq[Expression]) => PackedIntersectCount(args(0), args(1)))
+
   /** Idempotently register graft functions on a live session (for
     * sessions built without the extensions config). */
   def register(spark: SparkSession): Unit =
     Seq(shingleHashesDescriptor, cosineSimilarityDescriptor,
-      sortedIntersectCountDescriptor, jaroWinklerDescriptor).foreach {
+      sortedIntersectCountDescriptor, jaroWinklerDescriptor,
+      packSortedLongsDescriptor, packedIntersectCountDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -79,6 +103,15 @@ object GraftFunctions {
   /** Column-API form of [[JaroWinkler]]. */
   def jaroWinkler(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaroWinkler(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column-API form of [[PackSortedLongs]]. */
+  def packSortedLongs(arr: Column): Column =
+    GraftColumnBridge.column(PackSortedLongs(GraftColumnBridge.expression(arr)))
+
+  /** Column-API form of [[PackedIntersectCount]]. */
+  def packedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(PackedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column-API form of [[CmsEstimate]] probing a frozen sketch. (No SQL
