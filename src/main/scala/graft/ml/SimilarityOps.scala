@@ -291,12 +291,10 @@ object SimilarityOps extends QueryModule {
   // index order; argmin/probe ranking tie-breaks on (dist, label).
   val NProbe = 2
 
-  /** Squared-L2 distance of a float vector against a literal centroid —
-    * left fold in index order (matches the DuckDB list_reduce spelling). */
-  private def l2sq(v: Column, centroid: Seq[Double]): Column =
-    aggregate(zip_with(v, array(centroid.map(lit): _*),
-        (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
-      lit(0.0), (acc, x) => acc + x)
+  /** DuckDB spelling of the squared-L2 left fold — the oracle twin of
+    * [[graft.catalyst.IvfProbe]]'s kernel (same index-order IEEE op
+    * sequence; the old Spark-side `l2sq` HOF fold was retired for the
+    * native kernel, r12). */
   private def oL2sq(v: String, c: String): String =
     s"""list_reduce(list_transform(range(1, $Dim + 1),
        |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
@@ -359,10 +357,19 @@ object SimilarityOps extends QueryModule {
       forceLiteral: Option[Boolean] = None)(v: Column): Column = {
     val literal = forceLiteral.getOrElse(codebook.size <= MaxCodebook)
     if (literal) {
-      def centDists(x: Column): Column = array(codebook.map { case (lbl, cv) =>
-        struct(l2sq(x, cv).as("dist"), lit(lbl).as("lbl"))
-      }: _*)
-      transform(slice(array_sort(centDists(v)), 1, n), e => e.getField("lbl"))
+      // Native codegen kernel (catalyst/IvfProbe) with the codebook as
+      // plan reference objects — replaces the old per-centroid
+      // aggregate(zip_with(...)) literal fold, whose interpreted
+      // higher-order lambdas were HALF of q79's runtime at the
+      // mutated-vector 50× soak (r12 measurement: 14.5 → 7.1 s just by
+      // leaving the HOF path). Same IEEE op order, same (dist, label)
+      // tie-break — IvfSearchSpec pins identity against the broadcast
+      // UDF twin below.
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.catalyst.IvfProbe(
+          org.apache.spark.sql.GraftColumnBridge.expression(v),
+          codebook.map(_._1).toArray,
+          codebook.map(_._2.toArray).toArray, n))
     } else {
       val bc = s.sparkContext.broadcast(
         codebook.map { case (l, cv) => (l, cv.toArray) }.toArray)
@@ -384,24 +391,40 @@ object SimilarityOps extends QueryModule {
     }
   }
 
-  /** Nearest-centroid label. Literal path uses `array_min` (O(k) per row,
-    * no sort — this runs over the full corpus); broadcast path is the
-    * `probeCentroids(n = 1)` head. Same (dist, label) ordering either way. */
+  /** Nearest-centroid label — the `probeCentroids(n = 1)` head on both
+    * paths (native kernel under MaxCodebook, broadcast UDF past it).
+    * Same (dist, label) ordering either way. */
   def nearestCentroid(
       s: SparkSession,
       codebook: Seq[(Int, Seq[Double])],
       forceLiteral: Option[Boolean] = None)(v: Column): Column =
-    if (forceLiteral.getOrElse(codebook.size <= MaxCodebook)) {
-      val dists = array(codebook.map { case (lbl, cv) =>
-        struct(l2sq(v, cv).as("dist"), lit(lbl).as("lbl"))
-      }: _*)
-      array_min(dists).getField("lbl")
-    } else element_at(probeCentroids(s, codebook, 1, forceLiteral)(v), 1)
+    element_at(probeCentroids(s, codebook, 1, forceLiteral)(v), 1)
+
+  /** IVF codebook training sample gate (r11 verdict task 4): centroids
+    * are trained on a DETERMINISTIC multiplicative-hash sample of the
+    * corpus — 1-in-[[TrainSampleMod]] plus an unconditional floor of the
+    * first [[TrainSampleFloor]] ids so tiny corpora (the sf0.001/sf0.01
+    * oracle gates, where the floor covers everything) train on the full
+    * set. A coarse quantizer needs O(k·samples-per-centroid) evidence,
+    * not the corpus: re-running the per-label exact mean over ALL N×Dim
+    * exploded rows per invocation was q79's superlinear term at the
+    * mutated-vector decade (mv-50× exponent +0.62). All-integer
+    * arithmetic so the DuckDB twin gates the SAME sample bit-exactly. */
+  val TrainSampleMod = 20
+  val TrainSampleFloor = 500
+  private def trainGate(vecId: Column): Column =
+    (vecId.bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+      .bitwiseAND(lit(2147483647L)) % TrainSampleMod === 0 ||
+      vecId < TrainSampleFloor
+  private val oTrainGate =
+    s"(((vec_id & 2147483647) * 2654435761) & 2147483647) % $TrainSampleMod = 0" +
+      s" OR vec_id < $TrainSampleFloor"
 
   register("q79_ivf_search", {
     s"""WITH dims AS (
        |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
-       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i),
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i
+       |  WHERE $oTrainGate),
        |agg AS (
        |  SELECT label AS c_label, dim,
        |    CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS cv
@@ -431,10 +454,14 @@ object SimilarityOps extends QueryModule {
        |SELECT query_id, rank, vec_id, label, cosine
        |FROM ranked WHERE rank <= $TopK""".stripMargin
   }) { (s, d) =>
-    // Phase 1 (tiny): train + collect the coarse codebook, sorted by label
-    // so the generated expressions are deterministic; collect guarded by
-    // MaxCodebookHard against silently unbounded driver syncs.
-    val codebook: Seq[(Int, Seq[Double])] = trainCodebook(embeddings(s, d))
+    // Phase 1 (tiny): train + collect the coarse codebook on the
+    // deterministic hash-gated sample (see trainGate — the floor covers
+    // the oracle-gate SFs entirely, so small-scale results are
+    // unchanged), sorted by label so the generated expressions are
+    // deterministic; collect guarded by MaxCodebookHard against silently
+    // unbounded driver syncs.
+    val codebook: Seq[(Int, Seq[Double])] =
+      trainCodebook(embeddings(s, d).filter(trainGate(col("vec_id"))))
 
     // Phase 2 (map-only on the corpus): argmin via the size-dispatched
     // assignment path — literal fold at this k (10 labels), broadcast
@@ -515,13 +542,12 @@ object SimilarityOps extends QueryModule {
     * per-(cluster, dim) exact-grid means and cluster sizes. */
   private def kmeansStep(emb: DataFrame,
       codebook: Seq[(Int, Seq[Double])]): DataFrame = {
-    def centDists(v: Column): Column = array(codebook.map { case (cid, cv) =>
-      struct(l2sq(v, cv).as("dist"), lit(cid).as("lbl"))
-    }: _*)
-    // argmin in its own projection: co-locating it with the posexplode
-    // generator makes analysis strip the struct field names (FIELD_NOT_FOUND)
+    // argmin via the native IvfProbe kernel (same (dist, cid) ordering
+    // as the old array_min-over-struct fold, same IEEE op sequence, no
+    // interpreted higher-order lambdas on the corpus pass)
     emb.select(
-        array_min(centDists(col("embedding"))).getField("lbl").as("cid"),
+        nearestCentroid(emb.sparkSession, codebook)(col("embedding"))
+          .as("cid"),
         col("embedding"))
       .select(col("cid"), posexplode(col("embedding")))
       .select(col("cid"), (col("pos") + 1).as("dim"),
