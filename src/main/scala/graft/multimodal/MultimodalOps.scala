@@ -337,6 +337,82 @@ object MultimodalOps extends QueryModule {
       |FROM g""".stripMargin) { (s, d) =>
     pixelStats(pixelMedia(s, d))
   }
+
+  // ===================================================== real PCM decode
+  // The audio modality's pixel rung (r11 verdict task 7): q199 stopped
+  // at header facts; q205 decodes the PCM FRAMES from the RIFF data
+  // chunk ([[WavPcmCodec]] — 8-bit unsigned-centered / 16-bit signed LE,
+  // interleaved channels, the same chunk walk with odd-size pads) and
+  // computes per-channel sum/min/max over the RECONSTRUCTED samples.
+  // The WavFixtures byte pattern (byte i of data = (i·31 + F) mod 256,
+  // F = frame count) makes every per-channel stat closed-form, so the
+  // oracle states the same reductions from (doc_id) arithmetic alone:
+  // any mis-step in the chunk walk, byte order, sign handling, or
+  // channel de-interleave shifts a sum and diverges. Map-only; ~40
+  // bytes of stats per (clip, channel) cross the plan, never samples.
+  val pcmStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("channel", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("sum_v", LongType),
+    StructField("min_v", IntegerType),
+    StructField("max_v", IntegerType)))
+
+  def pcmStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val pcm = WavPcmCodec.decodePcm(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(sys.error(s"undecodable WAV for media ${r.get(0)}"))
+        (0 until pcm.channels).iterator.map { c =>
+          val ss = pcm.samples(c)
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var t = 0
+          while (t < ss.length) {
+            val v = ss(t)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            t += 1
+          }
+          Row(r.getAs[Long]("media_id"), c, pcm.nFrames.toLong, sum, mn, mx)
+        }
+      }
+    }
+    spark.createDataFrame(rows, pcmStatsSchema)
+  }
+
+  register("q205_wav_sample_stats",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+      |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |    1 + doc_id % 500 AS f
+      |  FROM documents),
+      |tt AS (SELECT CAST(unnest(range(0, 500)) AS BIGINT) AS t),
+      |cc AS (SELECT 0 AS c UNION ALL SELECT 1),
+      |samp AS (
+      |  SELECT g.doc_id, c.c AS channel, g.bits, g.f,
+      |    CASE WHEN g.bits = 8
+      |         THEN ((t.t * g.ch + c.c) * 31 + g.f) % 256 - 128
+      |         ELSE ((2 * (t.t * g.ch + c.c) * 31 + g.f) % 256)
+      |            + 256 * (((2 * (t.t * g.ch + c.c) + 1) * 31 + g.f) % 256)
+      |    END AS raw
+      |  FROM g JOIN tt t ON t.t < g.f JOIN cc c ON c.c < g.ch),
+      |v AS (SELECT doc_id, channel,
+      |    CASE WHEN bits = 8 THEN raw
+      |         WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+      |  FROM samp)
+      |SELECT doc_id AS media_id, CAST(channel AS INTEGER) AS channel,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(MIN(v) AS INTEGER) AS min_v,
+      |  CAST(MAX(v) AS INTEGER) AS max_v
+      |FROM v GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    pcmStats(realAudio(s, d))
+  }
 }
 
 /** The codec seam: everything a real media binding must provide.

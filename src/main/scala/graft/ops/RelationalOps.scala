@@ -2090,9 +2090,16 @@ object RelationalOps extends QueryModule {
   // Determinism (the DuckDB mirror): the hash is a Knuth multiplicative
   // hash kept inside non-overflowing BIGINT arithmetic so BOTH engines
   // compute it with plain integer ops —
-  //   hv = ((key & (2^31-1)) * 2654435761 >> 15) & (2^31-1)
+  //   hv = ((key & (2^31-1)) * 2654435761) & (2^31-1)
   // (max product 2^31 * 2.66e9 < 2^63: ANSI-safe in Spark, no HUGEINT
-  // needed in DuckDB). Estimator, all-integer: with fewer than k
+  // needed in DuckDB). The LOW 31 product bits, not the high ones: the
+  // r11 version shifted the product right (>> 15), which for small keys
+  // preserves magnitude ordering — the "hash" of dense custkeys was a
+  // scaled identity and the order-statistic estimator read ~17× high
+  // (measured r12: kmv_est ≈ 22–24k vs exact ≈ 1.3k at sf0.01, both
+  // engines faithfully agreeing on the biased number). key·c mod 2^31
+  // with c odd is a golden-ratio-step bijection — equidistributed even
+  // on dense key ranges. Estimator, all-integer: with fewer than k
   // distinct hashes the sketch IS the value set (estimate exact);
   // otherwise est = (k-1)·2^31 div h_k (truncating BIGINT division in
   // both engines; h_k ≥ k-1 > 0 since hashes are distinct and
@@ -2101,7 +2108,7 @@ object RelationalOps extends QueryModule {
   register("q203_kmv_distinct",
     s"""WITH h AS (
        |  SELECT o_orderpriority AS prio, o_custkey AS k,
-       |    (((o_custkey & 2147483647) * 2654435761) >> 15) & 2147483647
+       |    ((o_custkey & 2147483647) * 2654435761) & 2147483647
        |      AS hv
        |  FROM orders),
        |ex AS (SELECT prio, COUNT(DISTINCT k) AS exact_nd
@@ -2125,8 +2132,8 @@ object RelationalOps extends QueryModule {
       org.apache.spark.sql.Encoders.scalaLong)
     orders(s, d)
       .select(col("o_orderpriority").as("prio"), col("o_custkey").as("k"),
-        shiftright(col("o_custkey").bitwiseAND(lit(2147483647L))
-          * lit(2654435761L), 15).bitwiseAND(lit(2147483647L)).as("hv"))
+        (col("o_custkey").bitwiseAND(lit(2147483647L))
+          * lit(2654435761L)).bitwiseAND(lit(2147483647L)).as("hv"))
       .groupBy("prio")
       .agg(kmv(col("hv")).as("vs"), count_distinct(col("k")).as("exact_nd"))
       .select(col("prio").as("o_orderpriority"),
@@ -2135,5 +2142,131 @@ object RelationalOps extends QueryModule {
             s"${(KmvK - 1).toLong * 2147483648L} div element_at(vs, $KmvK)"))
           .as("kmv_est"),
         col("exact_nd"))
+  }
+
+  // ==================================== KMV set algebra
+  // The reason KMV exists next to HLL (KmvSketch scaladoc): UNION and
+  // INTERSECTION estimation from the sketches ALONE, without HLL
+  // inclusion-exclusion's compounding error (q176's construction, on the
+  // same kind of truth columns so the two families are comparable).
+  //
+  // Sets: customers ordering at priorities A = {1-URGENT, 2-HIGH} vs
+  // B = {2-HIGH, 3-MEDIUM} (the shared tier guarantees real overlap).
+  // Theory made exact-arithmetic: with S_A, S_B the k smallest distinct
+  // hashes of each side, the k smallest of S_A ∪ S_B ARE the k smallest
+  // of A ∪ B (membership of a union-sketch element in each input sketch
+  // is exact), so
+  //   union_est = (k-1)·2^31 div h_k           (q203's estimator)
+  //   inter_est = matches · union_est div m    (ρ = matches/m)
+  // where m = |union sketch|, matches = elements of it in BOTH input
+  // sketches. All-integer: matches ≤ k and union_est ≤ 63·2^31, so the
+  // product stays far under 2^63. When both sides are small (m < k) the
+  // union sketch IS the hashed union and both estimates are exact over
+  // the hash domain. Exact truths ride along via a per-customer flag
+  // frame (one map-side-combinable aggregation).
+  //
+  // Scale shape: two bounded-state sketch aggregations + one keyed flag
+  // aggregation over the fact table; the assembly is 1×1 broadcast cross
+  // joins of three 1-row frames (the q09/q176 pattern). At 100 TB the
+  // sketches are the only new bytes a coordinator ever sees (≤ k longs
+  // each), which is the point of sketch set algebra.
+  register("q204_kmv_set_algebra", {
+    val prA = "('1-URGENT', '2-HIGH')"
+    val prB = "('2-HIGH', '3-MEDIUM')"
+    s"""WITH h AS (
+       |  SELECT o_custkey AS k, o_orderpriority AS prio,
+       |    ((o_custkey & 2147483647) * 2654435761) & 2147483647
+       |      AS hv
+       |  FROM orders),
+       |fa AS (SELECT DISTINCT hv FROM h WHERE prio IN $prA),
+       |fb AS (SELECT DISTINCT hv FROM h WHERE prio IN $prB),
+       |sa AS (SELECT hv FROM
+       |  (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM fa)
+       |  WHERE rn <= $KmvK),
+       |sb AS (SELECT hv FROM
+       |  (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM fb)
+       |  WHERE rn <= $KmvK),
+       |su AS (SELECT hv, rn FROM
+       |  (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM
+       |    (SELECT DISTINCT hv FROM
+       |      (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)))
+       |  WHERE rn <= $KmvK),
+       |stats AS (SELECT COUNT(*) AS m,
+       |    MAX(CASE WHEN rn = $KmvK THEN hv END) AS hk,
+       |    SUM(CASE WHEN hv IN (SELECT hv FROM sa)
+       |              AND hv IN (SELECT hv FROM sb) THEN 1 ELSE 0 END)
+       |      AS matches
+       |  FROM su),
+       |flags AS (SELECT k,
+       |    MAX(CASE WHEN prio IN $prA THEN 1 ELSE 0 END) AS fla,
+       |    MAX(CASE WHEN prio IN $prB THEN 1 ELSE 0 END) AS flb
+       |  FROM h GROUP BY k),
+       |ex AS (SELECT
+       |    SUM(CASE WHEN fla = 1 OR flb = 1 THEN 1 ELSE 0 END) AS exact_union,
+       |    SUM(CASE WHEN fla = 1 AND flb = 1 THEN 1 ELSE 0 END) AS exact_inter
+       |  FROM flags WHERE fla = 1 OR flb = 1),
+       |est AS (SELECT m, matches,
+       |    CASE WHEN m < $KmvK THEN m
+       |         ELSE ${(KmvK - 1).toLong * 2147483648L} // hk END AS union_est
+       |  FROM stats)
+       |SELECT CAST(est.union_est AS BIGINT) AS kmv_union_est,
+       |  CAST(CASE WHEN est.m = 0 THEN 0
+       |       ELSE (est.matches * est.union_est) // est.m END AS BIGINT)
+       |    AS kmv_inter_est,
+       |  CAST(est.matches AS BIGINT) AS sketch_overlap,
+       |  CAST(ex.exact_union AS BIGINT) AS exact_union,
+       |  CAST(ex.exact_inter AS BIGINT) AS exact_inter
+       |FROM est, ex""".stripMargin
+  }) { (s, d) =>
+    val kmv = org.apache.spark.sql.functions.udaf(
+      graft.ml.KmvSketch.aggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val prA = Seq("1-URGENT", "2-HIGH")
+    val prB = Seq("2-HIGH", "3-MEDIUM")
+    val base = orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderpriority").as("prio"),
+        (col("o_custkey").bitwiseAND(lit(2147483647L))
+          * lit(2654435761L)).bitwiseAND(lit(2147483647L)).as("hv"))
+    val sa = base.filter(col("prio").isin(prA: _*))
+      .agg(kmv(col("hv")).as("vsa"))
+    val sb = base.filter(col("prio").isin(prB: _*))
+      .agg(kmv(col("hv")).as("vsb"))
+    val ex = base
+      .groupBy("k")
+      .agg(max(when(col("prio").isin(prA: _*), 1).otherwise(0)).as("fla"),
+        max(when(col("prio").isin(prB: _*), 1).otherwise(0)).as("flb"))
+      .filter(col("fla") === 1 || col("flb") === 1)
+      .agg(
+        sum(when(col("fla") === 1 || col("flb") === 1, 1L).otherwise(0L))
+          .as("exact_union"),
+        sum(when(col("fla") === 1 && col("flb") === 1, 1L).otherwise(0L))
+          .as("exact_inter"))
+    broadcast(sa).crossJoin(broadcast(sb)).crossJoin(ex)
+      // union sketch: k smallest of the merged input sketches (each
+      // already sorted distinct ≤ k)
+      .select(
+        slice(array_sort(array_distinct(concat(col("vsa"), col("vsb")))),
+          1, KmvK).as("su"),
+        col("vsa"), col("vsb"), col("exact_union"), col("exact_inter"))
+      .select(
+        size(col("su")).as("m"),
+        // conditional: element_at past the end throws under ANSI; only
+        // a saturated sketch has an h_k
+        when(size(col("su")) >= KmvK, element_at(col("su"), KmvK)).as("hk"),
+        size(array_intersect(array_intersect(col("su"), col("vsa")),
+          col("vsb"))).as("matches"),
+        col("exact_union"), col("exact_inter"))
+      .select(
+        when(col("m") < KmvK, col("m").cast(LongType))
+          .otherwise(expr(s"${(KmvK - 1).toLong * 2147483648L} div hk"))
+          .as("kmv_union_est"),
+        col("m"), col("matches"), col("exact_union"), col("exact_inter"))
+      .select(
+        col("kmv_union_est"),
+        when(col("m") === 0, lit(0L))
+          .otherwise(expr("(matches * kmv_union_est) div m"))
+          .as("kmv_inter_est"),
+        col("matches").cast(LongType).as("sketch_overlap"),
+        col("exact_union"), col("exact_inter"))
   }
 }

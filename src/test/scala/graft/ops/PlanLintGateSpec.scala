@@ -100,7 +100,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q187_global_median",
     // q192 cross-assembles its six audit rows from three 1-row check
     // frames (scan-wide conditionals, uniqueness rollup, anti-join count)
-    "q192_dq_audit")
+    "q192_dq_audit",
+    // q204 assembles its single row from three 1-row frames (two KMV
+    // sketches + the exact-truth flag rollup) — the q176 pattern
+    "q204_kmv_set_algebra")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
