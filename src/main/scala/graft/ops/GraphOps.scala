@@ -560,4 +560,119 @@ object GraphOps extends QueryModule {
     }
     out.select(col("node").cast(LongType).as("node"), col("lvl"))
   }
+
+  // ====================================== BFS over BUCKETED edge storage
+  // q201 (the number the round-10/11 verdicts reserved): the >64 MB
+  // graph story. q190's per-round semi/anti joins are broadcast-
+  // conditioned — past [[BcastNodeBytes]] of frontier/visited ids the
+  // explicit broadcast stands down and the keyed join shuffles the
+  // FULL edge stream every round (the org-100× cliff's shape). The
+  // 100 TB answer is pre-bucketed edge storage: the edge table is
+  // written ONCE as a Spark bucketed parquet table (bucketBy on src,
+  // sorted within buckets), whose scan reports
+  // HashPartitioning(src, [[Q201Buckets]]) — so every round's
+  // frontier semi-join is ZERO-EXCHANGE on the edge side by storage
+  // partitioning: only the node-sized frontier shuffles (to the bucket
+  // layout), at ANY frontier size, no broadcast anywhere. The
+  // shuffle_hash hints pin the per-round plan away from AQE's
+  // broadcast conversions so the property is structural, not
+  // size-conditional (BucketedBfsSpec asserts no exchange ever sits
+  // above the bucketed scan).
+  //
+  // Why Spark-native bucketed parquet and not the JSON-lines
+  // ClusteredSink: the demonstration is STORAGE PARTITIONING, and at
+  // the organic soaks a toy row-format's parse cost would dominate and
+  // misrepresent it; bucketBy+saveAsTable is the exact layout a
+  // 100 TB warehouse would carry (one-time ETL shuffle amortized over
+  // every downstream traversal — here it is charged to the query,
+  // which is the honest self-contained cost).
+  //
+  // Semantics = q190 with a denser seed (every ~53rd customer): fixed
+  // [[BfsMaxHops]] rounds, per-level dedup, unreached nodes absent.
+  val Q201Buckets = 32
+  val Q201SeedMod = 53L
+  private val q201TablePath = "/tmp/graft_q201_edges"
+
+  /** One-time ETL: build the trade-graph edge list and (re)write it as
+    * a bucketed, bucket-sorted parquet table; returns the catalog-read
+    * frame whose scan carries the bucket partitioning. */
+  def q201EdgeTable(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 3000000L).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    // repartition by the bucket expression first: each write task then
+    // emits exactly one file per bucket instead of numBuckets small
+    // files per task (the classic bucketBy write blow-up)
+    s.sql("DROP TABLE IF EXISTS graft_q201_edges")
+    edges.repartition(Q201Buckets, col("src"))
+      .write.format("parquet")
+      .bucketBy(Q201Buckets, "src").sortBy("src")
+      .option("path", q201TablePath)
+      .mode("overwrite")
+      .saveAsTable("graft_q201_edges")
+    s.table("graft_q201_edges")
+  }
+
+  /** One BFS round against the bucketed edge table: semi-join the
+    * frontier (zero exchange on the edge side — the scan's bucket
+    * partitioning satisfies the join), dedup the expansion, anti-join
+    * the visited set. shuffle_hash hints keep the plan broadcast-free
+    * at every frontier size. */
+  def q201Round(be: DataFrame, frontier: DataFrame, visited: DataFrame): DataFrame =
+    be.join(frontier.select(col("node").as("src")).hint("shuffle_hash"),
+        Seq("src"), "left_semi")
+      .select(col("dst").as("node")).distinct()
+      .join(visited.hint("shuffle_hash"), Seq("node"), "left_anti")
+
+  register("q201_bucketed_bfs", {
+    val rounds = (1 to BfsMaxHops).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM vis${i - 1})),
+         |vis$i AS MATERIALIZED (
+         |  SELECT node FROM vis${i - 1} UNION SELECT node FROM f$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val levels = (0 to BfsMaxHops)
+      .map(i => s"SELECT node, CAST($i AS BIGINT) AS lvl FROM f$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |f0 AS MATERIALIZED (
+       |  SELECT DISTINCT cust AS node FROM pairs
+       |  WHERE cust % $Q201SeedMod = 0),
+       |vis0 AS (SELECT node FROM f0),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, lvl FROM (
+       |  $levels)""".stripMargin
+  }) { (s, d) =>
+    val be = q201EdgeTable(s, d)
+    // seeds straight off the bucketed table: the customer-side nodes
+    // are exactly the src ids below the supplier offset (every pair
+    // customer appears as a src in the cust→supp direction) — one
+    // bucket-partitioned scan, no second pass over the raw tables
+    var frontier = be.select(col("src").as("node"))
+      .filter(col("node") % Q201SeedMod === 0 && col("node") < 3000000L)
+      .distinct()
+      .localCheckpoint(true)
+    var visited = frontier
+    var out = frontier.select(col("node"), lit(0L).as("lvl"))
+    for (i <- 1 to BfsMaxHops) {
+      val next = q201Round(be, frontier, visited).localCheckpoint(true)
+      out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    out.select(col("node").cast(LongType).as("node"), col("lvl"))
+  }
 }
