@@ -2125,7 +2125,8 @@ object RelationalOps extends QueryModule {
        |  FROM r WHERE rn <= $KmvK GROUP BY prio)
        |SELECT ex.prio AS o_orderpriority,
        |  CAST(est.kmv_est AS BIGINT) AS kmv_est,
-       |  CAST(ex.exact_nd AS BIGINT) AS exact_nd
+       |  CAST(ex.exact_nd AS BIGINT) AS exact_nd,
+       |  TRUE AS within_bound
        |FROM ex JOIN est ON ex.prio = est.prio""".stripMargin) { (s, d) =>
     val kmv = org.apache.spark.sql.functions.udaf(
       graft.ml.KmvSketch.aggregator(KmvK),
@@ -2142,6 +2143,11 @@ object RelationalOps extends QueryModule {
             s"${(KmvK - 1).toLong * 2147483648L} div element_at(vs, $KmvK)"))
           .as("kmv_est"),
         col("exact_nd"))
+      // error-bound gate (the q56 pattern, now that the estimator is
+      // unbiased): the oracle pins TRUE, so an estimator drifting past
+      // 4σ (rse ≈ 1/√(k−2) ≈ 12.7% at k=64 → 51%) breaks the hash
+      .withColumn("within_bound",
+        abs(col("kmv_est") - col("exact_nd")) * 100 <= col("exact_nd") * 51)
   }
 
   // ==================================== KMV set algebra
@@ -2215,7 +2221,9 @@ object RelationalOps extends QueryModule {
        |    AS kmv_inter_est,
        |  CAST(est.matches AS BIGINT) AS sketch_overlap,
        |  CAST(ex.exact_union AS BIGINT) AS exact_union,
-       |  CAST(ex.exact_inter AS BIGINT) AS exact_inter
+       |  CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+       |  TRUE AS union_within_bound,
+       |  TRUE AS inter_within_bound
        |FROM est, ex""".stripMargin
   }) { (s, d) =>
     val kmv = org.apache.spark.sql.functions.udaf(
@@ -2268,5 +2276,15 @@ object RelationalOps extends QueryModule {
           .as("kmv_inter_est"),
         col("matches").cast(LongType).as("sketch_overlap"),
         col("exact_union"), col("exact_inter"))
+      // error-bound gate (q56/q203 pattern): union at the KMV 4σ bound;
+      // intersection bound stated relative to the UNION (the standard
+      // theta-sketch guarantee — a tiny overlap of two big sets has
+      // union-scale absolute error)
+      .withColumn("union_within_bound",
+        abs(col("kmv_union_est") - col("exact_union")) * 100 <=
+          col("exact_union") * 51)
+      .withColumn("inter_within_bound",
+        abs(col("kmv_inter_est") - col("exact_inter")) * 100 <=
+          col("exact_union") * 51)
   }
 }
