@@ -201,6 +201,77 @@ object SimilarityOps extends QueryModule {
         abs(col("rank_full") - col("rank_half")).cast("long").as("rank_drift"))
   }
 
+  // ===================================== int8 embedding quantization audit
+  // Scalar (per-dimension min/max) int8 quantization — the standard
+  // 4× storage/bandwidth diet for embedding tables at serving time —
+  // with its reconstruction-error audit: quantize to the 0..255 grid,
+  // dequantize, and report per-dimension error stats plus a bound gate
+  // (floor quantization error is < one step = (max−min)/255, the claim
+  // that makes int8 sane at all). At 100 TB this is the exact shape a
+  // vector-store compaction runs: one 64-group bounds aggregate
+  // (map-side combinable), the bounds broadcast back, a map-only
+  // quantize/dequantize pass, one 64-group error rollup — the corpus is
+  // scanned twice and nothing vector-sized ever shuffles.
+  //
+  // Determinism: float→double casts are exact; the quantize/dequantize
+  // chain is the same IEEE op sequence in both engines (pinned order:
+  // (x−mn)·255/(mx−mn), floor, clamp; mn + q·(mx−mn)/255); the error is
+  // snapped to an integer ppm micro-grid BEFORE aggregation (the q141
+  // discipline — integer sums are order-free), using floor(|e|·1e6+0.5)
+  // (abs first: no negative-rounding asymmetry, no -0.0).
+  register("q206_int8_quantization", {
+    s"""WITH dims AS (
+       |  SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i),
+       |bounds AS (
+       |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY dim),
+       |qd AS (
+       |  SELECT d.vec_id, d.dim, d.x, b.mn, b.mx,
+       |    CASE WHEN b.mx = b.mn THEN 0
+       |         ELSE LEAST(255, GREATEST(0,
+       |           CAST(FLOOR((d.x - b.mn) * 255 / (b.mx - b.mn)) AS BIGINT)))
+       |    END AS q
+       |  FROM dims d JOIN bounds b ON d.dim = b.dim),
+       |err AS (
+       |  SELECT dim, mn, mx, q,
+       |    CAST(FLOOR(ABS(x - (mn + q * (mx - mn) / 255)) * 1000000 + 0.5)
+       |      AS BIGINT) AS err_ppm
+       |  FROM qd)
+       |SELECT CAST(dim AS INTEGER) AS dim, mn, mx,
+       |  CAST(MAX(err_ppm) AS BIGINT) AS max_err_ppm,
+       |  CAST(SUM(err_ppm) AS BIGINT) AS sum_err_ppm,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MAX(err_ppm) <= CAST(FLOOR((mx - mn) * 1000000 / 255 + 0.5)
+       |    AS BIGINT) + 1 AS within_step
+       |FROM err GROUP BY dim, mn, mx""".stripMargin
+  }) { (s, d) =>
+    val dims = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        col("col").cast(DoubleType).as("x"))
+    val bounds = dims.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val qd = dims.join(broadcast(bounds), Seq("dim"))
+      .withColumn("q",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("x") - col("mn")) * 255 / (col("mx") - col("mn")))
+              .cast(LongType)))))
+    val err = qd.select(col("dim"), col("mn"), col("mx"),
+      floor(abs(col("x") -
+          (col("mn") + col("q") * (col("mx") - col("mn")) / 255))
+        * 1000000 + 0.5).cast(LongType).as("err_ppm"))
+    err.groupBy(col("dim"), col("mn"), col("mx"))
+      .agg(max(col("err_ppm")).as("max_err_ppm"),
+        sum(col("err_ppm")).as("sum_err_ppm"),
+        count(lit(1)).as("n"))
+      .select(col("dim").cast(IntegerType).as("dim"), col("mn"), col("mx"),
+        col("max_err_ppm"), col("sum_err_ppm"), col("n"),
+        (col("max_err_ppm") <=
+          floor((col("mx") - col("mn")) * 1000000 / 255 + 0.5)
+            .cast(LongType) + 1).as("within_step"))
+  }
+
   // ============================================================ LSH ANN
   // approximate top-k: candidates restricted to the query's LSH bucket
   register("q29_ann_lsh", {
