@@ -594,6 +594,60 @@ object StructuredStreams {
       .transformWithState(new CdcProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming KMV distinct estimation — the q203 sketch held
+    * INCREMENTALLY: per key, a ValueState keeps the k-minimum-values
+    * buffer, each micro-batch folds its hashes in through the SAME
+    * `KmvSketch.aggregator` reduce the batch query uses (one shared
+    * kernel, so batch/stream agreement is by construction, and
+    * KmvStreamSpec re-proves it on data), and an updated sketch emits a
+    * fresh estimate row (unchanged sketches emit nothing — most
+    * saturated-sketch batches are no-ops, which is the point: a
+    * cardinality monitor at 100 TB events/day emits only on movement).
+    * State is ≤ k longs per key FOREVER — the bounded-state property
+    * that makes sketch-grade distinct counting streamable at all, where
+    * exact streaming COUNT(DISTINCT) state grows with the domain.
+    * Estimator identical to q203 (all-integer, exact under k).
+    */
+  final class KmvProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, KmvIn, KmvEstimate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[graft.ml.KmvBuf] = _
+    private val agg = graft.ml.KmvSketch.aggregator(k)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[graft.ml.KmvBuf](
+        "kmv", Encoders.product[graft.ml.KmvBuf], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KmvIn],
+        timerValues: TimerValues): Iterator[KmvEstimate] = {
+      val prev = if (st.exists) st.get else agg.zero
+      val next = rows.foldLeft(prev)((b, r) => agg.reduce(b, r.hv))
+      if (next.vs == prev.vs) Iterator.empty
+      else {
+        st.update(next)
+        val est =
+          if (next.vs.size < k) next.vs.size.toLong
+          else (k - 1).toLong * 2147483648L / next.vs(k - 1)
+        Iterator.single(KmvEstimate(key, next.vs.size, est))
+      }
+    }
+  }
+
+  /** [[KmvProcessor]] wired to a hash stream (RocksDB provider
+    * required; TimeMode.None — no timers, drain-style waits usable). */
+  def kmvDistinctStream(hashes: org.apache.spark.sql.Dataset[KmvIn],
+      k: Int): org.apache.spark.sql.Dataset[KmvEstimate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import hashes.sparkSession.implicits._
+    hashes
+      .groupByKey(_.key)
+      .transformWithState(new KmvProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
 
 /** Event record for the typed streaming API. */
@@ -602,3 +656,10 @@ final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 /** Change record for the streaming CDC apply (op ∈ I/U/D). */
 final case class CdcRec(key: Long, op: String, seq: Long, value: Double)
+
+/** Input record for the streaming KMV sketch: a pre-hashed value per
+  * key (the q203 hash — hashing belongs to the stateless map stage). */
+final case class KmvIn(key: String, hv: Long)
+
+/** Estimate row emitted whenever a key's sketch changed. */
+final case class KmvEstimate(key: String, sketch_size: Int, est: Long)
