@@ -104,6 +104,19 @@ object GraphOps extends QueryModule {
     * answer is pre-bucketed edge storage (SPJ, q161), not a bigger
     * broadcast. */
   val BcastNodeBytes: Long = 64L << 20
+
+  /** Eager lineage-truncating checkpoint for EDGE-SIZED graph
+    * artifacts, stored DISK_ONLY: the default MEMORY_AND_DISK level
+    * parks gigabytes of edge blocks inside the unified manager's
+    * protected storage region, and at the organic soaks under the
+    * default 8 GB bench heap that starved concurrent hash aggregates
+    * into a hard AGGREGATE_OUT_OF_MEMORY (r12, cold-page-cache box
+    * state — flaky-boundary before that). Edge artifacts are scanned
+    * once or twice sequentially; the OS page cache serves the re-reads,
+    * and execution memory stays whole. Node-sized frames keep the
+    * default level — they are the broadcast/probe working set. */
+  private def diskCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
   private val PrGrid = 1000000000000L // 1e12 integer rank grid
 
   /** Integer-grid PageRank over a directed edge list (`src`, `dst`).
@@ -282,9 +295,8 @@ object GraphOps extends QueryModule {
     // query (PlanLint, ShuffleBudgetDump, explain tooling) executes the
     // edge/degree/orientation front; the recorded shuffle budget covers
     // only the post-checkpoint assembly.
-    val e = baskets.select(explode(pairCol).as("ab"))
-      .select(col("ab.a").as("a"), col("ab.b").as("b")).distinct()
-      .localCheckpoint(true)
+    val e = diskCheckpoint(baskets.select(explode(pairCol).as("ab"))
+      .select(col("ab.a").as("a"), col("ab.b").as("b")).distinct())
 
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -297,10 +309,9 @@ object GraphOps extends QueryModule {
     // they are NODE-sized (one row per graph node — billions at 100 TB),
     // so the keyed sort-merge/AQE choice is the scale path; AQE still
     // broadcasts them when they measure small at runtime.
-    val oriented = e.join(da, Seq("a")).join(db, Seq("b"))
+    val oriented = diskCheckpoint(e.join(da, Seq("a")).join(db, Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
-        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true)
+        when(aFirst, col("b")).otherwise(col("a")).as("dst")))
 
     // ADJACENCY-ARRAY closing (r9 verdict task 1, replacing the
     // wedge-materializing join): with the DAG orientation, every
@@ -325,48 +336,55 @@ object GraphOps extends QueryModule {
     // shuffle compresses sorted neighbor arrays well at either width,
     // so the halved in-memory bytes don't reach the wire while the
     // extra cast projection does run over every edge.
-    // Adjacency arrays are DELTA+VARINT-PACKED into BinaryType at the
-    // aggregate (r11 verdict task 2): sorted neighbor ids pack at 1-3
-    // bytes/element instead of UnsafeArrayData's 8, and the packing
-    // survives to the shuffle FILES — unlike the r10 32-bit-cast
-    // negative, which only narrowed bytes the shuffle codec was already
-    // squeezing. The org-100× 50→100 step was disk-bound on ~40 GB of
-    // array-carrying SHJ shuffle writes; packing attacks exactly those
-    // bytes. The intersect kernel walks the packed buffers directly
-    // (PackedIntersectCount — same zero-allocation merge, varints
-    // decoded on the fly), so the arrays are never materialized back.
-    val adj = oriented.groupBy("src")
-      .agg(graft.catalyst.GraftFunctions.packSortedLongs(
-        sort_array(collect_list(col("dst")))).as("nbrs"))
-      .localCheckpoint(true)
-    // SIZE-CONDITIONED join strategy for the two adjacency joins. Past
-    // the broadcast size (org-soak scales) a plain join goes SMJ, and
-    // the SORT streams the edge×array frame (~m·avg-deg longs) through
-    // spill — measured +1.80 pairwise exponent at the organic 20→50×
-    // step (260 s). A shuffle_hash hint fixes that (builds the hash
-    // table on the node-sized adjacency side, never sorts the
-    // array-carrying stream → 102 s at org-50×) — but user hints
-    // survive AQE re-planning, so an UNCONDITIONAL hint also pins the
-    // small-graph case away from the strictly-better broadcast plan
-    // (measured +1.2 s at sf0.1). So make the AQE decision where AQE
-    // cannot: e/deg are already eagerly checkpointed, their exact
-    // counts are a cache scan, and the PACKED adjacency table's size is
-    // ~3 B/edge (conservative — measured varint packing is 1-3 B per
-    // sorted id) + ~32 B/node row overhead — hint shuffle_hash only
-    // when that estimate outgrows a safe broadcast, else let AQE
-    // broadcast.
+    // SIZE-CONDITIONED adjacency representation AND join strategy — one
+    // decision, two effects, made where AQE cannot (e/deg are eagerly
+    // checkpointed, their exact counts are a cache scan):
+    //
+    //   small graph (packed estimate ≤ 64 MB): plain long-array
+    //   adjacency + no hint → AQE broadcasts, and the pack projection's
+    //   per-edge cost (~10% at sf0.1, r12 measured) is never paid where
+    //   the arrays never hit a wire.
+    //
+    //   big graph: adjacency DELTA+VARINT-PACKED into BinaryType at the
+    //   aggregate (r11 verdict task 2) + shuffle_hash hint. Sorted
+    //   neighbor ids pack at 1-3 B/element instead of UnsafeArrayData's
+    //   8, and the packing survives to the shuffle FILES — unlike the
+    //   r10 32-bit-cast negative, which only narrowed bytes the shuffle
+    //   codec was already squeezing. The org-100× 50→100 step was
+    //   disk-bound on ~40 GB of array-carrying SHJ shuffle writes;
+    //   packing attacks exactly those bytes (297.9 → 47.0 s, SCALE.md
+    //   round-12). The intersect kernel walks the packed buffers
+    //   directly (PackedIntersectCount — the same zero-allocation merge
+    //   walk, varints decoded on the fly), so the arrays are never
+    //   materialized back. Both kernels are proven equal to
+    //   size(array_intersect) by their specs, so the switch cannot
+    //   change results.
+    //
+    // The hint half (r10): past broadcast size a plain join goes SMJ
+    // and the SORT streams the edge×array frame through spill (+1.80
+    // pairwise exponent at org 20→50×); shuffle_hash builds on the
+    // node-sized adjacency side instead. But hints survive AQE
+    // re-planning, so an UNCONDITIONAL hint pins small graphs away from
+    // the strictly-better broadcast (+1.2 s at sf0.1) — hence the same
+    // size condition gates it. Packed estimate: ~3 B/edge + ~32 B/node.
     val adjEstBytes = e.count() * 3L + deg.count() * 32L
     val hintShj = adjEstBytes > BcastNodeBytes
     def shjAboveBroadcast(df: DataFrame): DataFrame =
       if (hintShj) df.hint("shuffle_hash") else df
+    val nbrsArr = sort_array(collect_list(col("dst")))
+    val adj = diskCheckpoint(oriented.groupBy("src")
+      .agg((if (hintShj) graft.catalyst.GraftFunctions.packSortedLongs(nbrsArr)
+            else nbrsArr).as("nbrs")))
+    def intersectCount(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (hintShj) graft.catalyst.GraftFunctions.packedIntersectCount(a, b)
+      else graft.catalyst.GraftFunctions.sortedIntersectCount(a, b)
     val adjX = adj.select(col("src").as("x"), col("nbrs").as("nbrs_x"))
     val adjY = adj.select(col("src").as("y"), col("nbrs").as("nbrs_y"))
     val triangles = oriented
       .select(col("src").as("x"), col("dst").as("y"))
       .join(shjAboveBroadcast(adjX), Seq("x")) // x w/o out-list: impossible
       .join(shjAboveBroadcast(adjY), Seq("y")) // y w/o out-edges closes nothing
-      .select(graft.catalyst.GraftFunctions
-        .packedIntersectCount(col("nbrs_x"), col("nbrs_y")).as("c"))
+      .select(intersectCount(col("nbrs_x"), col("nbrs_y")).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
 
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
