@@ -128,7 +128,7 @@ object GraphOps extends QueryModule {
     * localCheckpoint-ed so lineage stays one round deep.
     */
   def pageRank(edgesIn: DataFrame, maxIters: Int): (DataFrame, Int) = {
-    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint(true)
+    val edges = diskCheckpoint(edgesIn.select(col("src"), col("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val nn = broadcast(deg.agg(count(lit(1)).as("n")))
@@ -444,9 +444,9 @@ object GraphOps extends QueryModule {
       .select(col("o_custkey").as("cust"),
         (col("l_suppkey") + 3000000L).as("supp"))
       .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      .localCheckpoint(true)
+    val edges = diskCheckpoint(
+      pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst"))))
     var survivors = edges.select(col("src").as("v")).distinct()
       .localCheckpoint(true)
     var prev = survivors.count()
@@ -544,9 +544,9 @@ object GraphOps extends QueryModule {
       .select(col("o_custkey").as("cust"),
         (col("l_suppkey") + 3000000L).as("supp"))
       .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      .localCheckpoint(true)
+    val edges = diskCheckpoint(
+      pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst"))))
     var frontier = pairs.select(col("cust").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
       .localCheckpoint(true)
