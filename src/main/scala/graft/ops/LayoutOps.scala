@@ -108,7 +108,12 @@ object LayoutOps extends QueryModule {
       .select(col("xq"), col("yq"), col("pid"), row_number().over(
         Window.partitionBy(col("pid"))
           .orderBy(col("z"), col("o_orderkey"))).as("local_rn"))
-      .localCheckpoint(true)
+      // DISK_ONLY: this frame is DATA-sized (one row per order), and
+      // parking it MEMORY_AND_DISK squats in the unified manager's
+      // protected storage region — the r12 cold-cache OOM class
+      // (GraphOps.diskCheckpoint rationale). Both consumers scan it
+      // once, sequentially.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
     val offsets = counts
       .select(col("pid"), coalesce(sum(col("cnt")).over(
