@@ -201,6 +201,91 @@ object SimilarityOps extends QueryModule {
         abs(col("rank_full") - col("rank_half")).cast("long").as("rank_drift"))
   }
 
+  // ================================== 1-bit embedding quantization audit
+  // Binary (sign-bit) quantization — the extreme end of the embedding
+  // compression ladder (64× vs float32; q206's int8 is the moderate
+  // rung): each vector becomes its 64-bit sign pattern, similarity
+  // becomes Hamming distance (XOR + popcount — integer ops a SIMD lane
+  // eats), and the audit is retrieval overlap against the exact cosine
+  // top-k. This is the binary-quantization recall check every
+  // vector-store compaction publishes.
+  //
+  // Determinism: the signature is pure integer construction (sign test
+  // per coordinate, summed distinct powers of two — split into two
+  // 32-bit halves so neither engine's BIGINT sum ever nears overflow);
+  // Hamming is bit_count(xor) in both engines; ranks tie-break on
+  // vec_id. The cosine reference reuses q28's proven fold. Scale shape
+  // inherits q28: the ≤10-row query set broadcasts against one map-only
+  // corpus pass; signatures are 16 bytes/vector through the plan.
+  register("q207_binary_quantization", {
+    def oSig(v: String, lo: Int, hi: Int): String =
+      (lo to hi).map(i =>
+        s"CASE WHEN $v[$i] >= 0 THEN CAST(${1L << (i - lo)} AS BIGINT) " +
+          "ELSE 0 END").mkString("(", " + ", ")")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding,
+       |    ${oSig("embedding", 1, 32)} AS slo,
+       |    ${oSig("embedding", 33, 64)} AS shi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, slo AS qlo,
+       |        shi AS qhi FROM sigs WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, s.vec_id,
+       |    bit_count(xor(q.qlo, s.slo)) + bit_count(xor(q.qhi, s.shi))
+       |      AS hamming,
+       |    ${oDot("q.qv", "s.embedding")}
+       |      / (${oNorm("q.qv")} * ${oNorm("s.embedding")}) AS cosine
+       |  FROM q JOIN sigs s ON q.query_id <> s.vec_id),
+       |rh AS (
+       |  SELECT query_id, vec_id, hamming,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, vec_id ASC) AS rank
+       |  FROM scored),
+       |rc AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS crank
+       |  FROM scored)
+       |SELECT rh.query_id, CAST(rh.rank AS BIGINT) AS rank, rh.vec_id,
+       |  CAST(rh.hamming AS BIGINT) AS hamming,
+       |  CAST(rc.crank IS NOT NULL AND rc.crank <= $TopK AS BOOLEAN)
+       |    AS in_cosine_topk
+       |FROM rh LEFT JOIN rc
+       |  ON rh.query_id = rc.query_id AND rh.vec_id = rc.vec_id
+       |WHERE rh.rank <= $TopK""".stripMargin
+  }) { (s, d) =>
+    def sig(v: Column, lo: Int, hi: Int): Column =
+      (lo to hi).map(i =>
+        when(element_at(v, i) >= 0, lit(1L << (i - lo))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val sigs = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sig(col("embedding"), 1, 32).as("slo"),
+      sig(col("embedding"), 33, 64).as("shi"))
+    val q = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("slo").as("qlo"), col("shi").as("qhi"))
+    val scored = broadcast(q)
+      .join(sigs.alias("c"), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        (expr("bit_count(qlo ^ slo)") + expr("bit_count(qhi ^ shi)"))
+          .as("hamming"),
+        graft.catalyst.GraftFunctions
+          .cosineSimilarity(col("qv"), col("c.embedding")).as("cosine"))
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .select(col("query_id"), col("vec_id"),
+        col("hamming"),
+        row_number().over(wh).as("rank"),
+        row_number().over(wc).as("crank"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("hamming").cast(LongType).as("hamming"),
+        (col("crank") <= TopK).as("in_cosine_topk"))
+  }
+
   // ===================================== int8 embedding quantization audit
   // Scalar (per-dimension min/max) int8 quantization — the standard
   // 4× storage/bandwidth diet for embedding tables at serving time —

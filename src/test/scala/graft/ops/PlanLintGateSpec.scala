@@ -103,7 +103,10 @@ class PlanLintGateSpec extends SparkSpec {
     "q192_dq_audit",
     // q204 assembles its single row from three 1-row frames (two KMV
     // sketches + the exact-truth flag rollup) — the q176 pattern
-    "q204_kmv_set_algebra")
+    "q204_kmv_set_algebra",
+    // q207 inherits q28's broadcast ≤10-row query set × corpus
+    // non-equi pairing (Hamming + cosine over the same scored frame)
+    "q207_binary_quantization")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
