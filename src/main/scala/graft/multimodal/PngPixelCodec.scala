@@ -81,10 +81,14 @@ object PngPixelCodec {
       // terminate: after a zero-yield probe, only finished() proves the
       // end-of-stream marker was consumed — a probe returning 0 with the
       // input merely exhausted is a TRUNCATED trailer and must be
-      // rejected, not accepted (r11 ADVICE).
+      // rejected, not accepted (r11 ADVICE). The probe itself must yield
+      // ZERO bytes: a stream with surplus decompressed data past outLen
+      // is over-long even if the probe's one byte makes finished() flip
+      // (r12 ADVICE — the discarded-return edge).
       if (off == outLen) {
-        if (!inf.finished()) inf.inflate(new Array[Byte](1))
-        if (inf.finished()) Some(out) else None
+        if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0) None
+        else if (inf.finished()) Some(out)
+        else None
       } else None
     } catch {
       case _: java.util.zip.DataFormatException => None

@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.LongType
 object GraphOps extends QueryModule {
   import Tables.documents
 
+  /** Supplier node ids live in a namespace shifted by this offset so the
+    * customer–supplier trade graph's two node families never collide.
+    * ONE constant, interpolated into both the Spark builders and the
+    * DuckDB oracle SQL (r12 ADVICE: the q201 seed boundary used to be an
+    * independently hard-coded literal). [[bucketedEdgeTable]] `require`s
+    * the customer-key domain actually fits below it, so an SF large
+    * enough to breach the namespace fails LOUDLY instead of silently
+    * merging node families. */
+  val SupplierOffset = 3000000L
+
   /** Components of an undirected edge list (columns `a`, `b`).
     * Returns (id, component) for every node appearing in an edge, where
     * component = min node id reachable. maxIter bounds runaway graphs
@@ -181,7 +191,7 @@ object GraphOps extends QueryModule {
          |  GROUP BY e.dst, nn.n)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS MATERIALIZED (
-       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |edges AS MATERIALIZED (
        |  SELECT cust AS src, supp AS dst FROM pairs
@@ -200,7 +210,7 @@ object GraphOps extends QueryModule {
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 3000000L).as("supp"))
+        (col("l_suppkey") + SupplierOffset).as("supp"))
       .distinct()
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
@@ -366,8 +376,14 @@ object GraphOps extends QueryModule {
     // node-sized adjacency side instead. But hints survive AQE
     // re-planning, so an UNCONDITIONAL hint pins small graphs away from
     // the strictly-better broadcast (+1.2 s at sf0.1) — hence the same
-    // size condition gates it. Packed estimate: ~3 B/edge + ~32 B/node.
-    val adjEstBytes = e.count() * 3L + deg.count() * 32L
+    // size condition gates it.
+    // Gate in the units the BELOW-threshold branch actually ships (r12
+    // ADVICE): that branch keeps UNPACKED long arrays at ~8 B/edge, so
+    // estimating in packed bytes (~3 B/edge) let adjacencies up to ~2.7×
+    // the broadcast intent stay broadcast-eligible. One estimate, one
+    // decision: once the unpacked form would breach BcastNodeBytes, both
+    // the pack and the hint engage together.
+    val adjEstBytes = e.count() * 8L + deg.count() * 32L
     val hintShj = adjEstBytes > BcastNodeBytes
     def shjAboveBroadcast(df: DataFrame): DataFrame =
       if (hintShj) df.hint("shuffle_hash") else df
@@ -424,7 +440,7 @@ object GraphOps extends QueryModule {
          |  GROUP BY e.src HAVING COUNT(*) >= $KCoreK)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS MATERIALIZED (
-       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |edges AS MATERIALIZED (
        |  SELECT cust AS src, supp AS dst FROM pairs
@@ -442,7 +458,7 @@ object GraphOps extends QueryModule {
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 3000000L).as("supp"))
+        (col("l_suppkey") + SupplierOffset).as("supp"))
       .distinct()
     val edges = diskCheckpoint(
       pairs.select(col("cust").as("src"), col("supp").as("dst"))
@@ -525,7 +541,7 @@ object GraphOps extends QueryModule {
       .map(i => s"SELECT node, CAST($i AS BIGINT) AS lvl FROM f$i")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH pairs AS MATERIALIZED (
-       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |edges AS MATERIALIZED (
        |  SELECT cust AS src, supp AS dst FROM pairs
@@ -542,7 +558,7 @@ object GraphOps extends QueryModule {
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 3000000L).as("supp"))
+        (col("l_suppkey") + SupplierOffset).as("supp"))
       .distinct()
     val edges = diskCheckpoint(
       pairs.select(col("cust").as("src"), col("supp").as("dst"))
@@ -609,30 +625,44 @@ object GraphOps extends QueryModule {
   // [[BfsMaxHops]] rounds, per-level dedup, unreached nodes absent.
   val Q201Buckets = 32
   val Q201SeedMod = 53L
-  private val q201TablePath = "/tmp/graft_q201_edges"
 
   /** One-time ETL: build the trade-graph edge list and (re)write it as
     * a bucketed, bucket-sorted parquet table; returns the catalog-read
-    * frame whose scan carries the bucket partitioning. */
-  def q201EdgeTable(s: SparkSession, d: String): DataFrame = {
+    * frame whose scan carries the bucket partitioning.
+    *
+    * Table name AND path are keyed by the dataset dir (r12 ADVICE: a
+    * fixed global name let concurrent benches / interleaved scale
+    * factors silently clobber each other's edge table). The table is
+    * shared by every bucketed-graph query (q201 BFS, q209 k-core, q210
+    * PageRank); each (re)writes it for the honest self-contained cost.
+    */
+  def bucketedEdgeTable(s: SparkSession, d: String): DataFrame = {
+    // LOUD namespace check: the supplier shift only separates the two
+    // node families while every custkey sits below the offset. One
+    // single-column parquet scan — cheap next to the ETL shuffle.
+    val maxCust = Tables.orders(s, d).agg(max(col("o_custkey"))).head.getLong(0)
+    require(maxCust < SupplierOffset,
+      s"custkey domain (max $maxCust) breaches SupplierOffset $SupplierOffset — " +
+        "the shifted supplier namespace would collide; raise SupplierOffset")
+    val tbl = s"graft_edges_${java.lang.Integer.toHexString(d.hashCode)}"
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 3000000L).as("supp"))
+        (col("l_suppkey") + SupplierOffset).as("supp"))
       .distinct()
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
     // repartition by the bucket expression first: each write task then
     // emits exactly one file per bucket instead of numBuckets small
     // files per task (the classic bucketBy write blow-up)
-    s.sql("DROP TABLE IF EXISTS graft_q201_edges")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
     edges.repartition(Q201Buckets, col("src"))
       .write.format("parquet")
       .bucketBy(Q201Buckets, "src").sortBy("src")
-      .option("path", q201TablePath)
+      .option("path", s"/tmp/$tbl")
       .mode("overwrite")
-      .saveAsTable("graft_q201_edges")
-    s.table("graft_q201_edges")
+      .saveAsTable(tbl)
+    s.table(tbl)
   }
 
   /** One BFS round against the bucketed edge table: semi-join the
@@ -660,7 +690,7 @@ object GraphOps extends QueryModule {
       .map(i => s"SELECT node, CAST($i AS BIGINT) AS lvl FROM f$i")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH pairs AS MATERIALIZED (
-       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 3000000 AS supp
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |edges AS MATERIALIZED (
        |  SELECT cust AS src, supp AS dst FROM pairs
@@ -674,13 +704,13 @@ object GraphOps extends QueryModule {
        |SELECT CAST(node AS BIGINT) AS node, lvl FROM (
        |  $levels)""".stripMargin
   }) { (s, d) =>
-    val be = q201EdgeTable(s, d)
+    val be = bucketedEdgeTable(s, d)
     // seeds straight off the bucketed table: the customer-side nodes
     // are exactly the src ids below the supplier offset (every pair
     // customer appears as a src in the cust→supp direction) — one
     // bucket-partitioned scan, no second pass over the raw tables
     var frontier = be.select(col("src").as("node"))
-      .filter(col("node") % Q201SeedMod === 0 && col("node") < 3000000L)
+      .filter(col("node") % Q201SeedMod === 0 && col("node") < SupplierOffset)
       .distinct()
       .localCheckpoint(true)
     var visited = frontier
@@ -693,4 +723,180 @@ object GraphOps extends QueryModule {
     }
     out.select(col("node").cast(LongType).as("node"), col("lvl"))
   }
+
+  // ================================ k-core over BUCKETED edge storage
+  // q209 (round-12 verdict task 1): the >64 MB k-core. q178's per-round
+  // recompute semi-joins are broadcast-conditioned — past
+  // [[BcastNodeBytes]] of survivor ids both joins reshuffle the FULL
+  // edge stream every round (measured 17.6 → 96.8 s for 2× data at the
+  // org-50×→100× step). Two changes remove the cliff:
+  //
+  //   1. BUCKETED storage (the q201 table): the initial degree
+  //      aggregation and every per-round probe run over the
+  //      bucketBy(src) scan — the edge stream NEVER crosses an
+  //      exchange; only node-sized frames shuffle (to the bucket
+  //      layout), at any survivor-set size, no broadcast anywhere.
+  //   2. DELTA PEELING instead of per-round recompute: maintain
+  //      deg(v) = degree within the surviving subgraph; each round
+  //      remove deg<k nodes and DECREMENT their neighbors (one
+  //      semi-join of the shrinking removal frame against the bucketed
+  //      scan + one groupBy over only the removal-incident edges).
+  //      Total work across ALL rounds is O(m) — each edge contributes
+  //      at most one decrement ever — where recompute pays O(m) PER
+  //      round. That is the asymptotic 100 TB answer, not just an
+  //      exchange shave.
+  //
+  // Equivalence to the q178 recompute oracle, by induction on rounds:
+  // state_0.deg is the full degree (= degree within s0); if state_{i-1}
+  // holds exactly s_{i-1} with degrees within s_{i-1}, then
+  // removed_i = {deg < k} and remaining = s_i by the oracle's HAVING,
+  // and subtracting each survivor's removed-neighbor count yields its
+  // degree within s_i. Converged-or-capped inherits q178's contract:
+  // a converged state is a fixpoint (empty removal ⇒ no-op rounds),
+  // and if the cap binds both sides did identical rounds. The final
+  // filter deg > 0 mirrors the oracle's edge-join output shape: a
+  // survivor whose last qualifying neighbors all left in the final
+  // round produces no rows there.
+  register("q209_bucketed_kcore", {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.src AS v FROM edges e
+         |  JOIN s${i - 1} a ON e.src = a.v
+         |  JOIN s${i - 1} b ON e.dst = b.v
+         |  GROUP BY e.src HAVING COUNT(*) >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+       |$rounds
+       |SELECT CAST(e.src AS BIGINT) AS node,
+       |  CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM edges e
+       |JOIN s$KCoreRounds a ON e.src = a.v
+       |JOIN s$KCoreRounds b ON e.dst = b.v
+       |GROUP BY e.src""".stripMargin
+  }) { (s, d) =>
+    val be = bucketedEdgeTable(s, d)
+    var state = kcoreDegrees(be).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < KCoreRounds) {
+      val removed = state.filter(col("deg") < KCoreK).select("v")
+        .localCheckpoint(true)
+      if (removed.count() == 0L) converged = true
+      else state = kcoreRound(be, state, removed).localCheckpoint(true)
+      round += 1
+    }
+    state.filter(col("deg") > 0)
+      .select(col("v").cast(LongType).as("node"), col("deg").as("core_degree"))
+  }
+
+  /** Initial k-core state: every node with its full degree. groupBy(src)
+    * is satisfied by the bucketed scan's partitioning — zero exchange. */
+  def kcoreDegrees(be: DataFrame): DataFrame =
+    be.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+
+  /** One delta-peeling round: survivors of the k-filter, degrees
+    * decremented by their removed-neighbor counts. The removal frame
+    * (node-sized, shrinking) shuffles to the bucket layout; only
+    * removal-incident edges reach the decrement aggregate. */
+  def kcoreRound(be: DataFrame, state: DataFrame, removed: DataFrame): DataFrame = {
+    val dec = be
+      .join(removed.select(col("v").as("src")).hint("shuffle_hash"),
+        Seq("src"), "left_semi")
+      .groupBy(col("dst").as("v")).agg(count(lit(1)).as("dec"))
+    state.filter(col("deg") >= KCoreK)
+      .join(dec, Seq("v"), "left")
+      .select(col("v"), (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+  }
+
+  // ============================== PageRank over BUCKETED edge storage
+  // q210 (round-12 verdict task 1, second half): the >64 MB PageRank.
+  // q147's per-round rank⋈edges join reshuffles the edge stream once
+  // rank frames exceed the conditioned broadcast. Here each round's
+  // join streams the bucketBy(src) scan in place: only the NODE-sized
+  // state frame (rank + outdeg, keyed by src) shuffles to the bucket
+  // layout, and the contribution aggregate's map-side combine reduces
+  // the dst stream to node-size before its exchange — per-round
+  // shuffled bytes are O(nodes), never O(edges), at any rank-frame
+  // size, no broadcast anywhere (the shuffle_hash hint pins it).
+  // Semantics and oracle are exactly q147's integer-grid formulation.
+  register("q210_bucketed_pagerank", {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    (150000000000 // nn.n)
+         |      + (85 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 100
+         |      AS rank
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY src),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |r0 AS MATERIALIZED (SELECT src AS node, $PrGrid // nn.n AS rank
+       |  FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT node, rank FROM r$PrIters
+       |ORDER BY rank DESC, node ASC LIMIT $PrTopK""".stripMargin
+  }) { (s, d) =>
+    val be = bucketedEdgeTable(s, d)
+    // out-degrees off the bucketed scan: zero exchange, node-sized
+    val deg = be.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    val teleport = expr(s"${(PrGrid * 15L) / 100L} div n")
+    // state carries rank AND outdeg so each round joins the bucketed
+    // scan against ONE node frame (the graph is symmetrized, so every
+    // ranked node has outdeg > 0 and the inner deg-join loses nothing)
+    var state = deg.crossJoin(nn)
+      .select(col("src"), expr(s"$PrGrid div n").as("rank"), col("outdeg"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (changed && it < PrIters) {
+      val next = pageRankRound(be, state)
+        .crossJoin(nn)
+        .select(col("node").as("src"),
+          (teleport + expr("(85 * csum) div 100")).as("rank"))
+        .join(deg, Seq("src"))
+        .select(col("src"), col("rank"), col("outdeg"))
+        .localCheckpoint(true)
+      // fixpoint test (q147's early-stop contract): one node-keyed join,
+      // LIMIT-1 short-circuited — only a 0/1 count reaches the driver
+      changed = next
+        .join(state.select(col("src"), col("rank").as("prev")), Seq("src"))
+        .filter(col("rank") =!= col("prev"))
+        .limit(1).count() > 0
+      state = next
+      it += 1
+    }
+    state.select(col("src").as("node"), col("rank"))
+      .orderBy(col("rank").desc, col("node").asc).limit(PrTopK)
+  }
+
+  /** One PageRank round against the bucketed edge table: join the
+    * node-sized (src, rank, outdeg) state into the bucketed scan (zero
+    * exchange on the edge side), emit per-edge contributions, combine
+    * map-side, shuffle only the node-sized partial sums. */
+  def pageRankRound(be: DataFrame, state: DataFrame): DataFrame =
+    be.join(state.hint("shuffle_hash"), Seq("src"))
+      .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib")).as("csum"))
 }

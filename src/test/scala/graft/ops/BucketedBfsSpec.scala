@@ -26,10 +26,10 @@ class BucketedBfsSpec extends SparkSpec {
     })
 
   test("per-round join: zero exchanges above the bucketed edge scan, no broadcast") {
-    val be = GraphOps.q201EdgeTable(spark, sf)
+    val be = GraphOps.bucketedEdgeTable(spark, sf)
     val frontier = be.select(col("src").as("node"))
       .filter(col("node") % GraphOps.Q201SeedMod === 0 &&
-        col("node") < 3000000L)
+        col("node") < GraphOps.SupplierOffset)
       .distinct().localCheckpoint(true)
     val round = GraphOps.q201Round(be, frontier, frontier)
     assert(round.collect().length > 0) // execute: assertions on the FINAL plan
@@ -38,7 +38,7 @@ class BucketedBfsSpec extends SparkSpec {
     // the edge scan is there and reads bucketed
     val scans = nodes.collect {
       case s: FileSourceScanExec if s.relation.location.rootPaths
-        .exists(_.toString.contains("graft_q201_edges")) => s
+        .exists(_.toString.contains("graft_edges_")) => s
     }
     assert(scans.nonEmpty, "expected a scan of the bucketed edge table")
     scans.foreach { s =>
@@ -54,7 +54,7 @@ class BucketedBfsSpec extends SparkSpec {
     // they are frontier-shaped, not edge-shaped.)
     def isEdgeScan(p: SparkPlan): Boolean = p match {
       case s: FileSourceScanExec => s.relation.location.rootPaths
-        .exists(_.toString.contains("graft_q201_edges"))
+        .exists(_.toString.contains("graft_edges_"))
       case _ => false
     }
     // the IMMEDIATE join over the scan (the downstream anti join also
@@ -87,7 +87,7 @@ class BucketedBfsSpec extends SparkSpec {
     // no bucketed storage — must agree row-for-row
     val pairs = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 3000000L).as("supp"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + GraphOps.SupplierOffset).as("supp"))
       .distinct()
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))

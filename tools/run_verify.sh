@@ -1,0 +1,15 @@
+#!/bin/bash
+# Launch graft.Verify directly with java (no sbt overhead).
+# Usage: run_verify.sh <sfdir> <outdir> [queryFilterCsv]
+set -e
+CP="/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Verify "$@"
