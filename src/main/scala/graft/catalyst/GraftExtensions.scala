@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
+    ext.injectFunction(GraftFunctions.l2sqDistanceDescriptor)
     ext.injectFunction(GraftFunctions.sortedIntersectCountDescriptor)
     ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     ext.injectFunction(GraftFunctions.packSortedLongsDescriptor)
@@ -37,6 +38,12 @@ object GraftFunctions {
     FunctionIdentifier("cosine_similarity"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
     (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+
+  private[catalyst] val l2sqDistanceDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2sq_distance"),
+    new ExpressionInfo(classOf[L2SqDistance].getName, "l2sq_distance"),
+    (args: Seq[Expression]) => L2SqDistance(args(0), args(1)))
 
   private[catalyst] val sortedIntersectCountDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -80,8 +87,9 @@ object GraftFunctions {
     * sessions built without the extensions config). */
   def register(spark: SparkSession): Unit =
     Seq(shingleHashesDescriptor, cosineSimilarityDescriptor,
-      sortedIntersectCountDescriptor, jaroWinklerDescriptor,
-      packSortedLongsDescriptor, packedIntersectCountDescriptor).foreach {
+      l2sqDistanceDescriptor, sortedIntersectCountDescriptor,
+      jaroWinklerDescriptor, packSortedLongsDescriptor,
+      packedIntersectCountDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -93,6 +101,11 @@ object GraftFunctions {
   /** Column-API form of [[CosineSimilarity]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column-API form of [[L2SqDistance]]. */
+  def l2sqDistance(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2SqDistance(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column-API form of [[SortedIntersectCount]]. */

@@ -572,7 +572,9 @@ object SimilarityOps extends QueryModule {
     (vecId.bitwiseAND(lit(2147483647L)) * lit(2654435761L))
       .bitwiseAND(lit(2147483647L)) % TrainSampleMod === 0 ||
       vecId < TrainSampleFloor
-  private val oTrainGate =
+  // def, not val: referenced by q208's oracle string, which registers
+  // EARLIER in the object body (a val would still be null there)
+  private def oTrainGate =
     s"(((vec_id & 2147483647) * 2654435761) & 2147483647) % $TrainSampleMod = 0" +
       s" OR vec_id < $TrainSampleFloor"
 
@@ -644,15 +646,175 @@ object SimilarityOps extends QueryModule {
   }
 
   // ============================================================ cosine dedup
+  // (q53 comment + threshold moved to sit with its register below; the
+  // PQ block lives between them for object-initialization order — its
+  // oracle string needs oTrainGate's constants already initialized)
+  val CosineDupThreshold = 0.4
+  // ================================= product quantization (PQ) retrieval
+  // q208 (round-12 verdict task 3) — the capstone of the quantization
+  // ladder (q206 int8, q207 1-bit, q134 SQ8, q170 matryoshka): split the
+  // 64-dim space into [[PqM]] subvectors, train a codeword set per
+  // subspace, encode every corpus vector as M small codes, and answer
+  // queries by ADC (asymmetric distance computation) — a per-query
+  // distance TABLE of M×k precomputed subspace distances, so scoring a
+  // corpus vector is M integer table lookups, never touching its floats.
+  // This is the standard memory-bounded ANN design at 100 TB: codes are
+  // ≤ M bytes/vector (8 here, vs 256 for float32), the distance tables
+  // ride the ≤10-row broadcast query set, and the corpus pass is
+  // map-only — NOTHING vector-sized ever shuffles (the ranking exchange
+  // carries (query_id, vec_id, adc_ppm, exact) only).
+  //
+  // Codebooks reuse the q79 training machinery: per-label exact-grid
+  // means over the deterministic hash-gated sample ([[trainGate]]),
+  // collected as a bounded driver sync, sliced per subspace — so each
+  // subspace has k = #labels codewords and encoding is the native
+  // [[graft.catalyst.IvfProbe]] argmin kernel on the slice (same
+  // index-order fold, (dist, label) tie-break). The audit is q207's gate
+  // shape: PQ top-k per query with an overlap flag against the EXACT
+  // full-dimension L2 top-k (the native [[graft.catalyst.L2SqDistance]]
+  // kernel — PQ approximates L2, so L2 is the apples-to-apples
+  // reference).
+  //
+  // Determinism: subspace distances are the same IEEE index-order fold
+  // in kernel and oracle; ADC terms snap to the integer ppm grid BEFORE
+  // summation (q206 discipline — the M-term sum becomes order-free);
+  // every rank tie-breaks on vec_id.
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+
+  register("q208_product_quantization", {
+    def oSubL2sq(v: String, c: String, m: String): String =
+      s"""list_reduce(list_transform(range(($m - 1) * $PqSubDim + 1, $m * $PqSubDim + 1),
+         |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
+         |      (x, y) -> x + y)""".stripMargin
+    // exact full-dim L2² between two FLOAT vectors (both sides cast)
+    def oL2sqFF(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, $Dim + 1),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i
+       |  WHERE $oTrainGate),
+       |agg AS (
+       |  SELECT label AS c_label, dim,
+       |    CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS cv
+       |  FROM dims GROUP BY label, dim),
+       |cent AS (SELECT c_label, list(cv ORDER BY dim) AS cvec FROM agg GROUP BY c_label),
+       |ms AS (SELECT unnest(range(1, $PqM + 1)) AS m),
+       |sub AS (
+       |  SELECT e.vec_id, ms.m, c.c_label,
+       |    ${oSubL2sq("e.embedding", "c.cvec", "ms.m")} AS dist
+       |  FROM embeddings e CROSS JOIN cent c CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id, m, c_label AS code FROM (
+       |    SELECT vec_id, m, c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist ASC, c_label ASC) AS rn
+       |    FROM sub) WHERE rn = 1),
+       |qtab AS (
+       |  SELECT vec_id AS query_id, m, c_label,
+       |    CAST(FLOOR(dist * 1000000 + 0.5) AS BIGINT) AS dppm
+       |  FROM sub WHERE vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id, CAST(SUM(t.dppm) AS BIGINT) AS adc_ppm
+       |  FROM qtab t JOIN codes c ON t.m = c.m AND t.c_label = c.code
+       |  WHERE t.query_id <> c.vec_id
+       |  GROUP BY t.query_id, c.vec_id),
+       |exact AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    ${oL2sqFF("q.embedding", "e.embedding")} AS d
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id < $NumQueries AND q.vec_id <> e.vec_id),
+       |ra AS (
+       |  SELECT query_id, vec_id, adc_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_ppm ASC, vec_id ASC) AS rank
+       |  FROM adc),
+       |re AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d ASC, vec_id ASC) AS erank
+       |  FROM exact)
+       |SELECT ra.query_id, CAST(ra.rank AS BIGINT) AS rank, ra.vec_id,
+       |  ra.adc_ppm,
+       |  CAST(re.erank IS NOT NULL AND re.erank <= $TopK AS BOOLEAN)
+       |    AS in_exact_topk
+       |FROM ra LEFT JOIN re
+       |  ON ra.query_id = re.query_id AND ra.vec_id = re.vec_id
+       |WHERE ra.rank <= $TopK""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.GraftColumnBridge
+    // Phase 1 (bounded driver sync): the q79 codebook, sliced per
+    // subspace. Encoding indexes distance tables by code, so the label
+    // domain must be exactly 0..k−1 — loud check, not an assumption.
+    val codebook = trainCodebook(embeddings(s, d).filter(trainGate(col("vec_id"))))
+    require(codebook.map(_._1) == (0 until codebook.size),
+      s"PQ codebook labels ${codebook.map(_._1)} are not contiguous 0..k-1 — " +
+        "ADC table positions would not line up with codes")
+    def subCb(m: Int): Seq[(Int, Seq[Double])] =
+      codebook.map { case (l, cv) =>
+        (l, cv.slice((m - 1) * PqSubDim, m * PqSubDim)) }
+    def subSlice(v: Column, m: Int): Column =
+      slice(v, (m - 1) * PqSubDim + 1, PqSubDim)
+    // nearest subspace codeword: the IvfProbe kernel on the slice
+    def subCode(v: Column, m: Int): Column = {
+      val cb = subCb(m)
+      element_at(GraftColumnBridge.column(graft.catalyst.IvfProbe(
+        GraftColumnBridge.expression(subSlice(v, m)),
+        cb.map(_._1).toArray, cb.map(_._2.toArray).toArray, 1)), 1)
+    }
+    // Phase 2 (map-only corpus pass): M codes per vector — the ONLY
+    // derived state the scoring join needs from the corpus side
+    val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      array((1 to PqM).map(m => subCode(col("embedding"), m)): _*).as("codes"))
+    // Phase 3: per-query ADC distance tables (M×k ppm longs), riding the
+    // broadcast query set
+    def qTab(v: Column): Column = array((1 to PqM).map { m =>
+      array(subCb(m).map { case (_, cw) =>
+        floor(graft.catalyst.GraftFunctions.l2sqDistance(
+          subSlice(v, m), array(cw.map(lit): _*)) * 1000000 + 0.5)
+          .cast(LongType)
+      }: _*)
+    }: _*)
+    val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        qTab(col("embedding")).as("qtab"))
+    // Phase 4 (map-only scoring): M table lookups per (query, vector) +
+    // the exact L2 reference; only scalar columns reach the rank windows
+    val scored = broadcast(q)
+      .join(corpus.alias("c"), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        (1 to PqM).map(m =>
+            element_at(element_at(col("qtab"), m),
+              (element_at(col("c.codes"), m) + 1).cast(IntegerType)))
+          .reduce(_ + _).as("adc_ppm"),
+        graft.catalyst.GraftFunctions
+          .l2sqDistance(col("qv"), col("c.embedding")).as("exact"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").asc, col("vec_id").asc)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact").asc, col("vec_id").asc)
+    scored
+      .select(col("query_id"), col("vec_id"), col("adc_ppm"),
+        row_number().over(wa).as("rank"),
+        row_number().over(we).as("erank"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("adc_ppm"),
+        (col("erank") <= TopK).as("in_exact_topk"))
+  }
+
+  // ============================================================ cosine dedup
   // embedding-cosine near-duplicate detection: candidate pairs from the
   // LSH buckets, kept when cosine exceeds the near-dup threshold — the
   // embedding-space member of the dedup family (see text.DedupOps for the
-  // token-space ones)
+  // token-space ones).
   // the synthetic embeddings are random (no seeded duplicates); 0.4 sits
   // in the top tail of the in-bucket cosine distribution so the query
   // produces a meaningful, still-selective pair set. A production dedup
   // run over real embeddings would use ~0.99.
-  val CosineDupThreshold = 0.4
   register("q53_embedding_near_dup", {
     s"""WITH sigs AS (
        |  SELECT vec_id, embedding, ${oLshSignature("embedding")} AS sig
