@@ -327,6 +327,95 @@ object SourceGate extends QueryModule {
         max("note").as("max_note"))
   }
 
+  /** Per-JVM warehouse for the q211 catalog (same lifetime contract as
+    * [[q195Warehouse]]). */
+  lazy val q211Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_cat_q211").toString
+
+  // ============================ SPJ over the engine's OWN storage gate
+  // Round-12 verdict task 4: q161 proved storage-partitioned joins over
+  // the synthetic graft-range connector; this gate closes the loop with
+  // the engine's own TABLE FORMAT. Two GraftCatalog tables are created
+  // with filePerKey=true (the sink rolls a new file per cluster key, so
+  // every committed file carries exactly one bucket and the manifest
+  // proves it), written through the normal
+  // RequiresDistributionAndOrdering path, then joined on (bucket, key):
+  // both ClusteredSinkScans report KeyGroupedPartitioning over
+  // identity(bucket), so Spark zips the matching key groups — the
+  // executed join has ZERO shuffle exchanges on either side
+  // (ClusteredSinkSpjSpec pins the plan; this gate proves end-to-end
+  // data fidelity through write → manifest → key-grouped read → join).
+  // At 100 TB this is the bucketed-warehouse contract: the layout cost
+  // is paid once at write time and every downstream cluster-key join
+  // stops re-shuffling two fact tables.
+  register("q211_sink_spj",
+    """WITH a AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS key,
+      |    CAST(o_orderkey % 32 AS BIGINT) AS bucket,
+      |    o_orderstatus || '|' || o_orderpriority AS payload
+      |  FROM orders),
+      |b AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS key,
+      |    CAST(l_orderkey % 32 AS BIGINT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT a.bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(b.n_lines) AS BIGINT) AS total_lines,
+      |  CAST(SUM(b.sum_line) AS BIGINT) AS total_linenum,
+      |  MIN(a.key) AS min_key, MAX(a.key) AS max_key,
+      |  MIN(a.payload) AS min_payload, MAX(a.payload) AS max_payload
+      |FROM a JOIN b ON a.bucket = b.bucket AND a.key = b.key
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val cat = "graft_cat_q211"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", SourceGate.q211Warehouse)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
+    s.sql(s"DROP TABLE IF EXISTS $cat.g.orders_b")
+    s.sql(s"DROP TABLE IF EXISTS $cat.g.lines_b")
+    s.sql(s"CREATE TABLE $cat.g.orders_b " +
+      "(key BIGINT, bucket BIGINT, payload STRING) PARTITIONED BY (bucket) " +
+      "TBLPROPERTIES ('filePerKey'='true')")
+    s.sql(s"CREATE TABLE $cat.g.lines_b " +
+      "(key BIGINT, bucket BIGINT, n_lines BIGINT, sum_line BIGINT) " +
+      "PARTITIONED BY (bucket) TBLPROPERTIES ('filePerKey'='true')")
+    graft.ops.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("key"),
+        (col("o_orderkey") % 32).cast("long").as("bucket"),
+        concat(col("o_orderstatus"), lit("|"), col("o_orderpriority"))
+          .as("payload"))
+      .writeTo(s"$cat.g.orders_b").append()
+    graft.ops.Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").cast("long").as("key"),
+        (col("l_orderkey") % 32).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_linenumber").cast("long")).as("sum_line"))
+      .writeTo(s"$cat.g.lines_b").append()
+    // SPJ needs the same two confs as q161 — v2 bucketing, and the
+    // relaxed co-partition check because the join keys (bucket, key)
+    // are a superset of the reported partition key (bucket). Isolated
+    // child session so the relaxation never leaks into other queries
+    // (the r5/r6 lesson).
+    val iso = s.newSession()
+    iso.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    iso.conf.set(s"spark.sql.catalog.$cat.warehouse", SourceGate.q211Warehouse)
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val a = iso.table(s"$cat.g.orders_b")
+    val b = iso.table(s"$cat.g.lines_b")
+    a.join(b, a("bucket") === b("bucket") && a("key") === b("key"))
+      .groupBy(a("bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(b("n_lines")).as("total_lines"),
+        sum(b("sum_line")).as("total_linenum"),
+        min(a("key")).as("min_key"),
+        max(a("key")).as("max_key"),
+        min(a("payload")).as("min_payload"),
+        max(a("payload")).as("max_payload"))
+  }
+
   register("q125_custom_source",
     """WITH src AS (
       |  SELECT id, CAST(id % 97 AS INTEGER) AS bucket,

@@ -195,7 +195,8 @@ final class ClusteredSinkTable(
     new ClusteredSinkWriteBuilder(info.schema(), path,
       opt("clusterBy").getOrElse("bucket"),
       opt("sortBy").getOrElse("key"),
-      opt("partitions").getOrElse("0").toInt)
+      opt("partitions").getOrElse("0").toInt,
+      opt("filePerKey").exists(_.toBoolean))
   }
 }
 
@@ -218,7 +219,7 @@ object SinkWriteMode {
 
 final class ClusteredSinkWriteBuilder(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
-    partitions: Int) extends WriteBuilder
+    partitions: Int, filePerKey: Boolean = false) extends WriteBuilder
     with SupportsOverwrite with SupportsDynamicOverwrite {
   private var mode: SinkWriteMode = SinkWriteMode.Append
   override def truncate(): WriteBuilder = {
@@ -235,12 +236,13 @@ final class ClusteredSinkWriteBuilder(
     mode = SinkWriteMode.DynamicOverwrite; this
   }
   override def build(): Write =
-    new ClusteredSinkWrite(schema, path, clusterBy, sortBy, partitions, mode)
+    new ClusteredSinkWrite(schema, path, clusterBy, sortBy, partitions, mode,
+      filePerKey)
 }
 
 final class ClusteredSinkWrite(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
-    partitions: Int, mode: SinkWriteMode)
+    partitions: Int, mode: SinkWriteMode, filePerKey: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   private def idx(col: String): Int = {
@@ -263,7 +265,7 @@ final class ClusteredSinkWrite(
 
   override def toBatch: BatchWrite =
     new ClusteredSinkBatchWrite(schema, path, idx(clusterBy), idx(sortBy),
-      clusterBy, sortBy, mode)
+      clusterBy, sortBy, mode, filePerKey)
 
   override def toStreaming: StreamingWrite =
     new ClusteredSinkStreamingWrite(schema, path, idx(clusterBy), idx(sortBy))
@@ -320,7 +322,8 @@ final case class ClusteredSinkStreamingFactory(
 
 final class ClusteredSinkBatchWrite(
     schema: StructType, path: String, clusterIdx: Int, sortIdx: Int,
-    clusterBy: String, sortBy: String, mode: SinkWriteMode)
+    clusterBy: String, sortBy: String, mode: SinkWriteMode,
+    filePerKey: Boolean = false)
     extends BatchWrite {
 
   // Per-JOB commit id: committed file names are namespaced by it, so a
@@ -335,13 +338,25 @@ final class ClusteredSinkBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val tmp = Paths.get(path, "_tmp")
     Files.createDirectories(tmp)
-    ClusteredSinkWriterFactory(schema, tmp.toString, clusterIdx, sortIdx)
+    ClusteredSinkWriterFactory(schema, tmp.toString, clusterIdx, sortIdx,
+      filePerKey)
   }
+
+  /** Flatten commit messages: a filePerKey task reports one
+    * [[ClusteredSinkCommit]] PER CLUSTER KEY (wrapped in a
+    * [[ClusteredSinkMultiCommit]]); the default writer reports one per
+    * task. Either way each entry is one file-to-be with its stats. */
+  private def flatten(messages: Array[WriterCommitMessage]): Seq[ClusteredSinkCommit] =
+    messages.toSeq.flatMap {
+      case m: ClusteredSinkCommit      => Seq(m)
+      case mm: ClusteredSinkMultiCommit => mm.parts
+      case _                            => Seq.empty
+    }.filter(_.rows > 0)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dataDir = Paths.get(path, "data")
     val manifestPath = Paths.get(path, "_manifest.jsonl")
-    val news = messages.collect { case m: ClusteredSinkCommit if m.rows > 0 => m }
+    val news = flatten(messages)
 
     mode match {
       case SinkWriteMode.Append | SinkWriteMode.Truncate =>
@@ -351,8 +366,11 @@ final class ClusteredSinkBatchWrite(
         }
         Files.createDirectories(dataDir)
         val manifest = new StringBuilder
-        news.foreach { m =>
-          val name = f"part-$jobId-${m.partitionId}%05d.json"
+        // committed names are indexed by position, not partitionId: a
+        // filePerKey task contributes several entries under one
+        // partition id and names must stay unique
+        news.zipWithIndex.foreach { case (m, i) =>
+          val name = f"part-$jobId-$i%05d.json"
           Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
           manifest.append(ClusteredSinkCommit.manifestLine(name, m))
@@ -473,8 +491,8 @@ final class ClusteredSinkBatchWrite(
         } else Files.deleteIfExists(Paths.get(stats.tmpPath))
       }
     }
-    news.foreach { m =>
-      val name = f"part-$jobId-${m.partitionId}%05d.json"
+    news.zipWithIndex.foreach { case (m, i) =>
+      val name = f"part-$jobId-$i%05d.json"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       manifest.append(ClusteredSinkCommit.manifestLine(name, m))
@@ -487,29 +505,39 @@ final class ClusteredSinkBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: ClusteredSinkCommit => Files.deleteIfExists(Paths.get(m.tmpPath))
-      case _                      =>
-    }
+    flatten(messages).foreach(m => Files.deleteIfExists(Paths.get(m.tmpPath)))
 }
 
 /** Top-level (serializable) factory — an anonymous one would capture the
   * non-serializable BatchWrite in the task closure (same trap as the
   * read-side RangeDocAggReaderFactory). */
 final case class ClusteredSinkWriterFactory(
-    schema: StructType, tmpDir: String, clusterIdx: Int, sortIdx: Int)
+    schema: StructType, tmpDir: String, clusterIdx: Int, sortIdx: Int,
+    filePerKey: Boolean = false)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ClusteredSinkDataWriter(schema, tmpDir, partitionId, taskId.toString,
-      clusterIdx, sortIdx)
+      clusterIdx, sortIdx, filePerKey)
 }
 
 final class ClusteredSinkDataWriter(
     schema: StructType, tmpDir: String, partitionId: Int, attempt: String,
-    clusterIdx: Int, sortIdx: Int) extends DataWriter[InternalRow] {
+    clusterIdx: Int, sortIdx: Int, filePerKey: Boolean = false)
+    extends DataWriter[InternalRow] {
 
-  private val tmpPath: Path = Paths.get(tmpDir, s"attempt-$partitionId-$attempt")
+  // filePerKey mode (the SPJ layout): input arrives sorted by
+  // (clusterBy, sortBy) — RequiresDistributionAndOrdering — so rolling
+  // to a fresh file on every cluster-key TRANSITION yields one file per
+  // key per task, and (clustered distribution: one key → one task) one
+  // file per key per job. Every committed file then has
+  // min_cluster == max_cluster, which is what lets the read side report
+  // KeyGroupedPartitioning and feed storage-partitioned joins.
+  private var segIdx = 0
+  private def segPath: Path = Paths.get(tmpDir,
+    s"attempt-$partitionId-$attempt" + (if (filePerKey) s"-s$segIdx" else ""))
+  private var tmpPath: Path = segPath
+  private val segments = scala.collection.mutable.ArrayBuffer[ClusteredSinkCommit]()
   private var out: java.io.BufferedWriter = _
   private var rows = 0L
   private var minCluster = Long.MaxValue
@@ -528,7 +556,34 @@ final class ClusteredSinkDataWriter(
       case _        => row.getInt(i).toLong
     }
 
+  private def snapshot(): ClusteredSinkCommit =
+    ClusteredSinkCommit(partitionId, tmpPath.toString, rows,
+      minCluster, maxCluster, minSort, maxSort,
+      distinctKeys.toArray, hasNullKey)
+
+  /** Close the current segment file, record its stats, reset for the
+    * next cluster key. */
+  private def rollSegment(): Unit = {
+    out.close(); out = null
+    segments += snapshot()
+    segIdx += 1
+    tmpPath = segPath
+    rows = 0L
+    minCluster = Long.MaxValue; maxCluster = Long.MinValue
+    minSort = Long.MaxValue; maxSort = Long.MinValue
+    distinctKeys.clear(); hasNullKey = false
+  }
+
+  /** True when `row`'s cluster key differs from the current segment's
+    * (only called with rows > 0, so the segment has a key or a null). */
+  private def keyChanged(row: InternalRow): Boolean = {
+    if (row.isNullAt(clusterIdx)) !hasNullKey || distinctKeys.nonEmpty
+    else hasNullKey && distinctKeys.isEmpty ||
+      (distinctKeys.nonEmpty && distinctKeys.last != longAt(row, clusterIdx))
+  }
+
   override def write(row: InternalRow): Unit = {
+    if (filePerKey && out != null && rows > 0 && keyChanged(row)) rollSegment()
     if (out == null) { // lazy open: empty partitions produce no file
       out = Files.newBufferedWriter(tmpPath, StandardCharsets.UTF_8)
     }
@@ -575,15 +630,19 @@ final class ClusteredSinkDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
-    ClusteredSinkCommit(partitionId, tmpPath.toString, rows,
-      minCluster, maxCluster, minSort, maxSort,
-      distinctKeys.toArray, hasNullKey)
+    if (filePerKey) {
+      if (out != null) rollSegment()
+      ClusteredSinkMultiCommit(segments.toSeq)
+    } else {
+      if (out != null) out.close()
+      snapshot()
+    }
   }
 
   override def abort(): Unit = {
     if (out != null) out.close()
     Files.deleteIfExists(tmpPath)
+    segments.foreach(s => Files.deleteIfExists(Paths.get(s.tmpPath)))
   }
 
   override def close(): Unit = if (out != null) out.close()
@@ -593,6 +652,11 @@ final case class ClusteredSinkCommit(
     partitionId: Int, tmpPath: String, rows: Long,
     minCluster: Long, maxCluster: Long, minSort: Long, maxSort: Long,
     keys: Array[Long] = Array.empty, hasNullKey: Boolean = false)
+    extends WriterCommitMessage
+
+/** Commit message of a filePerKey task: one [[ClusteredSinkCommit]] per
+  * cluster-key segment file it wrote. */
+final case class ClusteredSinkMultiCommit(parts: Seq[ClusteredSinkCommit])
     extends WriterCommitMessage
 
 object ClusteredSinkCommit {

@@ -64,7 +64,9 @@ final class ClusteredSinkScanBuilder(
 
 final class ClusteredSinkScan(
     path: String, tableSchema: StructType, required: StructType,
-    clusterBy: String, prunable: Array[Filter]) extends Scan with Batch {
+    clusterBy: String, prunable: Array[Filter]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -80,19 +82,62 @@ final class ClusteredSinkScan(
     (k, all.size)
   }
 
+  private def clusterByIsInt: Boolean =
+    tableSchema.fields(tableSchema.fieldIndex(clusterBy)).dataType == IntegerType
+
+  /** Storage-partitioned-join eligibility: every kept file carries
+    * exactly ONE cluster key (min == max, non-null) — the layout a
+    * filePerKey write produces — and the query still reads the cluster
+    * column. Then each file IS a key group, reported to Catalyst as a
+    * KeyGroupedPartitioning over identity(clusterBy): two such tables
+    * joined on the cluster key plan with NO exchange on either side
+    * (Spark groups splits per key and zips matching keys — the
+    * RangeDocBucketedScan contract, now on the engine's OWN storage).
+    * Any multi-key or null-bounded file makes the report Unknown —
+    * correctness never depends on the layout claim. */
+  private lazy val spjEligible: Boolean =
+    kept.nonEmpty &&
+      required.fieldNames.contains(clusterBy) &&
+      kept.forall(e => e.minCluster != null && e.maxCluster != null &&
+        e.minCluster.longValue == e.maxCluster.longValue)
+
+  override def outputPartitioning(): Partitioning =
+    if (spjEligible)
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(clusterBy)),
+        kept.map(_.minCluster.longValue).distinct.size)
+    else new UnknownPartitioning(kept.size)
+
   override def description(): String =
     s"graft-sink path=$path files=${kept.size}/$total " +
-      s"prunedBy=[${prunable.mkString(", ")}]"
+      s"keyGrouped=$spjEligible prunedBy=[${prunable.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(e => ClusteredSinkFilePartition(
-      Paths.get(path, "data", e.file).toString)).toArray
+      Paths.get(path, "data", e.file).toString,
+      if (spjEligible) e.minCluster else null,
+      clusterByIsInt)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     ClusteredSinkReaderFactory(tableSchema, required)
 }
 
-final case class ClusteredSinkFilePartition(file: String) extends InputPartition
+/** `keyValue` is non-null only when the scan reported key-grouped
+  * partitioning (then Spark groups splits by this key and may call
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey#partitionKey]]);
+  * the key row's value type must match the cluster column's type. */
+final case class ClusteredSinkFilePartition(
+    file: String, keyValue: java.lang.Long = null, keyIsInt: Boolean = false)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    require(keyValue != null,
+      "partitionKey() called on a split without a single cluster key")
+    new GenericInternalRow(Array[Any](
+      if (keyIsInt) keyValue.intValue else keyValue.longValue))
+  }
+}
 
 /** Top-level (serializable) — an anonymous factory would capture the Scan. */
 final case class ClusteredSinkReaderFactory(

@@ -88,6 +88,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     props.put("path", tblDir(ident).toString)
     props.put("clusterBy", n.get("clusterBy").asText)
     props.put("sortBy", n.get("sortBy").asText)
+    // filePerKey (the SPJ layout) is a persisted table property so every
+    // writer of the table honors it — absent in pre-existing metadata
+    if (n.has("filePerKey") && n.get("filePerKey").asBoolean)
+      props.put("filePerKey", "true")
     new ClusteredSinkTable(schema, props, ident.toString)
   }
 
@@ -105,11 +109,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .orElse(Option(properties.get(k))).getOrElse(dflt)
     val clusterBy = idParts.headOption.getOrElse(opt("clusterBy", "bucket"))
     val sortBy = opt("sortBy", "key")
+    val filePerKey = opt("filePerKey", "false").toBoolean
     require(schema.fieldNames.contains(clusterBy) &&
       schema.fieldNames.contains(sortBy),
       s"clusterBy/sortBy ($clusterBy/$sortBy) must be table columns")
     Files.createDirectories(tblDir(ident))
-    writeMeta(ident, schema, clusterBy, sortBy)
+    writeMeta(ident, schema, clusterBy, sortBy, filePerKey)
     loadTable(ident)
   }
 
@@ -144,6 +149,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     var schema = DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType]
     var clusterBy = n.get("clusterBy").asText
     var sortBy = n.get("sortBy").asText
+    val filePerKey = n.has("filePerKey") && n.get("filePerKey").asBoolean
     val renames = Seq.newBuilder[(String, String)]
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -184,7 +190,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val rs = renames.result()
     if (rs.nonEmpty) rewriteDataKeys(ident, rs.toMap)
-    writeMeta(ident, schema, clusterBy, sortBy)
+    writeMeta(ident, schema, clusterBy, sortBy, filePerKey)
     loadTable(ident)
   }
 
@@ -227,10 +233,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def writeMeta(
       ident: Identifier, schema: StructType, clusterBy: String,
-      sortBy: String): Unit = {
+      sortBy: String, filePerKey: Boolean = false): Unit = {
     val meta =
       s"""{"schema":${com.fasterxml.jackson.databind.node.TextNode.valueOf(schema.json)},""" +
-        s""""clusterBy":"$clusterBy","sortBy":"$sortBy"}"""
+        s""""clusterBy":"$clusterBy","sortBy":"$sortBy",""" +
+        s""""filePerKey":$filePerKey}"""
     Files.write(metaFile(ident), meta.getBytes(StandardCharsets.UTF_8))
     ()
   }
