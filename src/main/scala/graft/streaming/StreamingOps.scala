@@ -648,6 +648,111 @@ object StructuredStreams {
       .transformWithState(new KmvProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming HLL distinct estimation — q56/q146's sketch family held
+    * incrementally (round-12 verdict task 5, completing the sketch trio:
+    * KMV streams since r12; HLL and CMS now do too). Per key, a
+    * ValueState holds the serialized DataSketches HllSketch — the SAME
+    * library and lgK Spark's batch `hll_sketch_agg` uses.
+    *
+    * Emits round(getCompositeEstimate) — deliberately NOT the default
+    * getEstimate: DataSketches layers a HIP accumulator over the
+    * registers whose value depends on the MERGE TREE (measured on one
+    * 750-distinct stream: 737.08 one-shot, 736.15 as a 3-batch union,
+    * 739 through Spark's partitioned hll_sketch_agg — identical
+    * registers every time). A monitor whose output depends on
+    * micro-batch boundaries or the batch twin's partitioning would be
+    * untestable and non-reproducible; the composite estimate is a pure
+    * function of the registers, and the REGISTERS are a true lattice
+    * join (order/batching/partitioning-independent) — so stream ==
+    * batch exactly, across restarts (SketchStreamSpec proves it against
+    * the heapified hll_sketch_agg binary). Emits only when the rounded
+    * estimate moves — the cardinality-monitor contract. State is
+    * ≤ ~2^lgK bytes per key forever. */
+  final class HllProcessor(lgK: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, HllIn, HllEstimate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+
+    @transient private var st: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]](
+        "hll", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[HllIn],
+        timerValues: TimerValues): Iterator[HllEstimate] = {
+      val existed = st.exists
+      val sk = if (existed) HllSketch.heapify(st.get)
+        else new HllSketch(lgK, TgtHllType.HLL_8)
+      val prevEst = if (existed) math.round(sk.getCompositeEstimate) else -1L
+      rows.foreach(r => sk.update(r.v))
+      st.update(sk.toUpdatableByteArray)
+      val est = math.round(sk.getCompositeEstimate)
+      if (est == prevEst) Iterator.empty
+      else Iterator.single(HllEstimate(key, est))
+    }
+  }
+
+  /** [[HllProcessor]] wired to a value stream. */
+  def hllDistinctStream(values: org.apache.spark.sql.Dataset[HllIn],
+      lgK: Int): org.apache.spark.sql.Dataset[HllEstimate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new HllProcessor(lgK),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming Count-Min frequency estimation — q55's sketch held
+    * incrementally. Per key, a ValueState holds the (depth × width)
+    * CMSketch table; each micro-batch folds its terms in through the
+    * SAME [[graft.ml.CMSketch]] add kernel the batch aggregator uses
+    * (integer cell additions commute, so batching cannot change the
+    * final table), and emits the POST-batch estimate for each distinct
+    * term that arrived — "current frequency of what just changed", the
+    * heavy-hitter-monitor contract. State is depth·width longs per key
+    * forever, regardless of term cardinality — the property that makes
+    * streaming frequency tracking bounded where an exact per-term map
+    * grows with the domain. */
+  final class CmsProcessor(depth: Int, width: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CmsIn, CmsTermEstimate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[graft.ml.CMSketch] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[graft.ml.CMSketch](
+        "cms", Encoders.product[graft.ml.CMSketch], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CmsIn],
+        timerValues: TimerValues): Iterator[CmsTermEstimate] = {
+      val sk = if (st.exists) st.get else graft.ml.CMSketch.empty(depth, width)
+      val arrived = scala.collection.mutable.LinkedHashSet[String]()
+      rows.foreach { r => arrived += r.term; sk.add(r.term) }
+      if (arrived.isEmpty) Iterator.empty
+      else {
+        st.update(sk)
+        arrived.iterator.map(t => CmsTermEstimate(key, t, sk.estimate(t)))
+      }
+    }
+  }
+
+  /** [[CmsProcessor]] wired to a term stream. */
+  def cmsFrequencyStream(terms: org.apache.spark.sql.Dataset[CmsIn],
+      depth: Int, width: Int): org.apache.spark.sql.Dataset[CmsTermEstimate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import terms.sparkSession.implicits._
+    terms
+      .groupByKey(_.key)
+      .transformWithState(new CmsProcessor(depth, width),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
 
 /** Event record for the typed streaming API. */
@@ -663,3 +768,15 @@ final case class KmvIn(key: String, hv: Long)
 
 /** Estimate row emitted whenever a key's sketch changed. */
 final case class KmvEstimate(key: String, sketch_size: Int, est: Long)
+
+/** Input record for the streaming HLL sketch: a raw long value per key. */
+final case class HllIn(key: String, v: Long)
+
+/** Estimate row emitted whenever a key's rounded HLL estimate moved. */
+final case class HllEstimate(key: String, est: Long)
+
+/** Input record for the streaming Count-Min sketch: a term per key. */
+final case class CmsIn(key: String, term: String)
+
+/** Post-batch frequency estimate for a term that arrived this batch. */
+final case class CmsTermEstimate(key: String, term: String, est: Long)
