@@ -107,6 +107,34 @@ class PngPixelCodecSpec extends AnyFunSuite {
       "a stream longer than the IHDR-implied size must be rejected")
   }
 
+  test("over-long stream by exactly ONE surplus byte is rejected (r12 ADVICE)") {
+    // The full-extra-row case above leaves the probe inflate mid-stream
+    // (finished() false) and never exercised the probe's RETURN VALUE; a
+    // stream with exactly one surplus decompressed byte makes the probe
+    // consume it AND flip finished() — the discarded-return edge where
+    // the old code accepted a stream violating the exact-byte-count
+    // contract.
+    val png = ImageFixtures.pixelPngFor(12L)
+    val rgb = PngPixelCodec.decodeRgb(png).get
+    val w = (1 + 12L % 16).toInt
+    val stride = 3 * w
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until rgb.height) {
+      raw.write(0)
+      raw.write(rgb.pixels, y * stride, stride)
+    }
+    raw.write(0x7f) // ONE surplus byte past the IHDR-implied count
+    val deflater = new java.util.zip.Deflater
+    val rawB = raw.toByteArray
+    deflater.setInput(rawB); deflater.finish()
+    val buf = new Array[Byte](rawB.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val overByOne = withIdat(12L, _ => buf.take(n))
+    assert(PngPixelCodec.decodeRgb(overByOne).isEmpty,
+      "a stream with one surplus decompressed byte must be rejected")
+  }
+
   test("short stream, bad signature, unsupported color type are rejected") {
     assert(PngPixelCodec.decodeRgb(
       withIdat(3L, body => body.take(body.length / 2))).isEmpty)

@@ -106,7 +106,11 @@ class PlanLintGateSpec extends SparkSpec {
     "q204_kmv_set_algebra",
     // q207 inherits q28's broadcast ≤10-row query set × corpus
     // non-equi pairing (Hamming + cosine over the same scored frame)
-    "q207_binary_quantization")
+    "q207_binary_quantization",
+    // q208 same shape: the ≤10-row broadcast query set (ADC tables in
+    // tow) pairs against the coded corpus on the non-equi
+    // query_id <> vec_id predicate — map-only over the corpus
+    "q208_product_quantization")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
