@@ -806,6 +806,167 @@ object SimilarityOps extends QueryModule {
         (col("erank") <= TopK).as("in_exact_topk"))
   }
 
+  // ===================================== IVF-PQ composed retrieval
+  // q212 — the two halves assembled into the standard memory-bounded
+  // billion-scale ANN pipeline (the FAISS IVF-PQ shape): the q79 coarse
+  // quantizer routes every corpus vector into an inverted cell and
+  // restricts each query to its [[NProbe]] nearest cells; q208's PQ
+  // codes + per-query ADC distance tables score ONLY the probed
+  // candidates — so the corpus pass is map-only (assign + encode), the
+  // candidate join is an equi-join on the cell id against the ≤10-row
+  // broadcast probe set, scoring is M integer table lookups per
+  // candidate, and nothing vector-sized ever shuffles. At 100 TB the
+  // index state per vector is one cell id + M bytes of codes; the
+  // original floats are read once at index build and never again on the
+  // query path. The audit is end-to-end recall: overlap flags against
+  // the EXACT full-dimension L2 top-k over the whole corpus (so cell
+  // routing misses and quantization error are both visible).
+  //
+  // Determinism: both halves reuse their proven formulations verbatim
+  // (coarse argmin = IvfProbe kernel / (dist, label)-ranked CTE; codes
+  // and ADC tables = q208's index-order folds on the integer ppm grid);
+  // candidate sets are equal because the probe ranking is identical;
+  // every rank tie-breaks on vec_id.
+  register("q212_ivfpq_search", {
+    def oSubL2sq(v: String, c: String, m: String): String =
+      s"""list_reduce(list_transform(range(($m - 1) * $PqSubDim + 1, $m * $PqSubDim + 1),
+         |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
+         |      (x, y) -> x + y)""".stripMargin
+    def oL2sqFF(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, $Dim + 1),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i
+       |  WHERE $oTrainGate),
+       |agg AS (
+       |  SELECT label AS c_label, dim,
+       |    CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS cv
+       |  FROM dims GROUP BY label, dim),
+       |cent AS (SELECT c_label, list(cv ORDER BY dim) AS cvec FROM agg GROUP BY c_label),
+       |cd AS (
+       |  SELECT e.vec_id, c.c_label, ${oL2sq("e.embedding", "c.cvec")} AS dist
+       |  FROM embeddings e CROSS JOIN cent c),
+       |rc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist ASC, c_label ASC) AS crn FROM cd),
+       |cells AS (SELECT vec_id, c_label AS cell FROM rc WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, c_label AS cell
+       |  FROM rc WHERE crn <= $NProbe AND vec_id < $NumQueries),
+       |ms AS (SELECT unnest(range(1, $PqM + 1)) AS m),
+       |sub AS (
+       |  SELECT e.vec_id, ms.m, c.c_label,
+       |    ${oSubL2sq("e.embedding", "c.cvec", "ms.m")} AS dist
+       |  FROM embeddings e CROSS JOIN cent c CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id, m, c_label AS code FROM (
+       |    SELECT vec_id, m, c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist ASC, c_label ASC) AS rn
+       |    FROM sub) WHERE rn = 1),
+       |qtab AS (
+       |  SELECT vec_id AS query_id, m, c_label,
+       |    CAST(FLOOR(dist * 1000000 + 0.5) AS BIGINT) AS dppm
+       |  FROM sub WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id
+       |  FROM probes p JOIN cells b ON p.cell = b.cell
+       |  WHERE p.query_id <> b.vec_id),
+       |adc AS (
+       |  SELECT ca.query_id, ca.vec_id, CAST(SUM(t.dppm) AS BIGINT) AS adc_ppm
+       |  FROM cand ca
+       |  JOIN codes c ON ca.vec_id = c.vec_id
+       |  JOIN qtab t ON t.query_id = ca.query_id AND t.m = c.m
+       |    AND t.c_label = c.code
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    ${oL2sqFF("q.embedding", "e.embedding")} AS d
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id < $NumQueries AND q.vec_id <> e.vec_id),
+       |ra AS (
+       |  SELECT query_id, vec_id, adc_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_ppm ASC, vec_id ASC) AS rank
+       |  FROM adc),
+       |re AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d ASC, vec_id ASC) AS erank
+       |  FROM exact)
+       |SELECT ra.query_id, CAST(ra.rank AS BIGINT) AS rank, ra.vec_id,
+       |  ra.adc_ppm,
+       |  CAST(re.erank IS NOT NULL AND re.erank <= $TopK AS BOOLEAN)
+       |    AS in_exact_topk
+       |FROM ra LEFT JOIN re
+       |  ON ra.query_id = re.query_id AND ra.vec_id = re.vec_id
+       |WHERE ra.rank <= $TopK""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.GraftColumnBridge
+    val codebook = trainCodebook(embeddings(s, d).filter(trainGate(col("vec_id"))))
+    require(codebook.map(_._1) == (0 until codebook.size),
+      "IVF-PQ codebook labels must be contiguous 0..k-1 (ADC table positions)")
+    def subCb(m: Int): Seq[(Int, Seq[Double])] =
+      codebook.map { case (l, cv) =>
+        (l, cv.slice((m - 1) * PqSubDim, m * PqSubDim)) }
+    def subSlice(v: Column, m: Int): Column =
+      slice(v, (m - 1) * PqSubDim + 1, PqSubDim)
+    def subCode(v: Column, m: Int): Column = {
+      val cb = subCb(m)
+      element_at(GraftColumnBridge.column(graft.catalyst.IvfProbe(
+        GraftColumnBridge.expression(subSlice(v, m)),
+        cb.map(_._1).toArray, cb.map(_._2.toArray).toArray, 1)), 1)
+    }
+    // INDEX BUILD (map-only, one corpus scan): cell id + M codes — the
+    // only per-vector state the query path ever touches
+    val index = embeddings(s, d).select(col("vec_id"),
+      nearestCentroid(s, codebook)(col("embedding")).as("cell"),
+      array((1 to PqM).map(m => subCode(col("embedding"), m)): _*).as("codes"))
+    def qTab(v: Column): Column = array((1 to PqM).map { m =>
+      array(subCb(m).map { case (_, cw) =>
+        floor(graft.catalyst.GraftFunctions.l2sqDistance(
+          subSlice(v, m), array(cw.map(lit): _*)) * 1000000 + 0.5)
+          .cast(LongType)
+      }: _*)
+    }: _*)
+    val probes = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), qTab(col("embedding")).as("qtab"),
+        explode(probeCentroids(s, codebook, NProbe)(col("embedding")))
+          .as("pcell"))
+    // QUERY PATH: equi-join on the cell id against the broadcast probe
+    // set slices out ~N·nprobe/k candidates; ADC = M table lookups each
+    val cand = broadcast(probes)
+      .join(index.alias("c"),
+        col("pcell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        (1 to PqM).map(m =>
+            element_at(element_at(col("qtab"), m),
+              (element_at(col("c.codes"), m) + 1).cast(IntegerType)))
+          .reduce(_ + _).as("adc_ppm"))
+    // exact reference (audit only): second corpus scan, full-dim L2
+    val qv = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = broadcast(qv)
+      .join(embeddings(s, d).alias("e"), col("query_id") =!= col("e.vec_id"))
+      .select(col("query_id"), col("e.vec_id").as("vec_id"),
+        graft.catalyst.GraftFunctions
+          .l2sqDistance(col("qv"), col("e.embedding")).as("d"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").asc, col("vec_id").asc)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val ranked = cand.select(col("query_id"), col("vec_id"), col("adc_ppm"),
+      row_number().over(wa).as("rank")).filter(col("rank") <= TopK)
+    val eranked = exact.select(col("query_id"), col("vec_id"),
+      row_number().over(we).as("erank"))
+    ranked.join(eranked, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("adc_ppm"),
+        (col("erank").isNotNull && col("erank") <= TopK).as("in_exact_topk"))
+  }
+
   // ============================================================ cosine dedup
   // embedding-cosine near-duplicate detection: candidate pairs from the
   // LSH buckets, kept when cosine exceeds the near-dup threshold — the

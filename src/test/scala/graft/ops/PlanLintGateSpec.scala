@@ -110,7 +110,10 @@ class PlanLintGateSpec extends SparkSpec {
     // q208 same shape: the ≤10-row broadcast query set (ADC tables in
     // tow) pairs against the coded corpus on the non-equi
     // query_id <> vec_id predicate — map-only over the corpus
-    "q208_product_quantization")
+    "q208_product_quantization",
+    // q212's exact-reference audit pass is the same q208/q28 shape (the
+    // RETRIEVAL path itself equi-joins on the probed cell id)
+    "q212_ivfpq_search")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
