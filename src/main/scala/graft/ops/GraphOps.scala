@@ -899,4 +899,77 @@ object GraphOps extends QueryModule {
       .select(col("dst"), expr("rank div outdeg").as("contrib"))
       .groupBy(col("dst").as("node"))
       .agg(sum(col("contrib")).as("csum"))
+
+  // ================== connected components over BUCKETED edge storage
+  // q213 completes the bucketed-graph family (BFS q201, k-core q209,
+  // PageRank q210): hash-min label propagation over the TRADE graph —
+  // the whole-graph clustering primitive (q90 runs it on the small
+  // seeded document chains; this is the same algorithm at the scale
+  // where the label frame outgrows any broadcast). Every round joins
+  // the node-sized label frame into the bucketed scan (zero exchange on
+  // the edge side), takes the per-destination MIN (map-side combinable
+  // — the exchange carries node-sized partial minima), and folds it
+  // into the state with LEAST. Converged-or-capped: min-propagation is
+  // monotone, so a converged labeling is a fixpoint and the oracle's
+  // remaining fixed-[[CcRounds]] chained-CTE rounds are no-ops; if the
+  // cap binds, both sides did the same rounds (the q178 contract).
+  val CcRounds = 8
+
+  register("q213_bucketed_components", {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.node, LEAST(p.lbl, COALESCE(n.m, p.lbl)) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT e.dst AS node, MIN(l.lbl) AS m
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst) n ON p.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node,
+       |  CAST(lbl AS BIGINT) AS component
+       |FROM l$CcRounds""".stripMargin
+  }) { (s, d) =>
+    val be = bucketedEdgeTable(s, d)
+    // label init straight off the bucketed scan: groupBy-free distinct
+    // on the bucket column is satisfied by the storage partitioning
+    var state = be.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (changed && it < CcRounds) {
+      val next = componentsRound(be, state).localCheckpoint(true)
+      changed = next
+        .join(state.select(col("node"), col("lbl").as("prev")), Seq("node"))
+        .filter(col("lbl") =!= col("prev"))
+        .limit(1).count() > 0
+      state = next
+      it += 1
+    }
+    state.select(col("node").cast(LongType).as("node"),
+      col("lbl").cast(LongType).as("component"))
+  }
+
+  /** One hash-min propagation round against the bucketed edge table:
+    * the node-sized label frame shuffles to the bucket layout, the edge
+    * stream stays in place, and only node-sized partial minima cross
+    * the post-aggregation exchange. */
+  def componentsRound(be: DataFrame, state: DataFrame): DataFrame = {
+    val nm = be
+      .join(state.hint("shuffle_hash"), be("src") === state("node"))
+      .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("m"))
+    state.select(col("node"), col("lbl"))
+      .join(nm, Seq("node"), "left")
+      .select(col("node"),
+        least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+  }
 }

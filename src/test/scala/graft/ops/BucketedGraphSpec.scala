@@ -120,6 +120,42 @@ class BucketedGraphSpec extends SparkSpec {
     }
   }
 
+  test("q213 components: per-round propagation leaves edges in place") {
+    val be = GraphOps.bucketedEdgeTable(spark, sf)
+    val state = be.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    val next = GraphOps.componentsRound(be, state)
+    assert(next.collect().length > 0)
+    val nodes = walk(next.queryExecution.executedPlan)
+    assertEdgeSideInPlace(nodes)
+    val edgeJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if walk(j.left).exists(isEdgeScan) &&
+          !walk(j.left).exists(p => p.ne(j) && p.isInstanceOf[BaseJoinExec]) => j
+    }
+    assert(edgeJoins.nonEmpty,
+      "expected the propagation join to stream the bucketed edge scan")
+    edgeJoins.foreach { j =>
+      assert(!walk(j.left).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"edge side of the propagation join crossed an exchange:\n$j")
+    }
+  }
+
+  test("q213 matches the composed connectedComponents on the same graph") {
+    val pairs = graft.ops.Tables.orders(spark, sf)
+      .join(graft.ops.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + GraphOps.SupplierOffset).as("b"))
+      .distinct()
+    val ref = GraphOps.connectedComponents(pairs)
+      .select(col("id").cast("long").as("node"),
+        col("component").cast("long").as("component"))
+    val got = graft.SparkEntry.queries("q213_bucketed_components")(spark, sf)
+    assert(got.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(got).count() === 0)
+  }
+
   test("q209 matches q178 row-for-row (same graph, k, round cap)") {
     val got = graft.SparkEntry.queries("q209_bucketed_kcore")(spark, sf)
     val ref = graft.SparkEntry.queries("q178_kcore")(spark, sf)
