@@ -967,6 +967,219 @@ object SimilarityOps extends QueryModule {
         (col("erank").isNotNull && col("erank") <= TopK).as("in_exact_topk"))
   }
 
+  // ================================== RESIDUAL IVF-PQ (classic encoding)
+  // q214 — q212 PQ-encodes raw vectors; the classic IVF-PQ design
+  // encodes each vector's RESIDUAL against its coarse centroid
+  // (v − c_cell): every cell's population is centered near the origin,
+  // so the same codeword budget resolves finer structure and ADC
+  // tightens at identical bytes/vector. Residual codebooks come from a
+  // deterministic anchor sample (the [[PqAnchors]] lowest vec_ids with
+  // vec_id % 29 = 3 — the codewords are those anchors' own residuals,
+  // sliced per subspace), and BOTH hot-path steps run through native
+  // codegen kernels with the codebooks as plan reference objects
+  // ([[graft.catalyst.PqEncodeResidual]] / [[graft.catalyst.PqAdcResidual]]
+  // — a composed residual would need a per-row zip_with subtraction,
+  // the interpreted-HOF trap q79 measured at half its runtime). Scale
+  // shape matches q212: map-only index build (cell + M codes), ADC
+  // tables riding the broadcast probe rows (one M×K table per probed
+  // cell), candidates sliced by the cell equi-join, nothing
+  // vector-sized shuffling. Audit: end-to-end recall vs the exact
+  // global L2 top-k, same as q212 — so the residual refinement's
+  // effect on recall is directly comparable across the two gates.
+  //
+  // Determinism: anchor selection is an ORDER BY vec_id LIMIT; anchor
+  // cells/residuals use the same (dist, label) argmin fold driver-side
+  // as the kernels do per-row; every distance accumulates
+  // ((v[i]−c[i])−w[i])² in ascending index order (kernel == oracle's
+  // left fold); ADC snaps to the ppm grid before the order-free
+  // integer sum; ranks tie-break on vec_id.
+  val PqAnchors = 16
+
+  register("q214_residual_ivfpq", {
+    s"""WITH dims AS (
+       |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i
+       |  WHERE $oTrainGate),
+       |agg AS (
+       |  SELECT label AS c_label, dim,
+       |    CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS cv
+       |  FROM dims GROUP BY label, dim),
+       |cent AS (SELECT c_label, list(cv ORDER BY dim) AS cvec FROM agg GROUP BY c_label),
+       |cd AS (
+       |  SELECT e.vec_id, c.c_label, ${oL2sq("e.embedding", "c.cvec")} AS dist
+       |  FROM embeddings e CROSS JOIN cent c),
+       |rc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist ASC, c_label ASC) AS crn FROM cd),
+       |cells AS (SELECT vec_id, c_label AS cell FROM rc WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, c_label AS cell
+       |  FROM rc WHERE crn <= $NProbe AND vec_id < $NumQueries),
+       |anch AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 29 = 3 ORDER BY vec_id LIMIT $PqAnchors),
+       |aj AS (SELECT vec_id, embedding,
+       |  ROW_NUMBER() OVER (ORDER BY vec_id) AS j FROM anch),
+       |cw AS (
+       |  SELECT a.j, list(CAST(a.embedding[i.i] AS DOUBLE) - c.cvec[i.i]
+       |    ORDER BY i.i) AS wvec
+       |  FROM aj a
+       |  JOIN cells b ON a.vec_id = b.vec_id
+       |  JOIN cent c ON b.cell = c.c_label,
+       |  (SELECT unnest(range(1, $Dim + 1)) AS i) i
+       |  GROUP BY a.j),
+       |ms AS (SELECT unnest(range(1, $PqM + 1)) AS m),
+       |sub AS (
+       |  SELECT e.vec_id, ms.m, cw.j,
+       |    list_reduce(list_transform(range((ms.m - 1) * $PqSubDim + 1, ms.m * $PqSubDim + 1),
+       |      i -> ((CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) - cw.wvec[i])
+       |           * ((CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) - cw.wvec[i])),
+       |      (x, y) -> x + y) AS dist
+       |  FROM embeddings e
+       |  JOIN cells b ON e.vec_id = b.vec_id
+       |  JOIN cent c ON b.cell = c.c_label
+       |  CROSS JOIN cw CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist ASC, j ASC) AS rn
+       |    FROM sub) WHERE rn = 1),
+       |qtab AS (
+       |  SELECT p.query_id, p.cell, ms.m, cw.j,
+       |    CAST(FLOOR(
+       |      list_reduce(list_transform(range((ms.m - 1) * $PqSubDim + 1, ms.m * $PqSubDim + 1),
+       |        i -> ((CAST(q.embedding[i] AS DOUBLE) - c.cvec[i]) - cw.wvec[i])
+       |             * ((CAST(q.embedding[i] AS DOUBLE) - c.cvec[i]) - cw.wvec[i])),
+       |        (x, y) -> x + y) * 1000000 + 0.5) AS BIGINT) AS dppm
+       |  FROM probes p
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN cent c ON p.cell = c.c_label
+       |  CROSS JOIN cw CROSS JOIN ms),
+       |cand AS (
+       |  SELECT p.query_id, p.cell, b.vec_id
+       |  FROM probes p JOIN cells b ON p.cell = b.cell
+       |  WHERE p.query_id <> b.vec_id),
+       |adc AS (
+       |  SELECT ca.query_id, ca.vec_id, CAST(SUM(t.dppm) AS BIGINT) AS adc_ppm
+       |  FROM cand ca
+       |  JOIN codes c2 ON ca.vec_id = c2.vec_id
+       |  JOIN qtab t ON t.query_id = ca.query_id AND t.cell = ca.cell
+       |    AND t.m = c2.m AND t.j = c2.code
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    list_reduce(list_transform(range(1, $Dim + 1),
+       |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+       |           * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id < $NumQueries AND q.vec_id <> e.vec_id),
+       |ra AS (
+       |  SELECT query_id, vec_id, adc_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_ppm ASC, vec_id ASC) AS rank
+       |  FROM adc),
+       |re AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d ASC, vec_id ASC) AS erank
+       |  FROM exact)
+       |SELECT ra.query_id, CAST(ra.rank AS BIGINT) AS rank, ra.vec_id,
+       |  ra.adc_ppm,
+       |  CAST(re.erank IS NOT NULL AND re.erank <= $TopK AS BOOLEAN)
+       |    AS in_exact_topk
+       |FROM ra LEFT JOIN re
+       |  ON ra.query_id = re.query_id AND ra.vec_id = re.vec_id
+       |WHERE ra.rank <= $TopK""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.GraftColumnBridge
+    import s.implicits._
+    val codebook = trainCodebook(embeddings(s, d).filter(trainGate(col("vec_id"))))
+    require(codebook.map(_._1) == (0 until codebook.size),
+      "residual IVF-PQ cells must be contiguous 0..k-1")
+    val cents: Array[Array[Double]] = codebook.map(_._2.toArray).toArray
+    // anchors: bounded deterministic driver sync (≤ PqAnchors rows)
+    val anchors: Array[Array[Float]] = embeddings(s, d)
+      .filter(col("vec_id") % 29 === 3)
+      .orderBy(col("vec_id")).limit(PqAnchors)
+      .select(col("embedding")).as[Array[Float]].collect()
+    require(anchors.nonEmpty, "residual IVF-PQ needs at least one anchor")
+    // per-anchor nearest cell + residual — the SAME index-order fold and
+    // (dist, label) tie-break the IvfProbe kernel runs per row
+    def nearestCell(v: Array[Float]): Int = {
+      var best = 0
+      var bd = Double.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val c = cents(ci)
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) {
+          val dx = v(i).toDouble - c(i)
+          acc += dx * dx
+          i += 1
+        }
+        if (acc < bd) { bd = acc; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val resids: Array[Array[Double]] = anchors.map { a =>
+      val c = cents(nearestCell(a))
+      Array.tabulate(Dim)(i => a(i).toDouble - c(i))
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(PqM)(m =>
+      resids.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    def encodeCol(v: Column, cell: Column): Column =
+      GraftColumnBridge.column(graft.catalyst.PqEncodeResidual(
+        GraftColumnBridge.expression(v), GraftColumnBridge.expression(cell),
+        cents, books))
+    def adcCol(v: Column, cell: Column): Column =
+      GraftColumnBridge.column(graft.catalyst.PqAdcResidual(
+        GraftColumnBridge.expression(v), GraftColumnBridge.expression(cell),
+        cents, books))
+    // INDEX BUILD: one map-only pass — cell + M residual codes
+    val index = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroid(s, codebook)(col("embedding")).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        encodeCol(col("embedding"), col("cell")).as("codes"))
+    // probe rows carry ONE ADC table per probed cell
+    val probes = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(probeCentroids(s, codebook, NProbe)(col("embedding")))
+          .as("pcell"))
+      .select(col("query_id"), col("pcell"),
+        adcCol(col("embedding"), col("pcell")).as("qtab"))
+    val cand = broadcast(probes)
+      .join(index.alias("c"),
+        col("pcell") === col("c.cell") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        (1 to PqM).map(m =>
+            element_at(element_at(col("qtab"), m),
+              element_at(col("c.codes"), m) + 1))
+          .reduce(_ + _).as("adc_ppm"))
+    val qv = embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = broadcast(qv)
+      .join(embeddings(s, d).alias("e"), col("query_id") =!= col("e.vec_id"))
+      .select(col("query_id"), col("e.vec_id").as("vec_id"),
+        graft.catalyst.GraftFunctions
+          .l2sqDistance(col("qv"), col("e.embedding")).as("d"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").asc, col("vec_id").asc)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val ranked = cand.select(col("query_id"), col("vec_id"), col("adc_ppm"),
+      row_number().over(wa).as("rank")).filter(col("rank") <= TopK)
+    val eranked = exact.select(col("query_id"), col("vec_id"),
+      row_number().over(we).as("erank"))
+    ranked.join(eranked, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("adc_ppm"),
+        (col("erank").isNotNull && col("erank") <= TopK).as("in_exact_topk"))
+  }
+
   // ============================================================ cosine dedup
   // embedding-cosine near-duplicate detection: candidate pairs from the
   // LSH buckets, kept when cosine exceeds the near-dup threshold — the

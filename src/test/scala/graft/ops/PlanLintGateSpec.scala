@@ -111,9 +111,9 @@ class PlanLintGateSpec extends SparkSpec {
     // tow) pairs against the coded corpus on the non-equi
     // query_id <> vec_id predicate — map-only over the corpus
     "q208_product_quantization",
-    // q212's exact-reference audit pass is the same q208/q28 shape (the
-    // RETRIEVAL path itself equi-joins on the probed cell id)
-    "q212_ivfpq_search")
+    // q212/q214's exact-reference audit passes are the same q208/q28
+    // shape (the RETRIEVAL paths themselves equi-join on the cell id)
+    "q212_ivfpq_search", "q214_residual_ivfpq")
 
   /** Queries with an INTENTIONAL empty-PARTITION-BY window, every one on
     * a bounded post-aggregation frame, never on the raw data: the
