@@ -632,9 +632,15 @@ object GraphOps extends QueryModule {
     *
     * Table name AND path are keyed by the dataset dir (r12 ADVICE: a
     * fixed global name let concurrent benches / interleaved scale
-    * factors silently clobber each other's edge table). The table is
-    * shared by every bucketed-graph query (q201 BFS, q209 k-core, q210
-    * PageRank); each (re)writes it for the honest self-contained cost.
+    * factors silently clobber each other's edge table) AND by the JVM's
+    * pid: the catalog entry is per-JVM anyway (in-memory metastore),
+    * but the /tmp path is host-global — two JVMs verifying the SAME
+    * dataset concurrently (a spec run beside a Verify sweep) would
+    * interleave DROP/overwrite on one directory. The pid makes each
+    * JVM's table fully private; /tmp reclaims the leftovers. The table
+    * is shared by every bucketed-graph query (q201 BFS, q209 k-core,
+    * q210 PageRank, q213 components); each (re)writes it for the honest
+    * self-contained cost.
     */
   def bucketedEdgeTable(s: SparkSession, d: String): DataFrame = {
     // LOUD namespace check: the supplier shift only separates the two
@@ -644,7 +650,8 @@ object GraphOps extends QueryModule {
     require(maxCust < SupplierOffset,
       s"custkey domain (max $maxCust) breaches SupplierOffset $SupplierOffset — " +
         "the shifted supplier namespace would collide; raise SupplierOffset")
-    val tbl = s"graft_edges_${java.lang.Integer.toHexString(d.hashCode)}"
+    val tbl = s"graft_edges_${java.lang.Integer.toHexString(d.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
