@@ -951,15 +951,31 @@ object GraphOps extends QueryModule {
     var state = be.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
+    // DELTA FRONTIER (the q209 trick applied to label propagation):
+    // only nodes whose label CHANGED last round re-propagate. An
+    // unchanged neighbor's contribution was already folded into the
+    // round that changed it — label_r(v) absorbed min over
+    // label_{r-1}(N(v)) — so skipping it cannot alter any round's
+    // labeling: the delta trajectory is IDENTICAL to full propagation,
+    // round by round, which is what keeps the capped chained-CTE oracle
+    // (full recompute) a valid twin. Round 0's frontier is every node,
+    // so round 1 is the one full-edge pass; after the min labels flood
+    // (fast on a dense trade graph), rounds shrink to the still-moving
+    // fringe — total work O(Σ changes · deg), not O(m · rounds).
+    var frontier = state
+    var moving = 1L
     var it = 0
-    var changed = true
-    while (changed && it < CcRounds) {
-      val next = componentsRound(be, state).localCheckpoint(true)
-      changed = next
-        .join(state.select(col("node"), col("lbl").as("prev")), Seq("node"))
-        .filter(col("lbl") =!= col("prev"))
-        .limit(1).count() > 0
-      state = next
+    while (moving > 0 && it < CcRounds) {
+      val nm = componentsRound(be, frontier)
+      val merged = state.join(nm, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"),
+          // carry the changed flag out of the same pass (q90 pattern)
+          (coalesce(col("m"), col("lbl")) < col("lbl")).as("__chg"))
+        .localCheckpoint(true)
+      frontier = merged.filter(col("__chg")).select(col("node"), col("lbl"))
+      moving = frontier.count()
+      state = merged.select(col("node"), col("lbl"))
       it += 1
     }
     state.select(col("node").cast(LongType).as("node"),
@@ -967,16 +983,12 @@ object GraphOps extends QueryModule {
   }
 
   /** One hash-min propagation round against the bucketed edge table:
-    * the node-sized label frame shuffles to the bucket layout, the edge
-    * stream stays in place, and only node-sized partial minima cross
-    * the post-aggregation exchange. */
-  def componentsRound(be: DataFrame, state: DataFrame): DataFrame = {
-    val nm = be
-      .join(state.hint("shuffle_hash"), be("src") === state("node"))
+    * min-label contributions from the (node, lbl) FRONTIER frame — the
+    * frontier shuffles to the bucket layout, the edge stream stays in
+    * place, and only node-sized partial minima cross the
+    * post-aggregation exchange. Returns (node, m). */
+  def componentsRound(be: DataFrame, frontier: DataFrame): DataFrame =
+    be.join(frontier.select(col("node").as("src"), col("lbl"))
+        .hint("shuffle_hash"), Seq("src"))
       .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("m"))
-    state.select(col("node"), col("lbl"))
-      .join(nm, Seq("node"), "left")
-      .select(col("node"),
-        least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
-  }
 }
