@@ -43,13 +43,23 @@ object GraphOps extends QueryModule {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .localCheckpoint(true)
     var comp = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    // DELTA FRONTIER (r13, the q213 trick generalized): only labels
+    // that CHANGED last round re-propagate — an unchanged neighbor's
+    // label was already absorbed by the round that set it, so the
+    // trajectory is identical to full propagation round by round
+    // (which keeps every caller's oracle/cap contract intact). Round 0
+    // fronts every node; once the min labels flood, rounds shrink to
+    // the still-moving fringe and total work is O(Σ changes · deg).
+    var frontier = comp
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val neighborMin = sym
-        .join(comp, sym("a") === comp("id"))
+        .join(frontier, sym("a") === frontier("id"))
         .groupBy(col("b").as("nid"))
         .agg(min(col("component")).as("nmin"))
       val next = comp.join(neighborMin, comp("id") === col("nid"), "left")
@@ -63,7 +73,9 @@ object GraphOps extends QueryModule {
       // one action per round: the convergence count (a scalar). localCheckpoint
       // truncates the lineage so the plan doesn't deepen each round.
       val materialized = next.localCheckpoint(true)
-      changed = materialized.filter(col("__chg")).count()
+      frontier = materialized.filter(col("__chg"))
+        .select(col("id"), col("component"))
+      changed = frontier.count()
       comp = materialized.select("id", "component")
       iter += 1
     }
