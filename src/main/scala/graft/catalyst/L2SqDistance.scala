@@ -67,6 +67,14 @@ object L2SqDistance {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // LOUD on null elements (r13 ADVICE): ArrayData.getFloat/getDouble
+      // on a null slot silently yields 0.0 — a wrong distance, not an
+      // error. Schemas commonly carry containsNull=true even when no
+      // nulls exist (parquet default), so the gate is runtime, not
+      // checkInputDataTypes.
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"l2sq_distance: null element at index $i — vectors must be dense")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       val dx = x - y

@@ -36,14 +36,20 @@ object PqResidual {
       books: Array[Array[Array[Double]]]): ArrayData = {
     require(cell >= 0 && cell < cents.length,
       s"pq_encode_residual: cell $cell outside codebook 0..${cents.length - 1}")
+    require(v.numElements() == cents(0).length,
+      s"pq_encode_residual: vector dim ${v.numElements()} != codebook dim " +
+        s"${cents(0).length}")
     val c = cents(cell)
     val m = books.length
     val out = new Array[Int](m)
     var mi = 0
+    // cumulative subspace offset from the ACTUAL per-book widths (r13
+    // ADVICE: `mi * sd` assumed equal widths; heterogeneous books would
+    // silently mis-slice even though the summed widths tile Dim)
+    var lo = 0
     while (mi < m) {
       val book = books(mi)
       val sd = book(0).length
-      val lo = mi * sd
       var best = 0
       var bd = Double.MaxValue
       var j = 0
@@ -60,6 +66,7 @@ object PqResidual {
         j += 1
       }
       out(mi) = best
+      lo += sd
       mi += 1
     }
     new GenericArrayData(out)
@@ -72,13 +79,16 @@ object PqResidual {
       books: Array[Array[Array[Double]]]): ArrayData = {
     require(cell >= 0 && cell < cents.length,
       s"pq_adc_residual: cell $cell outside codebook 0..${cents.length - 1}")
+    require(v.numElements() == cents(0).length,
+      s"pq_adc_residual: vector dim ${v.numElements()} != codebook dim " +
+        s"${cents(0).length}")
     val c = cents(cell)
     val rows = new Array[ArrayData](books.length)
     var mi = 0
+    var lo = 0 // cumulative per-book offset (see encode)
     while (mi < books.length) {
       val book = books(mi)
       val sd = book(0).length
-      val lo = mi * sd
       val row = new Array[Long](book.length)
       var j = 0
       while (j < book.length) {
@@ -94,6 +104,7 @@ object PqResidual {
         j += 1
       }
       rows(mi) = new GenericArrayData(row)
+      lo += sd
       mi += 1
     }
     new GenericArrayData(rows.asInstanceOf[Array[Any]])

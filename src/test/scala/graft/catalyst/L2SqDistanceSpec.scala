@@ -97,4 +97,22 @@ class L2SqDistanceSpec extends SparkSpec {
     assert(hits >= 5, s"only $hits/50 PQ results in the exact top-5 — " +
       "chance level is ~0.5/50; check code/table alignment")
   }
+
+  test("null vector elements throw instead of silently reading 0.0") {
+    // r13 ADVICE: ArrayData.getFloat on a null slot yields 0.0 — a
+    // wrong distance. The kernel must refuse sparse vectors loudly.
+    import spark.implicits._
+    val df = Seq((Seq[Option[Double]](Some(1.0), None, Some(3.0)),
+        Seq[Option[Double]](Some(1.0), Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.l2sqDistance(col("a"), col("b")).as("d"))
+        .collect()
+    }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(chain(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("null element")),
+      s"expected a loud null-element failure, got: ${e.getMessage}")
+  }
 }

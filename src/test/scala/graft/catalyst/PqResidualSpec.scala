@@ -78,6 +78,64 @@ class PqResidualSpec extends SparkSpec {
     assert(nonzero === 0L, "ties must resolve to the earliest codeword")
   }
 
+  test("short input vectors throw instead of reading out of bounds") {
+    // r13 ADVICE: a vector shorter than the codebook dim walked
+    // unchecked past numElements() — silent garbage codes. Both kernels
+    // must refuse loudly.
+    import spark.implicits._
+    val df = Seq((1L, Array.tabulate(32)(i => i * 0.1f), 0)) // dim 32 vs 64
+      .toDF("vec_id", "embedding", "cell")
+    for (mk <- Seq(
+        () => PqEncodeResidual(
+          GraftColumnBridge.expression(col("embedding")),
+          GraftColumnBridge.expression(col("cell")), cents, books),
+        () => PqAdcResidual(
+          GraftColumnBridge.expression(col("embedding")),
+          GraftColumnBridge.expression(col("cell")), cents, books))) {
+      val e = intercept[Exception] {
+        df.select(GraftColumnBridge.column(mk()).as("o")).collect()
+      }
+      def chain(t: Throwable): Iterator[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      assert(chain(e).exists(c => c.getMessage != null &&
+          c.getMessage.contains("codebook dim")),
+        s"expected a loud dim-mismatch failure, got: ${e.getMessage}")
+    }
+  }
+
+  test("heterogeneous subspace widths slice at cumulative offsets") {
+    // r13 ADVICE: the old `lo = mi * sd` assumed equal widths; books of
+    // widths (16, 48) would have mis-sliced the second subspace at
+    // offset 48 instead of 16. Compare the kernel against the composed
+    // fold at the CORRECT cumulative offsets.
+    val widths = Seq(16, 48)
+    val offs = widths.scanLeft(0)(_ + _) // 0, 16, 64
+    val hetBooks: Array[Array[Array[Double]]] =
+      widths.zipWithIndex.map { case (w, m) =>
+        Array.tabulate(3)(j => Array.tabulate(w)(i =>
+          (j - 1) * 0.004 * (m + 1) + 0.002 * i))
+      }.toArray
+    val e = Tables.embeddings(spark, sf).limit(64)
+      .select(col("vec_id"), col("embedding"), cellCol.as("cell"))
+    val tab = GraftColumnBridge.column(PqAdcResidual(
+      GraftColumnBridge.expression(col("embedding")),
+      GraftColumnBridge.expression(col("cell")), cents, hetBooks))
+    def composed(cell: Int, m: Int, j: Int) = {
+      val resid = slice(zip_with(col("embedding"),
+          array(cents(cell).map(lit): _*),
+          (x, c) => x.cast(DoubleType) - c),
+        offs(m) + 1, widths(m))
+      floor(GraftFunctions.l2sqDistance(resid,
+        array(hetBooks(m)(j).map(lit): _*)) * 1000000 + 0.5).cast("long")
+    }
+    val bad = e.select(col("cell"), tab.as("tab"),
+        array((0 until 2).map(m => array((0 until 3).map(j =>
+          when(col("cell") === 0, composed(0, m, j))
+            .otherwise(composed(1, m, j))): _*)): _*).as("ref"))
+      .filter(!(col("tab") <=> col("ref"))).count()
+    assert(bad === 0L, s"$bad rows mis-sliced with heterogeneous widths")
+  }
+
   test("residual encoding does not lose recall to raw-vector PQ (q212 vs q214)") {
     // measured at sf0.01: 9/50 residual vs 6/50 raw on the exact-L2
     // top-5 overlap — the refinement the residual exists for. Pin the
