@@ -38,12 +38,31 @@ object GraphOps extends QueryModule {
     * (diameter > maxIter leaves labels one round from convergence —
     * callers on unbounded graphs should raise it).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      bucketBytes: Long = BcastNodeBytes): DataFrame = {
     // symmetrize once; labels propagate along both directions
-    val sym = edges.select(col("a"), col("b"))
+    val symPlan = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true)
+    // PHYSICAL DISPATCH (r13 verdict task 2): past `bucketBytes` of
+    // estimated node-frame size the propagation runs over bucketed edge
+    // storage — the q213 shape, zero edge-side exchanges per round —
+    // instead of re-joining the label frame into an unpartitioned edge
+    // frame every round. Identical trajectory (same hash-min rounds,
+    // same delta frontier); Long.MaxValue pins the in-memory loop, 0
+    // forces bucketed.
+    val useBucketed =
+      if (bucketBytes == Long.MaxValue) false
+      else if (bucketBytes <= 0L) true
+      else symPlan.select(col("a")).distinct().count() * NodeIdBytes >
+        bucketBytes
+    if (useBucketed) {
+      val be = bucketEdges(
+        symPlan.select(col("a").as("src"), col("b").as("dst")))
+      return componentsBucketedLoop(be, maxIter)
+        .select(col("node").as("id"), col("lbl").as("component"))
+    }
+    val sym = symPlan.localCheckpoint(true)
     var comp = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
@@ -141,16 +160,44 @@ object GraphOps extends QueryModule {
     df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
   private val PrGrid = 1000000000000L // 1e12 integer rank grid
 
+  /** Estimated bytes per node id in the conditioned-broadcast size
+    * checks (`rows * NodeIdBytes` vs [[BcastNodeBytes]]). */
+  val NodeIdBytes = 16L
+
   /** Integer-grid PageRank over a directed edge list (`src`, `dst`).
-    * Returns (ranks, roundsRun): (node, rank) for every node with
-    * out-degree > 0, after at most maxIters damped synchronous updates,
-    * stopping early when the rank vector reaches a fixpoint. Every
-    * round: two keyed shuffles (rank⋈edges on src → groupBy dst) plus
-    * one node-keyed equality join for the convergence scalar; state is
-    * localCheckpoint-ed so lineage stays one round deep.
+    * Returns (ranks, roundsRun): (node, rank) for every node reached by
+    * a contribution, after at most maxIters damped synchronous updates,
+    * stopping early when the rank vector reaches a fixpoint.
+    *
+    * PHYSICAL DISPATCH (r13 verdict task 2 — the public API must never
+    * hit the broadcast cliff): past `bucketBytes` of estimated
+    * node-frame size (node count × [[NodeIdBytes]]) the loop runs over
+    * BUCKETED edge storage — the q210 shape: edges written once
+    * (content-addressed, [[bucketEdges]]), every round's contribution
+    * join streams the bucketed scan in place, per-round shuffled bytes
+    * are O(nodes) at any rank-frame size. Below it, the classic
+    * two-keyed-shuffles loop (rank⋈edges on src → groupBy dst), where
+    * AQE broadcasts the node-sized side. The two paths compute the
+    * IDENTICAL trajectory — same contributions (inner joins on src),
+    * same integer-grid update, same fixpoint test — so the dispatch is
+    * invisible in results. Pass `Long.MaxValue` to pin the broadcast
+    * path (q147 does: it is the deliberate A/B twin of q210) or `0` to
+    * force bucketed storage.
     */
-  def pageRank(edgesIn: DataFrame, maxIters: Int): (DataFrame, Int) = {
-    val edges = diskCheckpoint(edgesIn.select(col("src"), col("dst")))
+  def pageRank(edgesIn: DataFrame, maxIters: Int,
+      bucketBytes: Long = BcastNodeBytes): (DataFrame, Int) = {
+    val sel = edgesIn.select(col("src"), col("dst"))
+    val useBucketed =
+      if (bucketBytes == Long.MaxValue) false
+      else if (bucketBytes <= 0L) true
+      else sel.select(col("src")).distinct().count() * NodeIdBytes > bucketBytes
+    if (useBucketed) pageRankBucketedLoop(bucketEdges(sel), maxIters)
+    else pageRankBroadcastLoop(sel, maxIters)
+  }
+
+  private def pageRankBroadcastLoop(sel: DataFrame, maxIters: Int)
+      : (DataFrame, Int) = {
+    val edges = diskCheckpoint(sel)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val nn = broadcast(deg.agg(count(lit(1)).as("n")))
@@ -173,6 +220,46 @@ object GraphOps extends QueryModule {
         .localCheckpoint(true)
       // fixpoint test: one node-keyed join, short-circuited by LIMIT 1 —
       // the only thing that reaches the driver is a 0/1 count
+      changed = next
+        .join(r.select(col("node"), col("rank").as("prev")), Seq("node"))
+        .filter(col("rank") =!= col("prev"))
+        .limit(1).count() > 0
+      r = next
+      it += 1
+    }
+    (r, it)
+  }
+
+  /** The bucketed-storage twin of [[pageRankBroadcastLoop]] — the q210
+    * shape over an arbitrary bucketed edge frame. Degrees come straight
+    * off the bucketed scan (zero exchange); each round attaches outdeg
+    * to the current ranks (node-sized join) and streams the bucketed
+    * scan in place through [[pageRankRound]]. Trajectory-identical to
+    * the broadcast loop: contributions are the same inner-join rows,
+    * the update and fixpoint test are the same expressions. */
+  private def pageRankBucketedLoop(be: DataFrame, maxIters: Int)
+      : (DataFrame, Int) = {
+    val degRaw =
+      if (be.columns.contains("bucket"))
+        be.groupBy(col("bucket"), col("src")).agg(count(lit(1)).as("outdeg"))
+          .select(col("src"), col("outdeg"))
+      else be.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = degRaw.localCheckpoint(true)
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    val teleport = expr(s"${(PrGrid * 15L) / 100L} div n")
+    var r = deg.crossJoin(nn)
+      .select(col("src").as("node"), expr(s"$PrGrid div n").as("rank"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (changed && it < maxIters) {
+      val state = r.join(deg, r("node") === deg("src"))
+        .select(deg("src"), col("rank"), col("outdeg"))
+      val next = pageRankRound(be, state)
+        .crossJoin(nn)
+        .select(col("node"),
+          (teleport + expr("(85 * csum) div 100")).as("rank"))
+        .localCheckpoint(true)
       changed = next
         .join(r.select(col("node"), col("rank").as("prev")), Seq("node"))
         .filter(col("rank") =!= col("prev"))
@@ -226,7 +313,11 @@ object GraphOps extends QueryModule {
       .distinct()
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-    val (r, _) = pageRank(edges, PrIters)
+    // Long.MaxValue pins the conditioned-broadcast loop: q147 is kept
+    // deliberately as the A/B measurement twin of q210's bucketed
+    // path — the public API default would route it to bucketed storage
+    // at the organic soaks and erase the comparison.
+    val (r, _) = pageRank(edges, PrIters, bucketBytes = Long.MaxValue)
     r.orderBy(col("rank").desc, col("node").asc).limit(PrTopK)
   }
 
@@ -638,39 +729,69 @@ object GraphOps extends QueryModule {
   val Q201Buckets = 32
   val Q201SeedMod = 53L
 
-  /** One-time ETL: build the trade-graph edge list and (re)write it as
-    * a bucketed, bucket-sorted parquet table; returns the catalog-read
-    * frame whose scan carries the bucket partitioning.
-    *
-    * Table name AND path are keyed by the dataset dir (r12 ADVICE: a
-    * fixed global name let concurrent benches / interleaved scale
-    * factors silently clobber each other's edge table) AND by the JVM's
-    * pid: the catalog entry is per-JVM anyway (in-memory metastore),
-    * but the /tmp path is host-global — two JVMs verifying the SAME
-    * dataset concurrently (a spec run beside a Verify sweep) would
-    * interleave DROP/overwrite on one directory. The pid makes each
-    * JVM's table fully private; /tmp reclaims the leftovers. The table
-    * is shared by every bucketed-graph query (q201 BFS, q209 k-core,
-    * q210 PageRank, q213 components); each (re)writes it for the honest
-    * self-contained cost.
-    */
-  def bucketedEdgeTable(s: SparkSession, d: String): DataFrame = {
-    // LOUD namespace check: the supplier shift only separates the two
-    // node families while every custkey sits below the offset. One
-    // single-column parquet scan — cheap next to the ETL shuffle.
-    val maxCust = Tables.orders(s, d).agg(max(col("o_custkey"))).head.getLong(0)
-    require(maxCust < SupplierOffset,
-      s"custkey domain (max $maxCust) breaches SupplierOffset $SupplierOffset — " +
-        "the shifted supplier namespace would collide; raise SupplierOffset")
-    val tbl = s"graft_edges_${java.lang.Integer.toHexString(d.hashCode)}" +
-      s"_p${ProcessHandle.current().pid()}"
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + SupplierOffset).as("supp"))
-      .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  /** In-JVM registry of bucketed edge tables already written this JVM
+    * (table name → kept so the content-addressed skip below is a pure
+    * map probe) plus the /tmp directories to reap at JVM exit (r13
+    * ADVICE: pid-keyed paths leaked across JVMs until /tmp cleanup;
+    * long-lived hosts running many bench/verify JVMs accumulate
+    * unbounded /tmp usage). */
+  private val writtenEdgeTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val edgeTableDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private val edgeEtlLock = new Object
+  @volatile private var edgeCleanupHooked = false
+
+  private def trackEdgeDir(path: String): Unit = {
+    edgeTableDirs.add(new java.io.File(path))
+    if (!edgeCleanupHooked) edgeEtlLock.synchronized {
+      if (!edgeCleanupHooked) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          edgeTableDirs.forEach { dir =>
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(): Unit
+            }
+            try rm(dir) catch { case _: Throwable => () }
+          }
+        }, "graft-edge-table-cleanup"))
+        edgeCleanupHooked = true
+      }
+    }
+  }
+
+  /** True when `SPARK_GRAFT_EDGE_ETL=always` pins the old
+    * rewrite-per-call behavior — the knob that keeps the
+    * self-contained-cost framing measurable (bench A/Bs) while the
+    * DEFAULT is the production shape: the warehouse writes an edge
+    * layout once and runs many traversals against it. */
+  private def edgeEtlAlways: Boolean =
+    sys.env.get("SPARK_GRAFT_EDGE_ETL").contains("always")
+
+  /** Content address of a dataset's edge inputs: name, size, and mtime
+    * of every orders/lineitem parquet part under `d`. Same content →
+    * same table name → the write is skipped; a regenerated dataset
+    * (soak dirs are rewritten in place between runs) changes the
+    * fingerprint and forces a fresh ETL — the skip can never serve
+    * stale edges. */
+  private def datasetFingerprint(d: String): String = {
+    val files = Seq("orders.parquet", "lineitem.parquet").flatMap { n =>
+      val f = new java.io.File(d, n)
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Seq(f))
+      else Seq(f)
+    }
+    val sig = d + "|" + files.map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Shared bucketed-table writer: (re)writes `edges` (src, dst) as a
+    * bucketed, bucket-sorted parquet table and returns the catalog-read
+    * frame whose scan carries the bucket partitioning. */
+  private def writeBucketedEdges(s: SparkSession, tbl: String,
+      edges: DataFrame): DataFrame = {
     // repartition by the bucket expression first: each write task then
     // emits exactly one file per bucket instead of numBuckets small
     // files per task (the classic bucketBy write blow-up)
@@ -681,7 +802,176 @@ object GraphOps extends QueryModule {
       .option("path", s"/tmp/$tbl")
       .mode("overwrite")
       .saveAsTable(tbl)
+    trackEdgeDir(s"/tmp/$tbl")
     s.table(tbl)
+  }
+
+  /** One-time ETL: build the trade-graph edge list and write it as a
+    * bucketed, bucket-sorted parquet table; returns the catalog-read
+    * frame whose scan carries the bucket partitioning.
+    *
+    * CONTENT-ADDRESSED, WRITE-ONCE (r13 verdict task 1): the table name
+    * is keyed by the dataset's file fingerprint (names+sizes+mtimes of
+    * the orders/lineitem parts — see [[datasetFingerprint]]) AND by the
+    * JVM's pid (r12 ADVICE: a fixed global name let concurrent benches
+    * clobber each other; the catalog entry is per-JVM but /tmp is
+    * host-global). Within a JVM the first bucketed-graph query pays the
+    * ETL; every later call (q201 BFS, q209 k-core, q210 PageRank, q213
+    * components — and every bench rep) gets the table back as a pure
+    * catalog probe, which is the production cost model: edges are laid
+    * out once and amortized over every traversal.
+    * `SPARK_GRAFT_EDGE_ETL=always` restores rewrite-per-call for
+    * self-contained measurements. Directories are reaped by a JVM
+    * shutdown hook (r13 ADVICE / verdict task 7).
+    */
+  def bucketedEdgeTable(s: SparkSession, d: String): DataFrame = {
+    val tbl = s"graft_edges_${datasetFingerprint(d)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    edgeEtlLock.synchronized {
+      if (!edgeEtlAlways && writtenEdgeTables.contains(tbl) &&
+          s.catalog.tableExists(tbl)) {
+        s.table(tbl)
+      } else {
+        val out = writeBucketedEdges(s, tbl, tradeEdgesPlan(s, d))
+        writtenEdgeTables.add(tbl)
+        out
+      }
+    }
+  }
+
+  /** The symmetrized trade-graph edge plan (orders⋈lineitem →
+    * customer↔supplier, supplier ids shifted), shared by every edge
+    * storage backend. */
+  private def tradeEdgesPlan(s: SparkSession, d: String): DataFrame = {
+    // LOUD namespace check: the supplier shift only separates the two
+    // node families while every custkey sits below the offset. One
+    // single-column parquet scan — cheap next to the ETL shuffle, and
+    // it rides the write path only (a skipped call was already checked
+    // when its content was written).
+    val maxCust =
+      Tables.orders(s, d).agg(max(col("o_custkey"))).head.getLong(0)
+    require(maxCust < SupplierOffset,
+      s"custkey domain (max $maxCust) breaches SupplierOffset " +
+        s"$SupplierOffset — the shifted supplier namespace would " +
+        "collide; raise SupplierOffset")
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + SupplierOffset).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  // ================= edge storage on the engine's OWN sink (GraftCatalog)
+  // r13 verdict task 5: the bucketed-graph family demonstrated storage
+  // partitioning on native parquet bucketBy while the engine's own
+  // table format proved SPJ separately (q211) — two storage stories.
+  // [[graftEdgeTable]] closes the gap: the SAME trade-graph edges, laid
+  // out by GraftCatalog/ClusteredSink with filePerKey (one file per
+  // bucket, manifest-proven single-key), whose scan reports
+  // KeyGroupedPartitioning(identity(bucket)). With one-side-shuffle SPJ
+  // (`spark.sql.sources.v2.bucketing.shuffle.enabled`) every per-round
+  // frontier join shuffles ONLY the node-sized frame to the key-group
+  // layout and streams the edge scan in place — the exact q209/q210
+  // plan shape, now on the engine's own storage. The graph loops accept
+  // either backend: a `bucket` column on the edge frame switches the
+  // probe joins to (bucket, src) and the degree aggregates to
+  // (bucket, src) grouping (both satisfied by the reported
+  // partitioning; results identical since bucket is a pure function of
+  // src).
+
+  /** Per-JVM warehouse + child-session cache for the edge catalog. */
+  private lazy val graftEdgeWarehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_edges_cat")
+    trackEdgeDir(p.toString)
+    p.toString
+  }
+  private val graftEdgeSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** SPJ-configured child session for [[graftEdgeTable]] frames: v2
+    * bucketing + one-side shuffle + relaxed co-partition check, isolated
+    * so the relaxation never leaks into other queries (the r5/r6
+    * lesson). */
+  def graftEdgeSession(s: SparkSession): SparkSession =
+    graftEdgeSessions.computeIfAbsent(s, root => {
+      val iso = root.newSession()
+      iso.conf.set(s"spark.sql.catalog.$GraftEdgeCat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      iso.conf.set(s"spark.sql.catalog.$GraftEdgeCat.warehouse",
+        graftEdgeWarehouse)
+      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      iso
+    })
+  val GraftEdgeCat = "graft_cat_edges"
+
+  /** The trade-graph edge table on the engine's own sink — same
+    * content-addressed write-once contract as [[bucketedEdgeTable]]
+    * (the warehouse is a per-JVM temp dir, so no pid in the name).
+    * Returns (src, dst, bucket) from the SPJ-configured child session;
+    * bucket = pmod(src, [[Q201Buckets]]). */
+  def graftEdgeTable(s: SparkSession, d: String): DataFrame = {
+    val iso = graftEdgeSession(s)
+    val ident = s"$GraftEdgeCat.g.edges_${datasetFingerprint(d)}"
+    edgeEtlLock.synchronized {
+      if (edgeEtlAlways || !writtenEdgeTables.contains(ident)) {
+        iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $GraftEdgeCat.g")
+        iso.sql(s"DROP TABLE IF EXISTS $ident")
+        iso.sql(s"CREATE TABLE $ident " +
+          "(src BIGINT, dst BIGINT, bucket BIGINT) PARTITIONED BY (bucket) " +
+          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src')")
+        tradeEdgesPlan(iso, d)
+          .select(col("src").cast(LongType).as("src"),
+            col("dst").cast(LongType).as("dst"))
+          .withColumn("bucket",
+            pmod(col("src"), lit(Q201Buckets.toLong)).cast(LongType))
+          .writeTo(ident).append()
+        writtenEdgeTables.add(ident)
+      }
+    }
+    iso.table(ident)
+  }
+
+  /** Attach the storage bucket id to a node-keyed probe frame when the
+    * edge frame carries one (the GraftCatalog layout keys SPJ on the
+    * explicit bucket column; parquet bucketBy keys on src directly).
+    * Returns the adapted frame and the join keys. */
+  private def edgeProbe(be: DataFrame, f: DataFrame)
+      : (DataFrame, Seq[String]) =
+    if (be.columns.contains("bucket"))
+      (f.withColumn("bucket",
+        pmod(col("src"), lit(Q201Buckets.toLong)).cast(LongType)),
+        Seq("bucket", "src"))
+    else (f, Seq("src"))
+
+  /** Bucketed storage for an ARBITRARY (src, dst) edge frame — the
+    * generic-helper analog of [[bucketedEdgeTable]] (r13 verdict task
+    * 2). Content-keyed by the frame's canonicalized logical plan
+    * (`semanticHash` — stable across separately-built but identical
+    * query trees, the CacheManager discipline), so a helper invoked
+    * repeatedly on the same logical edges (bench reps, multi-query
+    * pipelines) writes once per JVM. Callers mutating the files UNDER
+    * an identical plan within one JVM must set
+    * `SPARK_GRAFT_EDGE_ETL=always`. */
+  def bucketEdges(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    val key = edges.queryExecution.analyzed.semanticHash()
+    val tbl = s"graft_edges_g${java.lang.Integer.toHexString(key)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    edgeEtlLock.synchronized {
+      if (!edgeEtlAlways && writtenEdgeTables.contains(tbl) &&
+          s.catalog.tableExists(tbl)) {
+        s.table(tbl)
+      } else {
+        val out = writeBucketedEdges(s, tbl,
+          edges.select(col("src"), col("dst")))
+        writtenEdgeTables.add(tbl)
+        out
+      }
+    }
   }
 
   /** One BFS round against the bucketed edge table: semi-join the
@@ -689,11 +979,12 @@ object GraphOps extends QueryModule {
     * partitioning satisfies the join), dedup the expansion, anti-join
     * the visited set. shuffle_hash hints keep the plan broadcast-free
     * at every frontier size. */
-  def q201Round(be: DataFrame, frontier: DataFrame, visited: DataFrame): DataFrame =
-    be.join(frontier.select(col("node").as("src")).hint("shuffle_hash"),
-        Seq("src"), "left_semi")
+  def q201Round(be: DataFrame, frontier: DataFrame, visited: DataFrame): DataFrame = {
+    val (probe, keys) = edgeProbe(be, frontier.select(col("node").as("src")))
+    be.join(probe.hint("shuffle_hash"), keys, "left_semi")
       .select(col("dst").as("node")).distinct()
       .join(visited.hint("shuffle_hash"), Seq("node"), "left_anti")
+  }
 
   register("q201_bucketed_bfs", {
     val rounds = (1 to BfsMaxHops).map { i =>
@@ -728,19 +1019,71 @@ object GraphOps extends QueryModule {
     // are exactly the src ids below the supplier offset (every pair
     // customer appears as a src in the cust→supp direction) — one
     // bucket-partitioned scan, no second pass over the raw tables
-    var frontier = be.select(col("src").as("node"))
+    val seeds = be.select(col("src").as("node"))
       .filter(col("node") % Q201SeedMod === 0 && col("node") < SupplierOffset)
       .distinct()
-      .localCheckpoint(true)
+    bfsBucketedLoop(be, seeds, BfsMaxHops)
+      .select(col("node").cast(LongType).as("node"), col("lvl"))
+  }
+
+  /** Frontier-expansion BFS over a bucketed edge frame — the q201 loop,
+    * shared with the generic [[bfs]] dispatch. Returns (node, lvl):
+    * exact shortest-hop level from the seed set within maxHops;
+    * unreached nodes absent. */
+  def bfsBucketedLoop(be: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    var frontier = seeds.select(col("node")).localCheckpoint(true)
     var visited = frontier
     var out = frontier.select(col("node"), lit(0L).as("lvl"))
-    for (i <- 1 to BfsMaxHops) {
+    for (i <- 1 to maxHops) {
       val next = q201Round(be, frontier, visited).localCheckpoint(true)
       out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
       visited = visited.unionAll(next).localCheckpoint(true)
       frontier = next
     }
-    out.select(col("node").cast(LongType).as("node"), col("lvl"))
+    out
+  }
+
+  /** Multi-source BFS over a directed edge list (`src`, `dst`) from a
+    * seed frame (`node`) — the PUBLIC entry point (r13 verdict task 2),
+    * dispatched on estimated node-frame size like [[pageRank]] /
+    * [[kCore]]: past `bucketBytes` the per-round semi/anti joins stream
+    * a bucketed edge table in place (the q201 shape); below it the
+    * frontier/visited frames ride size-conditioned broadcasts (the q190
+    * shape). Identical trajectory either way. Returns (node, lvl). */
+  def bfs(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int,
+      bucketBytes: Long = BcastNodeBytes): DataFrame = {
+    val sel = edgesIn.select(col("src"), col("dst"))
+    val useBucketed =
+      if (bucketBytes == Long.MaxValue) false
+      else if (bucketBytes <= 0L) true
+      else sel.select(col("src")).distinct().count() * NodeIdBytes >
+        bucketBytes
+    if (useBucketed) bfsBucketedLoop(bucketEdges(sel), seeds, maxHops)
+    else {
+      val edges = diskCheckpoint(sel)
+      var frontier = seeds.select(col("node")).localCheckpoint(true)
+      var frontierN = frontier.count()
+      var visited = frontier
+      var visitedN = frontierN
+      var out = frontier.select(col("node"), lit(0L).as("lvl"))
+      def sem(df: DataFrame, rows: Long): DataFrame =
+        if (rows * NodeIdBytes <= BcastNodeBytes) broadcast(df) else df
+      for (i <- 1 to maxHops) {
+        val next = edges
+          .join(sem(frontier.select(col("node").as("src")), frontierN),
+            Seq("src"), "left_semi")
+          .select(col("dst").as("node")).distinct()
+          .join(sem(visited, visitedN), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        frontierN = next.count()
+        out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
+        visited = visited.unionAll(next).localCheckpoint(true)
+        visitedN += frontierN
+        frontier = next
+      }
+      out
+    }
   }
 
   // ================================ k-core over BUCKETED edge storage
@@ -801,35 +1144,100 @@ object GraphOps extends QueryModule {
        |GROUP BY e.src""".stripMargin
   }) { (s, d) =>
     val be = bucketedEdgeTable(s, d)
-    var state = kcoreDegrees(be).localCheckpoint(true)
-    var round = 0
-    var converged = false
-    while (!converged && round < KCoreRounds) {
-      val removed = state.filter(col("deg") < KCoreK).select("v")
-        .localCheckpoint(true)
-      if (removed.count() == 0L) converged = true
-      else state = kcoreRound(be, state, removed).localCheckpoint(true)
-      round += 1
-    }
-    state.filter(col("deg") > 0)
+    kcoreBucketedLoop(be, KCoreK, KCoreRounds)
       .select(col("v").cast(LongType).as("node"), col("deg").as("core_degree"))
   }
 
+  /** Delta-peeling k-core over a bucketed edge frame — the q209 loop,
+    * shared with the generic [[kCore]] dispatch. Returns (v, deg):
+    * every node of the k-core with its degree within it (deg > 0 —
+    * the q178 edge-join output shape). */
+  def kcoreBucketedLoop(be: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var state = kcoreDegrees(be).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val removed = state.filter(col("deg") < k).select("v")
+        .localCheckpoint(true)
+      if (removed.count() == 0L) converged = true
+      else state = kcoreRound(be, state, removed, k).localCheckpoint(true)
+      round += 1
+    }
+    state.filter(col("deg") > 0)
+  }
+
+  /** Iterative k-core over a directed-symmetrized edge list (`src`,
+    * `dst`) — the PUBLIC entry point (r13 verdict task 2): delta
+    * peeling (degrees maintained by decrement, O(m) total work across
+    * all rounds) in both physical shapes, dispatched on estimated
+    * node-frame size. Past `bucketBytes` the loop runs over bucketed
+    * edge storage (the q209 shape — zero edge-side exchanges per
+    * round); below it the removal frame broadcasts into the decrement
+    * semi-join so the edge frame never shuffles either. Identical
+    * trajectory either way. Returns (node, core_degree) for every node
+    * of the k-core, degree measured within it. */
+  def kCore(edgesIn: DataFrame, k: Int, maxRounds: Int,
+      bucketBytes: Long = BcastNodeBytes): DataFrame = {
+    val sel = edgesIn.select(col("src"), col("dst"))
+    val useBucketed =
+      if (bucketBytes == Long.MaxValue) false
+      else if (bucketBytes <= 0L) true
+      else sel.select(col("src")).distinct().count() * NodeIdBytes >
+        bucketBytes
+    val out =
+      if (useBucketed) kcoreBucketedLoop(bucketEdges(sel), k, maxRounds)
+      else {
+        val edges = diskCheckpoint(sel)
+        var state = edges.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        var round = 0
+        var converged = false
+        while (!converged && round < maxRounds) {
+          val removed = state.filter(col("deg") < k).select("v")
+            .localCheckpoint(true)
+          if (removed.count() == 0L) converged = true
+          else {
+            // node-sized removal frame, explicitly broadcast (it fits
+            // by the dispatch estimate) — the edge frame stays in place
+            val dec = edges
+              .join(broadcast(removed.select(col("v").as("src"))),
+                Seq("src"), "left_semi")
+              .groupBy(col("dst").as("v")).agg(count(lit(1)).as("dec"))
+            state = state.filter(col("deg") >= k)
+              .join(dec, Seq("v"), "left")
+              .select(col("v"),
+                (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+              .localCheckpoint(true)
+          }
+          round += 1
+        }
+        state.filter(col("deg") > 0)
+      }
+    out.select(col("v").as("node"), col("deg").as("core_degree"))
+  }
+
   /** Initial k-core state: every node with its full degree. groupBy(src)
-    * is satisfied by the bucketed scan's partitioning — zero exchange. */
+    * is satisfied by the bucketed scan's partitioning — zero exchange.
+    * (GraftCatalog backend: grouping by (bucket, src) keeps the reported
+    * KeyGroupedPartitioning satisfying the distribution; bucket is a
+    * pure function of src, so the groups are identical.) */
   def kcoreDegrees(be: DataFrame): DataFrame =
-    be.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    if (be.columns.contains("bucket"))
+      be.groupBy(col("bucket"), col("src").as("v"))
+        .agg(count(lit(1)).as("deg")).select(col("v"), col("deg"))
+    else be.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
 
   /** One delta-peeling round: survivors of the k-filter, degrees
     * decremented by their removed-neighbor counts. The removal frame
     * (node-sized, shrinking) shuffles to the bucket layout; only
     * removal-incident edges reach the decrement aggregate. */
-  def kcoreRound(be: DataFrame, state: DataFrame, removed: DataFrame): DataFrame = {
+  def kcoreRound(be: DataFrame, state: DataFrame, removed: DataFrame,
+      k: Int = KCoreK): DataFrame = {
+    val (probe, keys) = edgeProbe(be, removed.select(col("v").as("src")))
     val dec = be
-      .join(removed.select(col("v").as("src")).hint("shuffle_hash"),
-        Seq("src"), "left_semi")
+      .join(probe.hint("shuffle_hash"), keys, "left_semi")
       .groupBy(col("dst").as("v")).agg(count(lit(1)).as("dec"))
-    state.filter(col("deg") >= KCoreK)
+    state.filter(col("deg") >= k)
       .join(dec, Seq("v"), "left")
       .select(col("v"), (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
   }
@@ -913,11 +1321,13 @@ object GraphOps extends QueryModule {
     * node-sized (src, rank, outdeg) state into the bucketed scan (zero
     * exchange on the edge side), emit per-edge contributions, combine
     * map-side, shuffle only the node-sized partial sums. */
-  def pageRankRound(be: DataFrame, state: DataFrame): DataFrame =
-    be.join(state.hint("shuffle_hash"), Seq("src"))
+  def pageRankRound(be: DataFrame, state: DataFrame): DataFrame = {
+    val (probe, keys) = edgeProbe(be, state)
+    be.join(probe.hint("shuffle_hash"), keys)
       .select(col("dst"), expr("rank div outdeg").as("contrib"))
       .groupBy(col("dst").as("node"))
       .agg(sum(col("contrib")).as("csum"))
+  }
 
   // ================== connected components over BUCKETED edge storage
   // q213 completes the bucketed-graph family (BFS q201, k-core q209,
@@ -958,26 +1368,44 @@ object GraphOps extends QueryModule {
        |FROM l$CcRounds""".stripMargin
   }) { (s, d) =>
     val be = bucketedEdgeTable(s, d)
-    // label init straight off the bucketed scan: groupBy-free distinct
-    // on the bucket column is satisfied by the storage partitioning
-    var state = be.select(col("src").as("node")).distinct()
+    componentsBucketedLoop(be, CcRounds)
+      .select(col("node").cast(LongType).as("node"),
+        col("lbl").cast(LongType).as("component"))
+  }
+
+  /** Hash-min label propagation over a bucketed edge frame — the q213
+    * loop, shared with the generic [[connectedComponents]] dispatch.
+    * Returns (node, lbl) in the input key types.
+    *
+    * Label init runs straight off the bucketed scan: the groupBy-free
+    * distinct on the bucket column is satisfied by the storage
+    * partitioning. DELTA FRONTIER (the q209 trick applied to label
+    * propagation): only nodes whose label CHANGED last round
+    * re-propagate. An unchanged neighbor's contribution was already
+    * folded into the round that changed it — label_r(v) absorbed min
+    * over label_{r-1}(N(v)) — so skipping it cannot alter any round's
+    * labeling: the delta trajectory is IDENTICAL to full propagation,
+    * round by round, which is what keeps the capped chained-CTE oracle
+    * (full recompute) a valid twin. Round 0's frontier is every node,
+    * so round 1 is the one full-edge pass; after the min labels flood
+    * (fast on a dense trade graph), rounds shrink to the still-moving
+    * fringe — total work O(Σ changes · deg), not O(m · rounds). */
+  def componentsBucketedLoop(be: DataFrame, maxIter: Int): DataFrame = {
+    // GraftCatalog backend: distinct over (bucket, src) is satisfied by
+    // the reported partitioning (zero exchange); bucket is a function of
+    // src so the node set is identical
+    val ids =
+      if (be.columns.contains("bucket"))
+        be.select(col("bucket"), col("src").as("node")).distinct()
+          .select(col("node"))
+      else be.select(col("src").as("node")).distinct()
+    var state = ids
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
-    // DELTA FRONTIER (the q209 trick applied to label propagation):
-    // only nodes whose label CHANGED last round re-propagate. An
-    // unchanged neighbor's contribution was already folded into the
-    // round that changed it — label_r(v) absorbed min over
-    // label_{r-1}(N(v)) — so skipping it cannot alter any round's
-    // labeling: the delta trajectory is IDENTICAL to full propagation,
-    // round by round, which is what keeps the capped chained-CTE oracle
-    // (full recompute) a valid twin. Round 0's frontier is every node,
-    // so round 1 is the one full-edge pass; after the min labels flood
-    // (fast on a dense trade graph), rounds shrink to the still-moving
-    // fringe — total work O(Σ changes · deg), not O(m · rounds).
     var frontier = state
     var moving = 1L
     var it = 0
-    while (moving > 0 && it < CcRounds) {
+    while (moving > 0 && it < maxIter) {
       val nm = componentsRound(be, frontier)
       val merged = state.join(nm, Seq("node"), "left")
         .select(col("node"),
@@ -990,8 +1418,7 @@ object GraphOps extends QueryModule {
       state = merged.select(col("node"), col("lbl"))
       it += 1
     }
-    state.select(col("node").cast(LongType).as("node"),
-      col("lbl").cast(LongType).as("component"))
+    state
   }
 
   /** One hash-min propagation round against the bucketed edge table:
@@ -999,8 +1426,10 @@ object GraphOps extends QueryModule {
     * frontier shuffles to the bucket layout, the edge stream stays in
     * place, and only node-sized partial minima cross the
     * post-aggregation exchange. Returns (node, m). */
-  def componentsRound(be: DataFrame, frontier: DataFrame): DataFrame =
-    be.join(frontier.select(col("node").as("src"), col("lbl"))
-        .hint("shuffle_hash"), Seq("src"))
+  def componentsRound(be: DataFrame, frontier: DataFrame): DataFrame = {
+    val (probe, keys) =
+      edgeProbe(be, frontier.select(col("node").as("src"), col("lbl")))
+    be.join(probe.hint("shuffle_hash"), keys)
       .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("m"))
+  }
 }

@@ -169,4 +169,108 @@ class BucketedGraphSpec extends SparkSpec {
     assert(got.exceptAll(ref).count() === 0)
     assert(ref.exceptAll(got).count() === 0)
   }
+
+  // ---- r13 verdict task 2: the PUBLIC helpers route to bucketed
+  // storage above the threshold. bucketBytes = 0 forces the bucketed
+  // path on the tiny sf so each helper's two physical shapes can be
+  // compared row-for-row; Long.MaxValue pins the broadcast path.
+
+  private def tradeEdges = {
+    val pairs = graft.ops.Tables.orders(spark, sf)
+      .join(graft.ops.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + GraphOps.SupplierOffset).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  test("pageRank helper: bucketed dispatch is trajectory-identical") {
+    val (bc, itB) = GraphOps.pageRank(tradeEdges, GraphOps.PrIters,
+      bucketBytes = Long.MaxValue)
+    val (bk, itK) = GraphOps.pageRank(tradeEdges, GraphOps.PrIters,
+      bucketBytes = 0L)
+    assert(itB === itK, "the two paths must run the same round count")
+    assert(bk.exceptAll(bc).count() === 0)
+    assert(bc.exceptAll(bk).count() === 0)
+  }
+
+  test("kCore helper: bucketed dispatch is trajectory-identical") {
+    val bc = GraphOps.kCore(tradeEdges, GraphOps.KCoreK,
+      GraphOps.KCoreRounds, bucketBytes = Long.MaxValue)
+    val bk = GraphOps.kCore(tradeEdges, GraphOps.KCoreK,
+      GraphOps.KCoreRounds, bucketBytes = 0L)
+    assert(bk.exceptAll(bc).count() === 0)
+    assert(bc.exceptAll(bk).count() === 0)
+    // and the bucketed path matches the q178 oracle-gated query
+    val ref = graft.SparkEntry.queries("q178_kcore")(spark, sf)
+      .select(col("node").cast("long"), col("core_degree"))
+    val got = bk.select(col("node").cast("long"), col("core_degree"))
+    assert(got.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(got).count() === 0)
+  }
+
+  test("bfs helper: bucketed dispatch is trajectory-identical") {
+    val seeds = tradeEdges.select(col("src").as("node"))
+      .filter(col("node") % GraphOps.BfsSeedMod === 0 &&
+        col("node") < GraphOps.SupplierOffset)
+      .distinct()
+    val bc = GraphOps.bfs(tradeEdges, seeds, GraphOps.BfsMaxHops,
+      bucketBytes = Long.MaxValue)
+    val bk = GraphOps.bfs(tradeEdges, seeds, GraphOps.BfsMaxHops,
+      bucketBytes = 0L)
+    assert(bk.exceptAll(bc).count() === 0)
+    assert(bc.exceptAll(bk).count() === 0)
+  }
+
+  test("connectedComponents helper: bucketed dispatch is identical") {
+    val pairs = tradeEdges.select(col("src").as("a"), col("dst").as("b"))
+    val bc = GraphOps.connectedComponents(pairs,
+      bucketBytes = Long.MaxValue)
+    val bk = GraphOps.connectedComponents(pairs, bucketBytes = 0L)
+    assert(bk.exceptAll(bc).count() === 0)
+    assert(bc.exceptAll(bk).count() === 0)
+  }
+
+  test("bucketEdges: generic table scans bucketed; write-once per plan") {
+    val be = GraphOps.bucketEdges(tradeEdges)
+    // probe through an aggregate on the bucket key — a bare scan is
+    // "Bucketed: false (disabled by query planner)" because nothing
+    // requires the partitioning there
+    val deg = be.groupBy("src").agg(count(lit(1)).as("deg"))
+    assert(deg.count() > 0)
+    val nodes = walk(deg.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case s: FileSourceScanExec if isEdgeScan(s) => s }
+    assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+      "generic bucketEdges table must execute as a bucketed scan")
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "groupBy(src) over the generic bucketed table must be exchange-free")
+    // content-addressed skip (r13 verdict task 1): a second call with
+    // the SAME logical edges must not rewrite — file mtimes unchanged
+    val dir = new java.io.File(scans.head.relation.location.rootPaths
+      .head.toUri.getPath)
+    def sig(): Seq[(String, Long)] = dir.listFiles().toSeq
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1)
+    val before = sig()
+    val be2 = GraphOps.bucketEdges(tradeEdges)
+    assert(be2.count() === be.count())
+    assert(sig() === before,
+      "second bucketEdges call for the same plan must skip the write")
+  }
+
+  test("bucketedEdgeTable: write-once per (dataset, JVM)") {
+    val be = GraphOps.bucketedEdgeTable(spark, sf)
+    val nodes = walk(be.queryExecution.executedPlan)
+    val dir = new java.io.File(nodes.collect {
+      case s: FileSourceScanExec if isEdgeScan(s) => s
+    }.head.relation.location.rootPaths.head.toUri.getPath)
+    def sig(): Seq[(String, Long)] = dir.listFiles().toSeq
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1)
+    val before = sig()
+    GraphOps.bucketedEdgeTable(spark, sf).count()
+    assert(sig() === before,
+      "second bucketedEdgeTable call for the same dataset must skip")
+  }
 }
