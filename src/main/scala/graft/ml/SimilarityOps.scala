@@ -827,7 +827,13 @@ object SimilarityOps extends QueryModule {
   // and ADC tables = q208's index-order folds on the integer ppm grid);
   // candidate sets are equal because the probe ranking is identical;
   // every rank tie-breaks on vec_id.
-  register("q212_ivfpq_search", {
+  register("q212_ivfpq_search", oIvfpqSearchSql)(q212Runner)
+
+  /** Shared oracle for q212 AND q215 (persisted index): the two queries
+    * compute the IDENTICAL result by construction — q215 persists the
+    * same (cell, codes) index q212 builds in-query, and the search path
+    * does the same ADC lookups — so one SQL twin gates both. */
+  private def oIvfpqSearchSql: String = {
     def oSubL2sq(v: String, c: String, m: String): String =
       s"""list_reduce(list_transform(range(($m - 1) * $PqSubDim + 1, $m * $PqSubDim + 1),
          |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
@@ -903,7 +909,9 @@ object SimilarityOps extends QueryModule {
        |FROM ra LEFT JOIN re
        |  ON ra.query_id = re.query_id AND ra.vec_id = re.vec_id
        |WHERE ra.rank <= $TopK""".stripMargin
-  }) { (s, d) =>
+  }
+
+  private def q212Runner: (SparkSession, String) => DataFrame = { (s, d) =>
     import org.apache.spark.sql.GraftColumnBridge
     val codebook = trainCodebook(embeddings(s, d).filter(trainGate(col("vec_id"))))
     require(codebook.map(_._1) == (0 until codebook.size),
@@ -1620,5 +1628,180 @@ object SimilarityOps extends QueryModule {
         sum(when(col("av").isNotNull, 1L).otherwise(0L)).as("n_hit"))
       .select(col("query_id"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+  }
+
+  // =========================== PERSISTED IVF-PQ INDEX (build ≠ search)
+  // r13 verdict task 4: q212/q214 retrain codebooks and re-encode the
+  // corpus PER QUERY — correct for a self-contained oracle, but the
+  // FAISS lifecycle is BUILD-ONCE (cells + PQ codes persisted as a
+  // table clustered by cell), SEARCH-MANY (probe = a cell-key join
+  // against the index table, ADC over the stored codes; the raw floats
+  // are never read again on the ANN path). q215 is that lifecycle on
+  // the engine's own storage:
+  //
+  //   - INDEX TABLE: GraftCatalog/ClusteredSink, filePerKey over the
+  //     cell id — one file per inverted list, manifest-proven
+  //     single-key, scan reports KeyGroupedPartitioning(identity(cell)).
+  //     Codes are PACKED (M=8 codes × 8 bits → one BIGINT): the whole
+  //     per-vector index state is 3 longs through any exchange, and the
+  //     row format's weight stays constant in M.
+  //   - WRITE-ONCE per (dataset, JVM), content-addressed by the
+  //     embeddings parquet fingerprint (the bucketedEdgeTable
+  //     discipline): the first q215 run pays train+encode+write; every
+  //     later run — bench reps, repeated searches — is probe-only.
+  //     The trained codebook rides the same cache (it IS part of the
+  //     index; a real deployment serializes it next to the table).
+  //   - SEARCH: the probe set joins the index ON THE CELL KEY in an
+  //     SPJ-configured child session — the index side never crosses an
+  //     exchange (one-side-shuffle SPJ shuffles only the ≤ queries ×
+  //     NProbe probe rows into the key groups; PersistedAnnSpec pins
+  //     the executed plan) — then ADC = M masked-shift lookups per
+  //     candidate. Identical candidates, distances, and ranking to
+  //     q212, so the SAME oracle SQL gates both and the recall audit is
+  //     unchanged by construction.
+  val AnnCat = "graft_cat_ann"
+  private lazy val annWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_cat_ann").toString
+  private val annSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private val annBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+  private val annLock = new Object
+
+  /** SPJ-configured child session for the index catalog (isolated so
+    * the relaxed co-partition check never leaks — the r5/r6 lesson). */
+  def annSession(s: SparkSession): SparkSession =
+    annSessions.computeIfAbsent(s, root => {
+      val iso = root.newSession()
+      iso.conf.set(s"spark.sql.catalog.$AnnCat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      iso.conf.set(s"spark.sql.catalog.$AnnCat.warehouse", annWarehouse)
+      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      iso
+    })
+
+  /** Content address of the embeddings input (file names/sizes/mtimes —
+    * a regenerated dataset forces a fresh build; the skip can never
+    * serve a stale index). */
+  private def embFingerprint(d: String): String = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Seq(f))
+      else Seq(f)
+    val sig = d + "|" + files.map(x =>
+      s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Build-or-load the persisted IVF-PQ index for dataset `d`. Returns
+    * (index frame from the SPJ session, trained codebook). The index
+    * row is (vec_id, cell, packed): cell = nearest coarse centroid,
+    * packed = the M subspace codes at 8 bits each. */
+  def annIndex(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val iso = annSession(s)
+    val ident = s"$AnnCat.g.ivfpq_${embFingerprint(d)}"
+    annLock.synchronized {
+      val cached = annBuilt.get(ident)
+      if (cached != null) (iso.table(ident), cached)
+      else {
+        val codebook =
+          trainCodebook(embeddings(iso, d).filter(trainGate(col("vec_id"))))
+        require(codebook.map(_._1) == (0 until codebook.size),
+          "IVF-PQ codebook labels must be contiguous 0..k-1")
+        require(codebook.size <= 256,
+          s"packed 8-bit codes need k ≤ 256 centroids, got ${codebook.size}")
+        def subCb(m: Int): Seq[(Int, Seq[Double])] =
+          codebook.map { case (l, cv) =>
+            (l, cv.slice((m - 1) * PqSubDim, m * PqSubDim)) }
+        def subCode(v: Column, m: Int): Column = {
+          val cb = subCb(m)
+          element_at(GraftColumnBridge.column(graft.catalyst.IvfProbe(
+            GraftColumnBridge.expression(
+              slice(v, (m - 1) * PqSubDim + 1, PqSubDim)),
+            cb.map(_._1).toArray, cb.map(_._2.toArray).toArray, 1)), 1)
+        }
+        val packed = (1 to PqM).map(m =>
+            subCode(col("embedding"), m).cast(LongType)
+              * lit(1L << (8 * (m - 1))))
+          .reduce(_ + _)
+        iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $AnnCat.g")
+        iso.sql(s"DROP TABLE IF EXISTS $ident")
+        iso.sql(s"CREATE TABLE $ident " +
+          "(vec_id BIGINT, cell BIGINT, packed BIGINT) " +
+          "PARTITIONED BY (cell) " +
+          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='vec_id')")
+        embeddings(iso, d).select(col("vec_id").cast(LongType).as("vec_id"),
+            nearestCentroid(iso, codebook)(col("embedding"))
+              .cast(LongType).as("cell"),
+            packed.as("packed"))
+          .writeTo(ident).append()
+        annBuilt.put(ident, codebook)
+        (iso.table(ident), codebook)
+      }
+    }
+  }
+
+  /** The q215 candidate scoring join: probes (query_id, qtab, cell)
+    * against the persisted index on the CELL key; ADC unpacks each
+    * code with a masked shift and sums the M table entries. Exposed so
+    * PersistedAnnSpec can pin the executed plan. */
+  def annCandidates(index: DataFrame, probes: DataFrame): DataFrame =
+    probes.join(index.as("c"), Seq("cell"))
+      .filter(col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        (1 to PqM).map(m =>
+            element_at(element_at(col("qtab"), m),
+              (shiftright(col("packed"), 8 * (m - 1))
+                .bitwiseAND(lit(255L)) + 1).cast(IntegerType)))
+          .reduce(_ + _).as("adc_ppm"))
+
+  register("q215_persisted_ivfpq", oIvfpqSearchSql) { (s, d) =>
+    val (index, codebook) = annIndex(s, d)
+    val iso = index.sparkSession
+    def subCb(m: Int): Seq[(Int, Seq[Double])] =
+      codebook.map { case (l, cv) =>
+        (l, cv.slice((m - 1) * PqSubDim, m * PqSubDim)) }
+    def qTab(v: Column): Column = array((1 to PqM).map { m =>
+      array(subCb(m).map { case (_, cw) =>
+        floor(graft.catalyst.GraftFunctions.l2sqDistance(
+          slice(v, (m - 1) * PqSubDim + 1, PqSubDim),
+          array(cw.map(lit): _*)) * 1000000 + 0.5)
+          .cast(LongType)
+      }: _*)
+    }: _*)
+    // probe set: ≤ NumQueries × NProbe rows, cell-keyed for the SPJ
+    val probes = embeddings(iso, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), qTab(col("embedding")).as("qtab"),
+        explode(probeCentroids(iso, codebook, NProbe)(col("embedding")))
+          .as("pcell"))
+      .select(col("query_id"), col("qtab"),
+        col("pcell").cast(LongType).as("cell"))
+    val cand = annCandidates(index, probes)
+    // exact reference (audit only) — identical to q212's
+    val qv = embeddings(iso, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = broadcast(qv)
+      .join(embeddings(iso, d).alias("e"), col("query_id") =!= col("e.vec_id"))
+      .select(col("query_id"), col("e.vec_id").as("vec_id"),
+        graft.catalyst.GraftFunctions
+          .l2sqDistance(col("qv"), col("e.embedding")).as("d"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").asc, col("vec_id").asc)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val ranked = cand.select(col("query_id"), col("vec_id"), col("adc_ppm"),
+      row_number().over(wa).as("rank")).filter(col("rank") <= TopK)
+    val eranked = exact.select(col("query_id"), col("vec_id"),
+      row_number().over(we).as("erank"))
+    ranked.join(eranked, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("adc_ppm"),
+        (col("erank").isNotNull && col("erank") <= TopK).as("in_exact_topk"))
   }
 }

@@ -111,6 +111,10 @@ class PlanLintGateSpec extends SparkSpec {
     // tow) pairs against the coded corpus on the non-equi
     // query_id <> vec_id predicate — map-only over the corpus
     "q208_product_quantization",
+    // q215's exact-reference audit is q212's verbatim (the ANN path
+    // itself is an equi-join on the cell key against the persisted
+    // index; only the ≤10-row broadcast audit pass is non-equi)
+    "q215_persisted_ivfpq",
     // q212/q214's exact-reference audit passes are the same q208/q28
     // shape (the RETRIEVAL paths themselves equi-join on the cell id)
     "q212_ivfpq_search", "q214_residual_ivfpq")
