@@ -753,6 +753,128 @@ object StructuredStreams {
       .transformWithState(new CmsProcessor(depth, width),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // =========================== streaming near-duplicate screen (q151 twin)
+  // r13 verdict task 6 — the one LLM-pipeline family that had no
+  // streaming twin: q151's batch-vs-persisted-band-index as a
+  // transformWithState stream. Documents arrive banded (one row per
+  // LSH band, keyed by band + band-key); per key the processor holds
+  // the bucket's history docs in a ListState. History rows append;
+  // bucket population past [[graft.text.DedupOps.MaxBucketSize]] KILLS
+  // the bucket (payload dropped — state stays bounded; only the count
+  // tombstone survives), exactly the batch cap's exclusion semantics.
+  // A new document's bands probe their buckets ON ARRIVAL: Jaccard over
+  // the distinct shingle sets (the same array_intersect/array_union
+  // arithmetic as q151's verification), qualifying pairs emitted in the
+  // doc's own micro-batch — so a per-batch best-match reduction
+  // ([[nearDupBestMatch]] inside foreachBatch) yields each new doc's
+  // answer exactly once, at arrival. When history precedes a document
+  // (the index-then-screen deployment q151 models), stream == batch
+  // row-for-row (NearDupStreamSpec proves it across micro-batches AND
+  // a checkpointed restart).
+  //
+  // Scale: state per bucket is ≤ MaxBucketSize shingle lists — bounded
+  // by the same skew guard that keeps the batch join sub-quadratic; a
+  // 100 TB deployment would hold doc payloads in a side table and keep
+  // only doc ids in bucket state, at the cost of a lookup join on emit.
+
+  /** One LSH band row of a document: `key` = band index + band-key
+    * digest, `shl` = the doc's full shingle-hash list (for on-arrival
+    * verification), `isNew` = screen side vs history side. */
+  final class NearDupProcessor(maxBucket: Int, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BandRow, NearDupHit] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var count: ValueState[Long] = _
+    @transient private var docs: ListState[HistDoc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, TTLConfig.NONE)
+      docs = getHandle.getListState[HistDoc](
+        "docs", Encoders.product[HistDoc], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[NearDupHit] = {
+      // batch semantics within the micro-batch: the index absorbs every
+      // history row of the batch BEFORE any of the batch's new docs
+      // probe (q151 indexes all history, whatever its id order)
+      val (hist, news) = rows.toArray.partition(!_.isNew)
+      var n = if (count.exists) count.get else 0L
+      if (hist.nonEmpty) {
+        n += hist.length
+        count.update(n)
+        if (n > maxBucket) docs.clear() // dead bucket: bounded state
+        else docs.appendList(hist.map(h => HistDoc(h.docId, h.shl)))
+      }
+      if (news.isEmpty || n == 0 || n > maxBucket) Iterator.empty
+      else {
+        val bucket = docs.get().toArray
+        news.iterator.flatMap { nw =>
+          val a = nw.shl.toSet
+          bucket.iterator.flatMap { h =>
+            val b = h.shl.toSet
+            // distinct-set Jaccard — array_intersect/array_union's
+            // arithmetic, same int counts, same double division
+            val j = (a & b).size.toDouble / (a | b).size
+            if (j >= threshold) Some(NearDupHit(nw.docId, h.docId, j))
+            else None
+          }
+        }
+      }
+    }
+  }
+
+  /** [[NearDupProcessor]] wired to a banded document stream. */
+  def nearDupScreenStream(banded: org.apache.spark.sql.Dataset[BandRow])
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(_.key)
+      .transformWithState(
+        new NearDupProcessor(graft.text.DedupOps.MaxBucketSize,
+          graft.text.DedupOps.JaccardThreshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Band rows for [[nearDupScreenStream]] from a documents frame —
+    * the q151 banding (minhash signature sliced into band keys), one
+    * row per (doc, band), carrying the shingle list for verification.
+    * New/screen side = doc_id % 5 == 0, exactly q151's split. */
+  def nearDupBandRows(docs: DataFrame): DataFrame = {
+    import graft.text.DedupOps._
+    val rowsPerBand = NumHashes / Bands
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("shl"))
+      .select(col("doc_id"), col("shl"),
+        array((0 until NumHashes).map(j => minhash(col("shl"), j)): _*)
+          .as("sig"))
+      .select(col("doc_id"), col("shl"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(
+        concat_ws(":", col("pos").cast(StringType),
+          concat_ws(",", transform(col("col"), _.cast(StringType))))
+          .as("key"),
+        col("doc_id").as("docId"), col("shl"), (col("doc_id") % 5 === 0)
+          .as("isNew"))
+  }
+
+  /** The per-batch best-match reduction over emitted hits (highest
+    * Jaccard, ties to the lowest history id — q151's window): run it
+    * inside foreachBatch (or over any collection of hit rows; each new
+    * doc's hits all land in its arrival batch, so the reduction is
+    * complete there). */
+  def nearDupBestMatch(hits: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("docNew"))
+      .orderBy(col("jaccard").desc, col("docHist").asc)
+    hits.select(col("docNew"), col("docHist"), col("jaccard"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }
 
 /** Event record for the typed streaming API. */
@@ -780,3 +902,13 @@ final case class CmsIn(key: String, term: String)
 
 /** Post-batch frequency estimate for a term that arrived this batch. */
 final case class CmsTermEstimate(key: String, term: String, est: Long)
+
+/** One LSH band row of a document for the streaming near-dup screen. */
+final case class BandRow(key: String, docId: Long, shl: Array[Long],
+    isNew: Boolean)
+
+/** A history document held in a band bucket's state. */
+final case class HistDoc(docId: Long, shl: Array[Long])
+
+/** A verified near-duplicate hit: new doc, history doc, Jaccard. */
+final case class NearDupHit(docNew: Long, docHist: Long, jaccard: Double)
