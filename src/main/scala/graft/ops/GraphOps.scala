@@ -729,6 +729,17 @@ object GraphOps extends QueryModule {
   val Q201Buckets = 32
   val Q201SeedMod = 53L
 
+  /** Effective bucket count for the edge layouts —
+    * `SPARK_GRAFT_EDGE_BUCKETS` overrides the [[Q201Buckets]] default.
+    * A power-law graph puts a hub's whole edge list in one bucket; with
+    * buckets == cores the hub task IS the round's wall clock (zero
+    * scheduling slack), while buckets ≫ cores lets the scheduler pack
+    * small buckets around the hub (measured at the Zipf-1.2 soak — see
+    * SCALE.md round 14). Correctness and the zero-exchange property are
+    * bucket-count-independent; the knob is physical only. */
+  def edgeBuckets: Int =
+    sys.env.get("SPARK_GRAFT_EDGE_BUCKETS").map(_.toInt).getOrElse(Q201Buckets)
+
   /** In-JVM registry of bucketed edge tables already written this JVM
     * (table name → kept so the content-addressed skip below is a pure
     * map probe) plus the /tmp directories to reap at JVM exit (r13
@@ -781,7 +792,9 @@ object GraphOps extends QueryModule {
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Seq(f))
       else Seq(f)
     }
-    val sig = d + "|" + files.map(f =>
+    // the bucket count participates in the address: tables laid out
+    // under different SPARK_GRAFT_EDGE_BUCKETS must never alias
+    val sig = d + "|b" + edgeBuckets + "|" + files.map(f =>
       s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
@@ -796,9 +809,9 @@ object GraphOps extends QueryModule {
     // emits exactly one file per bucket instead of numBuckets small
     // files per task (the classic bucketBy write blow-up)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
-    edges.repartition(Q201Buckets, col("src"))
+    edges.repartition(edgeBuckets, col("src"))
       .write.format("parquet")
-      .bucketBy(Q201Buckets, "src").sortBy("src")
+      .bucketBy(edgeBuckets, "src").sortBy("src")
       .option("path", s"/tmp/$tbl")
       .mode("overwrite")
       .saveAsTable(tbl)
@@ -927,7 +940,7 @@ object GraphOps extends QueryModule {
           .select(col("src").cast(LongType).as("src"),
             col("dst").cast(LongType).as("dst"))
           .withColumn("bucket",
-            pmod(col("src"), lit(Q201Buckets.toLong)).cast(LongType))
+            pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType))
           .writeTo(ident).append()
         writtenEdgeTables.add(ident)
       }
@@ -943,7 +956,7 @@ object GraphOps extends QueryModule {
       : (DataFrame, Seq[String]) =
     if (be.columns.contains("bucket"))
       (f.withColumn("bucket",
-        pmod(col("src"), lit(Q201Buckets.toLong)).cast(LongType)),
+        pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType)),
         Seq("bucket", "src"))
     else (f, Seq("src"))
 
@@ -960,7 +973,7 @@ object GraphOps extends QueryModule {
     val s = edges.sparkSession
     val key = edges.queryExecution.analyzed.semanticHash()
     val tbl = s"graft_edges_g${java.lang.Integer.toHexString(key)}" +
-      s"_p${ProcessHandle.current().pid()}"
+      s"_b$edgeBuckets" + s"_p${ProcessHandle.current().pid()}"
     edgeEtlLock.synchronized {
       if (!edgeEtlAlways && writtenEdgeTables.contains(tbl) &&
           s.catalog.tableExists(tbl)) {

@@ -71,7 +71,23 @@ regime a real embedding corpus presents, instead of the all-identical
 one. Only embeddings.embedding is rewritten; composes with --organic
 and --mutate (disjoint tables).
 
-Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]] [--mutate P] [--mutate-vec M]
+ZIPF mode (--zipf S [, --zipf-supp M]): for GRAPH SKEW (r13 verdict
+task 3). Organic mode preserves the base data's near-uniform degree
+profile; real 100 TB graphs are power-law, and a bucketed edge layout
+sends a hub's entire edge list to ONE bucket. --zipf S (use with
+--organic) redraws every order's o_custkey from a Zipf(S) rank
+distribution over the U-scaled customer universe (deterministic:
+inverse-CDF of hash(o_orderkey | copy) — rank ≈ ceil(u^(-1/(S-1))),
+overflow past the universe wrapped uniformly), so customer degree
+follows rank^(-S): at S=1.2 the top customer alone draws ~13% of all
+order lines. CAVEAT — distinct-pair saturation: trade-graph edges are
+DISTINCT (cust, supp) pairs, so a hub's degree is capped by the
+supplier universe; --zipf-supp M widens the supplier remap universe
+M-fold (beyond --organic's U) so hub degrees stay below the cap and
+the bucket-skew effect is measured, not masked. Orders/lineitem only;
+the graph queries never join dimensions.
+
+Usage: python3 tools/make_soak.py [K] [outdir] [--organic [U]] [--mutate P] [--mutate-vec M] [--zipf S] [--zipf-supp M]
        (defaults: 10 /tmp/soak)
 """
 import math
@@ -84,6 +100,16 @@ organic = False
 U = None
 mutate_p = None
 mutate_vec = None
+zipf_s = None
+zipf_supp = 1
+if "--zipf-supp" in args:
+    j = args.index("--zipf-supp")
+    zipf_supp = int(args[j + 1])
+    args = args[:j] + args[j + 2:]
+if "--zipf" in args:
+    j = args.index("--zipf")
+    zipf_s = float(args[j + 1])
+    args = args[:j] + args[j + 2:]
 if "--mutate-vec" in args:
     j = args.index("--mutate-vec")
     mutate_vec = int(args[j + 1])
@@ -141,6 +167,34 @@ for t, keys in OFFSET_KEYS.items():
     remap_expr = {}
     for rk in remap:
         mx = con.sql(f"SELECT MAX({rk}) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        if zipf_s is not None and rk == "o_custkey":
+            # Zipf(S) redraw (see ZIPF mode docstring): u uniform in
+            # (0,1) from a deterministic hash, rank = ceil(u^(-1/(S-1)))
+            # (the standard inverse-CDF approximation, P(rank=r) ∝
+            # r^(-S)), overflow past the universe wrapped uniformly so
+            # no artificial mega-hub collects the tail mass at the clamp
+            n_univ = U * mx
+            inv = -1.0 / (zipf_s - 1.0)
+            u = (f"GREATEST((hash(concat(o_orderkey, '|z|', i.i)) "
+                 f"% 1000000007) / 1000000007.0, 1e-12)")
+            raw = f"CAST(LEAST(CEIL(POW({u}, {inv})), 1e18) AS BIGINT)"
+            remap_expr[rk] = f"(({raw} - 2) % {n_univ}) + 1 AS {rk}"
+            print(f"  {t}.{rk}: zipf s={zipf_s} universe={n_univ}")
+            continue
+        if rk == "l_suppkey" and zipf_supp > 1:
+            # saturation dodge (see docstring): a copy-shifted remap
+            # only ever POPULATES K×base distinct suppliers, capping hub
+            # degree there no matter how wide the universe — so in zipf
+            # mode the supplier side is drawn per ROW, uniformly over
+            # the widened universe (deterministic hash; the supplier dim
+            # dangles either way in organic graph soaks)
+            mod = U * zipf_supp * mx
+            remap_expr[rk] = (
+                f"1 + CAST(hash(concat(l_orderkey, '|s|', l_linenumber, "
+                f"'|', i.i)) % {mod} AS BIGINT) AS {rk}")
+            print(f"  {t}.{rk}: per-row uniform over {mod} (zipf-supp "
+                  f"x{zipf_supp})")
+            continue
         stride = mx + (mx * 3) // 7 + 1  # ~1.43*max: interleave, don't tile
         # the shifted images of the K copies only stay distinct (the
         # documented ~K-fold node growth, constant degree) when stride
