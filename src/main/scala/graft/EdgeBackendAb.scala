@@ -39,10 +39,13 @@ object EdgeBackendAb {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    for (backend <- Seq("parquet_bucketby", "graft_fileperkey")) {
+    for (backend <- Seq("parquet_bucketby", "graft_json", "graft_parquet")) {
       val (be, etl) = timed {
-        if (backend == "parquet_bucketby") GraphOps.bucketedEdgeTable(spark, dir)
-        else GraphOps.graftEdgeTable(spark, dir)
+        backend match {
+          case "parquet_bucketby" => GraphOps.bucketedEdgeTable(spark, dir)
+          case "graft_json" => GraphOps.graftEdgeTable(spark, dir, "json")
+          case _ => GraphOps.graftEdgeTable(spark, dir, "parquet")
+        }
       }
       val rows = be.count()
       val (n, loop) = timed {

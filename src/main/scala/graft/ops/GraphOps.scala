@@ -925,17 +925,23 @@ object GraphOps extends QueryModule {
     * content-addressed write-once contract as [[bucketedEdgeTable]]
     * (the warehouse is a per-JVM temp dir, so no pid in the name).
     * Returns (src, dst, bucket) from the SPJ-configured child session;
-    * bucket = pmod(src, [[Q201Buckets]]). */
-  def graftEdgeTable(s: SparkSession, d: String): DataFrame = {
+    * bucket = pmod(src, [[Q201Buckets]]). Payload defaults to the
+    * sink's COLUMNAR format (r14: `format=parquet` closed the measured
+    * 1.26× row-format gap of the json payload — EdgeBackendAb); pass
+    * "json" to A/B the row format. */
+  def graftEdgeTable(s: SparkSession, d: String,
+      format: String = "parquet"): DataFrame = {
     val iso = graftEdgeSession(s)
-    val ident = s"$GraftEdgeCat.g.edges_${datasetFingerprint(d)}"
+    val fmtTag = if (format == "json") "" else s"_$format"
+    val ident = s"$GraftEdgeCat.g.edges_${datasetFingerprint(d)}$fmtTag"
     edgeEtlLock.synchronized {
       if (edgeEtlAlways || !writtenEdgeTables.contains(ident)) {
         iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $GraftEdgeCat.g")
         iso.sql(s"DROP TABLE IF EXISTS $ident")
         iso.sql(s"CREATE TABLE $ident " +
           "(src BIGINT, dst BIGINT, bucket BIGINT) PARTITIONED BY (bucket) " +
-          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src')")
+          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src', " +
+          s"'format'='$format')")
         tradeEdgesPlan(iso, d)
           .select(col("src").cast(LongType).as("src"),
             col("dst").cast(LongType).as("dst"))

@@ -196,7 +196,8 @@ final class ClusteredSinkTable(
       opt("clusterBy").getOrElse("bucket"),
       opt("sortBy").getOrElse("key"),
       opt("partitions").getOrElse("0").toInt,
-      opt("filePerKey").exists(_.toBoolean))
+      opt("filePerKey").exists(_.toBoolean),
+      opt("format").getOrElse(ClusteredSinkFormat.Json))
   }
 }
 
@@ -219,7 +220,8 @@ object SinkWriteMode {
 
 final class ClusteredSinkWriteBuilder(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
-    partitions: Int, filePerKey: Boolean = false) extends WriteBuilder
+    partitions: Int, filePerKey: Boolean = false,
+    format: String = ClusteredSinkFormat.Json) extends WriteBuilder
     with SupportsOverwrite with SupportsDynamicOverwrite {
   private var mode: SinkWriteMode = SinkWriteMode.Append
   override def truncate(): WriteBuilder = {
@@ -229,20 +231,28 @@ final class ClusteredSinkWriteBuilder(
       filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
     // validate NOW (analysis time), not at commit: an unsupported
     // predicate must fail the query before any task runs
+    require(format == ClusteredSinkFormat.Json,
+      "graft-sink: overwrite-by-filter is implemented for the json " +
+        "payload only (the copy-on-write rewrite reads json rows); " +
+        "parquet tables support append/truncate")
     ClusteredSinkOverwrite.compile(filters, clusterBy)
     mode = SinkWriteMode.OverwriteFilters(filters); this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(format == ClusteredSinkFormat.Json,
+      "graft-sink: dynamic overwrite is implemented for the json " +
+        "payload only; parquet tables support append/truncate")
     mode = SinkWriteMode.DynamicOverwrite; this
   }
   override def build(): Write =
     new ClusteredSinkWrite(schema, path, clusterBy, sortBy, partitions, mode,
-      filePerKey)
+      filePerKey, format)
 }
 
 final class ClusteredSinkWrite(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
-    partitions: Int, mode: SinkWriteMode, filePerKey: Boolean = false)
+    partitions: Int, mode: SinkWriteMode, filePerKey: Boolean = false,
+    format: String = ClusteredSinkFormat.Json)
     extends Write with RequiresDistributionAndOrdering {
 
   private def idx(col: String): Int = {
@@ -265,10 +275,14 @@ final class ClusteredSinkWrite(
 
   override def toBatch: BatchWrite =
     new ClusteredSinkBatchWrite(schema, path, idx(clusterBy), idx(sortBy),
-      clusterBy, sortBy, mode, filePerKey)
+      clusterBy, sortBy, mode, filePerKey, format)
 
-  override def toStreaming: StreamingWrite =
+  override def toStreaming: StreamingWrite = {
+    require(format == ClusteredSinkFormat.Json,
+      "graft-sink: the streaming epoch writer is json-only; parquet " +
+        "tables support batch append/truncate")
     new ClusteredSinkStreamingWrite(schema, path, idx(clusterBy), idx(sortBy))
+  }
 }
 
 /** Structured Streaming write path: same files, same manifest, same
@@ -323,8 +337,11 @@ final case class ClusteredSinkStreamingFactory(
 final class ClusteredSinkBatchWrite(
     schema: StructType, path: String, clusterIdx: Int, sortIdx: Int,
     clusterBy: String, sortBy: String, mode: SinkWriteMode,
-    filePerKey: Boolean = false)
+    filePerKey: Boolean = false,
+    format: String = ClusteredSinkFormat.Json)
     extends BatchWrite {
+
+  private val ext: String = ClusteredSinkFormat.extension(format)
 
   // Per-JOB commit id: committed file names are namespaced by it, so a
   // second append to the same path can never collide with (and silently
@@ -339,7 +356,7 @@ final class ClusteredSinkBatchWrite(
     val tmp = Paths.get(path, "_tmp")
     Files.createDirectories(tmp)
     ClusteredSinkWriterFactory(schema, tmp.toString, clusterIdx, sortIdx,
-      filePerKey)
+      filePerKey, format)
   }
 
   /** Flatten commit messages: a filePerKey task reports one
@@ -370,7 +387,7 @@ final class ClusteredSinkBatchWrite(
         // filePerKey task contributes several entries under one
         // partition id and names must stay unique
         news.zipWithIndex.foreach { case (m, i) =>
-          val name = f"part-$jobId-$i%05d.json"
+          val name = f"part-$jobId-$i%05d.$ext%s"
           Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
           manifest.append(ClusteredSinkCommit.manifestLine(name, m))
@@ -465,7 +482,8 @@ final class ClusteredSinkBatchWrite(
         while (it.hasNext) {
           val f = it.next()
           val n = f.getFileName.toString
-          if (!referenced(n) && n.startsWith("part-") && n.endsWith(".json"))
+          if (!referenced(n) && n.startsWith("part-") &&
+              (n.endsWith(".json") || n.endsWith(".parquet")))
             orphans += f
         }
         orphans.result().foreach(Files.deleteIfExists(_))
@@ -492,7 +510,7 @@ final class ClusteredSinkBatchWrite(
       }
     }
     news.zipWithIndex.foreach { case (m, i) =>
-      val name = f"part-$jobId-$i%05d.json"
+      val name = f"part-$jobId-$i%05d.$ext%s"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       manifest.append(ClusteredSinkCommit.manifestLine(name, m))
@@ -513,18 +531,22 @@ final class ClusteredSinkBatchWrite(
   * read-side RangeDocAggReaderFactory). */
 final case class ClusteredSinkWriterFactory(
     schema: StructType, tmpDir: String, clusterIdx: Int, sortIdx: Int,
-    filePerKey: Boolean = false)
+    filePerKey: Boolean = false, format: String = ClusteredSinkFormat.Json)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ClusteredSinkDataWriter(schema, tmpDir, partitionId, taskId.toString,
-      clusterIdx, sortIdx, filePerKey)
+      clusterIdx, sortIdx, filePerKey, format)
 }
 
 final class ClusteredSinkDataWriter(
     schema: StructType, tmpDir: String, partitionId: Int, attempt: String,
-    clusterIdx: Int, sortIdx: Int, filePerKey: Boolean = false)
+    clusterIdx: Int, sortIdx: Int, filePerKey: Boolean = false,
+    format: String = ClusteredSinkFormat.Json)
     extends DataWriter[InternalRow] {
+
+  private val parquet = format == ClusteredSinkFormat.Parquet
+  private var pq: ClusteredSinkFormat.ParquetSegment = _
 
   // filePerKey mode (the SPJ layout): input arrives sorted by
   // (clusterBy, sortBy) — RequiresDistributionAndOrdering — so rolling
@@ -564,7 +586,7 @@ final class ClusteredSinkDataWriter(
   /** Close the current segment file, record its stats, reset for the
     * next cluster key. */
   private def rollSegment(): Unit = {
-    out.close(); out = null
+    closeCurrent()
     segments += snapshot()
     segIdx += 1
     tmpPath = segPath
@@ -582,31 +604,43 @@ final class ClusteredSinkDataWriter(
       (distinctKeys.nonEmpty && distinctKeys.last != longAt(row, clusterIdx))
   }
 
+  private def isOpen: Boolean = out != null || pq != null
+
+  private def closeCurrent(): Unit = {
+    if (out != null) { out.close(); out = null }
+    if (pq != null) { pq.close(); pq = null }
+  }
+
   override def write(row: InternalRow): Unit = {
-    if (filePerKey && out != null && rows > 0 && keyChanged(row)) rollSegment()
-    if (out == null) { // lazy open: empty partitions produce no file
-      out = Files.newBufferedWriter(tmpPath, StandardCharsets.UTF_8)
+    if (filePerKey && isOpen && rows > 0 && keyChanged(row)) rollSegment()
+    if (!isOpen) { // lazy open: empty partitions produce no file
+      if (parquet) pq = new ClusteredSinkFormat.ParquetSegment(
+        tmpPath.toString, schema)
+      else out = Files.newBufferedWriter(tmpPath, StandardCharsets.UTF_8)
     }
-    val b = new StringBuilder(64)
-    b.append('{')
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) b.append(',')
-      b.append('"').append(schema.fields(i).name).append("\":")
-      if (row.isNullAt(i)) b.append("null")
-      else schema.fields(i).dataType match {
-        case LongType    => b.append(row.getLong(i))
-        case IntegerType => b.append(row.getInt(i))
-        case DoubleType  => b.append(row.getDouble(i))
-        case BooleanType => b.append(row.getBoolean(i))
-        case StringType  =>
-          b.append('"').append(ClusteredSink.escape(row.getUTF8String(i).toString)).append('"')
-        case dt => sys.error(s"graft-sink: unsupported column type $dt")
+    if (parquet) pq.write(row)
+    else {
+      val b = new StringBuilder(64)
+      b.append('{')
+      var i = 0
+      while (i < schema.length) {
+        if (i > 0) b.append(',')
+        b.append('"').append(schema.fields(i).name).append("\":")
+        if (row.isNullAt(i)) b.append("null")
+        else schema.fields(i).dataType match {
+          case LongType    => b.append(row.getLong(i))
+          case IntegerType => b.append(row.getInt(i))
+          case DoubleType  => b.append(row.getDouble(i))
+          case BooleanType => b.append(row.getBoolean(i))
+          case StringType  =>
+            b.append('"').append(ClusteredSink.escape(row.getUTF8String(i).toString)).append('"')
+          case dt => sys.error(s"graft-sink: unsupported column type $dt")
+        }
+        i += 1
       }
-      i += 1
+      b.append('}').append('\n')
+      out.write(b.toString)
     }
-    b.append('}').append('\n')
-    out.write(b.toString)
     rows += 1
     // null keys contribute NO bound: an InternalRow getter on a null slot
     // returns an arbitrary value (0), which would falsely tighten the
@@ -631,21 +665,21 @@ final class ClusteredSinkDataWriter(
 
   override def commit(): WriterCommitMessage = {
     if (filePerKey) {
-      if (out != null) rollSegment()
+      if (isOpen) rollSegment()
       ClusteredSinkMultiCommit(segments.toSeq)
     } else {
-      if (out != null) out.close()
+      closeCurrent()
       snapshot()
     }
   }
 
   override def abort(): Unit = {
-    if (out != null) out.close()
+    closeCurrent()
     Files.deleteIfExists(tmpPath)
     segments.foreach(s => Files.deleteIfExists(Paths.get(s.tmpPath)))
   }
 
-  override def close(): Unit = if (out != null) out.close()
+  override def close(): Unit = closeCurrent()
 }
 
 final case class ClusteredSinkCommit(

@@ -1,0 +1,139 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** COLUMNAR payload for [[ClusteredSink]] tables (`format=parquet`,
+  * r14 — NOTES candidate 3): the sink's engine-grade surface (required
+  * distribution, two-phase commit, manifest statistics, filePerKey /
+  * key-grouped reads) was deliberately paired with a trivial JSON row
+  * encoding; the measured cost of that choice on a scan-heavy graph
+  * loop was 1.26× (EdgeBackendAb, org-20×). This module swaps the
+  * per-file encoding for parquet through the parquet-hadoop Example
+  * API — snappy-compressed, columnar, with read-side column projection
+  * pushed into the decoder — while every byte of the commit protocol,
+  * manifest planning, and SPJ machinery stays identical (the read side
+  * dispatches on the committed file's extension, so the scan/commit
+  * code is format-agnostic).
+  *
+  * Types mirror the sink's contract: LONG/INT/DOUBLE/BOOLEAN/STRING,
+  * all optional (null = field absent in the row's record). Scope:
+  * batch append/truncate + reads; the copy-on-write overwrite modes
+  * and the streaming epoch writer keep the JSON payload (loud
+  * `require` at the write builder — not silently wrong, just not
+  * implemented for the columnar path).
+  */
+object ClusteredSinkFormat {
+  val Json = "json"
+  val Parquet = "parquet"
+
+  def extension(format: String): String = format match {
+    case Json => "json"
+    case Parquet => "parquet"
+    case other => sys.error(s"graft-sink: unsupported format '$other' " +
+      "(json | parquet)")
+  }
+
+  def messageType(schema: StructType, name: String = "graft_sink")
+      : MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val p: PrimitiveType = f.dataType match {
+        case LongType => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case StringType =>
+          Types.optional(BINARY).as(stringType()).named(f.name)
+        case dt => sys.error(s"graft-sink parquet: unsupported type $dt")
+      }
+      b.addField(p)
+    }
+    b.named(name)
+  }
+
+  /** Segment writer over the Example Group API. */
+  final class ParquetSegment(path: String, schema: StructType) {
+    private val mt = messageType(schema)
+    private val writer: ParquetWriter[Group] =
+      ExampleParquetWriter.builder(new HPath(path))
+        .withType(mt)
+        .withConf(new Configuration(false))
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+
+    def write(row: InternalRow): Unit = {
+      val g = new SimpleGroup(mt)
+      var i = 0
+      while (i < schema.length) {
+        if (!row.isNullAt(i)) schema.fields(i).dataType match {
+          case LongType => g.add(i, row.getLong(i))
+          case IntegerType => g.add(i, row.getInt(i))
+          case DoubleType => g.add(i, row.getDouble(i))
+          case BooleanType => g.add(i, row.getBoolean(i))
+          case StringType => g.add(i, row.getUTF8String(i).toString)
+          case dt => sys.error(s"graft-sink parquet: unsupported type $dt")
+        }
+        i += 1
+      }
+      writer.write(g)
+    }
+
+    def close(): Unit = writer.close()
+  }
+
+  /** Row iterator over a committed parquet segment, projecting only the
+    * `required` columns (the projection is pushed into the decoder via
+    * the read-schema conf — untouched columns are never decompressed). */
+  final class ParquetRows(file: String, required: StructType)
+      extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+    private val conf = new Configuration(false)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      messageType(required).toString)
+    private val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+        .withConf(conf).build()
+    private var row: InternalRow = _
+
+    override def next(): Boolean = {
+      val g = reader.read()
+      if (g == null) { row = null; false }
+      else {
+        val vals = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          val f = required.fields(i)
+          val idx = g.getType.getFieldIndex(f.name)
+          vals(i) =
+            if (g.getFieldRepetitionCount(idx) == 0) null
+            else f.dataType match {
+              case LongType => g.getLong(idx, 0)
+              case IntegerType => g.getInteger(idx, 0)
+              case DoubleType => g.getDouble(idx, 0)
+              case BooleanType => g.getBoolean(idx, 0)
+              case StringType => UTF8String.fromString(g.getString(idx, 0))
+              case dt => sys.error(s"graft-sink parquet read: $dt")
+            }
+          i += 1
+        }
+        row = new GenericInternalRow(vals)
+        true
+      }
+    }
+
+    override def get(): InternalRow = row
+    override def close(): Unit = reader.close()
+  }
+}

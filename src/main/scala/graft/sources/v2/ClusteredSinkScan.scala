@@ -145,6 +145,12 @@ final case class ClusteredSinkReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[ClusteredSinkFilePartition].file
+    // payload dispatch on the COMMITTED file's extension: the manifest,
+    // planning, and SPJ machinery are format-agnostic, so a parquet
+    // segment (format=parquet tables) and a json segment read through
+    // the same scan
+    if (file.endsWith(".parquet"))
+      return new ClusteredSinkFormat.ParquetRows(file, required)
     new PartitionReader[InternalRow] {
       private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       private val in = Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)

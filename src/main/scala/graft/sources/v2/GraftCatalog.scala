@@ -92,6 +92,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // writer of the table honors it — absent in pre-existing metadata
     if (n.has("filePerKey") && n.get("filePerKey").asBoolean)
       props.put("filePerKey", "true")
+    // payload format (r14): persisted so every writer/reader of the
+    // table uses one encoding; absent in pre-existing metadata = json
+    if (n.has("format")) props.put("format", n.get("format").asText)
     new ClusteredSinkTable(schema, props, ident.toString)
   }
 
@@ -110,11 +113,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val clusterBy = idParts.headOption.getOrElse(opt("clusterBy", "bucket"))
     val sortBy = opt("sortBy", "key")
     val filePerKey = opt("filePerKey", "false").toBoolean
+    val format = opt("format", ClusteredSinkFormat.Json)
+    ClusteredSinkFormat.extension(format) // validate loudly
     require(schema.fieldNames.contains(clusterBy) &&
       schema.fieldNames.contains(sortBy),
       s"clusterBy/sortBy ($clusterBy/$sortBy) must be table columns")
     Files.createDirectories(tblDir(ident))
-    writeMeta(ident, schema, clusterBy, sortBy, filePerKey)
+    writeMeta(ident, schema, clusterBy, sortBy, filePerKey, format)
     loadTable(ident)
   }
 
@@ -150,6 +155,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     var clusterBy = n.get("clusterBy").asText
     var sortBy = n.get("sortBy").asText
     val filePerKey = n.has("filePerKey") && n.get("filePerKey").asBoolean
+    val fmt = if (n.has("format")) n.get("format").asText
+      else ClusteredSinkFormat.Json
     val renames = Seq.newBuilder[(String, String)]
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -189,8 +196,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog ALTER TABLE supports ADD/RENAME/DROP COLUMN only; got $other")
     }
     val rs = renames.result()
-    if (rs.nonEmpty) rewriteDataKeys(ident, rs.toMap)
-    writeMeta(ident, schema, clusterBy, sortBy, filePerKey)
+    if (rs.nonEmpty) {
+      // the key-rename rewrite parses json rows; parquet files encode
+      // columns positionally in THIS catalog's writer, but the rewrite
+      // below is json-specific — refuse rather than corrupt
+      require(fmt == ClusteredSinkFormat.Json,
+        "graft catalog ALTER TABLE RENAME is json-payload only")
+      rewriteDataKeys(ident, rs.toMap)
+    }
+    writeMeta(ident, schema, clusterBy, sortBy, filePerKey, fmt)
     loadTable(ident)
   }
 
@@ -233,10 +247,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def writeMeta(
       ident: Identifier, schema: StructType, clusterBy: String,
-      sortBy: String, filePerKey: Boolean = false): Unit = {
+      sortBy: String, filePerKey: Boolean = false,
+      format: String = ClusteredSinkFormat.Json): Unit = {
     val meta =
       s"""{"schema":${com.fasterxml.jackson.databind.node.TextNode.valueOf(schema.json)},""" +
         s""""clusterBy":"$clusterBy","sortBy":"$sortBy",""" +
+        s""""format":"$format",""" +
         s""""filePerKey":$filePerKey}"""
     Files.write(metaFile(ident), meta.getBytes(StandardCharsets.UTF_8))
     ()

@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sources.v2.ClusteredSinkOverwrite
+import org.apache.spark.sql.functions._
+
+/** The ClusteredSink COLUMNAR payload (`format=parquet`, r14): the
+  * commit protocol, manifest statistics, filePerKey layout, and
+  * key-grouped reads are format-agnostic — only the per-file encoding
+  * changes. Pins:
+  *
+  *   1. roundtrip fidelity: a parquet-payload table reads back
+  *      row-identical to a json-payload twin of the same data,
+  *      including nulls in every supported type;
+  *   2. the filePerKey manifest is single-key and the committed files
+  *      actually carry the parquet magic (not json with a new name);
+  *   3. the unsupported surfaces refuse loudly (overwrite modes,
+  *      streaming) instead of corrupting;
+  *   4. TRUNCATE + re-append works (the append path is the scope).
+  */
+class ParquetSinkSpec extends SparkSpec {
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_cat_pq_spec").toString
+  private val cat = "graft_cat_pq"
+
+  private def init(): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
+  }
+
+  private def sample = {
+    import spark.implicits._
+    (0L until 1000L).map { i =>
+      (i,
+        i % 16,
+        if (i % 7 == 0) None else Some(i * 2),
+        if (i % 5 == 0) None else Some(i / 3.0),
+        if (i % 3 == 0) None else Some(i % 2 == 0),
+        if (i % 11 == 0) None else Some(s"v$i|quote\"and\\slash"))
+    }.toDF("key", "bucket", "lval", "dval", "bval", "sval")
+  }
+
+  test("parquet payload roundtrips row-identical to the json twin") {
+    init()
+    for ((t, fmt) <- Seq(("rt_pq", "parquet"), ("rt_js", "json"))) {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.g.$t")
+      spark.sql(s"CREATE TABLE $cat.g.$t " +
+        "(key BIGINT, bucket BIGINT, lval BIGINT, dval DOUBLE, " +
+        "bval BOOLEAN, sval STRING) PARTITIONED BY (bucket) " +
+        s"TBLPROPERTIES ('filePerKey'='true', 'sortBy'='key', " +
+        s"'format'='$fmt')")
+      sample.writeTo(s"$cat.g.$t").append()
+    }
+    val pq = spark.table(s"$cat.g.rt_pq")
+    val js = spark.table(s"$cat.g.rt_js")
+    assert(pq.count() === 1000)
+    assert(pq.exceptAll(js).count() === 0)
+    assert(js.exceptAll(pq).count() === 0)
+    // column projection decodes only what is asked
+    assert(pq.select(sum(col("lval"))).head.getLong(0) ===
+      js.select(sum(col("lval"))).head.getLong(0))
+  }
+
+  test("filePerKey manifest is single-key and files carry parquet magic") {
+    init()
+    val entries = ClusteredSinkOverwrite.readManifest(
+      Paths.get(warehouse, "g", "rt_pq", "_manifest.jsonl"))
+    assert(entries.size === 16)
+    entries.foreach { e =>
+      assert(e.minCluster != null && e.minCluster == e.maxCluster)
+      assert(e.file.endsWith(".parquet"))
+      val bytes = Files.readAllBytes(
+        Paths.get(warehouse, "g", "rt_pq", "data", e.file))
+      assert(new String(bytes.take(4), "US-ASCII") === "PAR1",
+        s"${e.file} is not a parquet file")
+    }
+  }
+
+  test("unsupported surfaces refuse loudly") {
+    init()
+    // overwrite-by-filter
+    val e1 = intercept[Exception] {
+      sample.writeTo(s"$cat.g.rt_pq").overwrite(col("bucket") === 3)
+    }
+    assert(e1.getMessage.contains("json"), e1.getMessage)
+    // ALTER TABLE RENAME (json key-rewrite)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.g.rt_pq RENAME COLUMN sval TO s2")
+    }
+    assert(e2.getMessage.contains("json"), e2.getMessage)
+  }
+
+  test("TRUNCATE + re-append works on the parquet payload") {
+    init()
+    spark.sql(s"TRUNCATE TABLE $cat.g.rt_pq")
+    assert(spark.table(s"$cat.g.rt_pq").count() === 0)
+    sample.limit(100).writeTo(s"$cat.g.rt_pq").append()
+    assert(spark.table(s"$cat.g.rt_pq").count() === 100)
+  }
+
+  test("SPJ over two parquet-payload tables is exchange-free") {
+    init()
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    for (t <- Seq("spj_a", "spj_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.g.$t")
+      spark.sql(s"CREATE TABLE $cat.g.$t " +
+        "(key BIGINT, bucket BIGINT, lval BIGINT, dval DOUBLE, " +
+        "bval BOOLEAN, sval STRING) PARTITIONED BY (bucket) " +
+        "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='key', " +
+        "'format'='parquet')")
+      sample.writeTo(s"$cat.g.$t").append()
+    }
+    val iso = spark.newSession()
+    iso.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    iso.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val a = iso.table(s"$cat.g.spj_a")
+    val b = iso.table(s"$cat.g.spj_b")
+    val j = a.join(b, a("bucket") === b("bucket") && a("key") === b("key"))
+      .groupBy(a("bucket")).agg(count(lit(1)).as("n"))
+    assert(j.collect().map(_.getLong(1)).sum === 1000)
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case x: AdaptiveSparkPlanExec => walk(x.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case o => o.children.flatMap(walk)
+      })
+    assert(!walk(j.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "the parquet-payload SPJ must plan with zero exchanges")
+  }
+}
