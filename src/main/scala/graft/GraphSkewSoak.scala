@@ -58,11 +58,10 @@ object GraphSkewSoak {
         tasks.synchronized { tasks += ((t.stageId, t.taskInfo.duration)) }
     })
 
-    only.toSeq.sorted.foreach { name =>
+    def measure(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
       tasks.synchronized(tasks.clear())
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      body.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       val byStage = tasks.synchronized(tasks.toVector).groupBy(_._1)
         .map { case (sid, ts) =>
@@ -74,6 +73,25 @@ object GraphSkewSoak {
       }.mkString("[", ",", "]")
       println(f"""{"metric":"$name","wall_sec":$wall%.2f,""" +
         s""""top_stages_by_max_task":$stages}""")
+    }
+
+    // mode "salted"/"plain" (2nd arg): run the three bucketed loops
+    // directly over the salted vs plain layout — the supernode A/B
+    // (SCALE.md round-14) — instead of the SparkEntry queries
+    if (args.length > 1 && (args(1) == "salted" || args(1) == "plain")) {
+      import graft.ops.GraphOps
+      val fac = if (args.length > 2) args(2).toInt
+        else GraphOps.SaltedEdgeFactor
+      val t = if (args(1) == "salted") GraphOps.saltedEdgeTable(spark, dir, fac)
+        else be
+      measure(s"${args(1)}_kcore")(
+        GraphOps.kcoreBucketedLoop(t, GraphOps.KCoreK, GraphOps.KCoreRounds))
+      measure(s"${args(1)}_pagerank")(
+        GraphOps.pageRankBucketedLoop(t, GraphOps.PrIters)._1)
+      measure(s"${args(1)}_components")(
+        GraphOps.componentsBucketedLoop(t, GraphOps.CcRounds))
+    } else only.toSeq.sorted.foreach { name =>
+      measure(name)(SparkEntry.queries(name)(spark, dir))
     }
     spark.stop()
   }

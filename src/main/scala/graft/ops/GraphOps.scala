@@ -237,7 +237,7 @@ object GraphOps extends QueryModule {
     * scan in place through [[pageRankRound]]. Trajectory-identical to
     * the broadcast loop: contributions are the same inner-join rows,
     * the update and fixpoint test are the same expressions. */
-  private def pageRankBucketedLoop(be: DataFrame, maxIters: Int)
+  def pageRankBucketedLoop(be: DataFrame, maxIters: Int)
       : (DataFrame, Int) = {
     val degRaw =
       if (be.columns.contains("bucket"))
@@ -960,11 +960,95 @@ object GraphOps extends QueryModule {
     * Returns the adapted frame and the join keys. */
   private def edgeProbe(be: DataFrame, f: DataFrame)
       : (DataFrame, Seq[String]) =
-    if (be.columns.contains("bucket"))
+    if (be.columns.contains("src_salt")) {
+      // salted layout (supernode regime): replicate the node-sized
+      // probe per salt — every edge matches exactly one replica
+      val fac = saltFactorOf(be)
+      (f.withColumn("__salt", explode(sequence(lit(0), lit(fac - 1))))
+        .withColumn("src_salt",
+          (col("src") * fac + col("__salt")).cast(LongType))
+        .drop("__salt"),
+        Seq("src_salt"))
+    } else if (be.columns.contains("bucket"))
       (f.withColumn("bucket",
         pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType)),
         Seq("bucket", "src"))
     else (f, Seq("src"))
+
+  // ===================== SALTED bucket layout for SUPERNODE graphs
+  // SCALE.md round-14 residual risk, closed with machinery: bucketing
+  // on src puts a hub's ENTIRE edge list in one bucket — one task per
+  // round. When a single node's degree approaches a core-share of
+  // total work (maxdeg ≳ m/cores — Zipf exponents past ~1.2, web-graph
+  // supernodes), that task IS the round's wall clock and no bucket
+  // count fixes it (the hub is one key). The salted layout splits
+  // every node's edge list across `factor` sub-keys:
+  //
+  //   src_salt = src * F + pmod(hash(dst), F)
+  //
+  // written bucketBy(edgeBuckets, src_salt), so the hub's edges spread
+  // over F buckets/tasks. Probes compensate by REPLICATING the
+  // node-sized frame F× (ops/Salting's replication side, composed into
+  // storage): each probe row fans to (src, salt = 0..F−1) and joins on
+  // src_salt — every edge still matches EXACTLY ONE probe replica (the
+  // one carrying its dst-hash salt), so inner-join contribution rows
+  // and semi-join survivorship are identical to the unsalted layout
+  // (SaltedGraphSpec pins row-equality for all three loops). Cost:
+  // node frames shuffle F× the bytes (node-sized — cheap), and
+  // degree/init aggregates keyed by bare src pay one node-sized
+  // exchange (the src_salt partitioning cannot satisfy them).
+  //
+  // MEASURED at the Zipf-1.5 supernode soak (one node = 23% of edges,
+  // bucket max/mean 4.47 — SCALE.md round 14): salting flattens
+  // per-round task skew from 2.9–4× to ~1.0× at every F tried; wall
+  // clock on a SATURATED local[32] is F-sensitive (F=8 pays more
+  // probe replication than the stragglers cost; F=4 is wall-parity
+  // with plain while removing them). On a barrier-per-round cluster
+  // where a straggler idles whole waves, the flattening is the win —
+  // F=4 default, tune upward only past maxdeg ≫ m/cores.
+  val SaltedEdgeFactor = 4
+
+  /** The trade-graph edge table in the SALTED layout — content
+    * addressed and write-once like [[bucketedEdgeTable]]. Columns
+    * (src_salt, src, dst); the salt factor rides the src_salt field's
+    * metadata so the probe side recovers it from the frame alone. */
+  def saltedEdgeTable(s: SparkSession, d: String,
+      factor: Int = SaltedEdgeFactor): DataFrame = {
+    val tbl = s"graft_edges_${datasetFingerprint(d)}_s$factor" +
+      s"_p${ProcessHandle.current().pid()}"
+    edgeEtlLock.synchronized {
+      if (!edgeEtlAlways && writtenEdgeTables.contains(tbl) &&
+          s.catalog.tableExists(tbl)) {
+        s.table(tbl)
+      } else {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("saltFactor", factor.toLong).build()
+        val edges = tradeEdgesPlan(s, d)
+          .select(
+            (col("src") * factor + pmod(hash(col("dst")), lit(factor)))
+              .cast(LongType).as("src_salt", md),
+            col("src"), col("dst"))
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        edges.repartition(edgeBuckets, col("src_salt"))
+          .write.format("parquet")
+          .bucketBy(edgeBuckets, "src_salt").sortBy("src_salt")
+          .option("path", s"/tmp/$tbl")
+          .mode("overwrite")
+          .saveAsTable(tbl)
+        trackEdgeDir(s"/tmp/$tbl")
+        writtenEdgeTables.add(tbl)
+        s.table(tbl)
+      }
+    }
+  }
+
+  private def saltFactorOf(be: DataFrame): Int = {
+    val f = be.schema.fields.find(_.name == "src_salt")
+      .getOrElse(sys.error("not a salted edge frame"))
+    require(f.metadata.contains("saltFactor"),
+      "salted edge frame lost its saltFactor metadata")
+    f.metadata.getLong("saltFactor").toInt
+  }
 
   /** Bucketed storage for an ARBITRARY (src, dst) edge frame — the
     * generic-helper analog of [[bucketedEdgeTable]] (r13 verdict task
