@@ -51,15 +51,10 @@ object GraphOps extends QueryModule {
     // frame every round. Identical trajectory (same hash-min rounds,
     // same delta frontier); Long.MaxValue pins the in-memory loop, 0
     // forces bucketed.
-    val useBucketed =
-      if (bucketBytes == Long.MaxValue) false
-      else if (bucketBytes <= 0L) true
-      else symPlan.select(col("a")).distinct().count() * NodeIdBytes >
-        bucketBytes
-    if (useBucketed) {
-      val be = bucketEdges(
-        symPlan.select(col("a").as("src"), col("b").as("dst")))
-      return componentsBucketedLoop(be, maxIter)
+    val storage = chooseEdgeStorage(
+      symPlan.select(col("a").as("src"), col("b").as("dst")), bucketBytes)
+    if (storage.isDefined) {
+      return componentsBucketedLoop(storage.get, maxIter)
         .select(col("node").as("id"), col("lbl").as("component"))
     }
     val sym = symPlan.localCheckpoint(true)
@@ -187,13 +182,47 @@ object GraphOps extends QueryModule {
   def pageRank(edgesIn: DataFrame, maxIters: Int,
       bucketBytes: Long = BcastNodeBytes): (DataFrame, Int) = {
     val sel = edgesIn.select(col("src"), col("dst"))
-    val useBucketed =
-      if (bucketBytes == Long.MaxValue) false
-      else if (bucketBytes <= 0L) true
-      else sel.select(col("src")).distinct().count() * NodeIdBytes > bucketBytes
-    if (useBucketed) pageRankBucketedLoop(bucketEdges(sel), maxIters)
-    else pageRankBroadcastLoop(sel, maxIters)
+    chooseEdgeStorage(sel, bucketBytes) match {
+      case Some(be) => pageRankBucketedLoop(be, maxIters)
+      case None => pageRankBroadcastLoop(sel, maxIters)
+    }
   }
+
+  /** Salt when the hottest node's edge list exceeds this many
+    * core-shares of the total edge count (maxdeg · cores >
+    * SupernodeCoreShares · m): below it the Zipf-1.2 soak measured the
+    * skew fully absorbed (SCALE.md round 14); above it the Zipf-1.5
+    * soak measured real 3–4× per-round stragglers that the salted
+    * layout flattens. */
+  val SupernodeCoreShares = 4L
+
+  /** Storage chooser for the PUBLIC graph helpers. One aggregation
+    * pass over the edge plan yields the node count (frame-size
+    * estimate vs `bucketBytes`), the max out-degree and the edge count
+    * (the supernode test) — so a caller handing the API a 100 TB
+    * power-law graph gets the salted layout, a uniform one the plain
+    * bucketed layout, and a small one the broadcast loop, without ever
+    * hitting either cliff. Sentinels: Long.MaxValue pins the broadcast
+    * path, 0 forces plain bucketed, -1 forces salted (specs use them).
+    * Returns the edge frame to loop over, or None for broadcast. */
+  private def chooseEdgeStorage(sel: DataFrame, bucketBytes: Long)
+      : Option[DataFrame] =
+    if (bucketBytes == Long.MaxValue) None
+    else if (bucketBytes == 0L) Some(bucketEdges(sel))
+    else if (bucketBytes == -1L) Some(saltEdges(sel))
+    else {
+      val r = sel.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n"), max(col("d")).as("mx"),
+          sum(col("d")).as("m")).head
+      val (n, mx, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (n * NodeIdBytes <= bucketBytes) None
+      else {
+        val cores =
+          sel.sparkSession.sparkContext.defaultParallelism.max(1).toLong
+        if (mx * cores > SupernodeCoreShares * m) Some(saltEdges(sel))
+        else Some(bucketEdges(sel))
+      }
+    }
 
   private def pageRankBroadcastLoop(sel: DataFrame, maxIters: Int)
       : (DataFrame, Int) = {
@@ -1021,23 +1050,52 @@ object GraphOps extends QueryModule {
           s.catalog.tableExists(tbl)) {
         s.table(tbl)
       } else {
-        val md = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("saltFactor", factor.toLong).build()
-        val edges = tradeEdgesPlan(s, d)
-          .select(
-            (col("src") * factor + pmod(hash(col("dst")), lit(factor)))
-              .cast(LongType).as("src_salt", md),
-            col("src"), col("dst"))
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        edges.repartition(edgeBuckets, col("src_salt"))
-          .write.format("parquet")
-          .bucketBy(edgeBuckets, "src_salt").sortBy("src_salt")
-          .option("path", s"/tmp/$tbl")
-          .mode("overwrite")
-          .saveAsTable(tbl)
-        trackEdgeDir(s"/tmp/$tbl")
+        val out = writeSaltedEdges(s, tbl, tradeEdgesPlan(s, d), factor)
         writtenEdgeTables.add(tbl)
+        out
+      }
+    }
+  }
+
+  /** Shared salted-table writer (the [[writeBucketedEdges]] twin). */
+  private def writeSaltedEdges(s: SparkSession, tbl: String,
+      edgesIn: DataFrame, factor: Int): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("saltFactor", factor.toLong).build()
+    val edges = edgesIn
+      .select(
+        (col("src") * factor + pmod(hash(col("dst")), lit(factor)))
+          .cast(LongType).as("src_salt", md),
+        col("src"), col("dst"))
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    edges.repartition(edgeBuckets, col("src_salt"))
+      .write.format("parquet")
+      .bucketBy(edgeBuckets, "src_salt").sortBy("src_salt")
+      .option("path", s"/tmp/$tbl")
+      .mode("overwrite")
+      .saveAsTable(tbl)
+    trackEdgeDir(s"/tmp/$tbl")
+    s.table(tbl)
+  }
+
+  /** SALTED bucketed storage for an ARBITRARY (src, dst) edge frame —
+    * the [[bucketEdges]] twin for supernode graphs; same
+    * plan-semanticHash content address (+ factor). */
+  def saltEdges(edges: DataFrame, factor: Int = SaltedEdgeFactor)
+      : DataFrame = {
+    val s = edges.sparkSession
+    val key = edges.queryExecution.analyzed.semanticHash()
+    val tbl = s"graft_edges_g${java.lang.Integer.toHexString(key)}" +
+      s"_s${factor}_b$edgeBuckets" + s"_p${ProcessHandle.current().pid()}"
+    edgeEtlLock.synchronized {
+      if (!edgeEtlAlways && writtenEdgeTables.contains(tbl) &&
+          s.catalog.tableExists(tbl)) {
         s.table(tbl)
+      } else {
+        val out = writeSaltedEdges(s, tbl,
+          edges.select(col("src"), col("dst")), factor)
+        writtenEdgeTables.add(tbl)
+        out
       }
     }
   }
@@ -1157,12 +1215,8 @@ object GraphOps extends QueryModule {
   def bfs(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int,
       bucketBytes: Long = BcastNodeBytes): DataFrame = {
     val sel = edgesIn.select(col("src"), col("dst"))
-    val useBucketed =
-      if (bucketBytes == Long.MaxValue) false
-      else if (bucketBytes <= 0L) true
-      else sel.select(col("src")).distinct().count() * NodeIdBytes >
-        bucketBytes
-    if (useBucketed) bfsBucketedLoop(bucketEdges(sel), seeds, maxHops)
+    val storage = chooseEdgeStorage(sel, bucketBytes)
+    if (storage.isDefined) bfsBucketedLoop(storage.get, seeds, maxHops)
     else {
       val edges = diskCheckpoint(sel)
       var frontier = seeds.select(col("node")).localCheckpoint(true)
@@ -1282,13 +1336,9 @@ object GraphOps extends QueryModule {
   def kCore(edgesIn: DataFrame, k: Int, maxRounds: Int,
       bucketBytes: Long = BcastNodeBytes): DataFrame = {
     val sel = edgesIn.select(col("src"), col("dst"))
-    val useBucketed =
-      if (bucketBytes == Long.MaxValue) false
-      else if (bucketBytes <= 0L) true
-      else sel.select(col("src")).distinct().count() * NodeIdBytes >
-        bucketBytes
+    val storage = chooseEdgeStorage(sel, bucketBytes)
     val out =
-      if (useBucketed) kcoreBucketedLoop(bucketEdges(sel), k, maxRounds)
+      if (storage.isDefined) kcoreBucketedLoop(storage.get, k, maxRounds)
       else {
         val edges = diskCheckpoint(sel)
         var state = edges.groupBy(col("src").as("v"))
@@ -1447,7 +1497,27 @@ object GraphOps extends QueryModule {
   // cap binds, both sides did the same rounds (the q178 contract).
   val CcRounds = 8
 
-  register("q213_bucketed_components", {
+  register("q216_salted_components", oComponentsSql) { (s, d) =>
+    // the SALTED supernode layout under the oracle gate: identical
+    // semantics to q213 (SaltedGraphSpec proves loop equality; this
+    // gate proves it against DuckDB end-to-end, ETL included)
+    val be = saltedEdgeTable(s, d)
+    componentsBucketedLoop(be, CcRounds)
+      .select(col("node").cast(LongType).as("node"),
+        col("lbl").cast(LongType).as("component"))
+  }
+
+  register("q213_bucketed_components", oComponentsSql) { (s, d) =>
+    val be = bucketedEdgeTable(s, d)
+    componentsBucketedLoop(be, CcRounds)
+      .select(col("node").cast(LongType).as("node"),
+        col("lbl").cast(LongType).as("component"))
+  }
+
+  /** Shared oracle for q213 AND q216 (salted layout) — the two compute
+    * identical results by construction; one chained-CTE twin gates
+    * both. */
+  private def oComponentsSql: String = {
     val rounds = (1 to CcRounds).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT p.node, LEAST(p.lbl, COALESCE(n.m, p.lbl)) AS lbl
@@ -1469,11 +1539,6 @@ object GraphOps extends QueryModule {
        |SELECT CAST(node AS BIGINT) AS node,
        |  CAST(lbl AS BIGINT) AS component
        |FROM l$CcRounds""".stripMargin
-  }) { (s, d) =>
-    val be = bucketedEdgeTable(s, d)
-    componentsBucketedLoop(be, CcRounds)
-      .select(col("node").cast(LongType).as("node"),
-        col("lbl").cast(LongType).as("component"))
   }
 
   /** Hash-min label propagation over a bucketed edge frame — the q213

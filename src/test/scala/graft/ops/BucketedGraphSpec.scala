@@ -233,6 +233,41 @@ class BucketedGraphSpec extends SparkSpec {
     assert(bc.exceptAll(bk).count() === 0)
   }
 
+  test("helpers: forced SALTED dispatch (bucketBytes = -1) is identical too") {
+    // the supernode path of the public API (chooseEdgeStorage):
+    // salted layout + probe replication must be invisible in results
+    val (bc, itB) = GraphOps.pageRank(tradeEdges, GraphOps.PrIters,
+      bucketBytes = Long.MaxValue)
+    val (sl, itS) = GraphOps.pageRank(tradeEdges, GraphOps.PrIters,
+      bucketBytes = -1L)
+    assert(itB === itS)
+    assert(sl.exceptAll(bc).count() === 0)
+    assert(bc.exceptAll(sl).count() === 0)
+
+    val kB = GraphOps.kCore(tradeEdges, GraphOps.KCoreK,
+      GraphOps.KCoreRounds, bucketBytes = Long.MaxValue)
+    val kS = GraphOps.kCore(tradeEdges, GraphOps.KCoreK,
+      GraphOps.KCoreRounds, bucketBytes = -1L)
+    assert(kS.exceptAll(kB).count() === 0)
+    assert(kB.exceptAll(kS).count() === 0)
+
+    val seeds = tradeEdges.select(col("src").as("node"))
+      .filter(col("node") % GraphOps.BfsSeedMod === 0 &&
+        col("node") < GraphOps.SupplierOffset).distinct()
+    val bB = GraphOps.bfs(tradeEdges, seeds, GraphOps.BfsMaxHops,
+      bucketBytes = Long.MaxValue)
+    val bS = GraphOps.bfs(tradeEdges, seeds, GraphOps.BfsMaxHops,
+      bucketBytes = -1L)
+    assert(bS.exceptAll(bB).count() === 0)
+    assert(bB.exceptAll(bS).count() === 0)
+
+    val pairs = tradeEdges.select(col("src").as("a"), col("dst").as("b"))
+    val cB = GraphOps.connectedComponents(pairs, bucketBytes = Long.MaxValue)
+    val cS = GraphOps.connectedComponents(pairs, bucketBytes = -1L)
+    assert(cS.exceptAll(cB).count() === 0)
+    assert(cB.exceptAll(cS).count() === 0)
+  }
+
   test("bucketEdges: generic table scans bucketed; write-once per plan") {
     val be = GraphOps.bucketEdges(tradeEdges)
     // probe through an aggregate on the bucket key — a bare scan is
