@@ -1660,8 +1660,11 @@ object SimilarityOps extends QueryModule {
   //     q212, so the SAME oracle SQL gates both and the recall audit is
   //     unchanged by construction.
   val AnnCat = "graft_cat_ann"
-  private lazy val annWarehouse: String =
-    java.nio.file.Files.createTempDirectory("graft_cat_ann").toString
+  private lazy val annWarehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_cat_ann")
+    graft.util.TmpReaper.track(p.toString)
+    p.toString
+  }
   private val annSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private val annBuilt =

@@ -777,28 +777,10 @@ object GraphOps extends QueryModule {
     * unbounded /tmp usage). */
   private val writtenEdgeTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val edgeTableDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
   private val edgeEtlLock = new Object
-  @volatile private var edgeCleanupHooked = false
 
-  private def trackEdgeDir(path: String): Unit = {
-    edgeTableDirs.add(new java.io.File(path))
-    if (!edgeCleanupHooked) edgeEtlLock.synchronized {
-      if (!edgeCleanupHooked) {
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          edgeTableDirs.forEach { dir =>
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(): Unit
-            }
-            try rm(dir) catch { case _: Throwable => () }
-          }
-        }, "graft-edge-table-cleanup"))
-        edgeCleanupHooked = true
-      }
-    }
-  }
+  private def trackEdgeDir(path: String): Unit =
+    graft.util.TmpReaper.track(path)
 
   /** True when `SPARK_GRAFT_EDGE_ETL=always` pins the old
     * rewrite-per-call behavior — the knob that keeps the

@@ -22,7 +22,11 @@ object SourceGate extends QueryModule {
     * must be stable for the session's lifetime; the query drops and
     * recreates its table every run for determinism. */
   lazy val q195Warehouse: String =
-    java.nio.file.Files.createTempDirectory("graft_cat_q195").toString
+    {
+      val p = java.nio.file.Files.createTempDirectory("graft_cat_q195")
+      graft.util.TmpReaper.track(p.toString)
+      p.toString
+    }
 
   // ================================================== agg pushdown gate
   // COUNT(*)/MIN(id)/MAX(id) over a filter-narrowed graft-range scan:
@@ -247,8 +251,11 @@ object SourceGate extends QueryModule {
 
   /** Per-JVM warehouse for the q196 catalog (same lifetime contract as
     * [[q195Warehouse]]). */
-  lazy val q196Warehouse: String =
-    java.nio.file.Files.createTempDirectory("graft_cat_q196").toString
+  lazy val q196Warehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_cat_q196")
+    graft.util.TmpReaper.track(p.toString)
+    p.toString
+  }
 
   // ===================================== catalog lifecycle gate
   // DSv2 catalog surface completion (r9 verdict task 6): one query
@@ -330,7 +337,11 @@ object SourceGate extends QueryModule {
   /** Per-JVM warehouse for the q211 catalog (same lifetime contract as
     * [[q195Warehouse]]). */
   lazy val q211Warehouse: String =
-    java.nio.file.Files.createTempDirectory("graft_cat_q211").toString
+    {
+      val p = java.nio.file.Files.createTempDirectory("graft_cat_q211")
+      graft.util.TmpReaper.track(p.toString)
+      p.toString
+    }
 
   // ============================ SPJ over the engine's OWN storage gate
   // Round-12 verdict task 4: q161 proved storage-partitioned joins over
