@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Distributed connected components — the dedup-pipeline step that turns
   * near-duplicate PAIRS into duplicate CLUSTERS with a canonical
@@ -37,6 +37,13 @@ object GraphOps extends QueryModule {
     * component = min node id reachable. maxIter bounds runaway graphs
     * (diameter > maxIter leaves labels one round from convergence —
     * callers on unbounded graphs should raise it).
+    *
+    * Large inputs are cached per-JVM in a write-once edge layout
+    * content-addressed by plan + scanned-file sizes/mtimes
+    * ([[edgeFrameFingerprint]]): mutating files byte-same-size with a
+    * preserved mtime under an identical plan can serve stale edges —
+    * set `SPARK_GRAFT_EDGE_ETL=always` in that regime. Applies to
+    * [[pageRank]], [[bfs]] and [[kCore]] equally.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       bucketBytes: Long = BcastNodeBytes): DataFrame = {
@@ -205,24 +212,74 @@ object GraphOps extends QueryModule {
     * hitting either cliff. Sentinels: Long.MaxValue pins the broadcast
     * path, 0 forces plain bucketed, -1 forces salted (specs use them).
     * Returns the edge frame to loop over, or None for broadcast. */
+  /** The three layouts [[chooseEdgeStorage]] dispatches between. */
+  sealed trait EdgeLayout
+  case object BroadcastLayout extends EdgeLayout
+  case object BucketedLayout extends EdgeLayout
+  final case class SaltedLayout(factor: Int) extends EdgeLayout
+
+  /** The PURE dispatch rule behind [[chooseEdgeStorage]] — extracted so
+    * the decision table (empty input, sentinel pins, supernode
+    * threshold, non-integral-src fallback, adaptive F) is unit-testable
+    * without constructing graphs skewed enough to trip the threshold at
+    * a given core count. `mx` is None when the edge frame was empty
+    * (max aggregates to NULL). */
+  def edgeLayoutFor(n: Long, mx: Option[Long], m: Long, cores: Long,
+      bucketBytes: Long, integralSrc: Boolean): EdgeLayout =
+    if (bucketBytes == Long.MaxValue) BroadcastLayout
+    else if (bucketBytes == 0L) BucketedLayout
+    else if (bucketBytes == -1L) SaltedLayout(SaltedEdgeFactor)
+    else if (n == 0L || mx.isEmpty || n * NodeIdBytes <= bucketBytes)
+      BroadcastLayout
+    else if (mx.get * cores > SupernodeCoreShares * m && integralSrc)
+      SaltedLayout(adaptiveSaltFactor(mx.get, m, cores))
+    else BucketedLayout
+
   private def chooseEdgeStorage(sel: DataFrame, bucketBytes: Long)
-      : Option[DataFrame] =
-    if (bucketBytes == Long.MaxValue) None
-    else if (bucketBytes == 0L) Some(bucketEdges(sel))
-    else if (bucketBytes == -1L) Some(saltEdges(sel))
-    else {
-      val r = sel.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .agg(count(lit(1)).as("n"), max(col("d")).as("mx"),
-          sum(col("d")).as("m")).head
-      val (n, mx, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      if (n * NodeIdBytes <= bucketBytes) None
+      : Option[DataFrame] = {
+    // sentinels need no stats pass
+    val stats: (Long, Option[Long], Long) =
+      if (bucketBytes == Long.MaxValue || bucketBytes == 0L ||
+          bucketBytes == -1L) (0L, None, 0L)
       else {
-        val cores =
-          sel.sparkSession.sparkContext.defaultParallelism.max(1).toLong
-        if (mx * cores > SupernodeCoreShares * m) Some(saltEdges(sel))
-        else Some(bucketEdges(sel))
+        val r = sel.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .agg(count(lit(1)).as("n"), max(col("d")).as("mx"),
+            sum(col("d")).as("m")).head
+        // Empty edge frame: max/sum aggregate to NULL — mx=None routes
+        // to the broadcast path (an empty loop yields the correct empty
+        // result) instead of NPE-ing on getLong (r14 ADVICE).
+        val mxOpt = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        (r.getLong(0), mxOpt, if (r.isNullAt(2)) 0L else r.getLong(2))
       }
+    val cores =
+      sel.sparkSession.sparkContext.defaultParallelism.max(1).toLong
+    // salted needs exact integer src arithmetic — string/decimal node
+    // ids fall back to the plain bucketed layout (a null src_salt would
+    // silently match nothing, r14 ADVICE)
+    edgeLayoutFor(stats._1, stats._2, stats._3, cores, bucketBytes,
+        hasIntegralSrc(sel)) match {
+      case BroadcastLayout => None
+      case BucketedLayout => Some(bucketEdges(sel))
+      case SaltedLayout(f) => Some(saltEdges(sel, f))
     }
+  }
+
+  /** Salt factor sized to the MEASURED skew instead of a fixed
+    * constant (r14 negative: F=8 at Zipf-1.5 over-replicated — walls
+    * worse than plain; F=4 was parity with the stragglers flattened).
+    * Rule: replicate the hottest node just past the absorption
+    * threshold — target maxdeg/F ≤ (SupernodeCoreShares/2)·m/cores,
+    * i.e. half the dispatch threshold, so the salted sub-keys land
+    * comfortably inside the regime the Zipf-1.2 soak measured as
+    * fully absorbed. F = ceil(maxdeg·cores / (2·m)) clamped to
+    * [2, cores]: Zipf-1.5 (maxdeg·cores/m ≈ 7.4) sizes to the
+    * measured-parity F=4; a 10× hotter hub scales F proportionally
+    * instead of leaving 4 fixed. */
+  def adaptiveSaltFactor(mx: Long, m: Long, cores: Long): Int = {
+    val denom = 2L * m
+    val f = (mx * cores + denom - 1L) / denom
+    f.max(2L).min(cores).toInt
+  }
 
   private def pageRankBroadcastLoop(sel: DataFrame, maxIters: Int)
       : (DataFrame, Int) = {
@@ -1039,9 +1096,26 @@ object GraphOps extends QueryModule {
     }
   }
 
+  /** True when the frame's `src` column is an integral type — the only
+    * key shape the salted layout supports: `src * F + h(dst) % F` needs
+    * exact integer arithmetic (a string src casts to null and every
+    * probe join silently matches nothing; a float src loses low bits).
+    * [[chooseEdgeStorage]] falls back to the plain bucketed layout for
+    * everything else. */
+  private def hasIntegralSrc(edges: DataFrame): Boolean =
+    edges.schema.fields.find(_.name == "src").map(_.dataType).exists {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+
   /** Shared salted-table writer (the [[writeBucketedEdges]] twin). */
   private def writeSaltedEdges(s: SparkSession, tbl: String,
       edgesIn: DataFrame, factor: Int): DataFrame = {
+    require(hasIntegralSrc(edgesIn),
+      s"salted edge layout requires an integral src column; got " +
+        edgesIn.schema.fields.find(_.name == "src").map(_.dataType)
+          .getOrElse("no src column") +
+        " — use the plain bucketed layout for non-integer node ids")
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("saltFactor", factor.toLong).build()
     val edges = edgesIn
@@ -1062,12 +1136,12 @@ object GraphOps extends QueryModule {
 
   /** SALTED bucketed storage for an ARBITRARY (src, dst) edge frame —
     * the [[bucketEdges]] twin for supernode graphs; same
-    * plan-semanticHash content address (+ factor). */
+    * [[edgeFrameFingerprint]] content address (+ factor). Requires an
+    * integral `src` column (loud require in the writer). */
   def saltEdges(edges: DataFrame, factor: Int = SaltedEdgeFactor)
       : DataFrame = {
     val s = edges.sparkSession
-    val key = edges.queryExecution.analyzed.semanticHash()
-    val tbl = s"graft_edges_g${java.lang.Integer.toHexString(key)}" +
+    val tbl = s"graft_edges_g${edgeFrameFingerprint(edges)}" +
       s"_s${factor}_b$edgeBuckets" + s"_p${ProcessHandle.current().pid()}"
     edgeEtlLock.synchronized {
       if (!edgeEtlAlways && writtenEdgeTables.contains(tbl) &&
@@ -1090,19 +1164,97 @@ object GraphOps extends QueryModule {
     f.metadata.getLong("saltFactor").toInt
   }
 
+  /** Content address of an arbitrary edge frame: the canonicalized
+    * logical plan's `semanticHash` (stable across separately-built but
+    * identical query trees, the CacheManager discipline) MIXED with the
+    * plan's schema and the (name, size, mtime) of every file the plan
+    * scans — the [[datasetFingerprint]] discipline. The file component
+    * means data regenerated in place under an identical plan changes
+    * the address (no stale serve); the schema+file component means two
+    * different plans that collide on the 32-bit semanticHash cannot
+    * alias unless they also scan byte-identical inputs with identical
+    * schemas. Frames with NO file sources (pure in-memory
+    * LocalRelation) degrade to semanticHash+schema — their content is
+    * part of the plan, so the hash already covers it. */
+  private def edgeFrameFingerprint(edges: DataFrame): String = {
+    val key = edges.queryExecution.analyzed.semanticHash()
+    val files = edges.inputFiles.sorted.map { p =>
+      val f = new java.io.File(p.stripPrefix("file:"))
+      s"$p:${f.length}:${f.lastModified}"
+    }
+    val sig = s"h$key|${edges.schema.catalogString}|" + files.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+  }
+
   /** Bucketed storage for an ARBITRARY (src, dst) edge frame — the
     * generic-helper analog of [[bucketedEdgeTable]] (r13 verdict task
-    * 2). Content-keyed by the frame's canonicalized logical plan
-    * (`semanticHash` — stable across separately-built but identical
-    * query trees, the CacheManager discipline), so a helper invoked
+    * 2). Content-keyed by [[edgeFrameFingerprint]] (canonical plan hash
+    * + schema + scanned-file sizes/mtimes), so a helper invoked
     * repeatedly on the same logical edges (bench reps, multi-query
-    * pipelines) writes once per JVM. Callers mutating the files UNDER
-    * an identical plan within one JVM must set
-    * `SPARK_GRAFT_EDGE_ETL=always`. */
+    * pipelines) writes once per JVM, while files regenerated in place
+    * under an identical plan change the address and force a fresh ETL.
+    * The only unaddressed staleness window is a file mutated
+    * byte-for-byte-same-size with a preserved mtime —
+    * `SPARK_GRAFT_EDGE_ETL=always` restores rewrite-per-call for
+    * callers in that regime. */
   def bucketEdges(edges: DataFrame): DataFrame = {
+    // DEFAULT backend (r15 verdict task 1): the engine's OWN storage —
+    // a GraftCatalog/ClusteredSink parquet table, filePerKey + sorted,
+    // whose scan reports KeyGroupedPartitioning(identity(bucket)) and
+    // SPJ keeps every per-round probe join edge-side-in-place. Key
+    // types the sink can't cluster (string / decimal node ids) keep the
+    // native-bucketBy layout, which hash-buckets any type.
+    def sqlType(dt: org.apache.spark.sql.types.DataType): Option[String] =
+      dt match {
+        case LongType => Some("BIGINT")
+        case IntegerType => Some("INT")
+        case _ => None
+      }
+    val srcT = edges.schema.fields.find(_.name == "src").map(_.dataType)
+      .flatMap(sqlType)
+    val dstT = edges.schema.fields.find(_.name == "dst").map(_.dataType)
+      .flatMap(sqlType)
+    if (srcT.isEmpty || dstT.isEmpty) return bucketEdgesNative(edges)
+    val iso = graftEdgeSession(edges.sparkSession)
+    val fp = edgeFrameFingerprint(edges)
+    val ident = s"$GraftEdgeCat.g.edges_g${fp}_b$edgeBuckets"
+    edgeEtlLock.synchronized {
+      if (edgeEtlAlways || !writtenEdgeTables.contains(ident)) {
+        iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $GraftEdgeCat.g")
+        iso.sql(s"DROP TABLE IF EXISTS $ident")
+        iso.sql(s"CREATE TABLE $ident " +
+          s"(src ${srcT.get}, dst ${dstT.get}, bucket BIGINT) " +
+          "PARTITIONED BY (bucket) " +
+          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src', " +
+          "'format'='parquet')")
+        // writeTo resolves its identifier against the FRAME's session,
+        // where the edge catalog isn't registered — bridge the caller's
+        // frame into the iso session through a global temp view
+        val view = s"graft_edges_stage_$fp"
+        edges.select(col("src"), col("dst"))
+          .createOrReplaceGlobalTempView(view)
+        try {
+          iso.table(s"global_temp.$view")
+            .withColumn("bucket",
+              pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType))
+            .writeTo(ident).append()
+        } finally {
+          edges.sparkSession.catalog.dropGlobalTempView(view)
+        }
+        writtenEdgeTables.add(ident)
+      }
+    }
+    iso.table(ident)
+  }
+
+  /** The native parquet-bucketBy layout for an arbitrary edge frame —
+    * [[bucketEdges]]' fallback for key types the sink can't cluster
+    * (Spark's bucketBy hash-buckets any type), and the A/B twin of the
+    * default graft-backed layout. */
+  def bucketEdgesNative(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
-    val key = edges.queryExecution.analyzed.semanticHash()
-    val tbl = s"graft_edges_g${java.lang.Integer.toHexString(key)}" +
+    val tbl = s"graft_edges_g${edgeFrameFingerprint(edges)}" +
       s"_b$edgeBuckets" + s"_p${ProcessHandle.current().pid()}"
     edgeEtlLock.synchronized {
       if (!edgeEtlAlways && writtenEdgeTables.contains(tbl) &&
@@ -1157,7 +1309,10 @@ object GraphOps extends QueryModule {
        |SELECT CAST(node AS BIGINT) AS node, lvl FROM (
        |  $levels)""".stripMargin
   }) { (s, d) =>
-    val be = bucketedEdgeTable(s, d)
+    // r15 verdict task 1: the engine's OWN storage (GraftCatalog +
+    // ClusteredSink parquet, filePerKey + SPJ) is the DEFAULT graph
+    // backend; bucketedEdgeTable remains the native-bucketBy A/B twin
+    val be = graftEdgeTable(s, d)
     // seeds straight off the bucketed table: the customer-side nodes
     // are exactly the src ids below the supplier offset (every pair
     // customer appears as a src in the cust→supp direction) — one
@@ -1282,7 +1437,10 @@ object GraphOps extends QueryModule {
        |JOIN s$KCoreRounds b ON e.dst = b.v
        |GROUP BY e.src""".stripMargin
   }) { (s, d) =>
-    val be = bucketedEdgeTable(s, d)
+    // r15 verdict task 1: the engine's OWN storage (GraftCatalog +
+    // ClusteredSink parquet, filePerKey + SPJ) is the DEFAULT graph
+    // backend; bucketedEdgeTable remains the native-bucketBy A/B twin
+    val be = graftEdgeTable(s, d)
     kcoreBucketedLoop(be, KCoreK, KCoreRounds)
       .select(col("v").cast(LongType).as("node"), col("deg").as("core_degree"))
   }
@@ -1417,7 +1575,10 @@ object GraphOps extends QueryModule {
        |SELECT node, rank FROM r$PrIters
        |ORDER BY rank DESC, node ASC LIMIT $PrTopK""".stripMargin
   }) { (s, d) =>
-    val be = bucketedEdgeTable(s, d)
+    // r15 verdict task 1: the engine's OWN storage (GraftCatalog +
+    // ClusteredSink parquet, filePerKey + SPJ) is the DEFAULT graph
+    // backend; bucketedEdgeTable remains the native-bucketBy A/B twin
+    val be = graftEdgeTable(s, d)
     // out-degrees off the bucketed scan: zero exchange, node-sized
     val deg = be.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
@@ -1490,7 +1651,10 @@ object GraphOps extends QueryModule {
   }
 
   register("q213_bucketed_components", oComponentsSql) { (s, d) =>
-    val be = bucketedEdgeTable(s, d)
+    // r15 verdict task 1: the engine's OWN storage (GraftCatalog +
+    // ClusteredSink parquet, filePerKey + SPJ) is the DEFAULT graph
+    // backend; bucketedEdgeTable remains the native-bucketBy A/B twin
+    val be = graftEdgeTable(s, d)
     componentsBucketedLoop(be, CcRounds)
       .select(col("node").cast(LongType).as("node"),
         col("lbl").cast(LongType).as("component"))

@@ -310,6 +310,7 @@ final class ClusteredSinkStreamingWrite(
       val name = f"part-$epochId%05d-${m.partitionId}%05d.json"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ClusteredSinkCommit.sweepSidecar(Paths.get(m.tmpPath))
       manifest.append(ClusteredSinkCommit.manifestLine(name, m))
     }
     Files.write(Paths.get(path, f"_manifest-$epochId%05d.jsonl"),
@@ -318,7 +319,8 @@ final class ClusteredSinkStreamingWrite(
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: ClusteredSinkCommit => Files.deleteIfExists(Paths.get(m.tmpPath))
+      case m: ClusteredSinkCommit =>
+        ClusteredSinkCommit.removeStaged(Paths.get(m.tmpPath))
       case _                      =>
     }
 }
@@ -390,6 +392,7 @@ final class ClusteredSinkBatchWrite(
           val name = f"part-$jobId-$i%05d.$ext%s"
           Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          ClusteredSinkCommit.sweepSidecar(Paths.get(m.tmpPath))
           manifest.append(ClusteredSinkCommit.manifestLine(name, m))
         }
         Files.write(manifestPath,
@@ -513,6 +516,7 @@ final class ClusteredSinkBatchWrite(
       val name = f"part-$jobId-$i%05d.$ext%s"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ClusteredSinkCommit.sweepSidecar(Paths.get(m.tmpPath))
       manifest.append(ClusteredSinkCommit.manifestLine(name, m))
     }
     val staged = manifestPath.resolveSibling("_manifest.jsonl.staged")
@@ -523,7 +527,8 @@ final class ClusteredSinkBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    flatten(messages).foreach(m => Files.deleteIfExists(Paths.get(m.tmpPath)))
+    flatten(messages).foreach(m =>
+      ClusteredSinkCommit.removeStaged(Paths.get(m.tmpPath)))
 }
 
 /** Top-level (serializable) factory — an anonymous one would capture the
@@ -694,6 +699,29 @@ final case class ClusteredSinkMultiCommit(parts: Seq[ClusteredSinkCommit])
     extends WriterCommitMessage
 
 object ClusteredSinkCommit {
+  /** Remove a staged temp file AND any Hadoop checksum sidecar
+    * (`.name.crc`) a checksummed LocalFileSystem may have left beside
+    * it. New parquet segments write through RawLocalFileSystem
+    * ([[ClusteredSinkFormat.rawFsConf]]) so no sidecar is created, but
+    * tables written before that fix carry litter in `_tmp/` — the
+    * commit/abort paths sweep it (r14 ADVICE). */
+  def removeStaged(tmpPath: java.nio.file.Path): Unit = {
+    Files.deleteIfExists(tmpPath)
+    val parent = tmpPath.getParent
+    if (parent != null)
+      Files.deleteIfExists(
+        parent.resolve("." + tmpPath.getFileName.toString + ".crc"))
+  }
+
+  /** Sweep the checksum sidecar after a staged temp was MOVED to its
+    * committed name (the move leaves the sidecar behind in `_tmp/`). */
+  def sweepSidecar(tmpPath: java.nio.file.Path): Unit = {
+    val parent = tmpPath.getParent
+    if (parent != null)
+      Files.deleteIfExists(
+        parent.resolve("." + tmpPath.getFileName.toString + ".crc"))
+  }
+
   /** One manifest JSONL line. A file whose keys were all null carries
     * `null` bounds (untouched MaxValue/MinValue sentinels) — a reader
     * must treat null as "no bound, cannot skip", never as a real range.

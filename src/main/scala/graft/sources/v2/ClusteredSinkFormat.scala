@@ -64,13 +64,27 @@ object ClusteredSinkFormat {
     b.named(name)
   }
 
+  /** Hadoop conf that resolves `file://` through RawLocalFileSystem
+    * (fresh instance, not the process-wide cached one): the default
+    * checksummed LocalFileSystem leaves a `.name.crc` sidecar next to
+    * every segment written under `_tmp/`, which neither the commit-time
+    * `Files.move`, `abort()`, nor the orphan GC (which scans only
+    * `part-*` in data/) ever removes — unbounded litter on long-lived
+    * tables (r14 ADVICE). */
+  private[v2] def rawFsConf(): Configuration = {
+    val conf = new Configuration(false)
+    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    conf.setBoolean("fs.file.impl.disable.cache", true)
+    conf
+  }
+
   /** Segment writer over the Example Group API. */
   final class ParquetSegment(path: String, schema: StructType) {
     private val mt = messageType(schema)
     private val writer: ParquetWriter[Group] =
       ExampleParquetWriter.builder(new HPath(path))
         .withType(mt)
-        .withConf(new Configuration(false))
+        .withConf(rawFsConf())
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
 
@@ -99,9 +113,26 @@ object ClusteredSinkFormat {
     * the read-schema conf — untouched columns are never decompressed). */
   final class ParquetRows(file: String, required: StructType)
       extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-    private val conf = new Configuration(false)
+    private val conf = rawFsConf()
+    // The pushed read schema must be the INTERSECTION of the required
+    // columns with the file's own schema: after ALTER TABLE ADD COLUMN,
+    // segments written before the alter lack the new field and
+    // parquet-mr rejects a requested field absent from the file
+    // (r14 ADVICE) — missing fields surface as null instead, matching
+    // the json payload's absent-key semantics.
+    private val fileFields: Set[String] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(file), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      } finally r.close()
+    }
+    private val present = StructType(
+      required.fields.filter(f => fileFields.contains(f.name)))
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      messageType(required).toString)
+      messageType(present).toString)
     private val reader: ParquetReader[Group] =
       ParquetReader.builder(new GroupReadSupport(), new HPath(file))
         .withConf(conf).build()
@@ -115,16 +146,19 @@ object ClusteredSinkFormat {
         var i = 0
         while (i < required.length) {
           val f = required.fields(i)
-          val idx = g.getType.getFieldIndex(f.name)
           vals(i) =
-            if (g.getFieldRepetitionCount(idx) == 0) null
-            else f.dataType match {
-              case LongType => g.getLong(idx, 0)
-              case IntegerType => g.getInteger(idx, 0)
-              case DoubleType => g.getDouble(idx, 0)
-              case BooleanType => g.getBoolean(idx, 0)
-              case StringType => UTF8String.fromString(g.getString(idx, 0))
-              case dt => sys.error(s"graft-sink parquet read: $dt")
+            if (!fileFields.contains(f.name)) null
+            else {
+              val idx = g.getType.getFieldIndex(f.name)
+              if (g.getFieldRepetitionCount(idx) == 0) null
+              else f.dataType match {
+                case LongType => g.getLong(idx, 0)
+                case IntegerType => g.getInteger(idx, 0)
+                case DoubleType => g.getDouble(idx, 0)
+                case BooleanType => g.getBoolean(idx, 0)
+                case StringType => UTF8String.fromString(g.getString(idx, 0))
+                case dt => sys.error(s"graft-sink parquet read: $dt")
+              }
             }
           i += 1
         }

@@ -268,31 +268,56 @@ class BucketedGraphSpec extends SparkSpec {
     assert(cB.exceptAll(cS).count() === 0)
   }
 
-  test("bucketEdges: generic table scans bucketed; write-once per plan") {
+  test("bucketEdges: DEFAULT backend is the engine's own graft table; " +
+      "key-grouped degree aggregate is exchange-free; write-once per plan") {
+    // r15 verdict task 1: the generic helper dogfoods GraftCatalog +
+    // ClusteredSink parquet (filePerKey) — the scan is a DSv2 BatchScan
+    // reporting KeyGroupedPartitioning(identity(bucket))
     val be = GraphOps.bucketEdges(tradeEdges)
-    // probe through an aggregate on the bucket key — a bare scan is
-    // "Bucketed: false (disabled by query planner)" because nothing
-    // requires the partitioning there
+    assert(be.columns.contains("bucket"),
+      "graft-backed edge frame must carry the bucket column")
+    val deg = GraphOps.kcoreDegrees(be)
+    assert(deg.count() > 0)
+    val nodes = walk(deg.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("graft-sink") => b }
+    assert(scans.nonEmpty, "expected a graft-sink DSv2 scan")
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "groupBy(bucket, src) over the graft edge table must be exchange-free")
+    // content-addressed skip (r13 verdict task 1): a second call with
+    // the SAME logical edges must not rewrite — file mtimes unchanged
+    val wh = GraphOps.graftEdgeSession(spark).conf
+      .get("spark.sql.catalog.graft_cat_edges.warehouse")
+    val dirs = new java.io.File(wh, "g").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("edges_g"))
+    assert(dirs.nonEmpty)
+    def sig(): Seq[(String, Long)] = dirs.flatMap(d =>
+      new java.io.File(d, "data").listFiles().toSeq
+        .map(f => (d.getName + "/" + f.getName, f.lastModified)))
+      .toSeq.sortBy(_._1)
+    val before = sig()
+    val be2 = GraphOps.bucketEdges(tradeEdges)
+    assert(be2.count() === be.count())
+    assert(sig() === before,
+      "second bucketEdges call for the same plan must skip the write")
+  }
+
+  test("bucketEdgesNative (A/B twin): table scans bucketed, groupBy(src) " +
+      "exchange-free, row-identical to the graft-backed default") {
+    val be = GraphOps.bucketEdgesNative(tradeEdges)
     val deg = be.groupBy("src").agg(count(lit(1)).as("deg"))
     assert(deg.count() > 0)
     val nodes = walk(deg.queryExecution.executedPlan)
     val scans = nodes.collect {
       case s: FileSourceScanExec if isEdgeScan(s) => s }
     assert(scans.nonEmpty && scans.forall(_.bucketedScan),
-      "generic bucketEdges table must execute as a bucketed scan")
+      "native bucketEdges table must execute as a bucketed scan")
     assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
-      "groupBy(src) over the generic bucketed table must be exchange-free")
-    // content-addressed skip (r13 verdict task 1): a second call with
-    // the SAME logical edges must not rewrite — file mtimes unchanged
-    val dir = new java.io.File(scans.head.relation.location.rootPaths
-      .head.toUri.getPath)
-    def sig(): Seq[(String, Long)] = dir.listFiles().toSeq
-      .map(f => (f.getName, f.lastModified)).sortBy(_._1)
-    val before = sig()
-    val be2 = GraphOps.bucketEdges(tradeEdges)
-    assert(be2.count() === be.count())
-    assert(sig() === before,
-      "second bucketEdges call for the same plan must skip the write")
+      "groupBy(src) over the native bucketed table must be exchange-free")
+    val graft = GraphOps.bucketEdges(tradeEdges).select("src", "dst")
+    assert(be.select("src", "dst").exceptAll(graft).count() === 0)
+    assert(graft.exceptAll(be.select("src", "dst")).count() === 0)
   }
 
   test("bucketedEdgeTable: write-once per (dataset, JVM)") {

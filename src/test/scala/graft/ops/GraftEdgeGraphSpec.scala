@@ -75,9 +75,12 @@ class GraftEdgeGraphSpec extends SparkSpec {
     be.count()
     val wh = be.sparkSession.conf
       .get("spark.sql.catalog.graft_cat_edges.warehouse")
+    // dataset tables are edges_<hexfp>…; the GENERIC bucketEdges tables
+    // (edges_g<hexfp>_b…) share the warehouse since the r15 backend flip
     val tables = new java.io.File(wh, "g").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("edges_"))
-    assert(tables.length === 1, s"expected one edge table, got " +
+      .filter(f => f.isDirectory && f.getName.startsWith("edges_") &&
+        !f.getName.startsWith("edges_g"))
+    assert(tables.length === 1, s"expected one dataset edge table, got " +
       tables.map(_.getName).mkString(", "))
     val entries = ClusteredSinkOverwrite.readManifest(
       Paths.get(wh, "g", tables.head.getName, "_manifest.jsonl"))

@@ -102,6 +102,69 @@ class ParquetSinkSpec extends SparkSpec {
     assert(spark.table(s"$cat.g.rt_pq").count() === 100)
   }
 
+  test("ALTER TABLE ADD COLUMN: pre-alter parquet segments read the new " +
+      "column as null (r14 ADVICE)") {
+    init()
+    val t = s"$cat.g.addcol_pq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, bucket BIGINT, sval STRING) " +
+      "PARTITIONED BY (bucket) TBLPROPERTIES ('format'='parquet')")
+    import spark.implicits._
+    (0L until 100L).map(i => (i, i % 4, s"v$i")).toDF("key", "bucket", "sval")
+      .writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra BIGINT")
+    // reads of PRE-ALTER files must not fail and must yield null
+    val afterAlter = spark.table(t)
+    assert(afterAlter.count() === 100)
+    assert(afterAlter.filter(col("extra").isNull).count() === 100)
+    // post-alter appends carry the column; old files still read null
+    (100L until 150L).map(i => (i, i % 4, s"v$i", i * 10))
+      .toDF("key", "bucket", "sval", "extra").writeTo(t).append()
+    val all = spark.table(t)
+    assert(all.count() === 150)
+    assert(all.filter(col("extra").isNull).count() === 100)
+    assert(all.filter(col("extra") === col("key") * 10).count() === 50)
+    // projection that touches ONLY the new column also survives old files
+    assert(all.select(sum(col("extra"))).head.getLong(0) ===
+      (100L until 150L).map(_ * 10).sum)
+  }
+
+  test("parquet segment writes leave no Hadoop .crc sidecars behind " +
+      "(r14 ADVICE)") {
+    init()
+    val t = s"$cat.g.crc_pq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, bucket BIGINT) " +
+      "PARTITIONED BY (bucket) " +
+      "TBLPROPERTIES ('filePerKey'='true', 'format'='parquet')")
+    import spark.implicits._
+    (0L until 200L).map(i => (i, i % 8)).toDF("key", "bucket")
+      .writeTo(t).append()
+    assert(spark.table(t).count() === 200)
+    val tmp = Paths.get(warehouse, "g", "crc_pq", "_tmp")
+    val leftovers =
+      if (Files.isDirectory(tmp)) {
+        val ls = Files.list(tmp)
+        try {
+          val it = ls.iterator()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().getFileName.toString
+          b.result()
+        } finally ls.close()
+      } else Seq.empty
+    assert(leftovers.isEmpty,
+      s"_tmp must be empty after commit; found: $leftovers")
+    // and the data dir carries only committed parquet parts
+    val dataLs = Files.list(Paths.get(warehouse, "g", "crc_pq", "data"))
+    try {
+      val it = dataLs.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        assert(!n.endsWith(".crc"), s"checksum sidecar leaked: $n")
+      }
+    } finally dataLs.close()
+  }
+
   test("SPJ over two parquet-payload tables is exchange-free") {
     init()
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
