@@ -765,6 +765,19 @@ object InsuranceGate extends QueryModule {
       .agg(count(col("claim_id")).as("total_claims"),
         dsum(col("settled_amount")).as("total_paid_claims"),
         count(when(col("fraud_indicator") === 1, 1)).as("fraud_claims"))
+    execSummaryFromMonthly(mf, mc)
+  }
+
+  /** q45's derived tail — full-outer month coalesce, ratio ladder,
+    * global YoY lag, category — shared verbatim with
+    * [[IncrementalGold.mart]] so the delta-maintained mart and the
+    * full refresh differ ONLY in where the monthly frames come from.
+    * `mf` = (report_period, new_policies, active_customers,
+    * gross_written_premium[double]); `mc` = (report_period,
+    * total_claims, total_paid_claims[double], fraud_claims). */
+  private[engine] def execSummaryFromMonthly(mf: DataFrame, mc: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val kpis = mf.join(mc, Seq("report_period"), "full_outer")
       .select(col("report_period"),
         coalesce(col("new_policies"), lit(0)).as("new_policies"),
@@ -793,6 +806,184 @@ object InsuranceGate extends QueryModule {
         .when(col("loss_ratio") <= 0.8, "Good")
         .when(col("loss_ratio") <= 1.0, "Acceptable")
         .otherwise("Concerning").as("performance_category"))
+  }
+
+  // ================== incremental gold maintenance over CDC deltas
+  // r14 verdict task 4: the reference full-refreshes every gold mart
+  // per run (dbt_project.yml:33,38,43); at 100 TB the mart must be
+  // MAINTAINED from silver CDC batches instead. Four deterministic
+  // op-coded batches (full before/after row images, the Debezium
+  // shape) flow through [[IncrementalGold]]'s signed-delta state:
+  //
+  //   b1  initial load minus a held-out slice (pk%10==3 / ck%10==4)
+  //   b2  late INSERT of the held-out slice + UPDATE premium+100 on
+  //       pk%5==0 (flips invalid_premium flags on the −50 defect rows —
+  //       the filter-transition case IVM must get right)
+  //   b3  DELETE pk%7==0 + UPDATE settled+50 on ck%6==0
+  //   b4  re-INSERT pk%14==0 at premium 555 (delete-then-resurrect) +
+  //       DELETE ck%9==0 (updated-then-deleted on ck%18==0)
+  //
+  // The ORACLE is the full refresh on the final table state — the
+  // invariant an incremental materialization owes its consumers —
+  // spelled as q45's mart over final_policies/final_claims CTEs that
+  // replay the net mutation algebra. IncrementalGoldSpec additionally
+  // proves state == full recompute after EVERY batch prefix.
+  register("q218_incremental_gold",
+    s"""WITH $oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |pol_keyed AS (
+       |  SELECT policy_id, customer_id, start_date, premium_amount,
+       |    CAST(policy_id[2:] AS BIGINT) AS pk
+       |  FROM policies_silver),
+       |final_policies AS (
+       |  SELECT policy_id, customer_id, start_date,
+       |    new_premium AS premium_amount,
+       |    CASE WHEN new_premium IS NULL OR new_premium < 0 THEN 1 ELSE 0 END
+       |      AS invalid_premium_amount_flag
+       |  FROM (SELECT *,
+       |      CASE WHEN pk % 14 = 0 THEN CAST(555.0 AS DECIMAL(18,2))
+       |           WHEN pk % 5 = 0 THEN CAST(premium_amount + 100 AS DECIMAL(18,2))
+       |           ELSE premium_amount END AS new_premium
+       |    FROM pol_keyed)
+       |  WHERE pk % 7 <> 0 OR pk % 14 = 0),
+       |cl_keyed AS (
+       |  SELECT claim_id, claim_date, settled_amount, fraud_indicator,
+       |    missing_policy_flag, CAST(claim_id[3:] AS BIGINT) AS ck
+       |  FROM claims_silver),
+       |final_claims AS (
+       |  SELECT claim_id, claim_date,
+       |    CASE WHEN ck % 6 = 0 THEN settled_amount + 50
+       |         ELSE settled_amount END AS settled_amount,
+       |    fraud_indicator, missing_policy_flag
+       |  FROM cl_keyed WHERE ck % 9 <> 0),
+       |monthly_financials AS (
+       |  SELECT CAST(date_trunc('month', start_date) AS DATE) AS report_period,
+       |    COUNT(DISTINCT policy_id) AS new_policies,
+       |    COUNT(DISTINCT customer_id) AS active_customers,
+       |    CAST(SUM(CAST(premium_amount AS DECIMAL(18,4))) AS DOUBLE) AS gross_written_premium
+       |  FROM final_policies WHERE invalid_premium_amount_flag = 0
+       |  GROUP BY CAST(date_trunc('month', start_date) AS DATE)),
+       |monthly_claims AS (
+       |  SELECT CAST(date_trunc('month', claim_date) AS DATE) AS report_period,
+       |    COUNT(DISTINCT claim_id) AS total_claims,
+       |    CAST(SUM(CAST(settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_paid_claims,
+       |    COUNT(CASE WHEN fraud_indicator = 1 THEN 1 END) AS fraud_claims
+       |  FROM final_claims WHERE missing_policy_flag = 0
+       |  GROUP BY CAST(date_trunc('month', claim_date) AS DATE)),
+       |kpis AS (
+       |  SELECT COALESCE(mf.report_period, mc.report_period) AS report_period,
+       |    COALESCE(mf.new_policies, 0) AS new_policies,
+       |    COALESCE(mf.active_customers, 0) AS active_customers,
+       |    COALESCE(mf.gross_written_premium, 0) AS gross_written_premium,
+       |    COALESCE(mc.total_claims, 0) AS total_claims,
+       |    COALESCE(mc.total_paid_claims, 0) AS total_paid_claims,
+       |    COALESCE(mc.fraud_claims, 0) AS fraud_claims,
+       |    CASE WHEN COALESCE(mf.gross_written_premium, 0) > 0
+       |         THEN COALESCE(mc.total_paid_claims, 0) / mf.gross_written_premium
+       |         ELSE 0 END AS loss_ratio,
+       |    COALESCE(mf.gross_written_premium, 0)
+       |      - COALESCE(mc.total_paid_claims, 0) AS underwriting_profit
+       |  FROM monthly_financials mf
+       |  FULL OUTER JOIN monthly_claims mc ON mf.report_period = mc.report_period)
+       |SELECT report_period, new_policies, active_customers,
+       |  gross_written_premium, total_claims, total_paid_claims, fraud_claims,
+       |  loss_ratio, underwriting_profit,
+       |  LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST) AS gwp_prev_year,
+       |  CASE WHEN LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST) > 0
+       |       THEN (gross_written_premium
+       |             - LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST))
+       |            / LAG(gross_written_premium, 12) OVER (ORDER BY report_period NULLS FIRST) * 100
+       |       ELSE 0 END AS gwp_growth_rate_yoy,
+       |  CASE WHEN loss_ratio <= 0.6 THEN 'Excellent'
+       |       WHEN loss_ratio <= 0.8 THEN 'Good'
+       |       WHEN loss_ratio <= 1.0 THEN 'Acceptable'
+       |       ELSE 'Concerning' END AS performance_category
+       |FROM kpis""".stripMargin) { (s, d) =>
+    IncrementalGold.mart(cdcMaintainedState(s, d))
+  }
+
+  /** The q218 CDC lifecycle: build the four op-coded batches from the
+    * gate silver tables and fold them through [[IncrementalGold]].
+    * Shared with IncrementalGoldSpec, which checks EVERY prefix. */
+  private[engine] def cdcBatches(s: SparkSession, d: String)
+      : Seq[(DataFrame, DataFrame)] = {
+    val pol = policiesSilver(s, d)
+    val cl = claimsSilver(s, d)
+    val polCols = pol.columns.toSeq
+    val clCols = cl.columns.toSeq
+    val nullP = lit(null).cast(pol.schema)
+    val nullC = lit(null).cast(cl.schema)
+    // full-row images with the mutated amount and every dependent
+    // column recomputed (flags, differences, ratios) — what a real CDC
+    // feed carries after the silver transform reruns on the changed row
+    def pImg(prem: Column): Column = {
+      val p = prem.cast(DecimalType(18, 2))
+      struct(polCols.map {
+        case "premium_amount" => p.as("premium_amount")
+        case "invalid_premium_amount_flag" =>
+          when(p.isNull || p < 0, 1).otherwise(0)
+            .as("invalid_premium_amount_flag")
+        case c => col(c)
+      }: _*)
+    }
+    def cImg(settled: Column): Column =
+      struct(clCols.map {
+        case "settled_amount" => settled.as("settled_amount")
+        case "invalid_settled_amount_flag" =>
+          when(settled.isNull || settled < 0, 1).otherwise(0)
+            .as("invalid_settled_amount_flag")
+        case "claim_difference" =>
+          (col("claim_amount") - settled).as("claim_difference")
+        case "settlement_ratio" =>
+          when(col("claim_amount") > 0,
+            round(settled / col("claim_amount"), 3)).as("settlement_ratio")
+        case c => col(c)
+      }: _*)
+    def ins(rows: DataFrame, img: Column, nul: Column): DataFrame =
+      rows.select(lit("I").as("op"), nul.as("before"), img.as("after"))
+    def del(rows: DataFrame, img: Column, nul: Column): DataFrame =
+      rows.select(lit("D").as("op"), img.as("before"), nul.as("after"))
+    def upd(rows: DataFrame, b: Column, a: Column): DataFrame =
+      rows.select(lit("U").as("op"), b.as("before"), a.as("after"))
+
+    val pb = pol.withColumn("__pk",
+      col("policy_id").substr(lit(2), length(col("policy_id"))).cast(LongType))
+    val cb = cl.withColumn("__ck",
+      col("claim_id").substr(lit(3), length(col("claim_id"))).cast(LongType))
+    val basePrem = col("premium_amount")
+    // row state entering batch 3 (batch-2 updates applied)
+    val prem2 = when(col("__pk") % 5 === 0, basePrem + 100).otherwise(basePrem)
+    val baseSettled = col("settled_amount")
+    // row state entering batch 4 (batch-3 updates applied)
+    val settled3 = when(col("__ck") % 6 === 0, baseSettled + 50)
+      .otherwise(baseSettled)
+
+    Seq(
+      (ins(pb.filter(col("__pk") % 10 =!= 3), pImg(basePrem), nullP),
+        ins(cb.filter(col("__ck") % 10 =!= 4), cImg(baseSettled), nullC)),
+      (ins(pb.filter(col("__pk") % 10 === 3), pImg(basePrem), nullP)
+        .unionByName(upd(pb.filter(col("__pk") % 5 === 0),
+          pImg(basePrem), pImg(basePrem + 100))),
+        ins(cb.filter(col("__ck") % 10 === 4), cImg(baseSettled), nullC)),
+      (del(pb.filter(col("__pk") % 7 === 0), pImg(prem2), nullP),
+        upd(cb.filter(col("__ck") % 6 === 0),
+          cImg(baseSettled), cImg(baseSettled + 50))),
+      (ins(pb.filter(col("__pk") % 14 === 0), pImg(lit(555.0)), nullP),
+        del(cb.filter(col("__ck") % 9 === 0), cImg(settled3), nullC)))
+  }
+
+  /** Fold all four q218 CDC batches into maintained state. */
+  private[engine] def cdcMaintainedState(s: SparkSession, d: String)
+      : IncrementalGold.ExecState = {
+    val batches = cdcBatches(s, d)
+    val deltas = batches.map { case (p, c) =>
+      (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }
+    deltas.tail.foldLeft(
+      IncrementalGold.init(deltas.head._1, deltas.head._2)) {
+      case (st, (p, c)) => IncrementalGold.applyDelta(st, p, c)
+    }
   }
 
   // customer-360 mart: 3 aggregate CTEs + 2 left joins + segmentation

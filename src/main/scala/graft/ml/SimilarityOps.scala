@@ -833,7 +833,21 @@ object SimilarityOps extends QueryModule {
     * compute the IDENTICAL result by construction — q215 persists the
     * same (cell, codes) index q212 builds in-query, and the search path
     * does the same ADC lookups — so one SQL twin gates both. */
-  private def oIvfpqSearchSql: String = {
+  private def oIvfpqSearchSql: String =
+    s"""WITH $oIvfpqCtes
+       |SELECT ra.query_id, CAST(ra.rank AS BIGINT) AS rank, ra.vec_id,
+       |  ra.adc_ppm,
+       |  CAST(re.erank IS NOT NULL AND re.erank <= $TopK AS BOOLEAN)
+       |    AS in_exact_topk
+       |FROM ra LEFT JOIN re
+       |  ON ra.query_id = re.query_id AND ra.vec_id = re.vec_id
+       |WHERE ra.rank <= $TopK""".stripMargin
+
+  /** The IVF-PQ oracle machinery (training → cells → codes → ADC → exact
+    * reference → both rankings) as a reusable CTE body: `ra` is the ADC
+    * ranking, `re` the exact-L2 ranking. q212/q215 select the ranked
+    * rows; q217 folds them into a per-query recall. */
+  private def oIvfpqCtes: String = {
     def oSubL2sq(v: String, c: String, m: String): String =
       s"""list_reduce(list_transform(range(($m - 1) * $PqSubDim + 1, $m * $PqSubDim + 1),
          |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
@@ -843,7 +857,7 @@ object SimilarityOps extends QueryModule {
          |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
          |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
          |      (x, y) -> x + y)""".stripMargin
-    s"""WITH dims AS (
+    s"""dims AS (
        |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
        |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i
        |  WHERE $oTrainGate),
@@ -901,14 +915,7 @@ object SimilarityOps extends QueryModule {
        |  SELECT query_id, vec_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY d ASC, vec_id ASC) AS erank
-       |  FROM exact)
-       |SELECT ra.query_id, CAST(ra.rank AS BIGINT) AS rank, ra.vec_id,
-       |  ra.adc_ppm,
-       |  CAST(re.erank IS NOT NULL AND re.erank <= $TopK AS BOOLEAN)
-       |    AS in_exact_topk
-       |FROM ra LEFT JOIN re
-       |  ON ra.query_id = re.query_id AND ra.vec_id = re.vec_id
-       |WHERE ra.rank <= $TopK""".stripMargin
+       |  FROM exact)""".stripMargin
   }
 
   private def q212Runner: (SparkSession, String) => DataFrame = { (s, d) =>
@@ -1764,9 +1771,11 @@ object SimilarityOps extends QueryModule {
                 .bitwiseAND(lit(255L)) + 1).cast(IntegerType)))
           .reduce(_ + _).as("adc_ppm"))
 
-  register("q215_persisted_ivfpq", oIvfpqSearchSql) { (s, d) =>
-    val (index, codebook) = annIndex(s, d)
-    val iso = index.sparkSession
+  /** The q215/q217 probe frame: one row per (query, probed cell) with
+    * the per-subspace ADC distance table riding along — ≤ NumQueries ×
+    * NProbe rows, the ONLY thing the one-side-shuffle SPJ moves. */
+  def annProbes(iso: SparkSession, d: String,
+      codebook: Seq[(Int, Seq[Double])]): DataFrame = {
     def subCb(m: Int): Seq[(Int, Seq[Double])] =
       codebook.map { case (l, cv) =>
         (l, cv.slice((m - 1) * PqSubDim, m * PqSubDim)) }
@@ -1778,13 +1787,19 @@ object SimilarityOps extends QueryModule {
           .cast(LongType)
       }: _*)
     }: _*)
-    // probe set: ≤ NumQueries × NProbe rows, cell-keyed for the SPJ
-    val probes = embeddings(iso, d).filter(col("vec_id") < NumQueries)
+    embeddings(iso, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), qTab(col("embedding")).as("qtab"),
         explode(probeCentroids(iso, codebook, NProbe)(col("embedding")))
           .as("pcell"))
       .select(col("query_id"), col("qtab"),
         col("pcell").cast(LongType).as("cell"))
+  }
+
+  register("q215_persisted_ivfpq", oIvfpqSearchSql) { (s, d) =>
+    val (index, codebook) = annIndex(s, d)
+    val iso = index.sparkSession
+    // probe set: ≤ NumQueries × NProbe rows, cell-keyed for the SPJ
+    val probes = annProbes(iso, d, codebook)
     val cand = annCandidates(index, probes)
     // exact reference (audit only) — identical to q212's
     val qv = embeddings(iso, d).filter(col("vec_id") < NumQueries)
@@ -1806,5 +1821,83 @@ object SimilarityOps extends QueryModule {
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("vec_id"), col("adc_ppm"),
         (col("erank").isNotNull && col("erank") <= TopK).as("in_exact_topk"))
+  }
+
+  // ======================= PROBE-ONLY SEARCH GATE (r14 verdict task 3)
+  // q215's gate still recomputes the exact-L2 audit per run — correct
+  // for a self-contained oracle, but the audit dominates its soak cost
+  // (mv-50×: 2.18 s, almost all exact scan). A production deployment
+  // computes the ground-truth ONCE (offline, next to the index) and the
+  // serving path is PROBE-ONLY: cell-key SPJ against the persisted
+  // index, ADC, top-k, recall join against the tiny precomputed truth
+  // table. q217 is that path under the oracle gate:
+  //
+  //   - the exact top-k is computed once per (dataset, JVM) and cached
+  //     content-addressed beside the index (NumQueries × TopK = 50 rows
+  //     — a hard-bounded driver sync by construction);
+  //   - the gated query never scans raw embeddings beyond the ≤
+  //     NumQueries probe rows: index scan (packed codes) + probe
+  //     shuffle + candidate ranking + a broadcast join of two ≤ 50-row
+  //     frames (the q156 recall-gate shape);
+  //   - the DuckDB twin recomputes BOTH sides from scratch, so the
+  //     cached truth table is itself under the gate — a stale or wrong
+  //     cache breaks the hash.
+  private val annExactBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
+  /** Exact-L2 top-k ground truth for dataset `d` — (query_id, vec_id)
+    * pairs, built once per (dataset fingerprint, JVM). Bounded driver
+    * sync: NumQueries × TopK rows by construction. */
+  def annExactTopk(iso: SparkSession, d: String): Seq[(Long, Long)] =
+    annExactBuilt.computeIfAbsent(embFingerprint(d), _ => {
+      val qv = embeddings(iso, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val exact = broadcast(qv)
+        .join(embeddings(iso, d).alias("e"),
+          col("query_id") =!= col("e.vec_id"))
+        .select(col("query_id"), col("e.vec_id").as("vec_id"),
+          graft.catalyst.GraftFunctions
+            .l2sqDistance(col("qv"), col("e.embedding")).as("d"))
+      val we = Window.partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("vec_id").asc)
+      exact.select(col("query_id"), col("vec_id"),
+          row_number().over(we).as("erank"))
+        .filter(col("erank") <= TopK)
+        .select(col("query_id").cast(LongType), col("vec_id").cast(LongType))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }).toSeq
+
+  register("q217_ann_probe_recall",
+    s"""WITH $oIvfpqCtes,
+       |a_top AS (SELECT query_id, vec_id FROM ra WHERE rank <= $TopK),
+       |e_top AS (SELECT query_id, vec_id FROM re WHERE erank <= $TopK)
+       |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS recall
+       |FROM e_top e LEFT JOIN a_top a
+       |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |GROUP BY e.query_id""".stripMargin) { (s, d) =>
+    val (index, codebook) = annIndex(s, d)
+    val iso = index.sparkSession
+    val truth = annExactTopk(iso, d)
+    val probes = annProbes(iso, d, codebook)
+    val cand = annCandidates(index, probes)
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").asc, col("vec_id").asc)
+    val atop = cand.select(col("query_id"), col("vec_id"),
+        row_number().over(wa).as("rank"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id").as("aq"), col("vec_id").cast(LongType).as("av"))
+    import iso.implicits._
+    val truthDf = truth.toDF("query_id", "vec_id")
+    truthDf.join(broadcast(atop),
+        col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("av").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
   }
 }

@@ -1,0 +1,91 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.ops.RelationalOps.dsum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** q218's contract, checked at every intermediate point — not just the
+  * final state the oracle gates: after EACH of the four CDC batches
+  * (insert-only load, late-insert + premium update with flag flips,
+  * delete + claims update, delete-then-resurrect + claims delete), the
+  * delta-maintained mart must equal a FULL REFRESH over the table
+  * state at that point.
+  *
+  * The reference table state is reconstructed independently of the
+  * maintenance algebra: the same signed CDC rows replayed as a
+  * row-level multiset (group by every column, keep net multiplicity
+  * > 0), then aggregated from scratch with q45's monthly aggregates.
+  * Agreement therefore proves the signed partial-aggregate state and
+  * the auxiliary (month, customer) multiplicity table track inserts,
+  * updates, deletes, AND filter transitions exactly.
+  */
+class IncrementalGoldSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Row-level multiset replay of signed deltas — the reference state. */
+  private def replay(ds: Seq[DataFrame]): DataFrame = {
+    val u = ds.reduce(_ unionByName _)
+    val cols = u.columns.filterNot(_ == "__sign").toSeq
+    u.groupBy(cols.map(col): _*).agg(sum(col("__sign")).as("__n"))
+      .filter(col("__n") > 0).drop("__n")
+  }
+
+  /** q45's full-refresh aggregation over explicit silver frames. */
+  private def fullRefresh(pol: DataFrame, cl: DataFrame): DataFrame = {
+    val mf = pol.filter(col("invalid_premium_amount_flag") === 0)
+      .groupBy(date_trunc("month", col("start_date")).cast(DateType)
+        .as("report_period"))
+      .agg(count(col("policy_id")).as("new_policies"),
+        countDistinct(col("customer_id")).as("active_customers"),
+        dsum(col("premium_amount")).as("gross_written_premium"))
+    val mc = cl.filter(col("missing_policy_flag") === 0)
+      .groupBy(date_trunc("month", col("claim_date")).cast(DateType)
+        .as("report_period"))
+      .agg(count(col("claim_id")).as("total_claims"),
+        dsum(col("settled_amount")).as("total_paid_claims"),
+        count(when(col("fraud_indicator") === 1, 1)).as("fraud_claims"))
+    InsuranceGate.execSummaryFromMonthly(mf, mc)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, what: String): Unit = {
+    assert(a.exceptAll(b).count() === 0, s"$what: maintained has extra rows")
+    assert(b.exceptAll(a).count() === 0, s"$what: maintained misses rows")
+  }
+
+  test("delta-maintained mart == full refresh after every CDC batch prefix") {
+    val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
+      (IncrementalGold.signedDelta(p).localCheckpoint(true),
+        IncrementalGold.signedDelta(c).localCheckpoint(true))
+    }
+    var st = IncrementalGold.init(deltas.head._1, deltas.head._2)
+    assertSame(IncrementalGold.mart(st),
+      fullRefresh(replay(Seq(deltas.head._1)), replay(Seq(deltas.head._2))),
+      "prefix 1 (initial load)")
+    deltas.tail.zipWithIndex.foreach { case ((p, c), i) =>
+      st = IncrementalGold.applyDelta(st, p, c)
+      val upTo = deltas.take(i + 2)
+      assertSame(IncrementalGold.mart(st),
+        fullRefresh(replay(upTo.map(_._1)), replay(upTo.map(_._2))),
+        s"prefix ${i + 2}")
+    }
+  }
+
+  test("deletes retire customers and months from the auxiliary state") {
+    val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
+      (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }
+    val st2 = IncrementalGold.applyDelta(
+      IncrementalGold.init(deltas(0)._1, deltas(0)._2),
+      deltas(1)._1, deltas(1)._2)
+    val st3 = IncrementalGold.applyDelta(st2, deltas(2)._1, deltas(2)._2)
+    // batch 3 deletes pk%7==0 — multiplicity rows must shrink, never
+    // linger at n=0 (state size tracks the live table, not history)
+    val n2 = st2.polCusts.count()
+    val n3 = st3.polCusts.count()
+    assert(n3 < n2, s"aux rows did not shrink on delete: $n2 -> $n3")
+    assert(st3.polCusts.filter(col("n") <= 0).count() === 0)
+    assert(st3.polMonths.filter(col("n_pol") <= 0).count() === 0)
+    assert(st3.clMonths.filter(col("n_claims") <= 0).count() === 0)
+  }
+}

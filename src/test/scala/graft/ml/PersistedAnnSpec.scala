@@ -127,4 +127,60 @@ class PersistedAnnSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
   }
+
+  test("q217 probe path: every embeddings scan is probe-bounded, " +
+      "index side exchange-free") {
+    val df = graft.SparkEntry.queries("q217_ann_probe_recall")(spark, sf)
+    assert(df.count() === SimilarityOps.NumQueries)
+    val nodes = walk(df.queryExecution.executedPlan)
+    // the serving path must never scan the raw corpus: every parquet
+    // scan of embeddings carries the pushed vec_id < NumQueries bound
+    val embScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("embeddings")) => f
+    }
+    assert(embScans.nonEmpty, "expected the probe-side embeddings scan")
+    embScans.foreach { f =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains(s"LessThan(vec_id,${SimilarityOps.NumQueries}"),
+        s"embeddings scan must be probe-bounded, got: $pushed")
+    }
+    // and the persisted index reaches ITS JOIN without an exchange (the
+    // SPJ claim; the candidate-ranking shuffle above the join carries
+    // only (query_id, vec_id, adc_ppm) tuples and is expected)
+    def pathTo(p: SparkPlan): Option[List[SparkPlan]] = {
+      if (isIndexScan(p)) Some(List(p))
+      else {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        kids.view.flatMap(pathTo).headOption.map(p :: _)
+      }
+    }
+    val path = pathTo(df.queryExecution.executedPlan)
+    assert(path.nonEmpty, "expected the persisted index scan")
+    val scanToJoin = path.get.reverse.takeWhile(
+      !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(!scanToJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"index side crossed an exchange before its join:\n" +
+        scanToJoin.map(_.nodeName).mkString(" <- "))
+  }
+
+  test("q217 recall equals q215's in_exact_topk rollup") {
+    val truth = graft.SparkEntry.queries("q215_persisted_ivfpq")(spark, sf)
+      .groupBy("query_id")
+      .agg(sum(col("in_exact_topk").cast("long")).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.SparkEntry.queries("q217_ann_probe_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size === SimilarityOps.NumQueries)
+    got.foreach { case (q, nExact, nHit) =>
+      assert(nExact === SimilarityOps.TopK.toLong)
+      assert(nHit === truth(q),
+        s"query $q: probe-only n_hit $nHit != q215 rollup ${truth(q)}")
+    }
+  }
 }

@@ -129,6 +129,9 @@ class PlanLintGateSpec extends SparkSpec {
     */
   private val boundedGlobalWindowAllowed = Set(
     "q12_window_lag_global", "q45_gold_executive_summary", "q48_window_suite",
+    // q218 recomputes q45's derived tail (the same global monthly lag)
+    // from maintained ≤|months| state — the corpus never sees a window
+    "q218_incremental_gold",
     "q86_date_spine", "q108_key_skew", "q119_mixture_manifest",
     "q123_sequence_funnel", "q126_weighted_systematic", "q131_session_paths",
     // contingency-table marginals: SUM() OVER () on the |types|×7 cells
