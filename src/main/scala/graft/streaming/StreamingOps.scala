@@ -875,11 +875,163 @@ object StructuredStreams {
         row_number().over(w).as("rn"))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  // ====================== WATERMARKED STREAM-STREAM AS-OF JOIN
+  // r14 verdict task 5: the point-in-time feature join (q58/q62/q77's
+  // batch as-of) as a stream-stream operator. Spark's built-in
+  // stream-stream join needs a RANGE bound to evict state; the as-of
+  // contract ("latest right row at or before the left row, however
+  // old") has NO lookback bound — yet its state is still finite, and
+  // that observation is the whole operator:
+  //
+  //   for any future left row (ts ≥ watermark), every right row at or
+  //   below the watermark is dominated by the LATEST right row at or
+  //   below the watermark. So per key the state is: ONE finalized
+  //   right row + the in-flight rows above the watermark + the
+  //   not-yet-emittable left rows — bounded by the watermark delay,
+  //   never by history.
+  //
+  // Left rows are emitted when the watermark passes them (only then is
+  // the set of right rows at or before them complete — the same
+  // finality argument windows use); event-time timers drive emission.
+  // Tie semantics match q62 exactly: among right rows with ts ≤ p.ts
+  // the max (ts, id) wins — which composes the oracle's dedup-to-max-id
+  // per instant with ASOF's latest-at-or-before in one ordering.
+  // Timestamps are carried at MICROsecond precision through state
+  // (the events table is micro-precision; millis would corrupt the
+  // view_to_purchase_us output).
+
+  /** Per-key as-of processor: side 1 = left/probe (purchase), side 0 =
+    * right/reference (view); any other side is a watermark tick and
+    * buffers nothing. Left rows ≤ watermark emit on timer with the
+    * latest right ≤ their ts; right rows ≤ watermark collapse to the
+    * single dominating row. */
+  final class AsOfJoinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AsOfIn, AsOfOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var pendL: ListState[AsOfPend] = _
+    @transient private var pendR: ListState[AsOfPend] = _
+    @transient private var lastR: ValueState[AsOfPend] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pendL = getHandle.getListState[AsOfPend](
+        "pendL", Encoders.product[AsOfPend], TTLConfig.NONE)
+      pendR = getHandle.getListState[AsOfPend](
+        "pendR", Encoders.product[AsOfPend], TTLConfig.NONE)
+      lastR = getHandle.getValueState[AsOfPend](
+        "lastR", Encoders.product[AsOfPend], TTLConfig.NONE)
+    }
+
+    /** Re-register the single emission timer at min(pending left) + 1 ms
+      * — emit needs the watermark STRICTLY past the row's millisecond
+      * (rows at exactly the watermark can still arrive). `pending` is
+      * passed in-memory so the rearm never depends on read-your-writes
+      * visibility of same-invocation ListState appends. */
+    private def rearm(pending: Iterator[AsOfPend]): Unit = {
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (pending.hasNext)
+        getHandle.registerTimer(pending.map(_.ts / 1000).min + 1)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[AsOfIn],
+        timerValues: TimerValues): Iterator[AsOfOut] = {
+      val existing = pendL.get().toArray // read BEFORE appending
+      val incoming = rows.toArray
+      val newL = incoming.collect { case r if r.side == 1 =>
+        AsOfPend(StructuredStreams.micros(r.ts), r.id) }
+      val newR = incoming.collect { case r if r.side == 0 =>
+        AsOfPend(StructuredStreams.micros(r.ts), r.id) }
+      newL.foreach(pendL.appendValue)
+      newR.foreach(pendR.appendValue)
+      if (newL.nonEmpty) rearm((existing ++ newL).iterator)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfOut] = {
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      def fin(p: AsOfPend): Boolean = p.ts / 1000 < wmMs
+      val left = pendL.get().toArray
+      val right = pendR.get().toArray ++
+        (if (lastR.exists) Array(lastR.get) else Array.empty[AsOfPend])
+      val (ready, stillL) = left.partition(fin)
+      val out = ready.sortBy(p => (p.ts, p.id)).iterator.map { p =>
+        // max (ts, id) among right rows at or before p — dedup-per-
+        // instant and latest-at-or-before in one ordering (q62)
+        var best: AsOfPend = null
+        right.foreach { v =>
+          if (v.ts <= p.ts &&
+            (best == null || v.ts > best.ts ||
+              (v.ts == best.ts && v.id > best.id))) best = v
+        }
+        AsOfOut(userId, p.id, StructuredStreams.tsOf(p.ts),
+          Option(best).map(_.id), Option(best).map(b =>
+            StructuredStreams.tsOf(b.ts)),
+          Option(best).map(b => p.ts - b.ts))
+      }.toArray
+      // collapse finalized right rows to the single dominating one:
+      // every future left row has ts at or above the watermark, so the
+      // max finalized right row dominates the rest forever
+      val (rFin, rPend) = right.partition(fin)
+      if (rFin.nonEmpty)
+        lastR.update(rFin.maxBy(v => (v.ts, v.id)))
+      pendR.clear()
+      rPend.foreach(pendR.appendValue)
+      pendL.clear()
+      stillL.foreach(pendL.appendValue)
+      rearm(stillL.iterator)
+      out.iterator
+    }
+  }
+
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private[streaming] def tsOf(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(m / 1000)
+    t.setNanos((m % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** [[AsOfJoinProcessor]] wired to a tagged two-sided event stream
+    * with an event-time watermark: stream-stream as-of join, state
+    * bounded by the watermark delay (+ exactly one finalized right row
+    * per key). Batch twin: q62. */
+  def asofJoinStream(tagged: org.apache.spark.sql.Dataset[AsOfIn],
+      delay: String = "1 hour")
+      : org.apache.spark.sql.Dataset[AsOfOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import tagged.sparkSession.implicits._
+    tagged
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfJoinProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** Event record for the typed streaming API. */
 final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
+
+/** Tagged input row for the stream-stream as-of join: side 1 = left /
+  * probe, side 0 = right / reference; any other side advances the
+  * watermark without buffering. */
+final case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, side: Int,
+    id: Long)
+
+/** (ts in event-time MICROS, row id) — the as-of processor's state. */
+final case class AsOfPend(ts: Long, id: Long)
+
+/** As-of output: left row + latest right row at or before it (None =
+  * left-outer miss), gap in microseconds. */
+final case class AsOfOut(user_id: Long, purchase_id: Long,
+    purchase_ts: java.sql.Timestamp, view_id: Option[Long],
+    view_ts: Option[java.sql.Timestamp], view_to_purchase_us: Option[Long])
 
 /** Change record for the streaming CDC apply (op ∈ I/U/D). */
 final case class CdcRec(key: Long, op: String, seq: Long, value: Double)
