@@ -1,0 +1,137 @@
+package graft.multimodal
+
+/** From-scratch baseline JPEG ENCODER for the q219 gate fixtures — the
+  * ImageFixtures discipline (genuine container bytes built per row, so
+  * the codec under test decodes real streams, not mocks) applied to
+  * JPEG's entropy layer: SOI/APP0/DQT/SOF0/DHT/SOS segments, canonical
+  * Huffman assembly (T.81 C.2), DC prediction with ones-complement
+  * magnitudes, EOB per block, 1-fill byte alignment and 0xFF00 byte
+  * stuffing.
+  *
+  * The gate fixtures are DC-ONLY with Q(0,0) = 8: a block whose only
+  * coefficient is DC decodes to 64 identical pixels at exactly
+  * dc + 128 (IDCT of a DC-only block is F(0,0)/8 = dc·Q00/8 = dc; the
+  * ~1e-13 of floating noise in (1/√2)² is absorbed by the per-pixel
+  * round), so every per-image pixel stat is CLOSED-FORM in doc_id and
+  * the DuckDB oracle states it from arithmetic alone — while the
+  * decoder still runs the full baseline path (real Huffman tables, DC
+  * diffs across size classes 0..8, stuffed bytes whenever a code
+  * sequence lands on 0xFF). The general-AC path is pinned separately
+  * against ImageIO in JpegPixelCodecSpec.
+  */
+object JpegFixtures {
+
+  /** Per-block flat pixel value of the q219 fixture for `docId`:
+    * p(bi) = (docId·13 + 31·bi) mod 256, block index row-major. Width
+    * is 1 + docId%3 blocks, height 1 + (docId·7)%4 blocks — the oracle
+    * mirrors all of this in SQL. */
+  def pixelJpegFor(docId: Long): Array[Byte] = {
+    val wb = 1 + (docId % 3).toInt
+    val hb = 1 + ((docId * 7) % 4).toInt
+    encodeDcOnlyGray(8 * wb, 8 * hb,
+      bi => (((docId * 13 + 31L * bi) % 256).toInt) - 128)
+  }
+
+  /** Annex K luminance DC table (public T.81 table K.3). */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+
+  /** Canonical code assignment (T.81 C.2): value -> (code, length). */
+  private def canonical(bits: Array[Int], vals: Array[Int])
+      : Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        out += vals(k) -> (code, l)
+        code += 1
+        k += 1
+        i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = while (n != 0) put(1, 1)
+  }
+
+  /** Encode a grayscale baseline JPEG whose block (bi, row-major) holds
+    * only the DC coefficient `dcOf(bi)` (range −128..127; pixel value =
+    * dc + 128). Dimensions must be multiples of 8. `restartInterval`
+    * > 0 emits a DRI segment and RSTn markers every that many blocks
+    * (with the T.81 predictor reset + byte alignment). */
+  def encodeDcOnlyGray(w: Int, h: Int, dcOf: Int => Int,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "DC-only fixture needs whole blocks")
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT id 0: Q(0,0)=8 so a DC step is exactly one gray level; the
+    // remaining (unused) AC quantizers are 16
+    seg(0xdb, 0x00 +: (8 +: Array.fill(63)(16)))
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00 +: (DcBits ++ DcVals))
+    // minimal legal AC table: ONE code (EOB) at length 1 — the decoder
+    // builds tables generically, so nothing here is special-cased
+    seg(0xc4, 0x10 +: ((1 +: Array.fill(15)(0)) :+ 0x00))
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dcCode = canonical(DcBits, DcVals)
+    var bw = new BitWriter(out)
+    var pred = 0
+    var rst = 0
+    val nb = (w / 8) * (h / 8)
+    var bi = 0
+    while (bi < nb) {
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        bw.flushOnes()
+        out.write(0xff); out.write(0xd0 + rst)
+        rst = (rst + 1) % 8
+        pred = 0
+        bw = new BitWriter(out)
+      }
+      val dc = dcOf(bi)
+      require(dc >= -128 && dc <= 127, s"DC out of gray range: $dc")
+      val diff = dc - pred
+      pred = dc
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = dcCode(s)
+      bw.put(c, l)
+      if (s > 0)
+        bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bw.put(0, 1) // EOB (the single AC code: '0')
+      bi += 1
+    }
+    bw.flushOnes()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+}

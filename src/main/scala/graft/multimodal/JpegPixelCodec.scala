@@ -1,0 +1,288 @@
+package graft.multimodal
+
+/** Baseline JPEG pixel decoder (ITU-T T.81 sequential DCT, Huffman,
+  * single component / grayscale), written from scratch for the q219
+  * pixel-stats gate — the JPEG rung of the pixel ladder q202 built for
+  * PNG (reference capability: media columns decoded IN the engine,
+  * never driver-side).
+  *
+  * Implements the full baseline path, not just what the fixtures emit:
+  * generic canonical Huffman tables from DHT (any BITS/HUFFVAL), 8-bit
+  * DQT in zigzag order, DC prediction + ones-complement value
+  * extension, AC run-length/ZRL/EOB, entropy-stream 0xFF00 byte
+  * unstuffing, DRI/RSTn restart intervals with predictor reset, double
+  * precision IDCT with level shift and clamp, and edge-block trimming
+  * for dimensions that are not multiples of 8. Color scans (3
+  * components, chroma subsampling) are an explicit boundary — see
+  * COVERAGE.md — [[decodeGray]] returns None for them, as it does for
+  * progressive (SOF2) and arithmetic-coded streams.
+  *
+  * JpegPixelCodecSpec pins DC-only streams bit-exactly against closed
+  * forms and general AC streams against the JDK's libjpeg-backed
+  * ImageIO decoder within the T.81 accuracy budget.
+  */
+object JpegPixelCodec {
+
+  final case class Gray(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Zigzag index -> natural (row-major) index. */
+  private[multimodal] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cosTable(x)(u) = C(u)/2 * cos((2x+1) u pi / 16) — the separable
+    * half of (1/4) C(u) C(v) in the T.81 IDCT. */
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    // canonical code assembly (T.81 C.2): mincode/maxcode/valptr per length
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + (code - minCode(len))) & 0xff
+  }
+
+  /** Entropy-segment bit reader: unstuffs 0xFF00, stops at any other
+    * marker (restart markers are consumed explicitly by the caller). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+
+    def atMarker: Boolean =
+      pos + 1 < b.length && (b(pos) & 0xff) == 0xff && b(pos + 1) != 0
+
+    /** Consume an expected RSTn marker and reset bit state. */
+    def consumeRestart(): Boolean = {
+      nbits = 0; acc = 0
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xf8) == 0xd0) { pos += 2; true }
+      else false
+    }
+
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length || atMarker)
+          throw new IllegalStateException("entropy data exhausted")
+        val v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) pos += 1 // stuffed 0x00
+        acc = v
+        nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def decode(t: HuffTable): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (code <= t.maxCode(l)) return t.value(l, code)
+        code = (code << 1) | bit()
+        l += 1
+      }
+      throw new IllegalStateException("invalid Huffman code")
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map an s-bit ones-complement magnitude to a
+    * signed coefficient. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  def decodeGray(b: Array[Byte]): Option[Gray] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var pos = 2
+    val qt = scala.collection.mutable.Map[Int, Array[Int]]()
+    val dcT = scala.collection.mutable.Map[Int, HuffTable]()
+    val acT = scala.collection.mutable.Map[Int, HuffTable]()
+    var w = 0
+    var h = 0
+    var compQ = -1
+    var dri = 0
+    var sofSeen = false
+
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      val m = b(pos + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = u16(b, pos + 2)
+      val seg = pos + 4
+      m match {
+        case 0xdb => // DQT (possibly several tables)
+          var p = seg
+          while (p < seg + len - 2) {
+            val pq = (b(p) & 0xf0) >> 4
+            val tq = b(p) & 0x0f
+            if (pq != 0) return None // 16-bit tables: not baseline
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+            qt(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT (possibly several tables)
+          var p = seg
+          while (p < seg + len - 2) {
+            val tc = (b(p) & 0xf0) >> 4
+            val th = b(p) & 0x0f
+            val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if ((b(seg) & 0xff) != 8) return None
+          h = u16(b, seg + 1)
+          w = u16(b, seg + 3)
+          val ncomp = b(seg + 5) & 0xff
+          if (ncomp != 1) return None // color: explicit boundary
+          if ((b(seg + 7) & 0xff) != 0x11) return None // no subsampling for 1 comp
+          compQ = b(seg + 8) & 0xff
+          sofSeen = true
+        case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          return None // progressive / extended / arithmetic: not baseline
+        case 0xdd => dri = u16(b, seg)
+        case 0xda => // SOS — entropy data follows
+          if (!sofSeen || w <= 0 || h <= 0) return None
+          val ns = b(seg) & 0xff
+          if (ns != 1) return None
+          val td = (b(seg + 2) & 0xf0) >> 4
+          val ta = b(seg + 2) & 0x0f
+          val dc = dcT.getOrElse(td, return None)
+          val ac = acT.getOrElse(ta, return None)
+          val q = qt.getOrElse(compQ, return None)
+          return decodeScan(b, seg + len - 2, w, h, dc, ac, q, dri)
+        case _ => () // APPn / COM / others: skip
+      }
+      pos = pos + 2 + len
+    }
+    None
+  } catch { case _: IllegalStateException | _: ArrayIndexOutOfBoundsException =>
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      dc: HuffTable, ac: HuffTable, q: Array[Int], dri: Int): Option[Gray] = {
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val out = new Array[Byte](w * h)
+    val r = new BitReader(b, start)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var mcu = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          if (!r.consumeRestart()) return None
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        // DC
+        val s = r.decode(dc)
+        pred += extend(r.bits(s), s)
+        coef(0) = pred * q(0)
+        // AC
+        var k = 1
+        var done = false
+        while (!done && k <= 63) {
+          val rs = r.decode(ac)
+          val run = rs >> 4
+          val size = rs & 15
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else done = true // EOB
+          } else {
+            k += run
+            if (k > 63) return None
+            coef(Zigzag(k)) = extend(r.bits(size), size) * q(Zigzag(k))
+            k += 1
+          }
+        }
+        idctBlock(coef, out, w, h, bx, by)
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    Some(Gray(w, h, out))
+  }
+
+  private def idctBlock(coef: Array[Int], out: Array[Byte], w: Int, h: Int,
+      bx: Int, by: Int): Unit = {
+    // separable: tmp(u, y) = sum_v cosT(y)(v) F(u, v), then
+    // f(x, y) = sum_u cosT(x)(u) tmp(u, y)
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += CosT(y)(v) * coef(u * 8 + v); v += 1 }
+        tmp(u * 8 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val maxY = math.min(8, h - by * 8)
+    val maxX = math.min(8, w - bx * 8)
+    var y = 0
+    while (y < maxY) {
+      var x = 0
+      while (x < maxX) {
+        var acc = 0.0
+        var uu = 0
+        // NOTE the coefficient layout: coef(u*8+v) holds F(row=u, col=v)
+        // with row = vertical frequency; x here is the COLUMN.
+        while (uu < 8) { acc += CosT(y)(uu) * tmp(uu * 8 + x); uu += 1 }
+        val px = math.round(acc + 128.0).toInt
+        val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+        out((by * 8 + y) * w + bx * 8 + x) = clamped.toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+}

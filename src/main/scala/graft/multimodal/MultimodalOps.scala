@@ -413,6 +413,73 @@ object MultimodalOps extends QueryModule {
       |FROM v GROUP BY 1, 2""".stripMargin) { (s, d) =>
     pcmStats(realAudio(s, d))
   }
+
+  // =============================================== real JPEG pixel decode
+  // The JPEG rung of q202's pixel ladder (r14 verdict task 7): q194
+  // stopped at JPEG header facts; q219 decodes the PIXELS through the
+  // full baseline path ([[JpegPixelCodec]] — generic canonical Huffman
+  // tables, DC prediction, AC run-length, 0xFF00 unstuffing, DRI/RST,
+  // double IDCT, clamp). Fixtures are genuine from-scratch-encoded
+  // baseline streams ([[JpegFixtures]]) whose blocks carry only DC
+  // coefficients at Q(0,0)=8, so every pixel is EXACTLY dc+128 and the
+  // per-image stats are closed-form in doc_id — the oracle states them
+  // from arithmetic alone while the engine runs the real entropy
+  // decoder. (The general-AC path is pinned against ImageIO in
+  // JpegPixelCodecSpec; color scans are the documented boundary.)
+  // Map-only: ~30 bytes of stats per image cross the plan, never pixels.
+  val jpegStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sum_v", LongType),
+    StructField("min_v", IntegerType), StructField("max_v", IntegerType)))
+
+  def jpegMedia(s: SparkSession, d: String): DataFrame = {
+    val buildPayload = udf((docId: Long) => JpegFixtures.pixelJpegFor(docId))
+    documents(s, d).select(col("doc_id").as("media_id"),
+      buildPayload(col("doc_id")).as("payload"))
+  }
+
+  def jpegPixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val img = JpegPixelCodec.decodeGray(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(sys.error(s"undecodable JPEG for media ${r.get(0)}"))
+        val px = img.pixels
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        Row(r.getAs[Long]("media_id"), img.width, img.height, sum, mn, mx)
+      }
+    }
+    spark.createDataFrame(rows, jpegStatsSchema)
+  }
+
+  register("q219_jpeg_pixel_stats",
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + (doc_id * 7) % 4 AS hb
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS bi FROM g),
+      |v AS (
+      |  SELECT doc_id, wb, hb, (doc_id * 13 + 31 * bi) % 256 AS p FROM px)
+      |SELECT doc_id AS media_id,
+      |  CAST(8 * wb AS INTEGER) AS width,
+      |  CAST(8 * hb AS INTEGER) AS height,
+      |  CAST(64 * SUM(p) AS BIGINT) AS sum_v,
+      |  CAST(MIN(p) AS INTEGER) AS min_v,
+      |  CAST(MAX(p) AS INTEGER) AS max_v
+      |FROM v GROUP BY doc_id, wb, hb""".stripMargin) { (s, d) =>
+    jpegPixelStats(jpegMedia(s, d))
+  }
 }
 
 /** The codec seam: everything a real media binding must provide.

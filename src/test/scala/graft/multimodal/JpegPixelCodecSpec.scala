@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[JpegPixelCodec]] against three independent references:
+  *
+  *   1. closed form — DC-only fixtures decode to exactly dc + 128 per
+  *     block (the q219 oracle's arithmetic), across size classes,
+  *     restart intervals, and random DC patterns;
+  *   2. the JDK's libjpeg-backed ImageIO decoder — random grayscale
+  *     images round-tripped through ImageIO's ENCODER (standard
+  *     tables, real AC coefficients, non-multiple-of-8 dimensions)
+  *     must decode within the T.81 accuracy budget of ImageIO's own
+  *     pixels (libjpeg uses a scaled-integer IDCT; ±2 absorbs it);
+  *   3. rejection — color scans, progressive streams, and truncated
+  *     data return None instead of wrong pixels.
+  */
+class JpegPixelCodecSpec extends AnyFunSuite {
+
+  test("DC-only fixtures decode to exact closed-form flat blocks") {
+    (0L until 64L).foreach { d =>
+      val bytes = JpegFixtures.pixelJpegFor(d)
+      val img = JpegPixelCodec.decodeGray(bytes)
+        .getOrElse(fail(s"undecodable fixture for doc $d"))
+      val wb = 1 + (d % 3).toInt
+      val hb = 1 + ((d * 7) % 4).toInt
+      assert(img.width === 8 * wb)
+      assert(img.height === 8 * hb)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val bi = (y / 8) * wb + (x / 8)
+          val expect = ((d * 13 + 31L * bi) % 256).toInt
+          val got = img.pixels(y * img.width + x) & 0xff
+          assert(got === expect, s"doc $d pixel ($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("random DC patterns round-trip exactly, with and without restarts") {
+    val rnd = new scala.util.Random(42)
+    (0 until 20).foreach { trial =>
+      val wb = 1 + rnd.nextInt(5)
+      val hb = 1 + rnd.nextInt(5)
+      val dcs = Array.fill(wb * hb)(rnd.nextInt(256) - 128)
+      val dri = if (trial % 2 == 0) 0 else 1 + rnd.nextInt(4)
+      val bytes = JpegFixtures.encodeDcOnlyGray(8 * wb, 8 * hb, dcs(_), dri)
+      val img = JpegPixelCodec.decodeGray(bytes)
+        .getOrElse(fail(s"undecodable (trial $trial, dri $dri)"))
+      (0 until wb * hb).foreach { bi =>
+        val got = img.pixels((bi / wb) * 8 * img.width + (bi % wb) * 8) & 0xff
+        assert(got === dcs(bi) + 128, s"trial $trial block $bi (dri $dri)")
+      }
+    }
+  }
+
+  test("general AC streams match ImageIO within the T.81 budget") {
+    val rnd = new scala.util.Random(7)
+    // non-multiple-of-8 dims exercise SOF-dims trim on edge blocks
+    Seq((24, 24), (17, 13), (40, 9), (8, 8)).foreach { case (w, h) =>
+      val src = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = rnd.nextInt(256)
+          src.getRaster.setSample(x, y, 0, v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+      val bytes = bos.toByteArray
+      val ours = JpegPixelCodec.decodeGray(bytes)
+        .getOrElse(fail(s"undecodable ImageIO jpeg ${w}x$h"))
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ours.width === w && ours.height === h)
+      var worst = 0
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val a = ours.pixels(y * w + x) & 0xff
+          val b = ref.getRaster.getSample(x, y, 0)
+          worst = math.max(worst, math.abs(a - b))
+        }
+      }
+      assert(worst <= 2,
+        s"${w}x$h: worst per-pixel delta $worst vs ImageIO (budget 2)")
+    }
+  }
+
+  test("color, progressive, and truncated streams are rejected, not misdecoded") {
+    // color: 3-component scan is the documented boundary
+    val color = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(color, "jpg", bos))
+    assert(JpegPixelCodec.decodeGray(bos.toByteArray).isEmpty)
+    // truncated entropy data
+    val ok = JpegFixtures.pixelJpegFor(5L)
+    assert(JpegPixelCodec.decodeGray(ok.dropRight(8)).isEmpty)
+    // progressive: flip SOF0 -> SOF2 in a valid stream
+    val prog = ok.clone()
+    val sofAt = prog.indices.dropRight(1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegPixelCodec.decodeGray(prog).isEmpty)
+    // not a JPEG at all
+    assert(JpegPixelCodec.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+  }
+}
