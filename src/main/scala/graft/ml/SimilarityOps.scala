@@ -1667,16 +1667,48 @@ object SimilarityOps extends QueryModule {
   //     q212, so the SAME oracle SQL gates both and the recall audit is
   //     unchanged by construction.
   val AnnCat = "graft_cat_ann"
-  private lazy val annWarehouse: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_cat_ann")
-    graft.util.TmpReaper.track(p.toString)
-    p.toString
-  }
+  /** Index warehouse. Default: per-JVM tempdir (reaped at exit — the
+    * concurrency-safe choice for parallel test JVMs). A deployment
+    * sets `-Dgraft.ann.warehouse=/durable/path` to make the index
+    * SURVIVE the process: a fresh JVM then reloads table + codebook
+    * from the catalog (see [[annIndex]]) instead of retraining —
+    * single writer per warehouse, the bucketedEdgeTable discipline. */
+  private lazy val annWarehouse: String =
+    sys.props.get("graft.ann.warehouse") match {
+      case Some(p) =>
+        new java.io.File(p).mkdirs()
+        p
+      case None =>
+        val p = java.nio.file.Files.createTempDirectory("graft_cat_ann")
+        graft.util.TmpReaper.track(p.toString)
+        p.toString
+    }
+
+  /** Codebook ⇄ catalog-property codec. Double.toString/toDouble
+    * round-trips every IEEE double exactly, so a reloaded codebook is
+    * bit-identical to the trained one — reload changes WHERE the
+    * codebook comes from, never a single distance. */
+  private[ml] def encodeCodebook(cb: Seq[(Int, Seq[Double])]): String =
+    cb.map { case (l, v) => s"$l:${v.mkString(",")}" }.mkString(";")
+  private[ml] def decodeCodebook(s: String): Seq[(Int, Seq[Double])] =
+    s.split(";").toSeq.map { e =>
+      val Array(l, vs) = e.split(":", 2)
+      (l.toInt, vs.split(",").toSeq.map(_.toDouble))
+    }
   private val annSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private val annBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
   private val annLock = new Object
+
+  /** TEST ONLY: drop the in-memory index/truth caches — the state a
+    * fresh JVM starts with — while the warehouse (and any durable
+    * tables in it) survives. AnnIndexReloadSpec drives the reload path
+    * through this. */
+  private[ml] def resetAnnMemoryForTest(): Unit = annLock.synchronized {
+    annBuilt.clear()
+    annExactBuilt.clear()
+  }
 
   /** SPJ-configured child session for the index catalog (isolated so
     * the relaxed co-partition check never leaks — the r5/r6 lesson). */
@@ -1719,6 +1751,8 @@ object SimilarityOps extends QueryModule {
     annLock.synchronized {
       val cached = annBuilt.get(ident)
       if (cached != null) (iso.table(ident), cached)
+      else if (reloadPersisted(iso, ident).isDefined)
+        (iso.table(ident), annBuilt.get(ident))
       else {
         val codebook =
           trainCodebook(embeddings(iso, d).filter(trainGate(col("vec_id"))))
@@ -1742,10 +1776,14 @@ object SimilarityOps extends QueryModule {
           .reduce(_ + _)
         iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $AnnCat.g")
         iso.sql(s"DROP TABLE IF EXISTS $ident")
+        // the trained codebook is PART of the index: persisted as a
+        // table property so a fresh JVM (durable warehouse) reloads it
+        // instead of retraining — the exact-roundtrip codec above
         iso.sql(s"CREATE TABLE $ident " +
           "(vec_id BIGINT, cell BIGINT, packed BIGINT) " +
           "PARTITIONED BY (cell) " +
-          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='vec_id')")
+          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='vec_id', " +
+          s"'graft.codebook'='${encodeCodebook(codebook)}')")
         embeddings(iso, d).select(col("vec_id").cast(LongType).as("vec_id"),
             nearestCentroid(iso, codebook)(col("embedding"))
               .cast(LongType).as("cell"),
@@ -1753,6 +1791,30 @@ object SimilarityOps extends QueryModule {
           .writeTo(ident).append()
         annBuilt.put(ident, codebook)
         (iso.table(ident), codebook)
+      }
+    }
+  }
+
+  /** Cross-JVM reload: if the persisted index table already exists in
+    * the warehouse (a durable `-Dgraft.ann.warehouse` surviving a
+    * process restart) with its codebook property and at least one
+    * committed row, adopt it — no retrain, no rewrite. A table missing
+    * the property or the data (a writer died between CREATE and the
+    * append's manifest commit) is dropped so the build path recreates
+    * it rather than serving a partial index. Caller holds [[annLock]]. */
+  private def reloadPersisted(iso: SparkSession, ident: String)
+      : Option[Seq[(Int, Seq[Double])]] = {
+    if (scala.util.Try(iso.table(ident)).isFailure) None
+    else {
+      val props = iso.sql(s"SHOW TBLPROPERTIES $ident").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val cb = props.get("graft.codebook").map(decodeCodebook)
+      if (cb.isDefined && iso.table(ident).limit(1).count() > 0) {
+        annBuilt.put(ident, cb.get)
+        cb
+      } else {
+        iso.sql(s"DROP TABLE IF EXISTS $ident")
+        None
       }
     }
   }

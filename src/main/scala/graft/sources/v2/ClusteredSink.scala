@@ -113,11 +113,17 @@ object ClusteredSink {
 }
 
 final class ClusteredSinkTable(
-    writeSchema: StructType, properties: util.Map[String, String],
+    writeSchema: StructType, tblProps: util.Map[String, String],
     tableName: String = "graft_sink")
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** Surface the catalog-provided map as the table's properties — the
+    * `Table` default is an EMPTY map, which silently hides persisted
+    * graft.* metadata from SHOW TBLPROPERTIES (and from any reader of
+    * `loadTable(...).properties()`, e.g. the ANN codebook reload). */
+  override def properties(): util.Map[String, String] = tblProps
 
   /** Manifest-planned read (see [[ClusteredSinkScanBuilder]]): SELECTs
     * against the table go through the manifest — crash garbage is
@@ -125,7 +131,7 @@ final class ClusteredSinkTable(
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
     def opt(k: String): Option[String] =
-      Option(options.get(k)).orElse(Option(properties.get(k)))
+      Option(options.get(k)).orElse(Option(tblProps.get(k)))
     val path = opt("path").getOrElse(
       sys.error("graft-sink read requires a 'path' option"))
     new ClusteredSinkScanBuilder(path, writeSchema,
@@ -136,7 +142,7 @@ final class ClusteredSinkTable(
     * file and the manifest, keep the table definition. Only meaningful
     * where the table knows its own path (catalog-resolved tables). */
   override def truncateTable(): Boolean = {
-    val path = Option(properties.get("path")).getOrElse(
+    val path = Option(tblProps.get("path")).getOrElse(
       sys.error("TRUNCATE TABLE requires a catalog-resolved graft-sink table"))
     val dataDir = Paths.get(path, "data")
     if (Files.isDirectory(dataDir)) {
@@ -159,7 +165,7 @@ final class ClusteredSinkTable(
   // path-based DataFrameWriter.save() route the properties map is empty
   // and write options are not visible here.
   private def catalogClusterBy: Option[String] =
-    Option(properties.get("clusterBy"))
+    Option(tblProps.get("clusterBy"))
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
@@ -189,7 +195,7 @@ final class ClusteredSinkTable(
     // options arrive on the write info (the getTable `properties` map is
     // empty on the DataFrameWriter save() path)
     def opt(k: String): Option[String] =
-      Option(info.options.get(k)).orElse(Option(properties.get(k)))
+      Option(info.options.get(k)).orElse(Option(tblProps.get(k)))
     val path = opt("path").getOrElse(
       sys.error("graft-sink requires a 'path' option"))
     new ClusteredSinkWriteBuilder(info.schema(), path,

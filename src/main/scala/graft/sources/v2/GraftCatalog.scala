@@ -95,6 +95,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // payload format (r14): persisted so every writer/reader of the
     // table uses one encoding; absent in pre-existing metadata = json
     if (n.has("format")) props.put("format", n.get("format").asText)
+    // durable graft.* user properties (r15) — absent in older metadata
+    readCustom(n).foreach { case (k, v) => props.put(k, v) }
     new ClusteredSinkTable(schema, props, ident.toString)
   }
 
@@ -119,7 +121,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schema.fieldNames.contains(sortBy),
       s"clusterBy/sortBy ($clusterBy/$sortBy) must be table columns")
     Files.createDirectories(tblDir(ident))
-    writeMeta(ident, schema, clusterBy, sortBy, filePerKey, format)
+    writeMeta(ident, schema, clusterBy, sortBy, filePerKey, format,
+      customProps(properties))
     loadTable(ident)
   }
 
@@ -157,8 +160,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val filePerKey = n.has("filePerKey") && n.get("filePerKey").asBoolean
     val fmt = if (n.has("format")) n.get("format").asText
       else ClusteredSinkFormat.Json
+    var custom = readCustom(n)
     val renames = Seq.newBuilder[(String, String)]
     changes.foreach {
+      case p: TableChange.SetProperty =>
+        require(p.property.startsWith("graft."),
+          "graft catalog SET TBLPROPERTIES: only graft.* keys are durable")
+        custom += p.property -> p.value
+      case p: TableChange.RemoveProperty =>
+        require(p.property.startsWith("graft."),
+          "graft catalog UNSET TBLPROPERTIES: only graft.* keys are durable")
+        custom -= p.property
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft catalog ALTER TABLE: nested columns are not supported")
@@ -204,7 +216,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "graft catalog ALTER TABLE RENAME is json-payload only")
       rewriteDataKeys(ident, rs.toMap)
     }
-    writeMeta(ident, schema, clusterBy, sortBy, filePerKey, fmt)
+    writeMeta(ident, schema, clusterBy, sortBy, filePerKey, fmt, custom)
     loadTable(ident)
   }
 
@@ -248,15 +260,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def writeMeta(
       ident: Identifier, schema: StructType, clusterBy: String,
       sortBy: String, filePerKey: Boolean = false,
-      format: String = ClusteredSinkFormat.Json): Unit = {
+      format: String = ClusteredSinkFormat.Json,
+      custom: Map[String, String] = Map.empty): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val propsNode = m.createObjectNode()
+    custom.toSeq.sortBy(_._1).foreach { case (k, v) => propsNode.put(k, v) }
     val meta =
       s"""{"schema":${com.fasterxml.jackson.databind.node.TextNode.valueOf(schema.json)},""" +
         s""""clusterBy":"$clusterBy","sortBy":"$sortBy",""" +
         s""""format":"$format",""" +
-        s""""filePerKey":$filePerKey}"""
+        s""""filePerKey":$filePerKey,""" +
+        s""""props":${m.writeValueAsString(propsNode)}}"""
     Files.write(metaFile(ident), meta.getBytes(StandardCharsets.UTF_8))
     ()
   }
+
+  /** User table properties persisted in `_table.json`: namespaced under
+    * `graft.` so engine-internal keys Spark attaches to CREATE (owner,
+    * provider, location, …) never leak into durable metadata. The ANN
+    * index persists its trained codebook this way (`graft.codebook`),
+    * which is what makes the index survive a process restart. */
+  private def customProps(properties: util.Map[String, String])
+      : Map[String, String] =
+    properties.asScala.filter(_._1.startsWith("graft.")).toMap
+
+  private def readCustom(n: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, String] =
+    if (!n.has("props")) Map.empty
+    else {
+      val p = n.get("props")
+      p.fieldNames.asScala.map(k => k -> p.get(k).asText).toMap
+    }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false
