@@ -65,6 +65,19 @@ object IncrementalGold {
   private def month(c: Column): Column =
     date_trunc("month", c).cast(DateType)
 
+  /** IVM column pruning: the subset of a policy-side signed delta the
+    * maintained aggregates actually read. Call before materializing a
+    * batch — full-width CDC images are the FEED's shape, not the
+    * maintainer's. */
+  def narrowPolDelta(delta: DataFrame): DataFrame =
+    delta.select("start_date", "premium_amount", "customer_id",
+      "invalid_premium_amount_flag", "policy_id", "__sign")
+
+  /** Claims-side IVM column pruning. */
+  def narrowClDelta(delta: DataFrame): DataFrame =
+    delta.select("claim_date", "settled_amount", "fraud_indicator",
+      "missing_policy_flag", "claim_id", "__sign")
+
   /** Per-month signed partials of the policy side (the q45
     * monthly_financials aggregate, made signed). */
   def polMonthPartials(delta: DataFrame): DataFrame =
@@ -112,13 +125,20 @@ object IncrementalGold {
       .filter(col(countCol) =!= 0)
   }
 
-  /** Fold one pair of signed silver deltas into the state. Each merged
-    * frame is eagerly localCheckpointed — state is MATERIALIZED between
-    * batches (the production shape: state is a table, not a lineage
-    * chain that regrows per batch). */
-  def applyDelta(st: ExecState, polDelta: DataFrame, clDelta: DataFrame)
-      : ExecState = {
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  /** Fold one pair of signed silver deltas into the state. With
+    * `materialize` (the DEFAULT — the production shape) each merged
+    * frame is eagerly localCheckpointed: state is a TABLE between
+    * batches, not a lineage chain that regrows per batch, and each
+    * batch is its own job. `materialize = false` folds lazily — used
+    * by the q218 gate, which replays FOUR batches inside one query:
+    * there the 12 sequential checkpoint jobs are pure overhead (the
+    * whole 4-batch DAG evaluates in one action), and values are
+    * identical either way (IncrementalGoldSpec runs the materialized
+    * path and the oracle gates the lazy one). */
+  def applyDelta(st: ExecState, polDelta: DataFrame, clDelta: DataFrame,
+      materialize: Boolean = true): ExecState = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     ExecState(
       mat(merge(st.polMonths, polMonthPartials(polDelta),
         Seq("report_period"), "n_pol")),
@@ -130,8 +150,10 @@ object IncrementalGold {
 
   /** Bootstrap state from the first batch (no merge — the partials ARE
     * the state). */
-  def init(polDelta: DataFrame, clDelta: DataFrame): ExecState = {
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  def init(polDelta: DataFrame, clDelta: DataFrame,
+      materialize: Boolean = true): ExecState = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     ExecState(mat(polMonthPartials(polDelta)),
       mat(polCustPartials(polDelta)),
       mat(clMonthPartials(clDelta)))

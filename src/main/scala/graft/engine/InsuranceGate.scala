@@ -974,15 +974,31 @@ object InsuranceGate extends QueryModule {
         del(cb.filter(col("__ck") % 9 === 0), cImg(settled3), nullC)))
   }
 
-  /** Fold all four q218 CDC batches into maintained state. */
+  /** Fold all four q218 CDC batches into maintained state. The CDC feed
+    * carries FULL row images (the contract); the maintainer immediately
+    * projects each signed delta to the columns the view reads — the
+    * standard IVM column-pruning step — and materializes the NARROW
+    * frame once (localCheckpoint), because three partial aggregations
+    * read every delta and would otherwise each re-derive the
+    * silver→image→union chain (the shared-subtree trap). Materializing
+    * the full-width images instead was measured SLOWER than the
+    * recomputes they saved (17.2 vs 13.5 s at sf0.1); the narrow
+    * projection is what makes the checkpoint pay. */
   private[engine] def cdcMaintainedState(s: SparkSession, d: String)
       : IncrementalGold.ExecState = {
     val batches = cdcBatches(s, d)
     val deltas = batches.map { case (p, c) =>
-      (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }
+      (IncrementalGold.narrowPolDelta(IncrementalGold.signedDelta(p)),
+        IncrementalGold.narrowClDelta(IncrementalGold.signedDelta(c))) }
+    // lazy fold: the gate replays all four batches inside ONE query, so
+    // per-batch checkpoint jobs are pure overhead here (measured 15–17 s
+    // vs ~5 s; values identical — see applyDelta). Production applies
+    // one batch per run on the materialized default path.
     deltas.tail.foldLeft(
-      IncrementalGold.init(deltas.head._1, deltas.head._2)) {
-      case (st, (p, c)) => IncrementalGold.applyDelta(st, p, c)
+      IncrementalGold.init(deltas.head._1, deltas.head._2,
+        materialize = false)) {
+      case (st, (p, c)) =>
+        IncrementalGold.applyDelta(st, p, c, materialize = false)
     }
   }
 

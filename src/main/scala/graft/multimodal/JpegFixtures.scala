@@ -134,4 +134,91 @@ object JpegFixtures {
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
+
+  /** Per-image geometry + flat block values of the q220 COLOR fixture:
+    * wm × hm MCUs (16×16 px each); Y flat per 8×8 block (global index
+    * ybi = mi·4 + by·2 + bx), Cb/Cr flat per MCU. The oracle mirrors
+    * this arithmetic and the decoder's JFIF conversion exactly. */
+  def colorGeom(docId: Long): (Int, Int) =
+    (1 + (docId % 2).toInt, 1 + ((docId * 3) % 2).toInt)
+  def colorY(docId: Long, ybi: Int): Int = ((docId * 11 + 17L * ybi) % 256).toInt
+  def colorCb(docId: Long, mi: Int): Int = ((docId * 5 + 29L * mi) % 256).toInt
+  def colorCr(docId: Long, mi: Int): Int = ((docId * 3 + 37L * mi) % 256).toInt
+
+  def colorJpegFor(docId: Long): Array[Byte] = {
+    val (wm, hm) = colorGeom(docId)
+    encodeDcOnlyColor420(wm, hm,
+      ybi => colorY(docId, ybi) - 128,
+      mi => colorCb(docId, mi) - 128,
+      mi => colorCr(docId, mi) - 128)
+  }
+
+  /** Encode a 4:2:0 YCbCr baseline JPEG of wm × hm MCUs whose Y blocks
+    * (global row-major-in-MCU index ybi = mi·4 + by·2 + bx) and per-MCU
+    * chroma blocks hold only DC coefficients. Interleaved MCU order
+    * Y00 Y01 Y10 Y11 Cb Cr with per-component DC predictors — the
+    * T.81 A.2.3 layout the decoder walks. */
+  def encodeDcOnlyColor420(wm: Int, hm: Int, yDc: Int => Int,
+      cbDc: Int => Int, crDc: Int => Int): Array[Byte] = {
+    val w = 16 * wm
+    val h = 16 * hm
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // two quant tables (luma id 0, chroma id 1), both DC step = 1 px
+    seg(0xdb, 0x00 +: (8 +: Array.fill(63)(16)))
+    seg(0xdb, 0x01 +: (8 +: Array.fill(63)(16)))
+    // SOF0: Y id 1 sampling 2x2 q0; Cb id 2 1x1 q1; Cr id 3 1x1 q1
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, 0x00 +: (DcBits ++ DcVals)) // DC table 0 (luma)
+    seg(0xc4, 0x01 +: (DcBits ++ DcVals)) // DC table 1 (chroma)
+    seg(0xc4, 0x10 +: ((1 +: Array.fill(15)(0)) :+ 0x00)) // AC 0: EOB only
+    seg(0xc4, 0x11 +: ((1 +: Array.fill(15)(0)) :+ 0x00)) // AC 1: EOB only
+    // SOS: Y tables (0,0); Cb/Cr tables (1,1)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcCode = canonical(DcBits, DcVals)
+    val bw = new BitWriter(out)
+    val pred = Array(0, 0, 0)
+    def emit(comp: Int, dc: Int): Unit = {
+      require(dc >= -128 && dc <= 127, s"DC out of range: $dc")
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = dcCode(s)
+      bw.put(c, l)
+      if (s > 0)
+        bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bw.put(0, 1) // EOB
+    }
+    var my = 0
+    while (my < hm) {
+      var mx = 0
+      while (mx < wm) {
+        val mi = my * wm + mx
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            emit(0, yDc(mi * 4 + by * 2 + bx))
+            bx += 1
+          }
+          by += 1
+        }
+        emit(1, cbDc(mi))
+        emit(2, crDc(mi))
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushOnes()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
 }

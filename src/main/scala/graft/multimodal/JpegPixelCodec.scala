@@ -126,7 +126,97 @@ object JpegPixelCodec {
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
-  def decodeGray(b: Array[Byte]): Option[Gray] = try {
+  final case class Rgb(width: Int, height: Int, pixels: Array[Byte])
+
+  /** One frame component: id, sampling factors, quant-table id, and the
+    * scan's DC/AC Huffman table ids. */
+  private final case class Comp(id: Int, hs: Int, vs: Int, tq: Int,
+      var td: Int = 0, var ta: Int = 0)
+
+  /** Decoded component planes at their NATIVE (subsampled) resolution,
+    * plus the frame geometry needed to sample them. */
+  private final case class Planes(w: Int, h: Int, comps: Seq[Comp],
+      data: Seq[Array[Int]], planeW: Seq[Int])
+
+  /** JFIF YCbCr → RGB. The oracle mirrors these literals and the
+    * FLOOR(x + 0.5) rounding exactly (Math.round semantics). */
+  private def clamp255(x: Double): Int = {
+    val v = math.round(x).toInt
+    if (v < 0) 0 else if (v > 255) 255 else v
+  }
+
+  def decodeGray(b: Array[Byte]): Option[Gray] =
+    decodePlanes(b).flatMap { p =>
+      if (p.comps.length != 1) None
+      else {
+        val out = new Array[Byte](p.w * p.h)
+        val pw = p.planeW.head
+        val plane = p.data.head
+        var y = 0
+        while (y < p.h) {
+          var x = 0
+          while (x < p.w) {
+            out(y * p.w + x) = plane(y * pw + x).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(Gray(p.w, p.h, out))
+      }
+    }
+
+  /** Color decode (3-component YCbCr, 4:4:4 or 4:2:0): interleaved-MCU
+    * entropy decode per T.81 A.2.3, chroma replicated to full
+    * resolution, JFIF color conversion. Returns pixels as 3
+    * bytes/pixel RGB. Grayscale streams also decode (R=G=B=Y). */
+  def decodeRgb(b: Array[Byte]): Option[Rgb] =
+    decodePlanes(b).flatMap { p =>
+      val out = new Array[Byte](p.w * p.h * 3)
+      if (p.comps.length == 1) {
+        val pw = p.planeW.head
+        val plane = p.data.head
+        var y = 0
+        while (y < p.h) {
+          var x = 0
+          while (x < p.w) {
+            val v = plane(y * pw + x).toByte
+            val o = (y * p.w + x) * 3
+            out(o) = v; out(o + 1) = v; out(o + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        Some(Rgb(p.w, p.h, out))
+      } else {
+        val hmax = p.comps.map(_.hs).max
+        val vmax = p.comps.map(_.vs).max
+        def sample(ci: Int, x: Int, y: Int): Int = {
+          val c = p.comps(ci)
+          // nearest-neighbor chroma replication (h/v scale divides hmax)
+          val sx = x * c.hs / hmax
+          val sy = y * c.vs / vmax
+          p.data(ci)(sy * p.planeW(ci) + sx)
+        }
+        var y = 0
+        while (y < p.h) {
+          var x = 0
+          while (x < p.w) {
+            val yy = sample(0, x, y).toDouble
+            val cb = sample(1, x, y).toDouble - 128.0
+            val cr = sample(2, x, y).toDouble - 128.0
+            val o = (y * p.w + x) * 3
+            out(o) = clamp255(yy + 1.402 * cr).toByte
+            out(o + 1) = clamp255(yy - 0.344136 * cb - 0.714136 * cr).toByte
+            out(o + 2) = clamp255(yy + 1.772 * cb).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(Rgb(p.w, p.h, out))
+      }
+    }
+
+  private def decodePlanes(b: Array[Byte]): Option[Planes] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     var pos = 2
@@ -135,9 +225,8 @@ object JpegPixelCodec {
     val acT = scala.collection.mutable.Map[Int, HuffTable]()
     var w = 0
     var h = 0
-    var compQ = -1
+    var comps: Seq[Comp] = Nil
     var dri = 0
-    var sofSeen = false
 
     while (pos + 4 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
@@ -175,23 +264,35 @@ object JpegPixelCodec {
           h = u16(b, seg + 1)
           w = u16(b, seg + 3)
           val ncomp = b(seg + 5) & 0xff
-          if (ncomp != 1) return None // color: explicit boundary
-          if ((b(seg + 7) & 0xff) != 0x11) return None // no subsampling for 1 comp
-          compQ = b(seg + 8) & 0xff
-          sofSeen = true
+          if (ncomp != 1 && ncomp != 3) return None
+          comps = (0 until ncomp).map { i =>
+            val o = seg + 6 + 3 * i
+            Comp(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4, b(o + 1) & 0x0f,
+              b(o + 2) & 0xff)
+          }
+          // supported samplings: single comp 1x1; 4:4:4 (all 1x1);
+          // 4:2:0 (Y 2x2, chroma 1x1). 4:2:2 etc. stay a boundary.
+          val ok =
+            if (ncomp == 1) comps.head.hs == 1 && comps.head.vs == 1
+            else comps.tail.forall(c => c.hs == 1 && c.vs == 1) &&
+              ((comps.head.hs == 1 && comps.head.vs == 1) ||
+                (comps.head.hs == 2 && comps.head.vs == 2))
+          if (!ok) return None
         case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
           return None // progressive / extended / arithmetic: not baseline
         case 0xdd => dri = u16(b, seg)
         case 0xda => // SOS — entropy data follows
-          if (!sofSeen || w <= 0 || h <= 0) return None
+          if (comps.isEmpty || w <= 0 || h <= 0) return None
           val ns = b(seg) & 0xff
-          if (ns != 1) return None
-          val td = (b(seg + 2) & 0xf0) >> 4
-          val ta = b(seg + 2) & 0x0f
-          val dc = dcT.getOrElse(td, return None)
-          val ac = acT.getOrElse(ta, return None)
-          val q = qt.getOrElse(compQ, return None)
-          return decodeScan(b, seg + len - 2, w, h, dc, ac, q, dri)
+          if (ns != comps.length) return None // single interleaved scan only
+          (0 until ns).foreach { i =>
+            val cs = b(seg + 1 + 2 * i) & 0xff
+            val c = comps.find(_.id == cs).getOrElse(return None)
+            c.td = (b(seg + 2 + 2 * i) & 0xf0) >> 4
+            c.ta = b(seg + 2 + 2 * i) & 0x0f
+          }
+          return decodeScan(b, seg + len - 2, w, h, comps, dcT.toMap,
+            acT.toMap, qt.toMap, dri)
         case _ => () // APPn / COM / others: skip
       }
       pos = pos + 2 + len
@@ -202,54 +303,81 @@ object JpegPixelCodec {
   }
 
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
-      dc: HuffTable, ac: HuffTable, q: Array[Int], dri: Int): Option[Gray] = {
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val out = new Array[Byte](w * h)
+      comps: Seq[Comp], dcT: Map[Int, HuffTable], acT: Map[Int, HuffTable],
+      qt: Map[Int, Array[Int]], dri: Int): Option[Planes] = {
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcuW = 8 * hmax
+    val mcuH = 8 * vmax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    // per-component plane at native resolution, padded to whole MCUs
+    val planeW = comps.map(c => mcusX * c.hs * 8)
+    val planes = comps.zipWithIndex.map { case (c, i) =>
+      new Array[Int](planeW(i) * mcusY * c.vs * 8)
+    }
+    val dc = comps.map(c => dcT.getOrElse(c.td, return None))
+    val ac = comps.map(c => acT.getOrElse(c.ta, return None))
+    val q = comps.map(c => qt.getOrElse(c.tq, return None))
     val r = new BitReader(b, start)
     val coef = new Array[Int](64)
-    var pred = 0
+    val pred = new Array[Int](comps.length)
     var mcu = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (dri > 0 && mcu > 0 && mcu % dri == 0) {
           if (!r.consumeRestart()) return None
-          pred = 0
+          java.util.Arrays.fill(pred, 0)
         }
-        java.util.Arrays.fill(coef, 0)
-        // DC
-        val s = r.decode(dc)
-        pred += extend(r.bits(s), s)
-        coef(0) = pred * q(0)
-        // AC
-        var k = 1
-        var done = false
-        while (!done && k <= 63) {
-          val rs = r.decode(ac)
-          val run = rs >> 4
-          val size = rs & 15
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else done = true // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            coef(Zigzag(k)) = extend(r.bits(size), size) * q(Zigzag(k))
-            k += 1
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var bv = 0
+          while (bv < c.vs) {
+            var bh = 0
+            while (bh < c.hs) {
+              java.util.Arrays.fill(coef, 0)
+              val s = r.decode(dc(ci))
+              pred(ci) += extend(r.bits(s), s)
+              coef(0) = pred(ci) * q(ci)(0)
+              var k = 1
+              var done = false
+              while (!done && k <= 63) {
+                val rs = r.decode(ac(ci))
+                val run = rs >> 4
+                val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else done = true // EOB
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  coef(Zigzag(k)) = extend(r.bits(size), size) * q(ci)(Zigzag(k))
+                  k += 1
+                }
+              }
+              idctBlock(coef, planes(ci), planeW(ci),
+                mx * c.hs + bh, my * c.vs + bv)
+              bh += 1
+            }
+            bv += 1
           }
+          ci += 1
         }
-        idctBlock(coef, out, w, h, bx, by)
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    Some(Gray(w, h, out))
+    Some(Planes(w, h, comps, planes, planeW))
   }
 
-  private def idctBlock(coef: Array[Int], out: Array[Byte], w: Int, h: Int,
+  /** IDCT one block into an Int plane at block position (bx, by) —
+    * planes are whole-MCU padded, so no edge trim happens here (the
+    * consumer samples only [0,w)×[0,h)). */
+  private def idctBlock(coef: Array[Int], out: Array[Int], planeWidth: Int,
       bx: Int, by: Int): Unit = {
     // separable: tmp(u, y) = sum_v cosT(y)(v) F(u, v), then
     // f(x, y) = sum_u cosT(x)(u) tmp(u, y)
@@ -266,20 +394,18 @@ object JpegPixelCodec {
       }
       u += 1
     }
-    val maxY = math.min(8, h - by * 8)
-    val maxX = math.min(8, w - bx * 8)
     var y = 0
-    while (y < maxY) {
+    while (y < 8) {
       var x = 0
-      while (x < maxX) {
+      while (x < 8) {
         var acc = 0.0
         var uu = 0
-        // NOTE the coefficient layout: coef(u*8+v) holds F(row=u, col=v)
-        // with row = vertical frequency; x here is the COLUMN.
+        // coefficient layout: coef(r*8+c) holds F(row=r, col=c) with
+        // row = vertical frequency; tmp(r*8+x) already folded columns.
         while (uu < 8) { acc += CosT(y)(uu) * tmp(uu * 8 + x); uu += 1 }
         val px = math.round(acc + 128.0).toInt
         val clamped = if (px < 0) 0 else if (px > 255) 255 else px
-        out((by * 8 + y) * w + bx * 8 + x) = clamped.toByte
+        out((by * 8 + y) * planeWidth + bx * 8 + x) = clamped
         x += 1
       }
       y += 1

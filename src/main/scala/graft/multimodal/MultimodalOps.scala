@@ -463,6 +463,88 @@ object MultimodalOps extends QueryModule {
     spark.createDataFrame(rows, jpegStatsSchema)
   }
 
+  // q220 — the COLOR rung: 4:2:0 YCbCr baseline streams (interleaved
+  // MCUs Y00 Y01 Y10 Y11 Cb Cr, two quant + two Huffman table pairs,
+  // per-component DC predictors) decoded to RGB through the JFIF
+  // conversion. DC-only fixtures make every 8x8 block a FLAT color:
+  // Y per block, chroma per MCU, so each channel's per-block value is
+  // clamp(floor(Y + c1*(Cr-128) + 0.5)) etc. — closed-form in doc_id
+  // with the conversion literals and rounding mirrored in the oracle.
+  // Chroma upsampling is nearest-replication (the T.81-legal choice;
+  // exact for flat chroma), documented as the decode contract.
+  val jpegColorStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("min_r", IntegerType), StructField("max_r", IntegerType),
+    StructField("min_g", IntegerType), StructField("max_g", IntegerType),
+    StructField("min_b", IntegerType), StructField("max_b", IntegerType)))
+
+  def jpegColorMedia(s: SparkSession, d: String): DataFrame = {
+    val buildPayload = udf((docId: Long) => JpegFixtures.colorJpegFor(docId))
+    documents(s, d).select(col("doc_id").as("media_id"),
+      buildPayload(col("doc_id")).as("payload"))
+  }
+
+  def jpegColorStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val img = JpegPixelCodec.decodeRgb(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(sys.error(s"undecodable JPEG for media ${r.get(0)}"))
+        val px = img.pixels
+        val sums = new Array[Long](3)
+        val mins = Array(255, 255, 255)
+        val maxs = Array(0, 0, 0)
+        var i = 0
+        while (i < px.length) {
+          val c = i % 3
+          val v = px(i) & 0xff
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          i += 1
+        }
+        Row(r.getAs[Long]("media_id"), img.width, img.height,
+          sums(0), sums(1), sums(2), mins(0), maxs(0), mins(1), maxs(1),
+          mins(2), maxs(2))
+      }
+    }
+    spark.createDataFrame(rows, jpegColorStatsSchema)
+  }
+
+  register("q220_jpeg_color_stats",
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS wm, 1 + (doc_id * 3) % 2 AS hm
+      |  FROM documents),
+      |blk AS (
+      |  SELECT doc_id, wm, hm, unnest(range(0, 4 * wm * hm)) AS bi FROM g),
+      |v AS (
+      |  SELECT doc_id, wm, hm,
+      |    CAST((doc_id * 11 + 17 * bi) % 256 AS DOUBLE) AS yv,
+      |    (doc_id * 5 + 29 * (bi // 4)) % 256 - 128 AS cb,
+      |    (doc_id * 3 + 37 * (bi // 4)) % 256 - 128 AS cr
+      |  FROM blk),
+      |rgb AS (
+      |  SELECT doc_id, wm, hm,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT))) AS gr,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
+      |  FROM v)
+      |SELECT doc_id AS media_id,
+      |  CAST(16 * wm AS INTEGER) AS width,
+      |  CAST(16 * hm AS INTEGER) AS height,
+      |  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(64 * SUM(gr) AS BIGINT) AS sum_g,
+      |  CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(r) AS INTEGER) AS min_r, CAST(MAX(r) AS INTEGER) AS max_r,
+      |  CAST(MIN(gr) AS INTEGER) AS min_g, CAST(MAX(gr) AS INTEGER) AS max_g,
+      |  CAST(MIN(b) AS INTEGER) AS min_b, CAST(MAX(b) AS INTEGER) AS max_b
+      |FROM rgb GROUP BY doc_id, wm, hm""".stripMargin) { (s, d) =>
+    jpegColorStats(jpegColorMedia(s, d))
+  }
+
   register("q219_jpeg_pixel_stats",
     """WITH g AS (
       |  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + (doc_id * 7) % 4 AS hb

@@ -91,16 +91,15 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("color, progressive, and truncated streams are rejected, not misdecoded") {
-    // color: 3-component scan is the documented boundary
-    val color = new java.awt.image.BufferedImage(
-      16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val bos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(color, "jpg", bos))
-    assert(JpegPixelCodec.decodeGray(bos.toByteArray).isEmpty)
+  test("color streams gray-reject; progressive and truncated streams are " +
+      "rejected, not misdecoded") {
+    // a 3-component scan is not a GRAYSCALE image — decodeGray refuses
+    val color = JpegFixtures.colorJpegFor(9L)
+    assert(JpegPixelCodec.decodeGray(color).isEmpty)
     // truncated entropy data
     val ok = JpegFixtures.pixelJpegFor(5L)
     assert(JpegPixelCodec.decodeGray(ok.dropRight(8)).isEmpty)
+    assert(JpegPixelCodec.decodeRgb(ok.dropRight(8)).isEmpty)
     // progressive: flip SOF0 -> SOF2 in a valid stream
     val prog = ok.clone()
     val sofAt = prog.indices.dropRight(1).find(i =>
@@ -109,5 +108,104 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     assert(JpegPixelCodec.decodeGray(prog).isEmpty)
     // not a JPEG at all
     assert(JpegPixelCodec.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("4:2:0 color DC-only fixtures decode to exact closed-form flat blocks") {
+    (0L until 64L).foreach { d =>
+      val img = JpegPixelCodec.decodeRgb(JpegFixtures.colorJpegFor(d))
+        .getOrElse(fail(s"undecodable color fixture for doc $d"))
+      val (wm, hm) = JpegFixtures.colorGeom(d)
+      assert(img.width === 16 * wm)
+      assert(img.height === 16 * hm)
+      def expect(x: Int, y: Int): (Int, Int, Int) = {
+        val mi = (y / 16) * wm + (x / 16)
+        val ybi = mi * 4 + ((y % 16) / 8) * 2 + ((x % 16) / 8)
+        val yv = JpegFixtures.colorY(d, ybi).toDouble
+        val cb = JpegFixtures.colorCb(d, mi) - 128.0
+        val cr = JpegFixtures.colorCr(d, mi) - 128.0
+        def cl(v: Double): Int =
+          math.min(255, math.max(0, math.round(v).toInt))
+        (cl(yv + 1.402 * cr),
+          cl(yv - 0.344136 * cb - 0.714136 * cr),
+          cl(yv + 1.772 * cb))
+      }
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val o = (y * img.width + x) * 3
+          val got = (img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff,
+            img.pixels(o + 2) & 0xff)
+          assert(got === expect(x, y), s"doc $d pixel ($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("ImageIO decodes our encoded color streams to the same flat colors") {
+    // single-MCU images: libjpeg's fancy chroma upsampling interpolates
+    // across MCU boundaries, so only the one-MCU case is filter-free;
+    // multi-MCU exactness is pinned by the closed form above under the
+    // documented nearest-replication contract
+    (0L until 16L).foreach { d =>
+      val wm = 1; val hm = 1
+      val bytes = JpegFixtures.encodeDcOnlyColor420(wm, hm,
+        ybi => JpegFixtures.colorY(d, ybi) - 128,
+        mi => JpegFixtures.colorCb(d, mi) - 128,
+        mi => JpegFixtures.colorCr(d, mi) - 128)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected our color stream (doc $d)")
+      val ours = JpegPixelCodec.decodeRgb(bytes).get
+      assert(ref.getWidth === ours.width && ref.getHeight === ours.height)
+      var worst = 0
+      (0 until ours.height).foreach { y =>
+        (0 until ours.width).foreach { x =>
+          val rgb = ref.getRGB(x, y)
+          val o = (y * ours.width + x) * 3
+          worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) -
+            (ours.pixels(o) & 0xff)))
+          worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) -
+            (ours.pixels(o + 1) & 0xff)))
+          worst = math.max(worst, math.abs((rgb & 0xff) -
+            (ours.pixels(o + 2) & 0xff)))
+        }
+      }
+      assert(worst <= 2, s"doc $d: worst channel delta $worst vs ImageIO")
+    }
+  }
+
+  test("ImageIO color jpegs (4:2:0, standard tables) decode with sane dims " +
+      "and interior-exact chroma-flat regions") {
+    // general validation that the interleaved-MCU walk handles real
+    // libjpeg output: encode a color image that is FLAT (one color), so
+    // subsampling and upsampling are filter-invariant everywhere
+    val src = new java.awt.image.BufferedImage(
+      40, 24, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = src.createGraphics()
+    g2.setColor(new java.awt.Color(120, 200, 64))
+    g2.fillRect(0, 0, 40, 24)
+    g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val bytes = bos.toByteArray
+    val ours = JpegPixelCodec.decodeRgb(bytes)
+      .getOrElse(fail("undecodable ImageIO color jpeg"))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ours.width === 40 && ours.height === 24)
+    var worst = 0
+    (0 until 24).foreach { y =>
+      (0 until 40).foreach { x =>
+        val rgb = ref.getRGB(x, y)
+        val o = (y * 40 + x) * 3
+        worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - (ours.pixels(o) & 0xff)))
+        worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - (ours.pixels(o + 1) & 0xff)))
+        worst = math.max(worst, math.abs((rgb & 0xff) - (ours.pixels(o + 2) & 0xff)))
+      }
+    }
+    assert(worst <= 2, s"flat color image: worst channel delta $worst")
   }
 }
