@@ -45,11 +45,20 @@ class AnnIndexReloadSpec extends SparkSpec {
       "identical results") {
     val (index1, cb1) = SimilarityOps.annIndex(spark, sf)
     assert(index1.count() > 0)
-    val before = warehouseSig()
+    // q217 BEFORE the signature capture: its first run persists the
+    // exact ground truth as graft.ann.truth (one _table.json rewrite)
     val r217Before = graft.SparkEntry.queries("q217_ann_probe_recall")(spark, sf)
       .collect().map(_.toSeq).toSet
+    val truthBefore = SimilarityOps.annExactTopk(
+      SimilarityOps.annSession(spark), sf)
+    val before = warehouseSig()
 
     SimilarityOps.resetAnnMemoryForTest() // what a restart leaves behind
+
+    // truth reloads from the table property — no corpus scan, no write
+    val truthAfter = SimilarityOps.annExactTopk(
+      SimilarityOps.annSession(spark), sf)
+    assert(truthAfter === truthBefore)
 
     val (index2, cb2) = SimilarityOps.annIndex(spark, sf)
     assert(index2.count() === index1.count())
