@@ -159,6 +159,141 @@ object IncrementalGold {
       mat(clMonthPartials(clDelta)))
   }
 
+  // ===================== JOIN-IVM: gold_policy_performance (q44/q221)
+  // The executive-summary mart above is aggregate-only IVM; the policy
+  // -performance mart contains a JOIN (claims ⋈ policies on policy_id,
+  // attributing each claim to its policy's TYPE), which is the case
+  // where naive delta folding breaks: a policy delete/re-insert must
+  // re-attribute claims it never touched. The standard solution is
+  // auxiliary state + the bilinear delta rule
+  //
+  //   Δ(PT ⊗ CPM) = ΔPT ⊗ CPM_old  +  PT_new ⊗ ΔCPM
+  //
+  // with state:
+  //   PT  — the join dimension (policy_id → policy_type, signed
+  //         multiplicity): delta-maintained from policy batches;
+  //   CPM — per-(policy_id, claim_month) partial claim aggregates:
+  //         delta-maintained from claims batches; this is what makes
+  //         re-attribution a ΔPT-sized keyed PROBE instead of a claims
+  //         rescan (at 100 TB the difference between touching the
+  //         changed policies' rows and touching the fact table);
+  //   CBT — the attributed (policy_type, claim_month) view partials,
+  //         updated by the two delta streams above;
+  //   polBase — the no-join policy aggregate (q218's pattern).
+  // Everything per batch is |batch|-sized except the two keyed probes.
+
+  final case class PolicyPerfState(polBase: DataFrame, pt: DataFrame,
+      cpm: DataFrame, cbt: DataFrame)
+
+  /** q44 policy_base partials, signed (type × start-month grid). */
+  def ppPolBasePartials(delta: DataFrame): DataFrame =
+    delta.filter(col("invalid_premium_amount_flag") === 0 &&
+        col("invalid_coverage_amount_flag") === 0 &&
+        col("invalid_date_range_flag") === 0)
+      .groupBy(col("policy_type"),
+        month(col("start_date")).as("policy_month"))
+      .agg(sum(col("__sign")).as("n_pol"),
+        sum(col("__sign") * col("premium_amount").cast(D4))
+          .cast(D38).as("prem"),
+        sum(col("__sign") * col("coverage_amount").cast(D4))
+          .cast(D38).as("cov"))
+
+  /** Signed multiplicity deltas of the join dimension. A premium-only
+    * update nets to zero here (−old +new same type) and is dropped —
+    * no attribution churn for deltas that cannot move the join. */
+  def ptPartials(delta: DataFrame): DataFrame =
+    delta.groupBy(col("policy_id"), col("policy_type"))
+      .agg(sum(col("__sign")).as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Per-(policy, claim-month) signed claim partials — the auxiliary
+    * state that makes dimension-side re-attribution probe-sized. */
+  def cpmPartials(delta: DataFrame): DataFrame =
+    delta.filter(col("missing_policy_flag") === 0)
+      .groupBy(col("policy_id"), month(col("claim_date")).as("claim_month"))
+      .agg(sum(col("__sign")).as("n_claims"),
+        sum(col("__sign") * col("settled_amount").cast(D4))
+          .cast(D38).as("settled"),
+        sum(when(col("fraud_indicator") === 1, col("__sign"))
+          .otherwise(0L)).as("fraud"))
+
+  private def attributed(dim: DataFrame, facts: DataFrame): DataFrame =
+    dim.alias("dp").join(facts.alias("cp"),
+        col("dp.policy_id") === col("cp.policy_id"))
+      .select(col("dp.policy_type"), col("cp.claim_month"),
+        (col("dp.n") * col("cp.n_claims")).as("n_claims"),
+        (col("dp.n") * col("cp.settled")).cast(D38).as("settled"),
+        (col("dp.n") * col("cp.fraud")).as("fraud"))
+
+  private def cbtDelta(reattr: DataFrame, attr: DataFrame): DataFrame =
+    reattr.unionByName(attr)
+      .groupBy(col("policy_type"), col("claim_month"))
+      .agg(sum(col("n_claims")).as("n_claims"),
+        sum(col("settled")).cast(D38).as("settled"),
+        sum(col("fraud")).as("fraud"))
+
+  /** Fold one batch pair into the policy-performance state (see the
+    * block comment for the delta rule; `materialize` as in
+    * [[applyDelta]]). Within a batch: re-attribution reads the
+    * PRE-batch CPM, fact attribution reads the POST-batch PT — exactly
+    * ΔPT⊗CPM_old + PT_new⊗ΔCPM, which telescopes to the full join. */
+  def applyPolicyPerfDelta(st: PolicyPerfState, polDelta: DataFrame,
+      clDelta: DataFrame, materialize: Boolean = true): PolicyPerfState = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val dPt = ptPartials(polDelta)
+    val reattr = attributed(dPt.select(col("policy_id"), col("policy_type"),
+      col("n")), st.cpm)
+    val ptNew = mat(merge(st.pt, dPt, Seq("policy_id", "policy_type"), "n"))
+    val dCpm = cpmPartials(clDelta)
+    val cpmNew = mat(merge(st.cpm, dCpm,
+      Seq("policy_id", "claim_month"), "n_claims"))
+    val attr = attributed(ptNew, dCpm)
+    val cbtNew = mat(merge(st.cbt, cbtDelta(reattr, attr),
+      Seq("policy_type", "claim_month"), "n_claims"))
+    val pbNew = mat(merge(st.polBase, ppPolBasePartials(polDelta),
+      Seq("policy_type", "policy_month"), "n_pol"))
+    PolicyPerfState(pbNew, ptNew, cpmNew, cbtNew)
+  }
+
+  /** Bootstrap from the first batch: the delta rule against empty state
+    * (re-attribution vacuous, fact attribution against the batch's own
+    * dimension). */
+  def initPolicyPerf(polDelta: DataFrame, clDelta: DataFrame,
+      materialize: Boolean = true): PolicyPerfState = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val pt = mat(ptPartials(polDelta))
+    val cpm = mat(cpmPartials(clDelta))
+    val cbt = mat(cbtDelta(
+      attributed(pt, cpm).limit(0), attributed(pt, cpm)))
+    PolicyPerfState(mat(ppPolBasePartials(polDelta)), pt, cpm, cbt)
+  }
+
+  /** The policy-performance mart from maintained state: reassemble
+    * q44's monthly frames (decimal sums cast to double exactly where
+    * the full refresh casts them) and run the SAME derived tail. */
+  def policyPerfMart(st: PolicyPerfState): DataFrame = {
+    val pb = st.polBase.select(col("policy_type"), col("policy_month"),
+      col("n_pol").as("policy_count"),
+      col("prem").cast(DoubleType).as("total_premium_revenue"),
+      col("cov").cast(DoubleType).as("total_coverage_exposure"))
+    val cbt = st.cbt.select(col("policy_type"), col("claim_month"),
+      col("n_claims").as("total_claims"),
+      col("settled").cast(DoubleType).as("total_settled_amount"),
+      col("fraud").as("fraud_claims"))
+    InsuranceGate.policyPerfFromMonthly(pb, cbt)
+  }
+
+  /** IVM column pruning for the policy-performance maintainer. */
+  def narrowPpPol(delta: DataFrame): DataFrame =
+    delta.select("policy_id", "policy_type", "start_date",
+      "premium_amount", "coverage_amount", "invalid_premium_amount_flag",
+      "invalid_coverage_amount_flag", "invalid_date_range_flag", "__sign")
+  def narrowPpCl(delta: DataFrame): DataFrame =
+    delta.select("policy_id", "claim_date", "settled_amount",
+      "fraud_indicator", "missing_policy_flag", "__sign")
+
   /** The executive-summary mart from maintained state: reassemble the
     * q45 monthly frames (distinct customers = positive-multiplicity
     * rows; decimal sums cast to double exactly where the full refresh

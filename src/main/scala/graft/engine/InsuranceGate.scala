@@ -675,6 +675,19 @@ object InsuranceGate extends QueryModule {
         count(col("cl.claim_id")).as("total_claims"),
         dsum(col("cl.settled_amount")).as("total_settled_amount"),
         count(when(col("cl.fraud_indicator") === 1, 1)).as("fraud_claims"))
+    policyPerfFromMonthly(policyBase, claimsByType)
+  }
+
+  /** q44's derived tail — typed-month left join, ratio ladder, per-type
+    * YoY lag — shared verbatim with [[IncrementalGold.policyPerfMart]]
+    * so the delta-maintained mart and the full refresh differ only in
+    * where the monthly frames come from. `policyBase` =
+    * (policy_type, policy_month, policy_count, total_premium_revenue,
+    * total_coverage_exposure); `claimsByType` = (policy_type,
+    * claim_month, total_claims, total_settled_amount, fraud_claims). */
+  private[engine] def policyPerfFromMonthly(policyBase: DataFrame,
+      claimsByType: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("pb.policy_type")).orderBy(col("pb.policy_month"))
     policyBase.alias("pb")
       .join(claimsByType.alias("cp"),
@@ -972,6 +985,100 @@ object InsuranceGate extends QueryModule {
           cImg(baseSettled), cImg(baseSettled + 50))),
       (ins(pb.filter(col("__pk") % 14 === 0), pImg(lit(555.0)), nullP),
         del(cb.filter(col("__ck") % 9 === 0), cImg(settled3), nullC)))
+  }
+
+  // ======================= join-IVM gate: gold_policy_performance
+  // The same four CDC batches maintain the JOIN-bearing mart (q44):
+  // claims attribute to their policy's TYPE, so deleting policy pk%7
+  // must retract claims the batch never shipped, and re-inserting
+  // pk%14 must re-attribute them — the bilinear delta rule over the
+  // PT/CPM auxiliary state ([[IncrementalGold.applyPolicyPerfDelta]]).
+  // Oracle = q44's full refresh on the final table state.
+  register("q221_incremental_policy_perf",
+    s"""WITH $oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |pol_keyed AS (
+       |  SELECT policy_id, policy_type, start_date, premium_amount,
+       |    coverage_amount, invalid_coverage_amount_flag,
+       |    invalid_date_range_flag, CAST(policy_id[2:] AS BIGINT) AS pk
+       |  FROM policies_silver),
+       |final_policies AS (
+       |  SELECT policy_id, policy_type, start_date, coverage_amount,
+       |    new_premium AS premium_amount,
+       |    CASE WHEN new_premium IS NULL OR new_premium < 0 THEN 1 ELSE 0 END
+       |      AS invalid_premium_amount_flag,
+       |    invalid_coverage_amount_flag, invalid_date_range_flag
+       |  FROM (SELECT *,
+       |      CASE WHEN pk % 14 = 0 THEN CAST(555.0 AS DECIMAL(18,2))
+       |           WHEN pk % 5 = 0 THEN CAST(premium_amount + 100 AS DECIMAL(18,2))
+       |           ELSE premium_amount END AS new_premium
+       |    FROM pol_keyed)
+       |  WHERE pk % 7 <> 0 OR pk % 14 = 0),
+       |cl_keyed AS (
+       |  SELECT claim_id, policy_id, claim_date, settled_amount,
+       |    fraud_indicator, missing_policy_flag,
+       |    CAST(claim_id[3:] AS BIGINT) AS ck
+       |  FROM claims_silver),
+       |final_claims AS (
+       |  SELECT claim_id, policy_id, claim_date,
+       |    CASE WHEN ck % 6 = 0 THEN settled_amount + 50
+       |         ELSE settled_amount END AS settled_amount,
+       |    fraud_indicator, missing_policy_flag
+       |  FROM cl_keyed WHERE ck % 9 <> 0),
+       |policy_base AS (
+       |  SELECT policy_type,
+       |    CAST(date_trunc('month', start_date) AS DATE) AS policy_month,
+       |    COUNT(*) AS policy_count,
+       |    CAST(SUM(CAST(premium_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_premium_revenue,
+       |    CAST(SUM(CAST(coverage_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_coverage_exposure
+       |  FROM final_policies
+       |  WHERE invalid_premium_amount_flag = 0
+       |    AND invalid_coverage_amount_flag = 0
+       |    AND invalid_date_range_flag = 0
+       |  GROUP BY policy_type, CAST(date_trunc('month', start_date) AS DATE)),
+       |claims_by_type AS (
+       |  SELECT p.policy_type,
+       |    CAST(date_trunc('month', cl.claim_date) AS DATE) AS claim_month,
+       |    COUNT(DISTINCT cl.claim_id) AS total_claims,
+       |    CAST(SUM(CAST(cl.settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_settled_amount,
+       |    COUNT(CASE WHEN cl.fraud_indicator = 1 THEN 1 END) AS fraud_claims
+       |  FROM final_claims cl JOIN final_policies p ON cl.policy_id = p.policy_id
+       |  WHERE cl.missing_policy_flag = 0
+       |  GROUP BY p.policy_type, CAST(date_trunc('month', cl.claim_date) AS DATE))
+       |SELECT pb.policy_type, pb.policy_month, pb.policy_count,
+       |  pb.total_premium_revenue, pb.total_coverage_exposure,
+       |  COALESCE(cp.total_claims, 0) AS total_claims,
+       |  COALESCE(cp.total_settled_amount, 0) AS total_settled_amount,
+       |  COALESCE(cp.fraud_claims, 0) AS fraud_claims,
+       |  CASE WHEN pb.total_premium_revenue > 0
+       |       THEN COALESCE(cp.total_settled_amount, 0) / pb.total_premium_revenue
+       |       ELSE 0 END AS loss_ratio,
+       |  pb.total_premium_revenue - COALESCE(cp.total_settled_amount, 0) AS underwriting_profit,
+       |  LAG(pb.policy_count, 12) OVER (PARTITION BY pb.policy_type
+       |    ORDER BY pb.policy_month) AS policy_count_prev_year
+       |FROM policy_base pb
+       |LEFT JOIN claims_by_type cp
+       |  ON pb.policy_type = cp.policy_type AND pb.policy_month = cp.claim_month""".stripMargin) {
+    (s, d) => IncrementalGold.policyPerfMart(cdcPolicyPerfState(s, d))
+  }
+
+  /** Fold all four q218 CDC batches into the policy-performance state
+    * (same feed, second maintained mart; lazy fold per the q218
+    * rationale). */
+  private[engine] def cdcPolicyPerfState(s: SparkSession, d: String)
+      : IncrementalGold.PolicyPerfState = {
+    val batches = cdcBatches(s, d)
+    val deltas = batches.map { case (p, c) =>
+      (IncrementalGold.narrowPpPol(IncrementalGold.signedDelta(p)),
+        IncrementalGold.narrowPpCl(IncrementalGold.signedDelta(c))) }
+    deltas.tail.foldLeft(
+      IncrementalGold.initPolicyPerf(deltas.head._1, deltas.head._2,
+        materialize = false)) {
+      case (st, (p, c)) =>
+        IncrementalGold.applyPolicyPerfDelta(st, p, c, materialize = false)
+    }
   }
 
   /** Fold all four q218 CDC batches into maintained state. The CDC feed

@@ -72,6 +72,57 @@ class IncrementalGoldSpec extends SparkSpec {
     }
   }
 
+  /** q44's full-refresh aggregation over explicit silver frames. */
+  private def fullRefreshPerf(pol: DataFrame, cl: DataFrame): DataFrame = {
+    val policyBase = pol
+      .filter(col("invalid_premium_amount_flag") === 0 &&
+        col("invalid_coverage_amount_flag") === 0 &&
+        col("invalid_date_range_flag") === 0)
+      .groupBy(col("policy_type"),
+        date_trunc("month", col("start_date")).cast(DateType)
+          .as("policy_month"))
+      .agg(count(lit(1)).as("policy_count"),
+        dsum(col("premium_amount")).as("total_premium_revenue"),
+        dsum(col("coverage_amount")).as("total_coverage_exposure"))
+    val claimsByType = cl.alias("cl")
+      .filter(col("missing_policy_flag") === 0)
+      .join(pol.select(col("policy_id"), col("policy_type")).alias("p"),
+        Seq("policy_id"))
+      .groupBy(col("p.policy_type").as("policy_type"),
+        date_trunc("month", col("cl.claim_date")).cast(DateType)
+          .as("claim_month"))
+      .agg(count(lit(1)).as("total_claims"),
+        dsum(col("cl.settled_amount")).as("total_settled_amount"),
+        count(when(col("cl.fraud_indicator") === 1, 1)).as("fraud_claims"))
+    InsuranceGate.policyPerfFromMonthly(policyBase, claimsByType)
+  }
+
+  test("join-IVM: policy-performance mart == full refresh after every prefix") {
+    val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
+      (IncrementalGold.signedDelta(p).localCheckpoint(true),
+        IncrementalGold.signedDelta(c).localCheckpoint(true))
+    }
+    var st = IncrementalGold.initPolicyPerf(deltas.head._1, deltas.head._2)
+    assertSame(IncrementalGold.policyPerfMart(st),
+      fullRefreshPerf(replay(Seq(deltas.head._1)),
+        replay(Seq(deltas.head._2))),
+      "perf prefix 1 (initial load)")
+    deltas.tail.zipWithIndex.foreach { case ((p, c), i) =>
+      st = IncrementalGold.applyPolicyPerfDelta(st, p, c)
+      val upTo = deltas.take(i + 2)
+      assertSame(IncrementalGold.policyPerfMart(st),
+        fullRefreshPerf(replay(upTo.map(_._1)), replay(upTo.map(_._2))),
+        s"perf prefix ${i + 2}")
+    }
+    // non-vacuity of the join-IVM cases: the final state must hold
+    // claims for policies no longer in the dimension (deleted, not
+    // resurrected) — the rows whose retraction the prefix-3 equality
+    // above just verified happened WITHOUT a claims rescan
+    val orphaned = st.cpm.alias("c").join(st.pt.alias("p"),
+      col("c.policy_id") === col("p.policy_id"), "left_anti").count()
+    assert(orphaned > 0, "vacuous: no deleted-policy claims in the feed")
+  }
+
   test("deletes retire customers and months from the auxiliary state") {
     val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
       (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }
