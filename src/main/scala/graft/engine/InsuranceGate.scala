@@ -919,8 +919,10 @@ object InsuranceGate extends QueryModule {
 
   /** The q218 CDC lifecycle: build the four op-coded batches from the
     * gate silver tables and fold them through [[IncrementalGold]].
-    * Shared with IncrementalGoldSpec, which checks EVERY prefix. */
-  private[engine] def cdcBatches(s: SparkSession, d: String)
+    * Shared with IncrementalGoldSpec (which checks EVERY prefix) and
+    * GoldStreamSpec (which drives them through the streaming
+    * maintainer). */
+  private[graft] def cdcBatches(s: SparkSession, d: String)
       : Seq[(DataFrame, DataFrame)] = {
     val pol = policiesSilver(s, d)
     val cl = claimsSilver(s, d)

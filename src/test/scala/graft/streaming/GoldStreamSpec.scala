@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** [[GoldMaintenanceStream]] — the q218 maintainer as a CDC stream.
+  * Pins:
+  *
+  *   1. the four q218 CDC batches, serialized as Debezium-style JSON
+  *      records and replayed through a checkpointed file stream WITH A
+  *      RESTART between batches 2 and 3, leave the maintained mart
+  *      exactly equal to the q218 batch gate (which the DuckDB oracle
+  *      hash-verifies against the full refresh) — state recovery from
+  *      the committed version is therefore value-exact;
+  *   2. idempotent replay: re-folding an already-committed batch id is
+  *      a no-op on the durable state (the exactly-once foreachBatch
+  *      sink contract);
+  *   3. state versions become visible only through their _COMMIT
+  *      marker (lastCommitted ignores torn versions).
+  */
+class GoldStreamSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cdcJson(pol: DataFrame, cl: DataFrame): DataFrame =
+    pol.select(lit("policy").as("entity"), col("op"),
+        to_json(col("before")).as("before"), to_json(col("after")).as("after"))
+      .unionByName(cl.select(lit("claim").as("entity"), col("op"),
+        to_json(col("before")).as("before"), to_json(col("after")).as("after")))
+
+  test("stream == q218 across micro-batches and a checkpointed restart; " +
+      "replays are idempotent") {
+    import spark.implicits._
+    val batches = graft.engine.InsuranceGate.cdcBatches(spark, sf)
+    val polT = batches.head._1.schema("before").dataType.asInstanceOf[StructType]
+    val clT = batches.head._2.schema("before").dataType.asInstanceOf[StructType]
+    val inDir = java.nio.file.Files.createTempDirectory("gold_in").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("gold_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gold_ckpt").toString
+    val refreshes = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    @volatile var lastMart: Array[org.apache.spark.sql.Row] = Array.empty
+
+    def start() = GoldMaintenanceStream.start(
+      spark.readStream
+        .schema("entity STRING, op STRING, before STRING, after STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$inDir/*").as[GoldMaintenanceStream.GoldCdc],
+      polT, clT, stateDir, ckpt,
+      (id, mart) => {
+        val rows = mart.collect()
+        refreshes.synchronized { refreshes += ((id, rows.length.toLong)) }
+        lastMart = rows
+      })
+
+    def feed(name: String, i: Int): Unit =
+      cdcJson(batches(i)._1, batches(i)._2)
+        .coalesce(1).write.mode("append").json(s"$inDir/$name")
+
+    val q1 = start()
+    try {
+      feed("b1", 0); q1.processAllAvailable()
+      feed("b2", 1); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(GoldMaintenanceStream.lastCommitted(stateDir).nonEmpty,
+      "no committed state after two batches")
+
+    // restart: batches 3 (deletes) and 4 (delete-then-resurrect) fold
+    // onto state RELOADED from the committed version
+    val q2 = start()
+    try {
+      feed("b3", 2); q2.processAllAvailable()
+      feed("b4", 3); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val expected = graft.SparkEntry
+      .queries("q218_incremental_gold")(spark, sf).collect()
+    assert(lastMart.length === expected.length)
+    assert(lastMart.map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
+      "streamed maintenance diverged from the q218 gate")
+    assert(refreshes.count(_._2 > 0) >= 4, s"refreshes: $refreshes")
+
+    // idempotent replay of the last committed batch id: state untouched
+    val last = GoldMaintenanceStream.lastCommitted(stateDir).get
+    def stateSig(): Seq[(String, Long)] = {
+      def all(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(all)
+        else Seq(f)
+      all(new java.io.File(stateDir))
+        .map(f => (f.getAbsolutePath, f.lastModified)).sortBy(_._1)
+    }
+    val sig = stateSig()
+    val replayed = GoldMaintenanceStream.foldBatch(
+      cdcJson(batches(3)._1, batches(3)._2), last, polT, clT, stateDir)
+    assert(replayed.nonEmpty)
+    assert(stateSig() === sig, "replaying a committed batch rewrote state")
+    assert(replayed.get.collect().map(_.toSeq).toSet ===
+      expected.map(_.toSeq).toSet)
+
+    // a torn (uncommitted) version is invisible
+    val torn = java.nio.file.Paths.get(stateDir, (last + 100).toString)
+    java.nio.file.Files.createDirectories(torn)
+    assert(GoldMaintenanceStream.lastCommitted(stateDir).contains(last),
+      "uncommitted state version must stay invisible")
+  }
+}
