@@ -53,11 +53,18 @@ object IncrementalGold {
   private val D38 = DecimalType(38, 4)
 
   /** Op-coded CDC batch (op ∈ I/U/D, `before`/`after` full-row structs)
-    * → signed row deltas (`__sign` = ±1). */
+    * → signed row deltas (`__sign` = ±1). An op outside I/U/D fails the
+    * job LOUDLY (lazy per-row raise_error — free on valid feeds): a
+    * silently dropped unknown op would make the maintained mart drift
+    * from the full refresh with no error anywhere. */
   def signedDelta(batch: DataFrame): DataFrame = {
-    val minus = batch.filter(col("op").isin("U", "D"))
+    val checked = batch.withColumn("op",
+      when(col("op").isin("I", "U", "D"), col("op"))
+        .otherwise(raise_error(concat(
+          lit("IncrementalGold: unknown CDC op '"), col("op"), lit("'")))))
+    val minus = checked.filter(col("op").isin("U", "D"))
       .select(col("before.*")).withColumn("__sign", lit(-1L))
-    val plus = batch.filter(col("op").isin("I", "U"))
+    val plus = checked.filter(col("op").isin("I", "U"))
       .select(col("after.*")).withColumn("__sign", lit(1L))
     minus.unionByName(plus)
   }

@@ -94,6 +94,11 @@ object GoldMaintenanceStream {
     val last = lastCommitted(stateDir)
     if (last.exists(_ >= id))
       Some(IncrementalGold.mart(loadState(spark, stateDir, last.get)))
+    else if (df.isEmpty)
+      // a no-data micro-batch must not mint a new state version (the
+      // fold would copy every state table for nothing); the mart is
+      // whatever the last committed state says — or absent before any
+      last.map(l => IncrementalGold.mart(loadState(spark, stateDir, l)))
     else {
       val pol = IncrementalGold.narrowPolDelta(signedOf(df, "policy", polSchema))
       val cl = IncrementalGold.narrowClDelta(signedOf(df, "claim", clSchema))

@@ -940,7 +940,15 @@ object StructuredStreams {
     override def handleInputRows(userId: Long, rows: Iterator[AsOfIn],
         timerValues: TimerValues): Iterator[AsOfOut] = {
       val existing = pendL.get().toArray // read BEFORE appending
-      val incoming = rows.toArray
+      // late-row guard: a row strictly below the watermark must be
+      // DROPPED here even if the engine's own late filter let it
+      // through — the finalized-view collapse keeps only the DOMINATING
+      // view at or below the watermark, so matching a late left row
+      // against collapsed state could silently return a wrong (newer)
+      // view instead of honestly dropping the row
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val incoming = rows.filter(r =>
+        StructuredStreams.micros(r.ts) / 1000 >= wmMs).toArray
       val newL = incoming.collect { case r if r.side == 1 =>
         AsOfPend(StructuredStreams.micros(r.ts), r.id) }
       val newR = incoming.collect { case r if r.side == 0 =>

@@ -123,6 +123,18 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(orphaned > 0, "vacuous: no deleted-policy claims in the feed")
   }
 
+  test("an unknown CDC op fails loudly instead of silently dropping") {
+    val (p, _) = InsuranceGate.cdcBatches(spark, sf).head
+    val poisoned = p.withColumn("op",
+      when(col("op") === "I", "X").otherwise(col("op")))
+    val e = intercept[Exception] {
+      IncrementalGold.signedDelta(poisoned).count()
+    }
+    assert(e.getMessage.contains("unknown CDC op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown CDC op")),
+      s"expected a loud unknown-op error, got: ${e.getMessage}")
+  }
+
   test("deletes retire customers and months from the auxiliary state") {
     val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
       (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }

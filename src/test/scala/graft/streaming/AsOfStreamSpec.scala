@@ -143,6 +143,37 @@ class AsOfStreamSpec extends SparkSpec {
     }
   }
 
+  test("a left row below the watermark is dropped, never mismatched") {
+    withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val base = 1700000000000L
+      def t(min: Long) = new java.sql.Timestamp(base + min * 60000)
+      val input = MemoryStream[AsOfIn]
+      val q = StructuredStreams.asofJoinStream(input.toDS(), "1 hour")
+        .toDF().writeStream.format("memory").queryName("asof_late")
+        .outputMode("append").start()
+      try {
+        // two views, then a flush far ahead: the watermark passes both
+        // and the collapse keeps only the dominating view (id 200)
+        input.addData(Seq(AsOfIn(3L, t(0), 0, 100L), AsOfIn(3L, t(50), 0, 200L)))
+        q.processAllAvailable()
+        input.addData(Seq(AsOfIn(0L, t(100000), -1, 0L)))
+        q.processAllAvailable()
+        // a LATE purchase at t(10): its true match is view 100, which
+        // was collapsed away — the processor must DROP it rather than
+        // return view 200 (a view from its future)
+        input.addData(Seq(AsOfIn(3L, t(10), 1, 9L)))
+        q.processAllAvailable()
+        input.addData(Seq(AsOfIn(0L, t(200000), -1, 0L)))
+        q.processAllAvailable()
+        assert(spark.table("asof_late")
+          .filter(col("purchase_id") === 9L).count() === 0,
+          "late left row must be dropped, not matched against collapsed state")
+      } finally q.stop()
+    }
+  }
+
   test("purchase before any view emits a left-outer miss") {
     withRocks {
       implicit val sqlCtx = spark.sqlContext

@@ -102,5 +102,13 @@ class GoldStreamSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(torn)
     assert(GoldMaintenanceStream.lastCommitted(stateDir).contains(last),
       "uncommitted state version must stay invisible")
+
+    // an EMPTY batch with a new id must not mint a state version
+    val emptyBatch = cdcJson(batches(0)._1, batches(0)._2).limit(0)
+    val r = GoldMaintenanceStream.foldBatch(
+      emptyBatch, last + 1000, polT, clT, stateDir)
+    assert(r.nonEmpty, "empty batch should still surface the current mart")
+    assert(GoldMaintenanceStream.lastCommitted(stateDir).contains(last),
+      "empty batch minted a state version")
   }
 }
