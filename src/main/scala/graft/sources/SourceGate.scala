@@ -249,6 +249,74 @@ object SourceGate extends QueryModule {
         max("payload").as("max_payload"))
   }
 
+  /** Per-JVM warehouse for the q222 parquet-overwrite catalog. */
+  lazy val q222Warehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_cat_q222")
+    graft.util.TmpReaper.track(p.toString)
+    p.toString
+  }
+
+  // q222 — q195's overwrite algebra on the PARQUET payload (r15: the
+  // copy-on-write rewrite decodes and re-encodes parquet segments
+  // through the sink's own reader/writer). Identical mutation algebra →
+  // the SAME oracle shape; the read-back goes through spark.table(),
+  // i.e. the manifest-planned scan, so a survivor row the parquet
+  // rewrite corrupts OR a manifest entry it mis-stats breaks the hash.
+  register("q222_parquet_overwrite_roundtrip",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS key,
+      |    CAST(o_custkey % 64 AS BIGINT) AS bucket,
+      |    o_orderstatus || '|' || o_orderpriority AS payload
+      |  FROM orders),
+      |after_filter AS (
+      |  SELECT * FROM base WHERE NOT (bucket < 8)
+      |  UNION ALL
+      |  SELECT key + 10000000, bucket, upper(payload)
+      |  FROM base WHERE bucket < 8),
+      |after_dynamic AS (
+      |  SELECT * FROM after_filter WHERE bucket NOT IN (3, 12, 60)
+      |  UNION ALL
+      |  SELECT key + 20000000, bucket, lower(payload)
+      |  FROM base WHERE bucket IN (3, 12, 60))
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(key) AS BIGINT) AS sum_key,
+      |  MIN(key) AS min_key, MAX(key) AS max_key,
+      |  MIN(payload) AS min_payload, MAX(payload) AS max_payload
+      |FROM after_dynamic GROUP BY 1""".stripMargin) { (s, dir) =>
+    val cat = "graft_cat_q222"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", SourceGate.q222Warehouse)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
+    s.sql(s"DROP TABLE IF EXISTS $cat.g.orders_mart")
+    s.sql(s"CREATE TABLE $cat.g.orders_mart " +
+      "(key BIGINT, bucket BIGINT, payload STRING) PARTITIONED BY (bucket) " +
+      "TBLPROPERTIES ('format'='parquet')")
+    val t = s"$cat.g.orders_mart"
+    val base = graft.ops.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("key"),
+        (col("o_custkey") % 64).cast("long").as("bucket"),
+        concat(col("o_orderstatus"), lit("|"), col("o_orderpriority"))
+          .as("payload"))
+    base.writeTo(t).append()
+    base.filter(col("bucket") < 8)
+      .select((col("key") + 10000000L).as("key"), col("bucket"),
+        upper(col("payload")).as("payload"))
+      .writeTo(t).overwrite(col("bucket") < 8)
+    base.filter(col("bucket").isin(3L, 12L, 60L))
+      .select((col("key") + 20000000L).as("key"), col("bucket"),
+        lower(col("payload")).as("payload"))
+      .writeTo(t).overwritePartitions()
+    s.table(t)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("key").as("sum_key"),
+        min("key").as("min_key"),
+        max("key").as("max_key"),
+        min("payload").as("min_payload"),
+        max("payload").as("max_payload"))
+  }
+
   /** Per-JVM warehouse for the q196 catalog (same lifetime contract as
     * [[q195Warehouse]]). */
   lazy val q196Warehouse: String = {

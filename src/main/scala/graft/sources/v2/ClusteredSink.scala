@@ -237,17 +237,10 @@ final class ClusteredSinkWriteBuilder(
       filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
     // validate NOW (analysis time), not at commit: an unsupported
     // predicate must fail the query before any task runs
-    require(format == ClusteredSinkFormat.Json,
-      "graft-sink: overwrite-by-filter is implemented for the json " +
-        "payload only (the copy-on-write rewrite reads json rows); " +
-        "parquet tables support append/truncate")
     ClusteredSinkOverwrite.compile(filters, clusterBy)
     mode = SinkWriteMode.OverwriteFilters(filters); this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    require(format == ClusteredSinkFormat.Json,
-      "graft-sink: dynamic overwrite is implemented for the json " +
-        "payload only; parquet tables support append/truncate")
     mode = SinkWriteMode.DynamicOverwrite; this
   }
   override def build(): Write =
@@ -283,12 +276,9 @@ final class ClusteredSinkWrite(
     new ClusteredSinkBatchWrite(schema, path, idx(clusterBy), idx(sortBy),
       clusterBy, sortBy, mode, filePerKey, format)
 
-  override def toStreaming: StreamingWrite = {
-    require(format == ClusteredSinkFormat.Json,
-      "graft-sink: the streaming epoch writer is json-only; parquet " +
-        "tables support batch append/truncate")
-    new ClusteredSinkStreamingWrite(schema, path, idx(clusterBy), idx(sortBy))
-  }
+  override def toStreaming: StreamingWrite =
+    new ClusteredSinkStreamingWrite(schema, path, idx(clusterBy), idx(sortBy),
+      format)
 }
 
 /** Structured Streaming write path: same files, same manifest, same
@@ -299,13 +289,16 @@ final class ClusteredSinkWrite(
   * instead of duplicating — the exactly-once contract a streaming sink
   * must provide OVER an at-least-once execution engine. */
 final class ClusteredSinkStreamingWrite(
-    schema: StructType, path: String, clusterIdx: Int, sortIdx: Int)
+    schema: StructType, path: String, clusterIdx: Int, sortIdx: Int,
+    format: String = ClusteredSinkFormat.Json)
     extends StreamingWrite {
+
+  private val ext: String = ClusteredSinkFormat.extension(format)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path, "_tmp"))
     ClusteredSinkStreamingFactory(schema, Paths.get(path, "_tmp").toString,
-      clusterIdx, sortIdx)
+      clusterIdx, sortIdx, format)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -313,7 +306,7 @@ final class ClusteredSinkStreamingWrite(
     Files.createDirectories(dataDir)
     val manifest = new StringBuilder
     messages.collect { case m: ClusteredSinkCommit if m.rows > 0 =>
-      val name = f"part-$epochId%05d-${m.partitionId}%05d.json"
+      val name = f"part-$epochId%05d-${m.partitionId}%05d.$ext%s"
       Files.move(Paths.get(m.tmpPath), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       ClusteredSinkCommit.sweepSidecar(Paths.get(m.tmpPath))
@@ -334,12 +327,13 @@ final class ClusteredSinkStreamingWrite(
 /** Top-level (serializable) streaming factory — epoch id joins the temp
   * name so concurrent epoch attempts never collide. */
 final case class ClusteredSinkStreamingFactory(
-    schema: StructType, tmpDir: String, clusterIdx: Int, sortIdx: Int)
+    schema: StructType, tmpDir: String, clusterIdx: Int, sortIdx: Int,
+    format: String = ClusteredSinkFormat.Json)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ClusteredSinkDataWriter(schema, tmpDir, partitionId, s"$taskId-e$epochId",
-      clusterIdx, sortIdx)
+      clusterIdx, sortIdx, filePerKey = false, format = format)
 }
 
 final class ClusteredSinkBatchWrite(
@@ -506,11 +500,18 @@ final class ClusteredSinkBatchWrite(
         manifest.append(e.line)
       else {
         val oldFile = dataDir.resolve(e.file)
-        val (survivors, stats) = ClusteredSinkOverwrite.rewrite(
-          oldFile, tmpDir, schema, clusterBy, sortBy, region)
+        // copy-on-write dispatches on the committed file's own payload
+        // encoding — a table can legally mix (ALTER-era history)
+        val isParquet = e.file.endsWith(".parquet")
+        val (survivors, stats) =
+          if (isParquet) ClusteredSinkOverwrite.rewriteParquet(
+            oldFile, tmpDir, schema, clusterBy, sortBy, region)
+          else ClusteredSinkOverwrite.rewrite(
+            oldFile, tmpDir, schema, clusterBy, sortBy, region)
         toDelete += oldFile
         if (survivors > 0) {
-          val name = f"part-$jobId-rw-$rw%05d.json"
+          val name =
+            f"part-$jobId-rw-$rw%05d.${if (isParquet) "parquet" else "json"}%s"
           rw += 1
           Files.move(Paths.get(stats.tmpPath), dataDir.resolve(name),
             StandardCopyOption.ATOMIC_MOVE)
@@ -925,6 +926,54 @@ object ClusteredSinkOverwrite {
         ln = in.readLine()
       }
     } finally { in.close(); out.close() }
+    (rows, ClusteredSinkCommit(0, tmp.toString, rows, minC, maxC, minS, maxS))
+  }
+
+  /** Copy-on-write for PARQUET segments (r15 — closes the format
+    * matrix): decode the full rows through the sink's own reader, keep
+    * rows outside the region, re-encode survivors through the segment
+    * writer, recompute stats. Same staging discipline as the json
+    * rewrite: the temp lives under `_tmp/`, never `data/`. */
+  def rewriteParquet(oldFile: Path, tmpDir: Path, schema: StructType,
+      clusterBy: String, sortBy: String, region: Region)
+      : (Long, ClusteredSinkCommit) = {
+    val cIdx = schema.fieldIndex(clusterBy)
+    val sIdx = schema.fieldIndex(sortBy)
+    def longAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): Long =
+      schema.fields(i).dataType match {
+        case org.apache.spark.sql.types.LongType => row.getLong(i)
+        case _ => row.getInt(i).toLong
+      }
+    val tmp = tmpDir.resolve(oldFile.getFileName.toString + ".rw")
+    Files.deleteIfExists(tmp)
+    val seg = new ClusteredSinkFormat.ParquetSegment(tmp.toString, schema)
+    var rows = 0L
+    var minC = Long.MaxValue; var maxC = Long.MinValue
+    var minS = Long.MaxValue; var maxS = Long.MinValue
+    val in = new ClusteredSinkFormat.ParquetRows(oldFile.toString, schema)
+    try {
+      while (in.next()) {
+        val row = in.get()
+        val dropped =
+          if (row.isNullAt(cIdx)) region.matchesNull
+          else region.matches(longAt(row, cIdx))
+        if (!dropped) {
+          seg.write(row)
+          rows += 1
+          if (!row.isNullAt(cIdx)) {
+            val c = longAt(row, cIdx)
+            if (c < minC) minC = c
+            if (c > maxC) maxC = c
+          }
+          if (!row.isNullAt(sIdx)) {
+            val s = longAt(row, sIdx)
+            if (s < minS) minS = s
+            if (s > maxS) maxS = s
+          }
+        }
+      }
+    } finally { in.close(); seg.close() }
+    ClusteredSinkCommit.sweepSidecar(tmp)
     (rows, ClusteredSinkCommit(0, tmp.toString, rows, minC, maxC, minS, maxS))
   }
 }
