@@ -115,6 +115,16 @@ object IncrementalGold {
         sum(when(col("fraud_indicator") === 1, col("__sign"))
           .otherwise(0L)).as("fraud"))
 
+  /** Dropping a zero-count group is only sound on a multiset-consistent
+    * CDC feed (no delete of an absent row, no duplicated insert). By
+    * default every [[merge]] therefore appends a lazy per-row guard
+    * that fails the job LOUDLY if a multiplicity nets negative — the
+    * witness of an inconsistent feed that would otherwise silently
+    * drift from the full refresh. The guard is a codegen'd `when`,
+    * free on valid feeds; `-Dgraft.ivm.unchecked=true` disables it. */
+  private def checkedMerge: Boolean =
+    !java.lang.Boolean.getBoolean("graft.ivm.unchecked")
+
   /** Keyed signed merge: full-outer on null-safe keys (a NULL month —
     * null start_date rows — is a real group), numeric columns added
     * with 0-coalesce, groups whose row count reaches zero dropped.
@@ -123,13 +133,20 @@ object IncrementalGold {
       countCol: String): DataFrame = {
     val valueCols = state.columns.filterNot(keys.contains)
     val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
-    state.alias("a").join(delta.alias("b"), cond, "full_outer")
+    val merged = state.alias("a").join(delta.alias("b"), cond, "full_outer")
       .select(keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
         valueCols.map { c =>
           (coalesce(col(s"a.$c"), lit(0)) + coalesce(col(s"b.$c"), lit(0)))
             .cast(state.schema(c).dataType).as(c)
         }: _*)
       .filter(col(countCol) =!= 0)
+    if (!checkedMerge) merged
+    else merged.withColumn(countCol,
+      when(col(countCol) < 0, raise_error(concat(
+        lit(s"IncrementalGold: negative multiplicity in '$countCol' ("),
+        col(countCol).cast(StringType),
+        lit(") — multiset-inconsistent CDC feed"))))
+        .otherwise(col(countCol)))
   }
 
   /** Fold one pair of signed silver deltas into the state. With

@@ -91,7 +91,13 @@ object JpegPixelCodec {
           throw new IllegalStateException("entropy data exhausted")
         val v = b(pos) & 0xff
         pos += 1
-        if (v == 0xff) pos += 1 // stuffed 0x00
+        if (v == 0xff) {
+          // the stuffed 0x00 must actually exist: a 0xFF that ends the
+          // buffer is a truncated stream, not an entropy byte
+          if (pos >= b.length)
+            throw new IllegalStateException("entropy data exhausted")
+          pos += 1 // stuffed 0x00
+        }
         acc = v
         nbits = 8
       }
@@ -230,6 +236,10 @@ object JpegPixelCodec {
 
     while (pos + 4 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
+      // T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+      // fill bytes — skip them so a legally padded stream parses
+      while (pos + 4 <= b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 4 > b.length) return None
       val m = b(pos + 1) & 0xff
       if (m == 0xd9) return None // EOI before SOS
       val len = u16(b, pos + 2)

@@ -925,9 +925,13 @@ object StructuredStreams {
         "lastR", Encoders.product[AsOfPend], TTLConfig.NONE)
     }
 
-    /** Re-register the single emission timer at min(pending left) + 1 ms
-      * — emit needs the watermark STRICTLY past the row's millisecond
-      * (rows at exactly the watermark can still arrive). `pending` is
+    /** Re-register the single timer at min(pending) + 1 ms — emission
+      * (left) and finalized-view collapse (right) both need the
+      * watermark STRICTLY past the row's millisecond (rows at exactly
+      * the watermark can still arrive). Pending RIGHT rows participate
+      * too: a key that only ever receives view rows must still get a
+      * timer, or its pendR list grows with history instead of
+      * collapsing to the one dominating finalized row. `pending` is
       * passed in-memory so the rearm never depends on read-your-writes
       * visibility of same-invocation ListState appends. */
     private def rearm(pending: Iterator[AsOfPend]): Unit = {
@@ -940,6 +944,7 @@ object StructuredStreams {
     override def handleInputRows(userId: Long, rows: Iterator[AsOfIn],
         timerValues: TimerValues): Iterator[AsOfOut] = {
       val existing = pendL.get().toArray // read BEFORE appending
+      val existingR = pendR.get().toArray
       // late-row guard: a row strictly below the watermark must be
       // DROPPED here even if the engine's own late filter let it
       // through — the finalized-view collapse keeps only the DOMINATING
@@ -955,7 +960,8 @@ object StructuredStreams {
         AsOfPend(StructuredStreams.micros(r.ts), r.id) }
       newL.foreach(pendL.appendValue)
       newR.foreach(pendR.appendValue)
-      if (newL.nonEmpty) rearm((existing ++ newL).iterator)
+      if (newL.nonEmpty || newR.nonEmpty)
+        rearm((existing ++ newL ++ existingR ++ newR).iterator)
       Iterator.empty
     }
 
@@ -991,7 +997,9 @@ object StructuredStreams {
       rPend.foreach(pendR.appendValue)
       pendL.clear()
       stillL.foreach(pendL.appendValue)
-      rearm(stillL.iterator)
+      // in-flight rights keep a timer armed so a view-only key still
+      // collapses once the watermark passes them
+      rearm((stillL ++ rPend).iterator)
       out.iterator
     }
   }

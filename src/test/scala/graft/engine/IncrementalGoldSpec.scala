@@ -135,6 +135,25 @@ class IncrementalGoldSpec extends SparkSpec {
       s"expected a loud unknown-op error, got: ${e.getMessage}")
   }
 
+  test("a multiset-inconsistent feed (delete of an absent row) fails loudly") {
+    val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
+      (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }
+    var st = IncrementalGold.init(deltas(0)._1, deltas(0)._2)
+    st = IncrementalGold.applyDelta(st, deltas(1)._1, deltas(1)._2)
+    st = IncrementalGold.applyDelta(st, deltas(2)._1, deltas(2)._2)
+    // replay batch 3's policy DELETE a second time: those rows are
+    // already gone, so the (month, customer) multiplicity nets negative
+    // — the merge guard must fail the job, not let the mart drift
+    val e = intercept[Exception] {
+      IncrementalGold.applyDelta(st, deltas(2)._1, deltas(2)._2)
+        .polCusts.count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative multiplicity")),
+      s"expected the negative-multiplicity guard, got: ${e.getMessage}")
+  }
+
   test("deletes retire customers and months from the auxiliary state") {
     val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
       (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }

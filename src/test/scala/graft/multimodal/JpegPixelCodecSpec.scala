@@ -110,6 +110,49 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     assert(JpegPixelCodec.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("0xFF fill bytes before markers parse; a stream cut at a bare " +
+      "trailing 0xFF rejects") {
+    // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    // Pad the first post-SOI marker with two and expect identical pixels.
+    val ok = JpegFixtures.pixelJpegFor(5L)
+    val ref = JpegPixelCodec.decodeGray(ok)
+      .getOrElse(fail("baseline fixture undecodable"))
+    val padded = (ok.take(2) :+ 0xff.toByte :+ 0xff.toByte) ++ ok.drop(2)
+    val got = JpegPixelCodec.decodeGray(padded)
+      .getOrElse(fail("legally fill-padded stream rejected"))
+    assert(got.width === ref.width && got.height === ref.height)
+    assert(java.util.Arrays.equals(got.pixels, ref.pixels))
+
+    // a buffer whose FINAL byte is 0xFF mid-entropy (the truncated half
+    // of a stuffed FF00 pair) must reject, not decode the 0xFF as data.
+    // Hunt the random-DC fixture space for a stream with a stuffed pair
+    // inside its entropy segment and cut right after the 0xFF.
+    val rnd = new scala.util.Random(11)
+    val cutStream = Iterator.continually {
+      // ImageIO-encoded random noise: real AC coefficients make a
+      // stuffed FF00 pair near-certain (DC-only fixtures never emit one)
+      val w = 8 + rnd.nextInt(32)
+      val h = 8 + rnd.nextInt(32)
+      val src = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        src.getRaster.setSample(x, y, 0, rnd.nextInt(256))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "jpg", bos)
+      bos.toByteArray
+    }.take(200).flatMap { b =>
+      val sos = b.indices.dropRight(1).find(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda).get
+      val entStart = sos + 2 + (((b(sos + 2) & 0xff) << 8) | (b(sos + 3) & 0xff))
+      (entStart until b.length - 2).find(j =>
+        (b(j) & 0xff) == 0xff && b(j + 1) == 0).map(j => b.take(j + 1))
+    }.take(1).toSeq
+    assert(cutStream.nonEmpty,
+      "no fixture with a stuffed FF00 pair found in 200 trials")
+    assert(JpegPixelCodec.decodeGray(cutStream.head).isEmpty,
+      "stream ending in a bare 0xFF must reject, not decode it as entropy")
+  }
+
   test("4:2:0 color DC-only fixtures decode to exact closed-form flat blocks") {
     (0L until 64L).foreach { d =>
       val img = JpegPixelCodec.decodeRgb(JpegFixtures.colorJpegFor(d))
