@@ -318,6 +318,165 @@ object IncrementalGold {
     delta.select("policy_id", "claim_date", "settled_amount",
       "fraud_indicator", "missing_policy_flag", "__sign")
 
+  // ===================== customer-360 IVM (q223): dimension attributes
+  // + two aggregate sides + a claims JOIN through the policy dimension.
+  // New mechanics beyond q218/q221:
+  //   - custDim: the mart's driving side is a DIMENSION whose attributes
+  //     (age, state) and filter (invalid_email_flag) both mutate under
+  //     CDC. Multiplicity is keyed on the FULL attribute tuple: an
+  //     attribute update nets −old-tuple +new-tuple, a filter flip nets
+  //     a bare −old (the after-image falls out of the partials' filter).
+  //   - polDates: MIN(start_date) is not a group homomorphism under
+  //     deletes (deleting the minimum row needs the runner-up), so it
+  //     carries the standard auxiliary multiplicity table
+  //     (customer, start_date) → live row count; the mart takes MIN over
+  //     positive rows. Same remedy COUNT(DISTINCT) uses in q218.
+  //   - pc/cpc/cm: the q221 bilinear rule with the dimension keyed
+  //     policy_id → customer_id (claims attribute to their policy's
+  //     CUSTOMER here, not its type). pc is maintained from UNfiltered
+  //     policy deltas — q46's claims join reads all policies — so a
+  //     premium-only update nets zero and causes no re-attribution.
+
+  final case class Customer360State(custDim: DataFrame, polMetrics: DataFrame,
+      polDates: DataFrame, pc: DataFrame, cpc: DataFrame, cm: DataFrame)
+
+  /** Signed multiplicity of the customer-base attribute tuples. */
+  def c360CustDimPartials(delta: DataFrame): DataFrame =
+    delta.filter(col("invalid_email_flag") === 0)
+      .groupBy(col("customer_id"), col("age"), col("state"))
+      .agg(sum(col("__sign")).as("n"))
+
+  /** Per-customer signed policy partials (q46 policy_metrics, signed). */
+  def c360PolMetricPartials(delta: DataFrame): DataFrame =
+    delta.filter(col("missing_customer_id_flag") === 0 &&
+        col("invalid_premium_amount_flag") === 0)
+      .groupBy(col("customer_id"))
+      .agg(sum(col("__sign")).as("n_pol"),
+        sum(col("__sign") * col("premium_amount").cast(D4))
+          .cast(D38).as("prem"),
+        sum(when(col("status") === "ACTIVE", col("__sign")).otherwise(0L))
+          .as("n_active"),
+        sum(when(col("status") === "CANCELLED", col("__sign")).otherwise(0L))
+          .as("n_cancelled"))
+
+  /** (customer, start_date) multiplicity — the auxiliary state that
+    * makes MIN(start_date) maintainable under deletes. */
+  def c360PolDatePartials(delta: DataFrame): DataFrame =
+    delta.filter(col("missing_customer_id_flag") === 0 &&
+        col("invalid_premium_amount_flag") === 0)
+      .groupBy(col("customer_id"), col("start_date"))
+      .agg(sum(col("__sign")).as("n"))
+
+  /** Join dimension policy_id → customer_id, signed, UNfiltered. */
+  def c360PcPartials(delta: DataFrame): DataFrame =
+    delta.groupBy(col("policy_id"), col("customer_id"))
+      .agg(sum(col("__sign")).as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Per-policy signed claim partials (auxiliary join state). */
+  def c360CpcPartials(delta: DataFrame): DataFrame =
+    delta.filter(col("missing_policy_flag") === 0)
+      .groupBy(col("policy_id"))
+      .agg(sum(col("__sign")).as("n_claims"),
+        sum(col("__sign") * col("claim_amount").cast(D4))
+          .cast(D38).as("claimed"),
+        sum(col("__sign") * col("settled_amount").cast(D4))
+          .cast(D38).as("settled"),
+        sum(when(col("fraud_indicator") === 1, col("__sign"))
+          .otherwise(0L)).as("fraud"))
+
+  private def attributedCust(dim: DataFrame, facts: DataFrame): DataFrame =
+    dim.alias("dp").join(facts.alias("cp"),
+        col("dp.policy_id") === col("cp.policy_id"))
+      .select(col("dp.customer_id"),
+        (col("dp.n") * col("cp.n_claims")).as("n_claims"),
+        (col("dp.n") * col("cp.claimed")).cast(D38).as("claimed"),
+        (col("dp.n") * col("cp.settled")).cast(D38).as("settled"),
+        (col("dp.n") * col("cp.fraud")).as("fraud"))
+
+  private def cmDelta(reattr: DataFrame, attr: DataFrame): DataFrame =
+    reattr.unionByName(attr)
+      .groupBy(col("customer_id"))
+      .agg(sum(col("n_claims")).as("n_claims"),
+        sum(col("claimed")).cast(D38).as("claimed"),
+        sum(col("settled")).cast(D38).as("settled"),
+        sum(col("fraud")).as("fraud"))
+
+  /** Fold one CDC batch triple (customers, policies, claims) into the
+    * customer-360 state. Join side: ΔPC⊗CPC_old + PC_new⊗ΔCPC, exactly
+    * [[applyPolicyPerfDelta]]'s rule with the customer-keyed dimension. */
+  def applyCustomer360Delta(st: Customer360State, custDelta: DataFrame,
+      polDelta: DataFrame, clDelta: DataFrame,
+      materialize: Boolean = true): Customer360State = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val dPc = c360PcPartials(polDelta)
+    val reattr = attributedCust(dPc, st.cpc)
+    val pcNew = mat(merge(st.pc, dPc, Seq("policy_id", "customer_id"), "n"))
+    val dCpc = c360CpcPartials(clDelta)
+    val cpcNew = mat(merge(st.cpc, dCpc, Seq("policy_id"), "n_claims"))
+    val attr = attributedCust(pcNew, dCpc)
+    val cmNew = mat(merge(st.cm, cmDelta(reattr, attr),
+      Seq("customer_id"), "n_claims"))
+    Customer360State(
+      mat(merge(st.custDim, c360CustDimPartials(custDelta),
+        Seq("customer_id", "age", "state"), "n")),
+      mat(merge(st.polMetrics, c360PolMetricPartials(polDelta),
+        Seq("customer_id"), "n_pol")),
+      mat(merge(st.polDates, c360PolDatePartials(polDelta),
+        Seq("customer_id", "start_date"), "n")),
+      pcNew, cpcNew, cmNew)
+  }
+
+  /** Bootstrap from the first batch triple. */
+  def initCustomer360(custDelta: DataFrame, polDelta: DataFrame,
+      clDelta: DataFrame, materialize: Boolean = true): Customer360State = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val pc = mat(c360PcPartials(polDelta))
+    val cpc = mat(c360CpcPartials(clDelta))
+    val cm = mat(cmDelta(attributedCust(pc, cpc).limit(0),
+      attributedCust(pc, cpc)))
+    Customer360State(mat(c360CustDimPartials(custDelta)),
+      mat(c360PolMetricPartials(polDelta)),
+      mat(c360PolDatePartials(polDelta)), pc, cpc, cm)
+  }
+
+  /** The customer-360 mart from maintained state: reassemble q46's
+    * three part frames (decimal sums cast to double exactly where the
+    * full refresh casts them; MIN over the live date multiplicity) and
+    * run the SAME derived tail the full refresh runs. */
+  def customer360Mart(st: Customer360State): DataFrame = {
+    val cd = st.custDim.select(col("customer_id"), col("age"), col("state"))
+    val fp = st.polDates.groupBy(col("customer_id"))
+      .agg(min(col("start_date")).as("first_policy_date"))
+    val pm = st.polMetrics.alias("m")
+      .join(fp.alias("f"), col("m.customer_id") <=> col("f.customer_id"), "left")
+      .select(col("m.customer_id").as("customer_id"),
+        col("m.n_pol").as("total_policies"),
+        col("m.prem").cast(DoubleType).as("total_annual_premium"),
+        col("m.n_active").as("active_policies"),
+        col("m.n_cancelled").as("cancelled_policies"),
+        col("f.first_policy_date").as("first_policy_date"))
+    val cm = st.cm.select(col("customer_id"),
+      col("n_claims").as("total_claims"),
+      col("claimed").cast(DoubleType).as("total_claimed"),
+      col("settled").cast(DoubleType).as("total_settled"),
+      col("fraud").as("potential_fraud_claims"))
+    InsuranceGate.customer360FromParts(cd, pm, cm)
+  }
+
+  /** IVM column pruning for the customer-360 maintainer. */
+  def narrowC360Cust(delta: DataFrame): DataFrame =
+    delta.select("customer_id", "age", "state", "invalid_email_flag", "__sign")
+  def narrowC360Pol(delta: DataFrame): DataFrame =
+    delta.select("policy_id", "customer_id", "start_date", "premium_amount",
+      "status", "missing_customer_id_flag", "invalid_premium_amount_flag",
+      "__sign")
+  def narrowC360Cl(delta: DataFrame): DataFrame =
+    delta.select("policy_id", "claim_amount", "settled_amount",
+      "fraud_indicator", "missing_policy_flag", "__sign")
+
   /** The executive-summary mart from maintained state: reassemble the
     * q45 monthly frames (distinct customers = positive-multiplicity
     * rows; decimal sums cast to double exactly where the full refresh

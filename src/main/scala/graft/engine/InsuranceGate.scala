@@ -963,10 +963,14 @@ object InsuranceGate extends QueryModule {
     def upd(rows: DataFrame, b: Column, a: Column): DataFrame =
       rows.select(lit("U").as("op"), b.as("before"), a.as("after"))
 
+    // try_cast: Catalyst may push a slice predicate on this key BELOW
+    // the silver missing-id filter (it only references the dedup
+    // partition key, so window pushdown is legal), where an ANSI cast
+    // would throw on the raw '' ids the filter was about to drop
     val pb = pol.withColumn("__pk",
-      col("policy_id").substr(lit(2), length(col("policy_id"))).cast(LongType))
+      expr("try_cast(substring(policy_id, 2) AS BIGINT)"))
     val cb = cl.withColumn("__ck",
-      col("claim_id").substr(lit(3), length(col("claim_id"))).cast(LongType))
+      expr("try_cast(substring(claim_id, 3) AS BIGINT)"))
     val basePrem = col("premium_amount")
     // row state entering batch 3 (batch-2 updates applied)
     val prem2 = when(col("__pk") % 5 === 0, basePrem + 100).otherwise(basePrem)
@@ -1108,6 +1112,259 @@ object InsuranceGate extends QueryModule {
         materialize = false)) {
       case (st, (p, c)) =>
         IncrementalGold.applyDelta(st, p, c, materialize = false)
+    }
+  }
+
+  // ================== customer-360 IVM gate (q223, r15 verdict task 1)
+  // Third maintained mart: the customer dimension itself churns (age/
+  // state attribute updates, email-validity filter flips, delete-then-
+  // resurrect) while policies and claims replay the SAME four q218
+  // batches. Oracle = q46's mart (maintained column subset) over
+  // final_customers/final_policies/final_claims CTEs replaying the net
+  // mutation algebra. MIN(start_date) is maintained through the
+  // (customer, start_date) multiplicity table — the delete-safe remedy
+  // — so the mart keeps a non-homomorphic aggregate without rescans.
+  register("q223_incremental_customer_360",
+    s"""WITH $oRawCustomers,
+       |$oCustomersSilver,
+       |$oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |cu_keyed AS (
+       |  SELECT customer_id, age, state, invalid_email_flag,
+       |    CAST(customer_id[2:] AS BIGINT) AS uk
+       |  FROM customers_silver),
+       |final_customers AS (
+       |  SELECT customer_id,
+       |    CASE WHEN uk % 14 = 2 THEN 30
+       |         WHEN uk % 5 = 1 THEN age + 10
+       |         ELSE age END AS age,
+       |    CASE WHEN uk % 14 = 2 THEN 'ZZ'
+       |         WHEN uk % 9 = 5 AND uk % 7 <> 2 THEN 'XX'
+       |         ELSE state END AS state,
+       |    CASE WHEN uk % 14 = 2 THEN 0
+       |         WHEN uk % 6 = 3 AND uk % 7 <> 2 THEN 1
+       |         ELSE invalid_email_flag END AS invalid_email_flag
+       |  FROM cu_keyed
+       |  WHERE uk % 7 <> 2 OR uk % 14 = 2),
+       |pol_keyed AS (
+       |  SELECT policy_id, customer_id, start_date, premium_amount, status,
+       |    missing_customer_id_flag, CAST(policy_id[2:] AS BIGINT) AS pk
+       |  FROM policies_silver),
+       |final_policies AS (
+       |  SELECT policy_id, customer_id, start_date, status,
+       |    missing_customer_id_flag, new_premium AS premium_amount,
+       |    CASE WHEN new_premium IS NULL OR new_premium < 0 THEN 1 ELSE 0 END
+       |      AS invalid_premium_amount_flag
+       |  FROM (SELECT *,
+       |      CASE WHEN pk % 14 = 0 THEN CAST(555.0 AS DECIMAL(18,2))
+       |           WHEN pk % 5 = 0 THEN CAST(premium_amount + 100 AS DECIMAL(18,2))
+       |           ELSE premium_amount END AS new_premium
+       |    FROM pol_keyed)
+       |  WHERE pk % 7 <> 0 OR pk % 14 = 0),
+       |cl_keyed AS (
+       |  SELECT claim_id, policy_id, claim_amount, settled_amount,
+       |    fraud_indicator, missing_policy_flag,
+       |    CAST(claim_id[3:] AS BIGINT) AS ck
+       |  FROM claims_silver),
+       |final_claims AS (
+       |  SELECT claim_id, policy_id, claim_amount,
+       |    CASE WHEN ck % 6 = 0 THEN settled_amount + 50
+       |         ELSE settled_amount END AS settled_amount,
+       |    fraud_indicator, missing_policy_flag
+       |  FROM cl_keyed WHERE ck % 9 <> 0),
+       |customer_base AS (
+       |  SELECT customer_id, age, state FROM final_customers
+       |  WHERE invalid_email_flag = 0),
+       |policy_metrics AS (
+       |  SELECT customer_id,
+       |    COUNT(DISTINCT policy_id) AS total_policies,
+       |    CAST(SUM(CAST(premium_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_annual_premium,
+       |    min(start_date) AS first_policy_date,
+       |    COUNT(CASE WHEN status = 'ACTIVE' THEN 1 END) AS active_policies,
+       |    COUNT(CASE WHEN status = 'CANCELLED' THEN 1 END) AS cancelled_policies
+       |  FROM final_policies
+       |  WHERE missing_customer_id_flag = 0 AND invalid_premium_amount_flag = 0
+       |  GROUP BY customer_id),
+       |claims_metrics AS (
+       |  SELECT p.customer_id,
+       |    COUNT(DISTINCT cl.claim_id) AS total_claims,
+       |    CAST(SUM(CAST(cl.claim_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_claimed,
+       |    CAST(SUM(CAST(cl.settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_settled,
+       |    COUNT(CASE WHEN cl.fraud_indicator = 1 THEN 1 END) AS potential_fraud_claims
+       |  FROM final_claims cl JOIN final_policies p ON cl.policy_id = p.policy_id
+       |  WHERE cl.missing_policy_flag = 0
+       |  GROUP BY p.customer_id)
+       |SELECT cb.customer_id, cb.age,
+       |  CASE WHEN cb.age < 25 THEN 'Gen Z' WHEN cb.age < 35 THEN 'Millennial'
+       |       WHEN cb.age < 55 THEN 'Gen X' ELSE 'Boomer+' END AS generation_segment,
+       |  cb.state,
+       |  COALESCE(pm.total_policies, 0) AS total_policies,
+       |  COALESCE(pm.total_annual_premium, 0) AS total_annual_premium,
+       |  COALESCE(pm.active_policies, 0) AS active_policies,
+       |  COALESCE(pm.cancelled_policies, 0) AS cancelled_policies,
+       |  pm.first_policy_date,
+       |  COALESCE(cm.total_claims, 0) AS total_claims,
+       |  COALESCE(cm.total_claimed, 0) AS total_claimed,
+       |  COALESCE(cm.total_settled, 0) AS total_settled,
+       |  COALESCE(cm.potential_fraud_claims, 0) AS potential_fraud_claims,
+       |  COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) AS customer_lifetime_profit,
+       |  CASE WHEN COALESCE(pm.total_annual_premium, 0) = 0 THEN 0
+       |       ELSE COALESCE(cm.total_settled, 0) / pm.total_annual_premium END AS loss_ratio,
+       |  CASE WHEN COALESCE(pm.total_policies, 0) = 0 THEN 0
+       |       ELSE CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / pm.total_policies END AS claims_frequency,
+       |  CASE WHEN COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) > 10000 THEN 'High Value'
+       |       WHEN COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) > 5000 THEN 'Medium Value'
+       |       WHEN COALESCE(pm.total_annual_premium, 0) - COALESCE(cm.total_settled, 0) > 0 THEN 'Low Value'
+       |       ELSE 'Loss Making' END AS customer_value_segment,
+       |  CASE WHEN COALESCE(cm.total_claims, 0) = 0 THEN 'No Claims'
+       |       WHEN CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / COALESCE(pm.total_policies, 1) < 0.1 THEN 'Low Risk'
+       |       WHEN CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / COALESCE(pm.total_policies, 1) < 0.3 THEN 'Medium Risk'
+       |       ELSE 'High Risk' END AS risk_tier,
+       |  CASE WHEN COALESCE(cm.potential_fraud_claims, 0) > 0 THEN 1 ELSE 0 END AS fraud_flag
+       |FROM customer_base cb
+       |LEFT JOIN policy_metrics pm ON cb.customer_id = pm.customer_id
+       |LEFT JOIN claims_metrics cm ON cb.customer_id = cm.customer_id""".stripMargin) {
+    (s, d) => IncrementalGold.customer360Mart(cdcCustomer360State(s, d))
+  }
+
+  /** q46's derived tail over the maintained column subset — shared
+    * verbatim with [[IncrementalGold.customer360Mart]] so the
+    * delta-maintained mart and the full refresh differ only in where
+    * the part frames come from. `cd` = (customer_id, age, state);
+    * `pm` = (customer_id, total_policies, total_annual_premium[double],
+    * active_policies, cancelled_policies, first_policy_date);
+    * `cm` = (customer_id, total_claims, total_claimed[double],
+    * total_settled[double], potential_fraud_claims). */
+  private[engine] def customer360FromParts(cd: DataFrame, pm: DataFrame,
+      cm: DataFrame): DataFrame = {
+    def z(c: Column): Column = coalesce(c, lit(0))
+    val profit = z(col("total_annual_premium")) - z(col("total_settled"))
+    cd.join(pm, Seq("customer_id"), "left")
+      .join(cm, Seq("customer_id"), "left")
+      .select(col("customer_id"), col("age"),
+        when(col("age") < 25, "Gen Z").when(col("age") < 35, "Millennial")
+          .when(col("age") < 55, "Gen X").otherwise("Boomer+")
+          .as("generation_segment"),
+        col("state"),
+        z(col("total_policies")).as("total_policies"),
+        z(col("total_annual_premium")).as("total_annual_premium"),
+        z(col("active_policies")).as("active_policies"),
+        z(col("cancelled_policies")).as("cancelled_policies"),
+        col("first_policy_date"),
+        z(col("total_claims")).as("total_claims"),
+        z(col("total_claimed")).as("total_claimed"),
+        z(col("total_settled")).as("total_settled"),
+        z(col("potential_fraud_claims")).as("potential_fraud_claims"),
+        profit.as("customer_lifetime_profit"),
+        when(z(col("total_annual_premium")) === 0, 0)
+          .otherwise(z(col("total_settled")) / col("total_annual_premium"))
+          .as("loss_ratio"),
+        when(z(col("total_policies")) === 0, 0)
+          .otherwise(z(col("total_claims")).cast(DoubleType)
+            / col("total_policies")).as("claims_frequency"),
+        when(profit > 10000, "High Value").when(profit > 5000, "Medium Value")
+          .when(profit > 0, "Low Value").otherwise("Loss Making")
+          .as("customer_value_segment"),
+        when(z(col("total_claims")) === 0, "No Claims")
+          .when(z(col("total_claims")).cast(DoubleType)
+            / coalesce(col("total_policies"), lit(1)) < 0.1, "Low Risk")
+          .when(z(col("total_claims")).cast(DoubleType)
+            / coalesce(col("total_policies"), lit(1)) < 0.3, "Medium Risk")
+          .otherwise("High Risk").as("risk_tier"),
+        when(z(col("potential_fraud_claims")) > 0, 1).otherwise(0)
+          .as("fraud_flag"))
+  }
+
+  /** Customer CDC batches aligned with [[cdcBatches]]'s four-step
+    * lifecycle, exercising the dimension-churn cases the customer-360
+    * maintainer must get right:
+    *
+    *   b1  initial load minus the held-out uk%10==6 slice
+    *   b2  late INSERT of the slice + UPDATE age+10 on uk%5==1
+    *       (attribute move → generation-segment transitions; note
+    *       uk%10==6 ⊂ uk%5==1, so held-out rows are inserted AND
+    *       updated within one batch)
+    *   b3  DELETE uk%7==2 + UPDATE email→invalid on uk%6==3 (filter
+    *       flip: the customer leaves the mart, policies unchanged)
+    *   b4  re-INSERT uk%14==2 with age 30 / state ZZ / valid email
+    *       (delete-then-resurrect) + UPDATE state→XX on uk%9==5
+    *       (slices exclude rows deleted in b3)
+    */
+  private[graft] def cdcCustomerBatches(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val cu = customersSilver(s, d)
+    val cols = cu.columns.toSeq
+    val nullC = lit(null).cast(cu.schema)
+    def img(age: Column, state: Column, email: Column): Column =
+      struct(cols.map {
+        case "age" => age.as("age")
+        case "state" => state.as("state")
+        case "email" => email.as("email")
+        case "invalid_email_flag" =>
+          when(email.isNull || !email.rlike(emailRe), 1).otherwise(0)
+            .as("invalid_email_flag")
+        case c => col(c)
+      }: _*)
+    def ins(rows: DataFrame, i: Column): DataFrame =
+      rows.select(lit("I").as("op"), nullC.as("before"), i.as("after"))
+    def del(rows: DataFrame, i: Column): DataFrame =
+      rows.select(lit("D").as("op"), i.as("before"), nullC.as("after"))
+    def upd(rows: DataFrame, b: Column, a: Column): DataFrame =
+      rows.select(lit("U").as("op"), b.as("before"), a.as("after"))
+
+    // try_cast for the same pushdown reason as cdcBatches' __pk/__ck
+    val cb = cu.withColumn("__uk",
+      expr("try_cast(substring(customer_id, 2) AS BIGINT)"))
+    val baseAge = col("age")
+    val baseState = col("state")
+    val baseEmail = col("email")
+    // row state entering batch 3 (batch-2 age bump applied)
+    val age2 = when(col("__uk") % 5 === 1, baseAge + 10).otherwise(baseAge)
+    // row state entering batch 4 (batch-3 email poison applied)
+    val email3 = when(col("__uk") % 6 === 3 && col("__uk") % 7 =!= 2,
+      lit("not-an-email")).otherwise(baseEmail)
+
+    Seq(
+      ins(cb.filter(col("__uk") % 10 =!= 6),
+        img(baseAge, baseState, baseEmail)),
+      ins(cb.filter(col("__uk") % 10 === 6),
+        img(baseAge, baseState, baseEmail))
+        .unionByName(upd(cb.filter(col("__uk") % 5 === 1),
+          img(baseAge, baseState, baseEmail),
+          img(baseAge + 10, baseState, baseEmail))),
+      del(cb.filter(col("__uk") % 7 === 2),
+        img(age2, baseState, baseEmail))
+        .unionByName(upd(
+          cb.filter(col("__uk") % 6 === 3 && col("__uk") % 7 =!= 2),
+          img(age2, baseState, baseEmail),
+          img(age2, baseState, lit("not-an-email")))),
+      ins(cb.filter(col("__uk") % 14 === 2),
+        img(lit(30), lit("ZZ"), lit("resurrected@example.com")))
+        .unionByName(upd(
+          cb.filter(col("__uk") % 9 === 5 && col("__uk") % 7 =!= 2),
+          img(age2, baseState, email3),
+          img(age2, lit("XX"), email3))))
+  }
+
+  /** Fold the four aligned CDC batch triples (customers from
+    * [[cdcCustomerBatches]], policies/claims from [[cdcBatches]]) into
+    * the customer-360 state (lazy fold per the q218 rationale). */
+  private[engine] def cdcCustomer360State(s: SparkSession, d: String)
+      : IncrementalGold.Customer360State = {
+    val pc = cdcBatches(s, d)
+    val cu = cdcCustomerBatches(s, d)
+    val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
+      (IncrementalGold.narrowC360Cust(IncrementalGold.signedDelta(c)),
+        IncrementalGold.narrowC360Pol(IncrementalGold.signedDelta(p)),
+        IncrementalGold.narrowC360Cl(IncrementalGold.signedDelta(cl))) }
+    deltas.tail.foldLeft(
+      IncrementalGold.initCustomer360(deltas.head._1, deltas.head._2,
+        deltas.head._3, materialize = false)) {
+      case (st, (c, p, cl)) =>
+        IncrementalGold.applyCustomer360Delta(st, c, p, cl,
+          materialize = false)
     }
   }
 

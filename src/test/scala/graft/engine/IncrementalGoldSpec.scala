@@ -135,6 +135,72 @@ class IncrementalGoldSpec extends SparkSpec {
       s"expected a loud unknown-op error, got: ${e.getMessage}")
   }
 
+  /** q46's full-refresh part construction over explicit tables. */
+  private def fullRefresh360(cu: DataFrame, pol: DataFrame,
+      cl: DataFrame): DataFrame = {
+    val cd = cu.filter(col("invalid_email_flag") === 0)
+      .select("customer_id", "age", "state")
+    val pm = pol.filter(col("missing_customer_id_flag") === 0 &&
+        col("invalid_premium_amount_flag") === 0)
+      .groupBy("customer_id")
+      .agg(count(col("policy_id")).as("total_policies"),
+        dsum(col("premium_amount")).as("total_annual_premium"),
+        count(when(col("status") === "ACTIVE", 1)).as("active_policies"),
+        count(when(col("status") === "CANCELLED", 1)).as("cancelled_policies"),
+        min(col("start_date")).as("first_policy_date"))
+      .select("customer_id", "total_policies", "total_annual_premium",
+        "active_policies", "cancelled_policies", "first_policy_date")
+    val cm = cl.alias("cl").filter(col("missing_policy_flag") === 0)
+      .join(pol.select(col("policy_id"), col("customer_id")).alias("p"),
+        Seq("policy_id"))
+      .groupBy(col("p.customer_id").as("customer_id"))
+      .agg(count(lit(1)).as("total_claims"),
+        dsum(col("cl.claim_amount")).as("total_claimed"),
+        dsum(col("cl.settled_amount")).as("total_settled"),
+        count(when(col("cl.fraud_indicator") === 1, 1))
+          .as("potential_fraud_claims"))
+    InsuranceGate.customer360FromParts(cd, pm, cm)
+  }
+
+  test("customer-360 IVM: mart == full refresh after every prefix") {
+    val pc = InsuranceGate.cdcBatches(spark, sf)
+    val cu = InsuranceGate.cdcCustomerBatches(spark, sf)
+    val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
+      (IncrementalGold.signedDelta(c).localCheckpoint(true),
+        IncrementalGold.signedDelta(p).localCheckpoint(true),
+        IncrementalGold.signedDelta(cl).localCheckpoint(true)) }
+    var st = IncrementalGold.initCustomer360(
+      deltas.head._1, deltas.head._2, deltas.head._3)
+    assertSame(IncrementalGold.customer360Mart(st),
+      fullRefresh360(replay(Seq(deltas.head._1)),
+        replay(Seq(deltas.head._2)), replay(Seq(deltas.head._3))),
+      "c360 prefix 1 (initial load)")
+    deltas.tail.zipWithIndex.foreach { case ((c, p, cl), i) =>
+      st = IncrementalGold.applyCustomer360Delta(st, c, p, cl)
+      val upTo = deltas.take(i + 2)
+      assertSame(IncrementalGold.customer360Mart(st),
+        fullRefresh360(replay(upTo.map(_._1)), replay(upTo.map(_._2)),
+          replay(upTo.map(_._3))),
+        s"c360 prefix ${i + 2}")
+    }
+    // non-vacuity of the hard cases this mart adds:
+    // (a) the dimension churned: customers whose live attribute tuple
+    // differs from their batch-1 insert (age bump or state move)
+    val moved = st.custDim.filter(col("state").isin("XX", "ZZ")).count()
+    assert(moved > 0, "vacuous: no attribute-moved customers survive")
+    // (b) min-under-deletes: some customer must have LOST their minimal
+    // start_date row along the way (deleted policy was the min), which
+    // only the polDates multiplicity table can recover
+    val perCust = st.polDates.groupBy("customer_id")
+      .agg(min(col("start_date")).as("live_min"))
+    val b1Min = IncrementalGold.c360PolDatePartials(deltas.head._2)
+      .groupBy("customer_id").agg(min(col("start_date")).as("b1_min"))
+    val minLost = perCust.alias("a").join(b1Min.alias("b"),
+        col("a.customer_id") === col("b.customer_id"))
+      .filter(col("a.live_min") > col("b.b1_min")).count()
+    assert(minLost > 0, "vacuous: no customer lost their minimal policy date")
+  }
+
   test("a multiset-inconsistent feed (delete of an absent row) fails loudly") {
     val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
       (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }
