@@ -477,6 +477,230 @@ object IncrementalGold {
     delta.select("policy_id", "claim_amount", "settled_amount",
       "fraud_indicator", "missing_policy_flag", "__sign")
 
+  // ===================== claims-operations IVM (q224): the TRILINEAR
+  // case. q47 is claims ⋈ policies ⋈ customers grouped on an 8-key
+  // grain drawn from all three tables — the first mart where the join
+  // delta rule has three factors:
+  //
+  //   Δ(CL⊗P⊗C) = ΔCL⊗P₀⊗C₀ + CL₁⊗ΔP⊗C₀ + CL₁⊗P₁⊗ΔC
+  //
+  // (subscript 0 = pre-batch state, 1 = post-batch; the identity
+  // telescopes exactly — each factor's update is applied once, against
+  // the states the formula names). State:
+  //   cl  — claim partials at (policy_id × claim-attr) grain: the
+  //         auxiliary view that makes dimension churn a probe;
+  //   p   — policy_id → (customer_id, policy_type) multiplicity;
+  //   c   — customer_id → (state, age) multiplicity;
+  //   att — the attributed 8-key view partials;
+  //   adj — the per-adjuster rollup (aggregate-only IVM; avgs carried
+  //         as sum+count pairs so null-skipping AVG semantics survive).
+  // Every term is Δ-sized: the Δ factor is joined FIRST against the
+  // other dimension, then the result probes the fact-partial state —
+  // never a P⊗C materialization, never a fact rescan.
+
+  final case class ClaimsOpsState(cl: DataFrame, p: DataFrame, c: DataFrame,
+      att: DataFrame, adj: DataFrame)
+
+  private val CoClKeys = Seq("policy_id", "claim_type", "severity",
+    "status", "adjuster_id", "claim_month")
+  private val CoAttKeys = Seq("claim_type", "severity", "status",
+    "adjuster_id", "claim_month", "policy_type", "customer_state",
+    "customer_age")
+  private val CoMeasures = Seq("n", "amt", "settled", "fraud",
+    "sr_sum", "sr_n", "delay_sum", "delay_n")
+
+  /** Signed claim partials at (policy, claim-attrs, month) grain. */
+  def coClPartials(delta: DataFrame): DataFrame =
+    delta.filter(col("missing_policy_flag") === 0)
+      .groupBy(col("policy_id"), col("claim_type"), col("severity"),
+        col("status"), col("adjuster_id"),
+        month(col("claim_date")).as("claim_month"))
+      .agg(sum(col("__sign")).as("n"),
+        sum(col("__sign") * col("claim_amount").cast(D4))
+          .cast(D38).as("amt"),
+        sum(col("__sign") * col("settled_amount").cast(D4))
+          .cast(D38).as("settled"),
+        sum(when(col("fraud_indicator") === 1, col("__sign"))
+          .otherwise(0L)).as("fraud"),
+        sum(col("__sign") * coalesce(col("settlement_ratio").cast(D4),
+          lit(0).cast(D4))).cast(D38).as("sr_sum"),
+        sum(when(col("settlement_ratio").isNotNull, col("__sign"))
+          .otherwise(0L)).as("sr_n"),
+        sum(col("__sign") * coalesce(col("reporting_delay_days")
+          .cast(LongType), lit(0L))).as("delay_sum"),
+        sum(when(col("reporting_delay_days").isNotNull, col("__sign"))
+          .otherwise(0L)).as("delay_n"))
+
+  /** Signed policy-dimension multiplicity (unfiltered — q47 joins all
+    * policies). A premium-only update nets zero and vanishes. */
+  def coPPartials(delta: DataFrame): DataFrame =
+    delta.groupBy(col("policy_id"), col("customer_id"), col("policy_type"))
+      .agg(sum(col("__sign")).as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Signed customer-dimension multiplicity (unfiltered — q47 joins all
+    * customers; the email flag plays no role here). */
+  def coCPartials(delta: DataFrame): DataFrame =
+    delta.groupBy(col("customer_id"), col("state"), col("age"))
+      .agg(sum(col("__sign")).as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Per-adjuster signed rollup partials (q47 adjuster_performance). */
+  def coAdjPartials(delta: DataFrame): DataFrame =
+    delta.filter(col("adjuster_id").isNotNull)
+      .groupBy(col("adjuster_id"))
+      .agg(sum(col("__sign")).as("n_handled"),
+        sum(col("__sign") * coalesce(col("settlement_ratio").cast(D4),
+          lit(0).cast(D4))).cast(D38).as("sr_sum"),
+        sum(when(col("settlement_ratio").isNotNull, col("__sign"))
+          .otherwise(0L)).as("sr_n"),
+        sum(col("__sign") * coalesce(col("reporting_delay_days")
+          .cast(LongType), lit(0L))).as("delay_sum"),
+        sum(when(col("reporting_delay_days").isNotNull, col("__sign"))
+          .otherwise(0L)).as("delay_n"),
+        sum(when(col("fraud_indicator") === 1, col("__sign"))
+          .otherwise(0L)).as("fraud"))
+
+  /** claim-partial rows × a (policy_id, dims, dn) frame → attributed
+    * 8-key rows with measures scaled by the dimension multiplicity. */
+  private def coScale(clF: DataFrame, dims: DataFrame): DataFrame =
+    clF.alias("f").join(dims.alias("d"),
+        col("f.policy_id") === col("d.policy_id"))
+      .select(col("f.claim_type"), col("f.severity"), col("f.status"),
+        col("f.adjuster_id"), col("f.claim_month"), col("d.policy_type"),
+        col("d.customer_state"), col("d.customer_age"),
+        (col("f.n") * col("d.dn")).as("n"),
+        (col("f.amt") * col("d.dn")).cast(D38).as("amt"),
+        (col("f.settled") * col("d.dn")).cast(D38).as("settled"),
+        (col("f.fraud") * col("d.dn")).as("fraud"),
+        (col("f.sr_sum") * col("d.dn")).cast(D38).as("sr_sum"),
+        (col("f.sr_n") * col("d.dn")).as("sr_n"),
+        (col("f.delay_sum") * col("d.dn")).as("delay_sum"),
+        (col("f.delay_n") * col("d.dn")).as("delay_n"))
+
+  /** ΔCL term: fact-delta probes both dimensions in sequence. */
+  private def coT1(dCl: DataFrame, p: DataFrame, c: DataFrame): DataFrame =
+    coScale(dCl,
+      p.alias("p").join(c.alias("c"),
+          col("p.customer_id") === col("c.customer_id"))
+        .select(col("p.policy_id"), col("p.policy_type"),
+          col("c.state").as("customer_state"),
+          col("c.age").as("customer_age"),
+          (col("p.n") * col("c.n")).as("dn")))
+
+  /** ΔP/ΔC terms: the dimension delta joins the OTHER dimension first
+    * (Δ-sized), then probes the fact-partial state. `byCustomer` flips
+    * which side is the delta. */
+  private def coDimDims(dDim: DataFrame, other: DataFrame,
+      byCustomer: Boolean): DataFrame =
+    if (!byCustomer) // dDim = policy-dim delta, other = customers
+      dDim.alias("p").join(other.alias("c"),
+          col("p.customer_id") === col("c.customer_id"))
+        .select(col("p.policy_id"), col("p.policy_type"),
+          col("c.state").as("customer_state"),
+          col("c.age").as("customer_age"),
+          (col("p.n") * col("c.n")).as("dn"))
+    else // dDim = customer-dim delta, other = policies
+      dDim.alias("c").join(other.alias("p"),
+          col("p.customer_id") === col("c.customer_id"))
+        .select(col("p.policy_id"), col("p.policy_type"),
+          col("c.state").as("customer_state"),
+          col("c.age").as("customer_age"),
+          (col("p.n") * col("c.n")).as("dn"))
+
+  private def coAttDelta(ts: Seq[DataFrame]): DataFrame =
+    ts.reduce(_ unionByName _)
+      .groupBy(CoAttKeys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("amt")).cast(D38).as("amt"),
+        sum(col("settled")).cast(D38).as("settled"),
+        sum(col("fraud")).as("fraud"),
+        sum(col("sr_sum")).cast(D38).as("sr_sum"),
+        sum(col("sr_n")).as("sr_n"),
+        sum(col("delay_sum")).as("delay_sum"),
+        sum(col("delay_n")).as("delay_n"))
+
+  /** Fold one CDC batch triple into the claims-operations state via the
+    * trilinear rule (see the block comment for which state version each
+    * term reads). */
+  def applyClaimsOpsDelta(st: ClaimsOpsState, custDelta: DataFrame,
+      polDelta: DataFrame, clDelta: DataFrame,
+      materialize: Boolean = true): ClaimsOpsState = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val dCl = coClPartials(clDelta)
+    val dP = coPPartials(polDelta)
+    val dC = coCPartials(custDelta)
+    val t1 = coT1(dCl, st.p, st.c)                       // ΔCL ⊗ P₀ ⊗ C₀
+    val clNew = mat(merge(st.cl, dCl, CoClKeys, "n"))
+    val t2 = coScale(clNew, coDimDims(dP, st.c, byCustomer = false)) // CL₁⊗ΔP⊗C₀
+    val pNew = mat(merge(st.p, dP,
+      Seq("policy_id", "customer_id", "policy_type"), "n"))
+    val t3 = coScale(clNew, coDimDims(dC, pNew, byCustomer = true))  // CL₁⊗P₁⊗ΔC
+    val cNew = mat(merge(st.c, dC, Seq("customer_id", "state", "age"), "n"))
+    val attNew = mat(merge(st.att, coAttDelta(Seq(t1, t2, t3)),
+      CoAttKeys, "n"))
+    val adjNew = mat(merge(st.adj, coAdjPartials(clDelta),
+      Seq("adjuster_id"), "n_handled"))
+    ClaimsOpsState(clNew, pNew, cNew, attNew, adjNew)
+  }
+
+  /** Bootstrap from the first batch triple: against empty state the
+    * trilinear rule collapses to CL₁⊗P₁⊗ΔC with every factor the
+    * batch's own partials. */
+  def initClaimsOps(custDelta: DataFrame, polDelta: DataFrame,
+      clDelta: DataFrame, materialize: Boolean = true): ClaimsOpsState = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val cl = mat(coClPartials(clDelta))
+    val p = mat(coPPartials(polDelta))
+    val c = mat(coCPartials(custDelta))
+    val att = mat(coAttDelta(Seq(
+      coScale(cl, coDimDims(c, p, byCustomer = true)))))
+    ClaimsOpsState(cl, p, c, att, mat(coAdjPartials(clDelta)))
+  }
+
+  /** The claims-operations mart from maintained state: q47's maintained
+    * column subset with the SAME derived tail (averages reassembled
+    * from sum+count pairs, division guarded like the full refresh). */
+  def claimsOpsMart(st: ClaimsOpsState): DataFrame = {
+    val att = st.att.select(
+      col("claim_type"), col("severity"), col("status"),
+      col("adjuster_id"), col("claim_month"), col("policy_type"),
+      col("customer_state"), col("customer_age"),
+      col("n").as("claim_count"),
+      col("amt").cast(DoubleType).as("total_claim_amount"),
+      col("settled").cast(DoubleType).as("total_settled_amount"),
+      when(col("delay_n") === 0, lit(null))
+        .otherwise(col("delay_sum").cast(DoubleType) / col("delay_n"))
+        .as("avg_reporting_delay"),
+      when(col("sr_n") === 0, lit(null))
+        .otherwise(col("sr_sum").cast(DoubleType) / col("sr_n"))
+        .as("avg_settlement_ratio"),
+      col("fraud").as("potential_fraud_cases"))
+    val adj = st.adj.select(col("adjuster_id"),
+      col("n_handled").as("adjuster_total_claims"),
+      when(col("sr_n") === 0, lit(null))
+        .otherwise(col("sr_sum").cast(DoubleType) / col("sr_n"))
+        .as("adjuster_avg_settlement_ratio"),
+      when(col("delay_n") === 0, lit(null))
+        .otherwise(col("delay_sum").cast(DoubleType) / col("delay_n"))
+        .as("adjuster_avg_processing_time"),
+      col("fraud").as("adjuster_fraud_detected"))
+    InsuranceGate.claimsOpsFromParts(att, adj)
+  }
+
+  /** IVM column pruning for the claims-operations maintainer. */
+  def narrowCoCust(delta: DataFrame): DataFrame =
+    delta.select("customer_id", "state", "age", "__sign")
+  def narrowCoPol(delta: DataFrame): DataFrame =
+    delta.select("policy_id", "customer_id", "policy_type", "__sign")
+  def narrowCoCl(delta: DataFrame): DataFrame =
+    delta.select("policy_id", "claim_type", "severity", "status",
+      "adjuster_id", "claim_date", "claim_amount", "settled_amount",
+      "fraud_indicator", "missing_policy_flag", "settlement_ratio",
+      "reporting_delay_days", "__sign")
+
   /** The executive-summary mart from maintained state: reassemble the
     * q45 monthly frames (distinct customers = positive-multiplicity
     * rows; decimal sums cast to double exactly where the full refresh

