@@ -1,34 +1,91 @@
 package graft.streaming
 
 import graft.engine.IncrementalGold
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** The q218 incremental-gold maintainer bolted onto Structured
-  * Streaming — the production deployment shape: an op-coded CDC stream
+/** Durable, versioned, atomically-visible parquet state for
+  * foreachBatch maintainers — the part `foreachBatch` makes the caller
+  * own, implemented on the Hadoop FileSystem API so `stateDir` can
+  * live on HDFS/S3/local-FS alike (r15 verdict task 2; the r15 version
+  * used `java.nio.file`, which binds state to the driver's local disk).
+  *
+  * Layout: `stateDir/<batchId>/<table>/` parquet per state table, then
+  * an empty `_COMMIT` marker makes the version visible — readers and
+  * restarts only ever see fully written state. After each commit,
+  * committed versions older than the newest `retain` are deleted:
+  * without GC every non-empty micro-batch would leak a full state copy
+  * and durable storage would grow with stream lifetime instead of
+  * state size (r15 advice). In-flight (uncommitted) directories are
+  * never touched — a torn write is invisible and will be overwritten
+  * when its batch id replays.
+  */
+final class VersionedStateStore(spark: SparkSession, stateDir: String,
+    tables: Seq[String], retain: Int = VersionedStateStore.DefaultRetain) {
+  require(retain >= 1, s"retain must keep at least the newest version")
+  private val root = new Path(stateDir)
+  private def fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def committedVersions: Seq[Long] = {
+    val f = fs
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .filter(id => f.exists(new Path(new Path(root, id.toString), "_COMMIT")))
+      .toSeq.sorted
+  }
+
+  def lastCommitted: Option[Long] = committedVersions.lastOption
+
+  def load(id: Long): Map[String, DataFrame] = {
+    val dir = new Path(root, id.toString)
+    tables.map(t => t -> spark.read.parquet(new Path(dir, t).toString)).toMap
+  }
+
+  /** Write every state table under version `id`, commit, GC old
+    * versions. The parquet writes ARE the state materialization — the
+    * caller folds lazily. */
+  def save(id: Long, frames: Map[String, DataFrame]): Unit = {
+    val dir = new Path(root, id.toString)
+    tables.foreach(t =>
+      frames(t).write.mode("overwrite").parquet(new Path(dir, t).toString))
+    fs.create(new Path(dir, "_COMMIT"), true).close()
+    val keep = committedVersions.takeRight(retain).toSet
+    committedVersions.filterNot(keep)
+      .foreach(v => fs.delete(new Path(root, v.toString), true))
+  }
+}
+
+object VersionedStateStore {
+  val DefaultRetain = 3
+}
+
+/** The incremental-gold maintainers bolted onto Structured Streaming —
+  * the production deployment shape: an op-coded CDC stream
   * (Debezium-style JSON before/after images, both entities on one
   * topic) folds into the maintained state ONE MICRO-BATCH AT A TIME
-  * via `foreachBatch`, and the refreshed executive-summary mart is
-  * handed to the caller after every commit.
+  * via `foreachBatch`, and the refreshed mart is handed to the caller
+  * after every commit. Durability/visibility/GC live in
+  * [[VersionedStateStore]]; recovery composes with the streaming
+  * checkpoint:
   *
-  * State durability is the part `foreachBatch` makes the caller own,
-  * so it is implemented for real here:
-  *
-  *   - after folding batch `id`, the three state tables land under
-  *     `stateDir/<id>/` as parquet, then a `_COMMIT` marker makes the
-  *     version visible — readers and restarts only ever see fully
-  *     written state;
   *   - on (re)start the maintainer resumes from the highest committed
-  *     version — combined with the streaming checkpoint this recovers
-  *     a stop/kill mid-stream;
+  *     version — combined with the checkpoint this recovers a
+  *     stop/kill mid-stream;
   *   - `foreachBatch` REPLAYS the in-flight batch after recovery; a
   *     batch whose id is already committed is skipped, which is
   *     exactly the idempotent-sink contract exactly-once foreachBatch
   *     pipelines rely on (GoldStreamSpec pins the double-fold no-op).
   *
-  * At scale the state tables are |months| + |month × customers| rows
-  * (see IncrementalGold) — the parquet round-trip per batch is
+  * Two marts stream today: the executive summary (q218's aggregate
+  * IVM) and the policy-performance mart (q221's join IVM) — same
+  * store, same commit discipline, different fold.
+  *
+  * At scale the state tables are dimension/month-sized (see
+  * IncrementalGold) — the parquet round-trip per batch is
   * metadata-sized next to the CDC batch itself.
   */
 object GoldMaintenanceStream {
@@ -38,6 +95,9 @@ object GoldMaintenanceStream {
   final case class GoldCdc(entity: String, op: String, before: String,
       after: String)
 
+  private val ExecTables = Seq("polMonths", "polCusts", "clMonths")
+  private val PerfTables = Seq("polBase", "pt", "cpm", "cbt")
+
   private def signedOf(df: DataFrame, entity: String,
       schema: StructType): DataFrame =
     IncrementalGold.signedDelta(
@@ -46,83 +106,134 @@ object GoldMaintenanceStream {
           from_json(col("before"), schema).as("before"),
           from_json(col("after"), schema).as("after")))
 
-  private def versionDir(stateDir: String, id: Long): java.nio.file.Path =
-    java.nio.file.Paths.get(stateDir, id.toString)
+  private def execStore(spark: SparkSession, stateDir: String,
+      retain: Int): VersionedStateStore =
+    new VersionedStateStore(spark, stateDir, ExecTables, retain)
+
+  private def perfStore(spark: SparkSession, stateDir: String,
+      retain: Int): VersionedStateStore =
+    new VersionedStateStore(spark, stateDir, PerfTables, retain)
 
   /** Highest committed state version under `stateDir`, if any. */
   def lastCommitted(stateDir: String): Option[Long] = {
-    val root = java.nio.file.Paths.get(stateDir)
-    if (!java.nio.file.Files.isDirectory(root)) None
-    else {
-      val s = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator.asScala
-          .filter(p => java.nio.file.Files.exists(p.resolve("_COMMIT")))
-          .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
-          .foldLeft(Option.empty[Long])((a, b) => Some(a.fold(b)(math.max(_, b))))
-      } finally s.close()
-    }
+    val spark = SparkSession.active
+    execStore(spark, stateDir, VersionedStateStore.DefaultRetain)
+      .lastCommitted
   }
 
-  def loadState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+  def loadState(spark: SparkSession, stateDir: String,
       id: Long): IncrementalGold.ExecState = {
-    val d = versionDir(stateDir, id)
-    IncrementalGold.ExecState(
-      spark.read.parquet(d.resolve("polMonths").toString),
-      spark.read.parquet(d.resolve("polCusts").toString),
-      spark.read.parquet(d.resolve("clMonths").toString))
+    val t = execStore(spark, stateDir, VersionedStateStore.DefaultRetain)
+      .load(id)
+    IncrementalGold.ExecState(t("polMonths"), t("polCusts"), t("clMonths"))
   }
 
-  private def saveState(st: IncrementalGold.ExecState, stateDir: String,
-      id: Long): Unit = {
-    val d = versionDir(stateDir, id)
-    st.polMonths.write.mode("overwrite").parquet(d.resolve("polMonths").toString)
-    st.polCusts.write.mode("overwrite").parquet(d.resolve("polCusts").toString)
-    st.clMonths.write.mode("overwrite").parquet(d.resolve("clMonths").toString)
-    java.nio.file.Files.createFile(d.resolve("_COMMIT"))
-    ()
+  def loadPerfState(spark: SparkSession, stateDir: String,
+      id: Long): IncrementalGold.PolicyPerfState = {
+    val t = perfStore(spark, stateDir, VersionedStateStore.DefaultRetain)
+      .load(id)
+    IncrementalGold.PolicyPerfState(t("polBase"), t("pt"), t("cpm"), t("cbt"))
   }
 
-  /** Fold one CDC micro-batch into the durable state; no-op when `id`
-    * is already committed (foreachBatch replay after recovery).
-    * Exposed for GoldStreamSpec's idempotency pin. Returns the mart
-    * refreshed from the state the batch left behind. */
-  def foldBatch(df: DataFrame, id: Long, polSchema: StructType,
-      clSchema: StructType, stateDir: String): Option[DataFrame] = {
-    val spark = df.sparkSession
-    val last = lastCommitted(stateDir)
-    if (last.exists(_ >= id))
-      Some(IncrementalGold.mart(loadState(spark, stateDir, last.get)))
+  /** Shared skip/fold/commit skeleton for both maintainers. */
+  private def foldWith[S](df: DataFrame, id: Long, store: VersionedStateStore,
+      load: Long => S, foldInto: (Option[S], DataFrame) => S,
+      framesOf: S => Map[String, DataFrame], martOf: S => DataFrame)
+      : Option[DataFrame] = {
+    val last = store.lastCommitted
+    if (last.exists(_ >= id)) Some(martOf(load(last.get)))
     else if (df.isEmpty)
       // a no-data micro-batch must not mint a new state version (the
       // fold would copy every state table for nothing); the mart is
       // whatever the last committed state says — or absent before any
-      last.map(l => IncrementalGold.mart(loadState(spark, stateDir, l)))
+      last.map(l => martOf(load(l)))
     else {
-      val pol = IncrementalGold.narrowPolDelta(signedOf(df, "policy", polSchema))
-      val cl = IncrementalGold.narrowClDelta(signedOf(df, "claim", clSchema))
       // lazy fold; the parquet write below IS the materialization
-      val st = last match {
-        case Some(l) => IncrementalGold.applyDelta(
-          loadState(spark, stateDir, l), pol, cl, materialize = false)
-        case None => IncrementalGold.init(pol, cl, materialize = false)
-      }
-      saveState(st, stateDir, id)
-      Some(IncrementalGold.mart(loadState(spark, stateDir, id)))
+      val st = foldInto(last.map(load), df)
+      store.save(id, framesOf(st))
+      Some(martOf(load(id)))
     }
   }
 
-  /** Wire the maintainer to a CDC stream. `onRefresh` receives the
-    * refreshed mart after every committed batch. */
+  /** Fold one CDC micro-batch into the durable exec-summary state;
+    * no-op when `id` is already committed (foreachBatch replay after
+    * recovery). Returns the mart refreshed from the state the batch
+    * left behind. */
+  def foldBatch(df: DataFrame, id: Long, polSchema: StructType,
+      clSchema: StructType, stateDir: String,
+      retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
+    val spark = df.sparkSession
+    foldWith[IncrementalGold.ExecState](df, id,
+      execStore(spark, stateDir, retain),
+      loadState(spark, stateDir, _),
+      (prev, batch) => {
+        val pol = IncrementalGold.narrowPolDelta(
+          signedOf(batch, "policy", polSchema))
+        val cl = IncrementalGold.narrowClDelta(
+          signedOf(batch, "claim", clSchema))
+        prev match {
+          case Some(st) =>
+            IncrementalGold.applyDelta(st, pol, cl, materialize = false)
+          case None => IncrementalGold.init(pol, cl, materialize = false)
+        }
+      },
+      st => Map("polMonths" -> st.polMonths, "polCusts" -> st.polCusts,
+        "clMonths" -> st.clMonths),
+      IncrementalGold.mart)
+  }
+
+  /** [[foldBatch]]'s twin for the JOIN-IVM policy-performance mart. */
+  def foldPerfBatch(df: DataFrame, id: Long, polSchema: StructType,
+      clSchema: StructType, stateDir: String,
+      retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
+    val spark = df.sparkSession
+    foldWith[IncrementalGold.PolicyPerfState](df, id,
+      perfStore(spark, stateDir, retain),
+      loadPerfState(spark, stateDir, _),
+      (prev, batch) => {
+        val pol = IncrementalGold.narrowPpPol(
+          signedOf(batch, "policy", polSchema))
+        val cl = IncrementalGold.narrowPpCl(
+          signedOf(batch, "claim", clSchema))
+        prev match {
+          case Some(st) => IncrementalGold.applyPolicyPerfDelta(st, pol, cl,
+            materialize = false)
+          case None => IncrementalGold.initPolicyPerf(pol, cl,
+            materialize = false)
+        }
+      },
+      st => Map("polBase" -> st.polBase, "pt" -> st.pt, "cpm" -> st.cpm,
+        "cbt" -> st.cbt),
+      IncrementalGold.policyPerfMart)
+  }
+
+  /** Wire the exec-summary maintainer to a CDC stream. `onRefresh`
+    * receives the refreshed mart after every committed batch. */
   def start(changes: Dataset[GoldCdc], polSchema: StructType,
       clSchema: StructType, stateDir: String, checkpoint: String,
-      onRefresh: (Long, DataFrame) => Unit)
+      onRefresh: (Long, DataFrame) => Unit,
+      retain: Int = VersionedStateStore.DefaultRetain)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: Dataset[GoldCdc], id: Long) =>
-        foldBatch(df.toDF(), id, polSchema, clSchema, stateDir)
+        foldBatch(df.toDF(), id, polSchema, clSchema, stateDir, retain)
+          .foreach(onRefresh(id, _))
+      }
+      .start()
+
+  /** Wire the policy-performance (join-IVM) maintainer to a CDC
+    * stream — q221's maintainer in the same streaming deployment shape
+    * the exec summary already had. */
+  def startPerf(changes: Dataset[GoldCdc], polSchema: StructType,
+      clSchema: StructType, stateDir: String, checkpoint: String,
+      onRefresh: (Long, DataFrame) => Unit,
+      retain: Int = VersionedStateStore.DefaultRetain)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: Dataset[GoldCdc], id: Long) =>
+        foldPerfBatch(df.toDF(), id, polSchema, clSchema, stateDir, retain)
           .foreach(onRefresh(id, _))
       }
       .start()

@@ -111,4 +111,74 @@ class GoldStreamSpec extends SparkSpec {
     assert(GoldMaintenanceStream.lastCommitted(stateDir).contains(last),
       "empty batch minted a state version")
   }
+
+  test("policy-perf join-IVM streams with the same commit discipline " +
+      "across a restart") {
+    import spark.implicits._
+    val batches = graft.engine.InsuranceGate.cdcBatches(spark, sf)
+    val polT = batches.head._1.schema("before").dataType.asInstanceOf[StructType]
+    val clT = batches.head._2.schema("before").dataType.asInstanceOf[StructType]
+    val inDir = java.nio.file.Files.createTempDirectory("perf_in").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("perf_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("perf_ckpt").toString
+    @volatile var lastMart: Array[org.apache.spark.sql.Row] = Array.empty
+
+    def start() = GoldMaintenanceStream.startPerf(
+      spark.readStream
+        .schema("entity STRING, op STRING, before STRING, after STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$inDir/*").as[GoldMaintenanceStream.GoldCdc],
+      polT, clT, stateDir, ckpt,
+      (_, mart) => lastMart = mart.collect())
+
+    def feed(name: String, i: Int): Unit =
+      cdcJson(batches(i)._1, batches(i)._2)
+        .coalesce(1).write.mode("append").json(s"$inDir/$name")
+
+    val q1 = start()
+    try {
+      feed("b1", 0); q1.processAllAvailable()
+      feed("b2", 1); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      feed("b3", 2); q2.processAllAvailable()
+      feed("b4", 3); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val expected = graft.SparkEntry
+      .queries("q221_incremental_policy_perf")(spark, sf).collect()
+    assert(lastMart.length === expected.length)
+    assert(lastMart.map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
+      "streamed join-IVM maintenance diverged from the q221 gate")
+  }
+
+  test("version retention keeps the newest K committed versions and " +
+      "restart still resumes") {
+    val batches = graft.engine.InsuranceGate.cdcBatches(spark, sf)
+    val polT = batches.head._1.schema("before").dataType.asInstanceOf[StructType]
+    val clT = batches.head._2.schema("before").dataType.asInstanceOf[StructType]
+    val stateDir = java.nio.file.Files.createTempDirectory("ret_state").toString
+    // drive the fold directly (ids 10,20,30,40), retain = 2
+    batches.zipWithIndex.foreach { case ((p, c), i) =>
+      val r = GoldMaintenanceStream.foldBatch(
+        cdcJson(p, c), 10L * (i + 1), polT, clT, stateDir, retain = 2)
+      assert(r.nonEmpty)
+    }
+    val store = new VersionedStateStore(spark, stateDir,
+      Seq("polMonths", "polCusts", "clMonths"), retain = 2)
+    assert(store.committedVersions === Seq(30L, 40L),
+      s"expected only the newest 2 versions, got ${store.committedVersions}")
+    // old version directories are actually GONE from storage
+    val dirs = new java.io.File(stateDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs === Array("30", "40"), s"on disk: ${dirs.mkString(",")}")
+    // resume from the retained newest version: mart == the q218 gate
+    val mart = graft.engine.IncrementalGold.mart(
+      GoldMaintenanceStream.loadState(spark, stateDir, 40L))
+    val expected = graft.SparkEntry
+      .queries("q218_incremental_gold")(spark, sf).collect()
+    assert(mart.collect().map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
+      "resume from retained state diverged from the gate")
+  }
 }
