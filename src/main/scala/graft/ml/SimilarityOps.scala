@@ -1695,6 +1695,9 @@ object SimilarityOps extends QueryModule {
       val Array(l, vs) = e.split(":", 2)
       (l.toInt, vs.split(",").toSeq.map(_.toDouble))
     }
+  /** Counts full index TRAINS (not reloads) — lets specs pin that the
+    * streaming serving path never retrains. */
+  private[ml] val annBuilds = new java.util.concurrent.atomic.AtomicInteger()
   private val annSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private val annBuilt =
@@ -1754,6 +1757,7 @@ object SimilarityOps extends QueryModule {
       else if (reloadPersisted(iso, ident).isDefined)
         (iso.table(ident), annBuilt.get(ident))
       else {
+        annBuilds.incrementAndGet()
         val codebook =
           trainCodebook(embeddings(iso, d).filter(trainGate(col("vec_id"))))
         require(codebook.map(_._1) == (0 until codebook.size),
@@ -1833,10 +1837,12 @@ object SimilarityOps extends QueryModule {
                 .bitwiseAND(lit(255L)) + 1).cast(IntegerType)))
           .reduce(_ + _).as("adc_ppm"))
 
-  /** The q215/q217 probe frame: one row per (query, probed cell) with
-    * the per-subspace ADC distance table riding along — ≤ NumQueries ×
-    * NProbe rows, the ONLY thing the one-side-shuffle SPJ moves. */
-  def annProbes(iso: SparkSession, d: String,
+  /** Probe frame for an ARBITRARY (query_id, embedding) set: one row
+    * per (query, probed cell) with the per-subspace ADC distance table
+    * riding along — ≤ |queries| × NProbe rows, the ONLY thing the
+    * one-side-shuffle SPJ moves. Shared by the q215/q217 batch gates
+    * and the streaming serving path. */
+  def annProbesFor(iso: SparkSession, queries: DataFrame,
       codebook: Seq[(Int, Seq[Double])]): DataFrame = {
     def subCb(m: Int): Seq[(Int, Seq[Double])] =
       codebook.map { case (l, cv) =>
@@ -1849,13 +1855,65 @@ object SimilarityOps extends QueryModule {
           .cast(LongType)
       }: _*)
     }: _*)
-    embeddings(iso, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), qTab(col("embedding")).as("qtab"),
+    queries
+      .select(col("query_id"), qTab(col("embedding")).as("qtab"),
         explode(probeCentroids(iso, codebook, NProbe)(col("embedding")))
           .as("pcell"))
       .select(col("query_id"), col("qtab"),
         col("pcell").cast(LongType).as("cell"))
   }
+
+  /** The q215/q217 probe frame: the corpus's first NumQueries vectors. */
+  def annProbes(iso: SparkSession, d: String,
+      codebook: Seq[(Int, Seq[Double])]): DataFrame =
+    annProbesFor(iso,
+      embeddings(iso, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      codebook)
+
+  // =============== STREAMING SERVING PATH (r15 verdict task 6): the
+  // LLM-pipeline's online shape — micro-batches of query embeddings
+  // probe the PERSISTED index. Per batch: re-wrap the batch frame into
+  // the SPJ session, build the ≤|batch|×NProbe probe rows, cell-key
+  // SPJ against the index, ADC, top-k. The index table and codebook
+  // come from [[annIndex]]'s build-or-reload memo, so they load ONCE
+  // per JVM and a stream NEVER retrains (AnnStreamSpec pins the build
+  // count); state between batches is zero — the index IS the state.
+
+  /** One micro-batch of (query_id, embedding) rows → per-query ADC
+    * top-k (query_id, rank, vec_id, adc_ppm), identical semantics to
+    * q215's ranked frame. */
+  def annSearchBatch(d: String, queries: DataFrame): DataFrame = {
+    val (index, codebook) = annIndex(queries.sparkSession, d)
+    val iso = index.sparkSession
+    val q = iso.createDataFrame(
+      queries.select(col("query_id").cast(LongType).as("query_id"),
+        col("embedding")).rdd,
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("embedding",
+          queries.schema("embedding").dataType))))
+    val cand = annCandidates(index, annProbesFor(iso, q, codebook))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").asc, col("vec_id").asc)
+    cand.select(col("query_id"), col("vec_id"), col("adc_ppm"),
+        row_number().over(wa).as("rank"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("adc_ppm"))
+  }
+
+  /** Wire the probe-only serving path to a stream of query embeddings.
+    * `onResult` receives each batch's ranked top-k. */
+  def startAnnProbeStream(queries: DataFrame, d: String, checkpoint: String,
+      onResult: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty) onResult(id, annSearchBatch(d, b.toDF()))
+      }
+      .start()
 
   register("q215_persisted_ivfpq", oIvfpqSearchSql) { (s, d) =>
     val (index, codebook) = annIndex(s, d)
