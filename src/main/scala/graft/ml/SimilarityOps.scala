@@ -1667,22 +1667,12 @@ object SimilarityOps extends QueryModule {
   //     q212, so the SAME oracle SQL gates both and the recall audit is
   //     unchanged by construction.
   val AnnCat = "graft_cat_ann"
-  /** Index warehouse. Default: per-JVM tempdir (reaped at exit — the
-    * concurrency-safe choice for parallel test JVMs). A deployment
-    * sets `-Dgraft.ann.warehouse=/durable/path` to make the index
-    * SURVIVE the process: a fresh JVM then reloads table + codebook
-    * from the catalog (see [[annIndex]]) instead of retraining —
-    * single writer per warehouse, the bucketedEdgeTable discipline. */
-  private lazy val annWarehouse: String =
-    sys.props.get("graft.ann.warehouse") match {
-      case Some(p) =>
-        new java.io.File(p).mkdirs()
-        p
-      case None =>
-        val p = java.nio.file.Files.createTempDirectory("graft_cat_ann")
-        graft.util.TmpReaper.track(p.toString)
-        p.toString
-    }
+  // Index warehouse: the "ann" family of the UNIFIED engine warehouse
+  // (graft.engine.Warehouse, r15 verdict task 4) — one durable root
+  // shared with the graph edge layouts. `-Dgraft.warehouse` (or the
+  // back-compat `-Dgraft.ann.warehouse` alias) makes the index SURVIVE
+  // the process: a fresh JVM reloads table + codebook from the catalog
+  // (see [[annIndex]]) instead of retraining.
 
   /** Codebook ⇄ catalog-property codec. Double.toString/toDouble
     * round-trips every IEEE double exactly, so a reloaded codebook is
@@ -1698,8 +1688,6 @@ object SimilarityOps extends QueryModule {
   /** Counts full index TRAINS (not reloads) — lets specs pin that the
     * streaming serving path never retrains. */
   private[ml] val annBuilds = new java.util.concurrent.atomic.AtomicInteger()
-  private val annSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private val annBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
   private val annLock = new Object
@@ -1713,19 +1701,10 @@ object SimilarityOps extends QueryModule {
     annExactBuilt.clear()
   }
 
-  /** SPJ-configured child session for the index catalog (isolated so
-    * the relaxed co-partition check never leaks — the r5/r6 lesson). */
+  /** SPJ-configured child session for the index catalog — the "ann"
+    * family of [[graft.engine.Warehouse]]. */
   def annSession(s: SparkSession): SparkSession =
-    annSessions.computeIfAbsent(s, root => {
-      val iso = root.newSession()
-      iso.conf.set(s"spark.sql.catalog.$AnnCat",
-        classOf[graft.sources.v2.GraftCatalog].getName)
-      iso.conf.set(s"spark.sql.catalog.$AnnCat.warehouse", annWarehouse)
-      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      iso
-    })
+    graft.engine.Warehouse.spjSession(s, AnnCat, "ann")
 
   /** Content address of the embeddings input (file names/sizes/mtimes —
     * a regenerated dataset forces a fresh build; the skip can never
@@ -1799,28 +1778,17 @@ object SimilarityOps extends QueryModule {
     }
   }
 
-  /** Cross-JVM reload: if the persisted index table already exists in
-    * the warehouse (a durable `-Dgraft.ann.warehouse` surviving a
-    * process restart) with its codebook property and at least one
-    * committed row, adopt it — no retrain, no rewrite. A table missing
-    * the property or the data (a writer died between CREATE and the
-    * append's manifest commit) is dropped so the build path recreates
-    * it rather than serving a partial index. Caller holds [[annLock]]. */
+  /** Cross-JVM reload via the shared [[graft.engine.Warehouse.adopt]]
+    * discipline: adopt the persisted index when it exists with its
+    * codebook property and committed data; a partial table (writer
+    * died between CREATE and the append's manifest commit) is dropped
+    * so the build path recreates it. Caller holds [[annLock]]. */
   private def reloadPersisted(iso: SparkSession, ident: String)
       : Option[Seq[(Int, Seq[Double])]] = {
-    if (scala.util.Try(iso.table(ident)).isFailure) None
-    else {
-      val props = iso.sql(s"SHOW TBLPROPERTIES $ident").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      val cb = props.get("graft.codebook").map(decodeCodebook)
-      if (cb.isDefined && iso.table(ident).limit(1).count() > 0) {
-        annBuilt.put(ident, cb.get)
-        cb
-      } else {
-        iso.sql(s"DROP TABLE IF EXISTS $ident")
-        None
-      }
-    }
+    val cb = graft.engine.Warehouse.adopt(iso, ident, Seq("graft.codebook"))
+      .flatMap(_.get("graft.codebook")).map(decodeCodebook)
+    cb.foreach(annBuilt.put(ident, _))
+    cb
   }
 
   /** The q215 candidate scoring join: probes (query_id, qtab, cell)

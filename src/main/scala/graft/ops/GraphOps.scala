@@ -880,10 +880,12 @@ object GraphOps extends QueryModule {
     edges.repartition(edgeBuckets, col("src"))
       .write.format("parquet")
       .bucketBy(edgeBuckets, "src").sortBy("src")
-      .option("path", s"/tmp/$tbl")
+      .option("path",
+        s"${graft.engine.Warehouse.assetDir("edges_native")}/$tbl")
       .mode("overwrite")
       .saveAsTable(tbl)
-    trackEdgeDir(s"/tmp/$tbl")
+    trackEdgeDir(
+      s"${graft.engine.Warehouse.assetDir("edges_native")}/$tbl")
     s.table(tbl)
   }
 
@@ -962,32 +964,21 @@ object GraphOps extends QueryModule {
   // partitioning; results identical since bucket is a pure function of
   // src).
 
-  /** Per-JVM warehouse + child-session cache for the edge catalog. */
-  private lazy val graftEdgeWarehouse: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_edges_cat")
-    trackEdgeDir(p.toString)
-    p.toString
-  }
-  private val graftEdgeSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-
-  /** SPJ-configured child session for [[graftEdgeTable]] frames: v2
-    * bucketing + one-side shuffle + relaxed co-partition check, isolated
-    * so the relaxation never leaks into other queries (the r5/r6
-    * lesson). */
+  /** SPJ-configured child session for [[graftEdgeTable]] frames — the
+    * "edges" family of the UNIFIED engine warehouse
+    * ([[graft.engine.Warehouse]], r15 verdict task 4): one durable
+    * root shared with the ANN indexes, same adopt-or-rebuild and
+    * completeness discipline. `-Dgraft.warehouse` makes edge layouts
+    * survive the JVM and reload as pure catalog probes. */
   def graftEdgeSession(s: SparkSession): SparkSession =
-    graftEdgeSessions.computeIfAbsent(s, root => {
-      val iso = root.newSession()
-      iso.conf.set(s"spark.sql.catalog.$GraftEdgeCat",
-        classOf[graft.sources.v2.GraftCatalog].getName)
-      iso.conf.set(s"spark.sql.catalog.$GraftEdgeCat.warehouse",
-        graftEdgeWarehouse)
-      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      iso
-    })
+    graft.engine.Warehouse.spjSession(s, GraftEdgeCat, "edges")
   val GraftEdgeCat = "graft_cat_edges"
+
+  /** TEST ONLY: clear the in-JVM write-once memo — the state a fresh
+    * JVM starts with — while the warehouse survives. WarehouseSpec
+    * drives the cross-JVM edge-table adoption path through this. */
+  private[graft] def resetEdgeMemoryForTest(): Unit =
+    edgeEtlLock.synchronized { writtenEdgeTables.clear() }
 
   /** The trade-graph edge table on the engine's own sink — same
     * content-addressed write-once contract as [[bucketedEdgeTable]]
@@ -1004,18 +995,28 @@ object GraphOps extends QueryModule {
     val ident = s"$GraftEdgeCat.g.edges_${datasetFingerprint(d)}$fmtTag"
     edgeEtlLock.synchronized {
       if (edgeEtlAlways || !writtenEdgeTables.contains(ident)) {
-        iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $GraftEdgeCat.g")
-        iso.sql(s"DROP TABLE IF EXISTS $ident")
-        iso.sql(s"CREATE TABLE $ident " +
-          "(src BIGINT, dst BIGINT, bucket BIGINT) PARTITIONED BY (bucket) " +
-          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src', " +
-          s"'format'='$format')")
-        tradeEdgesPlan(iso, d)
-          .select(col("src").cast(LongType).as("src"),
-            col("dst").cast(LongType).as("dst"))
-          .withColumn("bucket",
-            pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType))
-          .writeTo(ident).append()
+        // cross-JVM adopt first (durable warehouse surviving a restart):
+        // a complete persisted layout for this content address is served
+        // as a pure catalog probe; a partial one (writer died mid-build)
+        // is dropped by adopt and rebuilt below
+        val adopted = !edgeEtlAlways && graft.engine.Warehouse
+          .adopt(iso, ident, Seq(graft.engine.Warehouse.CompleteProp))
+          .isDefined
+        if (!adopted) {
+          iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $GraftEdgeCat.g")
+          iso.sql(s"DROP TABLE IF EXISTS $ident")
+          iso.sql(s"CREATE TABLE $ident " +
+            "(src BIGINT, dst BIGINT, bucket BIGINT) PARTITIONED BY (bucket) " +
+            "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src', " +
+            s"'format'='$format')")
+          tradeEdgesPlan(iso, d)
+            .select(col("src").cast(LongType).as("src"),
+              col("dst").cast(LongType).as("dst"))
+            .withColumn("bucket",
+              pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType))
+            .writeTo(ident).append()
+          graft.engine.Warehouse.markComplete(iso, ident)
+        }
         writtenEdgeTables.add(ident)
       }
     }
@@ -1127,10 +1128,12 @@ object GraphOps extends QueryModule {
     edges.repartition(edgeBuckets, col("src_salt"))
       .write.format("parquet")
       .bucketBy(edgeBuckets, "src_salt").sortBy("src_salt")
-      .option("path", s"/tmp/$tbl")
+      .option("path",
+        s"${graft.engine.Warehouse.assetDir("edges_native")}/$tbl")
       .mode("overwrite")
       .saveAsTable(tbl)
-    trackEdgeDir(s"/tmp/$tbl")
+    trackEdgeDir(
+      s"${graft.engine.Warehouse.assetDir("edges_native")}/$tbl")
     s.table(tbl)
   }
 
@@ -1221,26 +1224,32 @@ object GraphOps extends QueryModule {
     val ident = s"$GraftEdgeCat.g.edges_g${fp}_b$edgeBuckets"
     edgeEtlLock.synchronized {
       if (edgeEtlAlways || !writtenEdgeTables.contains(ident)) {
-        iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $GraftEdgeCat.g")
-        iso.sql(s"DROP TABLE IF EXISTS $ident")
-        iso.sql(s"CREATE TABLE $ident " +
-          s"(src ${srcT.get}, dst ${dstT.get}, bucket BIGINT) " +
-          "PARTITIONED BY (bucket) " +
-          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src', " +
-          "'format'='parquet')")
-        // writeTo resolves its identifier against the FRAME's session,
-        // where the edge catalog isn't registered — bridge the caller's
-        // frame into the iso session through a global temp view
-        val view = s"graft_edges_stage_$fp"
-        edges.select(col("src"), col("dst"))
-          .createOrReplaceGlobalTempView(view)
-        try {
-          iso.table(s"global_temp.$view")
-            .withColumn("bucket",
-              pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType))
-            .writeTo(ident).append()
-        } finally {
-          edges.sparkSession.catalog.dropGlobalTempView(view)
+        val adopted = !edgeEtlAlways && graft.engine.Warehouse
+          .adopt(iso, ident, Seq(graft.engine.Warehouse.CompleteProp))
+          .isDefined
+        if (!adopted) {
+          iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $GraftEdgeCat.g")
+          iso.sql(s"DROP TABLE IF EXISTS $ident")
+          iso.sql(s"CREATE TABLE $ident " +
+            s"(src ${srcT.get}, dst ${dstT.get}, bucket BIGINT) " +
+            "PARTITIONED BY (bucket) " +
+            "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='src', " +
+            "'format'='parquet')")
+          // writeTo resolves its identifier against the FRAME's session,
+          // where the edge catalog isn't registered — bridge the caller's
+          // frame into the iso session through a global temp view
+          val view = s"graft_edges_stage_$fp"
+          edges.select(col("src"), col("dst"))
+            .createOrReplaceGlobalTempView(view)
+          try {
+            iso.table(s"global_temp.$view")
+              .withColumn("bucket",
+                pmod(col("src"), lit(edgeBuckets.toLong)).cast(LongType))
+              .writeTo(ident).append()
+          } finally {
+            edges.sparkSession.catalog.dropGlobalTempView(view)
+          }
+          graft.engine.Warehouse.markComplete(iso, ident)
         }
         writtenEdgeTables.add(ident)
       }
