@@ -221,4 +221,79 @@ object JpegFixtures {
     out.write(0xff); out.write(0xd9)
     out.toByteArray
   }
+
+  /** DC-only 4:2:2 (or, with `vertical`, 4:4:0) color stream: MCU =
+    * two Y blocks side by side (stacked when vertical) + one Cb + one
+    * Cr. `wm × hm` MCUs; image is 16×8 (8×16 vertical) per MCU. Y DCs
+    * indexed `mi * 2 + b` in MCU scan order; chroma per MCU. */
+  def encodeDcOnlyColor422(wm: Int, hm: Int, yDc: Int => Int,
+      cbDc: Int => Int, crDc: Int => Int,
+      vertical: Boolean = false): Array[Byte] = {
+    val w = (if (vertical) 8 else 16) * wm
+    val h = (if (vertical) 16 else 8) * hm
+    val sampling = if (vertical) 0x12 else 0x21
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0x00 +: (8 +: Array.fill(63)(16)))
+    seg(0xdb, 0x01 +: (8 +: Array.fill(63)(16)))
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, sampling, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, 0x00 +: (DcBits ++ DcVals))
+    seg(0xc4, 0x01 +: (DcBits ++ DcVals))
+    seg(0xc4, 0x10 +: ((1 +: Array.fill(15)(0)) :+ 0x00))
+    seg(0xc4, 0x11 +: ((1 +: Array.fill(15)(0)) :+ 0x00))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcCode = canonical(DcBits, DcVals)
+    val bw = new BitWriter(out)
+    val pred = Array(0, 0, 0)
+    def emit(comp: Int, dc: Int): Unit = {
+      require(dc >= -128 && dc <= 127, s"DC out of range: $dc")
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = dcCode(s)
+      bw.put(c, l)
+      if (s > 0)
+        bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bw.put(0, 1) // EOB
+    }
+    var my = 0
+    while (my < hm) {
+      var mx = 0
+      while (mx < wm) {
+        val mi = my * wm + mx
+        emit(0, yDc(mi * 2))
+        emit(0, yDc(mi * 2 + 1))
+        emit(1, cbDc(mi))
+        emit(2, crDc(mi))
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushOnes()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  def color422Geom(docId: Long): (Int, Int) =
+    (1 + (docId % 2).toInt, 1 + ((docId * 5) % 3).toInt)
+  def c422Y(docId: Long, ybi: Int): Int = ((docId * 7 + 19L * ybi) % 256).toInt
+  def c422Cb(docId: Long, mi: Int): Int = ((docId * 13 + 23L * mi) % 256).toInt
+  def c422Cr(docId: Long, mi: Int): Int = ((docId * 17 + 41L * mi) % 256).toInt
+
+  /** Deterministic 4:2:2 color stream for a document row (q225). */
+  def color422JpegFor(docId: Long): Array[Byte] = {
+    val (wm, hm) = color422Geom(docId)
+    encodeDcOnlyColor422(wm, hm,
+      ybi => c422Y(docId, ybi) - 128,
+      mi => c422Cb(docId, mi) - 128,
+      mi => c422Cr(docId, mi) - 128)
+  }
 }

@@ -280,13 +280,16 @@ object JpegPixelCodec {
             Comp(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4, b(o + 1) & 0x0f,
               b(o + 2) & 0xff)
           }
-          // supported samplings: single comp 1x1; 4:4:4 (all 1x1);
-          // 4:2:0 (Y 2x2, chroma 1x1). 4:2:2 etc. stay a boundary.
+          // supported samplings: single comp 1x1; 3-component with 1x1
+          // chroma and luma 1x1 (4:4:4), 2x2 (4:2:0), 2x1 (4:2:2), or
+          // 1x2 (4:4:0) — the interleaved-MCU machinery below is
+          // generic over (hs, vs), so these all share one code path.
+          // Exotic factors (3x1, chroma > 1) stay a loud boundary.
           val ok =
             if (ncomp == 1) comps.head.hs == 1 && comps.head.vs == 1
             else comps.tail.forall(c => c.hs == 1 && c.vs == 1) &&
-              ((comps.head.hs == 1 && comps.head.vs == 1) ||
-                (comps.head.hs == 2 && comps.head.vs == 2))
+              Set((1, 1), (2, 2), (2, 1), (1, 2))
+                .contains((comps.head.hs, comps.head.vs))
           if (!ok) return None
         case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
           return None // progressive / extended / arithmetic: not baseline

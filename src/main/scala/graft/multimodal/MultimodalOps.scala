@@ -545,6 +545,49 @@ object MultimodalOps extends QueryModule {
     jpegColorStats(jpegColorMedia(s, d))
   }
 
+  // q225 — the 4:2:2 rung (r15 verdict task 7): chroma subsampled
+  // horizontally only (MCU = Y0 Y1 Cb Cr, luma sampling 2x1). The
+  // decoder's interleaved-MCU machinery is generic over sampling
+  // factors, so 4:2:2 (and its 4:4:0 transpose) share the 4:2:0 code
+  // path — this gate pins the new sampling geometry against the same
+  // closed-form flat-block oracle discipline as q220.
+  def jpeg422Media(s: SparkSession, d: String): DataFrame = {
+    val buildPayload = udf((docId: Long) => JpegFixtures.color422JpegFor(docId))
+    documents(s, d).select(col("doc_id").as("media_id"),
+      buildPayload(col("doc_id")).as("payload"))
+  }
+
+  register("q225_jpeg_422_stats",
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS wm, 1 + (doc_id * 5) % 3 AS hm
+      |  FROM documents),
+      |blk AS (
+      |  SELECT doc_id, wm, hm, unnest(range(0, 2 * wm * hm)) AS ybi FROM g),
+      |v AS (
+      |  SELECT doc_id, wm, hm,
+      |    CAST((doc_id * 7 + 19 * ybi) % 256 AS DOUBLE) AS yv,
+      |    (doc_id * 13 + 23 * (ybi // 2)) % 256 - 128 AS cb,
+      |    (doc_id * 17 + 41 * (ybi // 2)) % 256 - 128 AS cr
+      |  FROM blk),
+      |rgb AS (
+      |  SELECT doc_id, wm, hm,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT))) AS gr,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
+      |  FROM v)
+      |SELECT doc_id AS media_id,
+      |  CAST(16 * wm AS INTEGER) AS width,
+      |  CAST(8 * hm AS INTEGER) AS height,
+      |  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(64 * SUM(gr) AS BIGINT) AS sum_g,
+      |  CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(r) AS INTEGER) AS min_r, CAST(MAX(r) AS INTEGER) AS max_r,
+      |  CAST(MIN(gr) AS INTEGER) AS min_g, CAST(MAX(gr) AS INTEGER) AS max_g,
+      |  CAST(MIN(b) AS INTEGER) AS min_b, CAST(MAX(b) AS INTEGER) AS max_b
+      |FROM rgb GROUP BY doc_id, wm, hm""".stripMargin) { (s, d) =>
+    jpegColorStats(jpeg422Media(s, d))
+  }
+
   register("q219_jpeg_pixel_stats",
     """WITH g AS (
       |  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + (doc_id * 7) % 4 AS hb

@@ -187,6 +187,97 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2 and 4:4:0 DC-only fixtures decode to exact closed-form " +
+      "flat blocks") {
+    def cl(v: Double): Int = math.min(255, math.max(0, math.round(v).toInt))
+    (0L until 64L).foreach { d =>
+      // horizontal 4:2:2 — MCU 16x8, Y blocks side by side
+      val img = JpegPixelCodec.decodeRgb(JpegFixtures.color422JpegFor(d))
+        .getOrElse(fail(s"undecodable 4:2:2 fixture for doc $d"))
+      val (wm, hm) = JpegFixtures.color422Geom(d)
+      assert(img.width === 16 * wm)
+      assert(img.height === 8 * hm)
+      def expect(x: Int, y: Int): (Int, Int, Int) = {
+        val mi = (y / 8) * wm + (x / 16)
+        val ybi = mi * 2 + (x % 16) / 8
+        val yv = JpegFixtures.c422Y(d, ybi).toDouble
+        val cb = JpegFixtures.c422Cb(d, mi) - 128.0
+        val cr = JpegFixtures.c422Cr(d, mi) - 128.0
+        (cl(yv + 1.402 * cr), cl(yv - 0.344136 * cb - 0.714136 * cr),
+          cl(yv + 1.772 * cb))
+      }
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val o = (y * img.width + x) * 3
+          val got = (img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff,
+            img.pixels(o + 2) & 0xff)
+          assert(got === expect(x, y), s"doc $d 4:2:2 pixel ($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+      // vertical 4:4:0 transpose — MCU 8x16, Y blocks stacked
+      val imgV = JpegPixelCodec.decodeRgb(
+        JpegFixtures.encodeDcOnlyColor422(wm, hm,
+          ybi => JpegFixtures.c422Y(d, ybi) - 128,
+          mi => JpegFixtures.c422Cb(d, mi) - 128,
+          mi => JpegFixtures.c422Cr(d, mi) - 128, vertical = true))
+        .getOrElse(fail(s"undecodable 4:4:0 fixture for doc $d"))
+      assert(imgV.width === 8 * wm)
+      assert(imgV.height === 16 * hm)
+      def expectV(x: Int, y: Int): (Int, Int, Int) = {
+        val mi = (y / 16) * wm + (x / 8)
+        val ybi = mi * 2 + (y % 16) / 8
+        val yv = JpegFixtures.c422Y(d, ybi).toDouble
+        val cb = JpegFixtures.c422Cb(d, mi) - 128.0
+        val cr = JpegFixtures.c422Cr(d, mi) - 128.0
+        (cl(yv + 1.402 * cr), cl(yv - 0.344136 * cb - 0.714136 * cr),
+          cl(yv + 1.772 * cb))
+      }
+      (0 until imgV.height).foreach { y =>
+        (0 until imgV.width).foreach { x =>
+          val o = (y * imgV.width + x) * 3
+          val got = (imgV.pixels(o) & 0xff, imgV.pixels(o + 1) & 0xff,
+            imgV.pixels(o + 2) & 0xff)
+          assert(got === expectV(x, y), s"doc $d 4:4:0 pixel ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("ImageIO decodes our encoded 4:2:2 streams to the same flat colors") {
+    // single-MCU images for the same fancy-upsampling reason as the
+    // 4:2:0 ImageIO test below
+    (0L until 16L).foreach { d =>
+      val bytes = JpegFixtures.encodeDcOnlyColor422(1, 1,
+        ybi => JpegFixtures.c422Y(d, ybi) - 128,
+        mi => JpegFixtures.c422Cb(d, mi) - 128,
+        mi => JpegFixtures.c422Cr(d, mi) - 128)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected our 4:2:2 stream for doc $d")
+      val ours = JpegPixelCodec.decodeRgb(bytes)
+        .getOrElse(fail(s"our decoder rejected 4:2:2 doc $d"))
+      assert(ours.width === ref.getWidth && ours.height === ref.getHeight)
+      var worst = 0
+      (0 until ours.height).foreach { y =>
+        (0 until ours.width).foreach { x =>
+          val rgb = ref.getRGB(x, y)
+          val o = (y * ours.width + x) * 3
+          worst = math.max(worst, math.abs(
+            (ours.pixels(o) & 0xff) - ((rgb >> 16) & 0xff)))
+          worst = math.max(worst, math.abs(
+            (ours.pixels(o + 1) & 0xff) - ((rgb >> 8) & 0xff)))
+          worst = math.max(worst, math.abs(
+            (ours.pixels(o + 2) & 0xff) - (rgb & 0xff)))
+        }
+      }
+      assert(worst <= 2, s"doc $d: worst 4:2:2 delta $worst vs ImageIO")
+    }
+  }
+
   test("ImageIO decodes our encoded color streams to the same flat colors") {
     // single-MCU images: libjpeg's fancy chroma upsampling interpolates
     // across MCU boundaries, so only the one-MCU case is filter-free;

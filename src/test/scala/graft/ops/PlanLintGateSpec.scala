@@ -196,9 +196,10 @@ class PlanLintGateSpec extends SparkSpec {
   private val scalaUdfAllowed = Set(
     "q194_image_header_decode", "q34_media_features", "q72_frame_sample",
     "q73_resize_plan", "q199_wav_header_decode",
-    // q219/q220's UDFs encode the baseline-JPEG fixture bytes per row
-    // (input construction for JpegPixelCodec, the codec under test)
-    "q219_jpeg_pixel_stats", "q220_jpeg_color_stats")
+    // q219/q220/q225's UDFs encode the baseline-JPEG fixture bytes per
+    // row (input construction for JpegPixelCodec, the codec under test)
+    "q219_jpeg_pixel_stats", "q220_jpeg_color_stats",
+    "q225_jpeg_422_stats")
 
   test("suite-wide gate: every query's plan is lint-clean modulo the allowlist, " +
       "and per-query shuffle counts match the golden budget") {
