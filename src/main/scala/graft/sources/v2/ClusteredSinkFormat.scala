@@ -121,27 +121,49 @@ object ClusteredSinkFormat {
       required: StructType)
       extends org.apache.parquet.io.api.RecordMaterializer[InternalRow] {
     import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter}
-    private val vals = new Array[Any](required.length)
+    import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+    // r16: converters write UNBOXED primitives straight into a reused
+    // UnsafeRowWriter. The r15 materializer still paid three per-record
+    // taxes the org-100× A/B could see (1.29× native on the graph
+    // loop): autoboxing every value into an Array[Any], cloning that
+    // array, and wrapping a GenericInternalRow that downstream codegen
+    // re-converted to unsafe at the first exchange. Emitting the
+    // UnsafeRow here removes all three; the row buffer is REUSED across
+    // next() calls — the standard Spark row-reader contract (operators
+    // that buffer rows copy them; Spark's own row-based parquet reader
+    // returns a reused row the same way).
+    private val writer = new UnsafeRowWriter(required.length)
+    private val delivered = new Array[Boolean](required.length)
     private val converters: Array[Converter] = {
       import scala.jdk.CollectionConverters._
       requested.getFields.asScala.map { f =>
         val out = required.fieldIndex(f.getName)
         required.fields(out).dataType match {
           case LongType => new PrimitiveConverter {
-            override def addLong(v: Long): Unit = vals(out) = v
+            override def addLong(v: Long): Unit = {
+              writer.write(out, v); delivered(out) = true
+            }
           }
           case IntegerType => new PrimitiveConverter {
-            override def addInt(v: Int): Unit = vals(out) = v
+            override def addInt(v: Int): Unit = {
+              writer.write(out, v); delivered(out) = true
+            }
           }
           case DoubleType => new PrimitiveConverter {
-            override def addDouble(v: Double): Unit = vals(out) = v
+            override def addDouble(v: Double): Unit = {
+              writer.write(out, v); delivered(out) = true
+            }
           }
           case BooleanType => new PrimitiveConverter {
-            override def addBoolean(v: Boolean): Unit = vals(out) = v
+            override def addBoolean(v: Boolean): Unit = {
+              writer.write(out, v); delivered(out) = true
+            }
           }
           case StringType => new PrimitiveConverter {
-            override def addBinary(v: Binary): Unit =
-              vals(out) = UTF8String.fromBytes(v.getBytes)
+            override def addBinary(v: Binary): Unit = {
+              writer.write(out, UTF8String.fromBytes(v.getBytes))
+              delivered(out) = true
+            }
           }
           case dt => sys.error(s"graft-sink parquet read: $dt")
         }
@@ -149,13 +171,23 @@ object ClusteredSinkFormat {
     }
     private val root: GroupConverter = new GroupConverter {
       override def getConverter(i: Int): Converter = converters(i)
-      override def start(): Unit = java.util.Arrays.fill(
-        vals.asInstanceOf[Array[AnyRef]], null)
-      override def end(): Unit = ()
+      override def start(): Unit = {
+        writer.reset()
+        writer.zeroOutNullBytes()
+        java.util.Arrays.fill(delivered, false)
+      }
+      override def end(): Unit = {
+        // fields the file never delivered for this record (null values,
+        // or columns added after the segment was written) become null
+        var i = 0
+        while (i < delivered.length) {
+          if (!delivered(i)) writer.setNullAt(i)
+          i += 1
+        }
+      }
     }
     override def getRootConverter: GroupConverter = root
-    override def getCurrentRecord: InternalRow =
-      new GenericInternalRow(vals.clone())
+    override def getCurrentRecord: InternalRow = writer.getRow
   }
 
   private final class InternalRowReadSupport(required: StructType,
@@ -209,6 +241,168 @@ object ClusteredSinkFormat {
     }
 
     override def get(): InternalRow = row
+    override def close(): Unit = reader.close()
+  }
+
+  /** The Spark types the vectorized path handles (== the sink's full
+    * type contract, so in practice every parquet segment qualifies). */
+  private[v2] def vectorizable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+    case _ => false
+  }
+
+  /** VECTORIZED reader over a committed parquet segment (r15 verdict
+    * task 5, closing the sink reader's last gap vs native bucketBy):
+    * column chunks decode straight into reused [[OnHeapColumnVector]]s
+    * through parquet-mr's column accessors — one monomorphic tight loop
+    * per column per batch, no per-record assembly, no virtual calls per
+    * value, no row allocation. The row-based [[ParquetRows]] path
+    * remains for mixed-payload tables (a scan must be uniformly
+    * columnar or uniformly row-based).
+    *
+    * Projection is pushed as before (only requested chunks are read or
+    * decompressed); columns requested but absent from the file (ALTER
+    * ADD COLUMN after the segment committed) surface as all-null
+    * vectors. Repetition comes from the FILE's own schema, so
+    * definition levels always agree with what the writer produced. */
+  final class ParquetBatches(file: String, required: StructType,
+      batchSize: Int = 4096)
+      extends org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+    import org.apache.parquet.column.{ColumnDescriptor, ColumnReader}
+    import org.apache.parquet.column.impl.ColumnReadStoreImpl
+    import org.apache.parquet.column.page.PageReadStore
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    import scala.jdk.CollectionConverters._
+
+    private val conf = rawFsConf()
+    private val reader = ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(file), conf))
+    private val fileSchema = reader.getFileMetaData.getSchema
+    private val createdBy = reader.getFileMetaData.getCreatedBy
+
+    // the requested message type is the PROJECTION OF THE FILE SCHEMA
+    // (field order and repetition exactly as written), so descriptors,
+    // max definition levels, and chunk lookups all agree with the file
+    private val requestedMessage: MessageType = {
+      val names = required.fieldNames.toSet
+      new MessageType("graft_sink",
+        fileSchema.getFields.asScala.filter(f => names(f.getName)).asJava)
+    }
+    private val descs: Array[ColumnDescriptor] =
+      requestedMessage.getColumns.asScala.toArray
+    // output ordinal (in `required`) of each present column
+    private val outIdx: Array[Int] =
+      descs.map(d => required.fieldIndex(d.getPath()(0)))
+    private val absentIdx: Array[Int] = {
+      val present = outIdx.toSet
+      required.indices.filterNot(present).toArray
+    }
+    reader.setRequestedSchema(descs.toSeq.asJava)
+
+    private val vectors: Array[OnHeapColumnVector] =
+      OnHeapColumnVector.allocateColumns(batchSize, required)
+    private val batch =
+      new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+    // ColumnReadStoreImpl only consults the converter for dictionary
+    // support (none here — values are pulled through typed accessors)
+    private val dummyRoot: GroupConverter = new GroupConverter {
+      override def getConverter(i: Int): Converter =
+        new PrimitiveConverter {}
+      override def start(): Unit = ()
+      override def end(): Unit = ()
+    }
+
+    private var readers: Array[ColumnReader] = _
+    private var rowsLeftInGroup: Long = 0L
+
+    private def advanceGroup(): Boolean = {
+      var pages: PageReadStore = reader.readNextRowGroup()
+      while (pages != null && pages.getRowCount == 0)
+        pages = reader.readNextRowGroup()
+      if (pages == null) false
+      else {
+        val store =
+          new ColumnReadStoreImpl(pages, dummyRoot, requestedMessage, createdBy)
+        readers = descs.map(store.getColumnReader)
+        rowsLeftInGroup = pages.getRowCount
+        true
+      }
+    }
+
+    override def next(): Boolean = {
+      if (rowsLeftInGroup == 0L && !advanceGroup()) return false
+      val n = math.min(batchSize.toLong, rowsLeftInGroup).toInt
+      var c = 0
+      while (c < descs.length) {
+        val vec = vectors(outIdx(c))
+        vec.reset()
+        val r = readers(c)
+        val maxDef = descs(c).getMaxDefinitionLevel
+        required.fields(outIdx(c)).dataType match {
+          case LongType =>
+            var i = 0
+            while (i < n) {
+              if (r.getCurrentDefinitionLevel == maxDef)
+                vec.putLong(i, r.getLong)
+              else vec.putNull(i)
+              r.consume(); i += 1
+            }
+          case IntegerType =>
+            var i = 0
+            while (i < n) {
+              if (r.getCurrentDefinitionLevel == maxDef)
+                vec.putInt(i, r.getInteger)
+              else vec.putNull(i)
+              r.consume(); i += 1
+            }
+          case DoubleType =>
+            var i = 0
+            while (i < n) {
+              if (r.getCurrentDefinitionLevel == maxDef)
+                vec.putDouble(i, r.getDouble)
+              else vec.putNull(i)
+              r.consume(); i += 1
+            }
+          case BooleanType =>
+            var i = 0
+            while (i < n) {
+              if (r.getCurrentDefinitionLevel == maxDef)
+                vec.putBoolean(i, r.getBoolean)
+              else vec.putNull(i)
+              r.consume(); i += 1
+            }
+          case StringType =>
+            var i = 0
+            while (i < n) {
+              if (r.getCurrentDefinitionLevel == maxDef) {
+                val bytes = r.getBinary.getBytes
+                vec.putByteArray(i, bytes, 0, bytes.length)
+              } else vec.putNull(i)
+              r.consume(); i += 1
+            }
+          case dt => sys.error(s"graft-sink vectorized read: $dt")
+        }
+        c += 1
+      }
+      var a = 0
+      while (a < absentIdx.length) {
+        val vec = vectors(absentIdx(a))
+        vec.reset()
+        vec.putNulls(0, n)
+        a += 1
+      }
+      batch.setNumRows(n)
+      rowsLeftInGroup -= n
+      true
+    }
+
+    override def get(): ColumnarBatch = batch
     override def close(): Unit = reader.close()
   }
 }

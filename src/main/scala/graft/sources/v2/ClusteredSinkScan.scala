@@ -120,7 +120,14 @@ final class ClusteredSinkScan(
       clusterByIsInt)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ClusteredSinkReaderFactory(tableSchema, required)
+    // columnar only when EVERY kept file is a parquet segment with
+    // vectorizable types: a DSv2 scan must be uniformly columnar or
+    // uniformly row-based, so mixed-payload tables keep the row path
+    ClusteredSinkReaderFactory(tableSchema, required,
+      columnar = kept.nonEmpty &&
+        kept.forall(_.file.endsWith(".parquet")) &&
+        required.fields.forall(f =>
+          ClusteredSinkFormat.vectorizable(f.dataType)))
 }
 
 /** `keyValue` is non-null only when the scan reported key-grouped
@@ -141,7 +148,17 @@ final case class ClusteredSinkFilePartition(
 
 /** Top-level (serializable) — an anonymous factory would capture the Scan. */
 final case class ClusteredSinkReaderFactory(
-    tableSchema: StructType, required: StructType) extends PartitionReaderFactory {
+    tableSchema: StructType, required: StructType,
+    columnar: Boolean = false) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(columnar, "columnar read requested on a row-based scan")
+    new ClusteredSinkFormat.ParquetBatches(
+      p.asInstanceOf[ClusteredSinkFilePartition].file, required)
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[ClusteredSinkFilePartition].file
