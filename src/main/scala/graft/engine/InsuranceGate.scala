@@ -1356,9 +1356,16 @@ object InsuranceGate extends QueryModule {
     val pc = cdcBatches(s, d)
     val cu = cdcCustomerBatches(s, d)
     val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
-      (IncrementalGold.narrowC360Cust(IncrementalGold.signedDelta(c)),
-        IncrementalGold.narrowC360Pol(IncrementalGold.signedDelta(p)),
-        IncrementalGold.narrowC360Cl(IncrementalGold.signedDelta(cl))) }
+      // checkpoint each NARROW delta once: three+ partial aggregations
+      // read every delta, and the trilinear terms re-reference them —
+      // without this the silver->image->union chain re-derives per
+      // consumer (the q218 shared-subtree lesson, bigger here)
+      (IncrementalGold.narrowC360Cust(IncrementalGold.signedDelta(c))
+        .localCheckpoint(true),
+        IncrementalGold.narrowC360Pol(IncrementalGold.signedDelta(p))
+          .localCheckpoint(true),
+        IncrementalGold.narrowC360Cl(IncrementalGold.signedDelta(cl))
+          .localCheckpoint(true)) }
     deltas.tail.foldLeft(
       IncrementalGold.initCustomer360(deltas.head._1, deltas.head._2,
         deltas.head._3, materialize = false)) {
@@ -1526,15 +1533,24 @@ object InsuranceGate extends QueryModule {
   }
 
   /** Fold the four aligned CDC batch triples into the claims-operations
-    * state (lazy fold per the q218 rationale). */
+    * state. Measured at sf0.1 (min-of-3, ambient ~0): checkpointing the
+    * NARROW deltas + lazy state fold = 21.9 s; lazy everything = 45.0
+    * (the trilinear terms re-derive the silver->image chain per
+    * consumer); eager state checkpoints = 32.8-39.3 (12 extra
+    * state-table jobs dominate). Delta-checkpoint + lazy state wins —
+    * the deltas are the shared subtrees, the state frames are not. */
   private[engine] def cdcClaimsOpsState(s: SparkSession, d: String)
       : IncrementalGold.ClaimsOpsState = {
     val pc = cdcBatches(s, d)
     val cu = cdcCustomerBatches(s, d)
     val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
-      (IncrementalGold.narrowCoCust(IncrementalGold.signedDelta(c)),
-        IncrementalGold.narrowCoPol(IncrementalGold.signedDelta(p)),
-        IncrementalGold.narrowCoCl(IncrementalGold.signedDelta(cl))) }
+      // same narrow-delta checkpoint rationale as cdcCustomer360State
+      (IncrementalGold.narrowCoCust(IncrementalGold.signedDelta(c))
+        .localCheckpoint(true),
+        IncrementalGold.narrowCoPol(IncrementalGold.signedDelta(p))
+          .localCheckpoint(true),
+        IncrementalGold.narrowCoCl(IncrementalGold.signedDelta(cl))
+          .localCheckpoint(true)) }
     deltas.tail.foldLeft(
       IncrementalGold.initClaimsOps(deltas.head._1, deltas.head._2,
         deltas.head._3, materialize = false)) {
