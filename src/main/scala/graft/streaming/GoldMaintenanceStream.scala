@@ -182,6 +182,93 @@ object GoldMaintenanceStream {
       IncrementalGold.mart)
   }
 
+  /** One CDC record of an AT-LEAST-ONCE feed: [[GoldCdc]] plus the
+    * per-record sequence number that makes exactly-once reduction
+    * possible ([[graft.engine.CdcIngest]]). */
+  final case class GoldCdcSeq(entity: String, op: String, before: String,
+      after: String, seq: Long)
+
+  private val ExecIngestTables =
+    ExecTables ++ Seq("ledgerPolicy", "ledgerClaim")
+
+  /** [[foldBatch]]'s AT-LEAST-ONCE twin (r15 verdict minor (c), closed
+    * in deployment shape): records may be DUPLICATED anywhere — within
+    * a batch, across batches — and reordered within a batch. The
+    * [[graft.engine.CdcIngest]] stages run in front of the fold:
+    * (key, seq) dedupe, per-key high-water LEDGER filter, sequence-
+    * ordered collapse to one net op per key. The advanced ledgers
+    * commit in the SAME state version as the mart state, so a crash or
+    * foreachBatch replay can never split "records applied" from
+    * "records remembered" — together with the batch-id skip this makes
+    * the whole pipeline exactly-once over an at-least-once transport.
+    * (A batch that is entirely redelivery still mints a version — a
+    * byte-copy of the previous one; retention GC bounds the cost.) */
+  def foldBatchAtLeastOnce(df: DataFrame, id: Long, polSchema: StructType,
+      clSchema: StructType, stateDir: String,
+      retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
+    import graft.engine.CdcIngest
+    val spark = df.sparkSession
+    type S = (IncrementalGold.ExecState, DataFrame, DataFrame)
+    val store = new VersionedStateStore(spark, stateDir, ExecIngestTables,
+      retain)
+    def load(v: Long): S = {
+      val t = store.load(v)
+      (IncrementalGold.ExecState(t("polMonths"), t("polCusts"),
+        t("clMonths")), t("ledgerPolicy"), t("ledgerClaim"))
+    }
+    def parsed(batch: DataFrame, entity: String,
+        schema: StructType): DataFrame =
+      batch.filter(col("entity") === entity)
+        .select(col("op"),
+          from_json(col("before"), schema).as("before"),
+          from_json(col("after"), schema).as("after"),
+          col("seq"))
+    foldWith[S](df, id, store, load,
+      (prev, batch) => {
+        val polRaw = CdcIngest.keyed(parsed(batch, "policy", polSchema),
+          coalesce(col("after.policy_id"), col("before.policy_id")),
+          col("seq"))
+        val clRaw = CdcIngest.keyed(parsed(batch, "claim", clSchema),
+          coalesce(col("after.claim_id"), col("before.claim_id")),
+          col("seq"))
+        val polLedger0 = prev.map(_._2)
+          .getOrElse(CdcIngest.emptyLedgerLike(polRaw))
+        val clLedger0 = prev.map(_._3)
+          .getOrElse(CdcIngest.emptyLedgerLike(clRaw))
+        val polFresh = CdcIngest.freshAgainstLedger(polRaw, polLedger0)
+        val clFresh = CdcIngest.freshAgainstLedger(clRaw, clLedger0)
+        val pol = IncrementalGold.narrowPolDelta(IncrementalGold.signedDelta(
+          CdcIngest.collapse(polFresh).select("op", "before", "after")))
+        val cl = IncrementalGold.narrowClDelta(IncrementalGold.signedDelta(
+          CdcIngest.collapse(clFresh).select("op", "before", "after")))
+        val st = prev match {
+          case Some((s, _, _)) =>
+            IncrementalGold.applyDelta(s, pol, cl, materialize = false)
+          case None => IncrementalGold.init(pol, cl, materialize = false)
+        }
+        (st, CdcIngest.advanceLedger(polLedger0, polFresh),
+          CdcIngest.advanceLedger(clLedger0, clFresh))
+      },
+      { case (st, pl, cll) => Map("polMonths" -> st.polMonths,
+        "polCusts" -> st.polCusts, "clMonths" -> st.clMonths,
+        "ledgerPolicy" -> pl, "ledgerClaim" -> cll) },
+      s => IncrementalGold.mart(s._1))
+  }
+
+  /** Wire the at-least-once maintainer to a seq-stamped CDC stream. */
+  def startAtLeastOnce(changes: Dataset[GoldCdcSeq], polSchema: StructType,
+      clSchema: StructType, stateDir: String, checkpoint: String,
+      onRefresh: (Long, DataFrame) => Unit,
+      retain: Int = VersionedStateStore.DefaultRetain)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: Dataset[GoldCdcSeq], id: Long) =>
+        foldBatchAtLeastOnce(df.toDF(), id, polSchema, clSchema, stateDir,
+          retain).foreach(onRefresh(id, _))
+      }
+      .start()
+
   /** [[foldBatch]]'s twin for the JOIN-IVM policy-performance mart. */
   def foldPerfBatch(df: DataFrame, id: Long, polSchema: StructType,
       clSchema: StructType, stateDir: String,
@@ -206,6 +293,119 @@ object GoldMaintenanceStream {
         "cbt" -> st.cbt),
       IncrementalGold.policyPerfMart)
   }
+
+  private val C360Tables =
+    Seq("custDim", "polMetrics", "polDates", "pc", "cpc", "cm")
+  private val OpsTables = Seq("cl", "p", "c", "att", "adj")
+
+  def loadC360State(spark: SparkSession, stateDir: String,
+      id: Long): IncrementalGold.Customer360State = {
+    val t = new VersionedStateStore(spark, stateDir, C360Tables,
+      VersionedStateStore.DefaultRetain).load(id)
+    IncrementalGold.Customer360State(t("custDim"), t("polMetrics"),
+      t("polDates"), t("pc"), t("cpc"), t("cm"))
+  }
+
+  def loadOpsState(spark: SparkSession, stateDir: String,
+      id: Long): IncrementalGold.ClaimsOpsState = {
+    val t = new VersionedStateStore(spark, stateDir, OpsTables,
+      VersionedStateStore.DefaultRetain).load(id)
+    IncrementalGold.ClaimsOpsState(t("cl"), t("p"), t("c"), t("att"),
+      t("adj"))
+  }
+
+  /** [[foldBatch]]'s twin for the customer-360 mart (three entities on
+    * the topic: customer attribute churn folds the dimension side). */
+  def foldC360Batch(df: DataFrame, id: Long, custSchema: StructType,
+      polSchema: StructType, clSchema: StructType, stateDir: String,
+      retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
+    val spark = df.sparkSession
+    foldWith[IncrementalGold.Customer360State](df, id,
+      new VersionedStateStore(spark, stateDir, C360Tables, retain),
+      loadC360State(spark, stateDir, _),
+      (prev, batch) => {
+        val cu = IncrementalGold.narrowC360Cust(
+          signedOf(batch, "customer", custSchema))
+        val pol = IncrementalGold.narrowC360Pol(
+          signedOf(batch, "policy", polSchema))
+        val cl = IncrementalGold.narrowC360Cl(
+          signedOf(batch, "claim", clSchema))
+        prev match {
+          case Some(st) => IncrementalGold.applyCustomer360Delta(st, cu,
+            pol, cl, materialize = false)
+          case None => IncrementalGold.initCustomer360(cu, pol, cl,
+            materialize = false)
+        }
+      },
+      st => Map("custDim" -> st.custDim, "polMetrics" -> st.polMetrics,
+        "polDates" -> st.polDates, "pc" -> st.pc, "cpc" -> st.cpc,
+        "cm" -> st.cm),
+      IncrementalGold.customer360Mart)
+  }
+
+  /** [[foldBatch]]'s twin for the claims-operations (trilinear) mart. */
+  def foldOpsBatch(df: DataFrame, id: Long, custSchema: StructType,
+      polSchema: StructType, clSchema: StructType, stateDir: String,
+      retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
+    val spark = df.sparkSession
+    foldWith[IncrementalGold.ClaimsOpsState](df, id,
+      new VersionedStateStore(spark, stateDir, OpsTables, retain),
+      loadOpsState(spark, stateDir, _),
+      (prev, batch) => {
+        val cu = IncrementalGold.narrowCoCust(
+          signedOf(batch, "customer", custSchema))
+        val pol = IncrementalGold.narrowCoPol(
+          signedOf(batch, "policy", polSchema))
+        val cl = IncrementalGold.narrowCoCl(
+          signedOf(batch, "claim", clSchema))
+        prev match {
+          case Some(st) => IncrementalGold.applyClaimsOpsDelta(st, cu, pol,
+            cl, materialize = false)
+          case None => IncrementalGold.initClaimsOps(cu, pol, cl,
+            materialize = false)
+        }
+      },
+      st => Map("cl" -> st.cl, "p" -> st.p, "c" -> st.c, "att" -> st.att,
+        "adj" -> st.adj),
+      IncrementalGold.claimsOpsMart)
+  }
+
+  /** THE production topology: ONE 3-entity CDC topic maintains ALL FOUR
+    * gold marts concurrently — each mart folds the same micro-batch
+    * into its own versioned state dir under `stateRoot` (exec/perf/
+    * c360/ops), each with its own _COMMIT + batch-id skip, so a crash
+    * between mart commits replays the batch and only the not-yet-
+    * committed marts fold it (per-mart exactly-once). Returns the
+    * refreshed marts keyed by name. */
+  def foldAllMarts(df: DataFrame, id: Long, custSchema: StructType,
+      polSchema: StructType, clSchema: StructType, stateRoot: String,
+      retain: Int = VersionedStateStore.DefaultRetain)
+      : Map[String, DataFrame] = {
+    def sub(n: String) = s"$stateRoot/$n"
+    Seq(
+      "exec" -> foldBatch(df, id, polSchema, clSchema, sub("exec"), retain),
+      "perf" -> foldPerfBatch(df, id, polSchema, clSchema, sub("perf"),
+        retain),
+      "c360" -> foldC360Batch(df, id, custSchema, polSchema, clSchema,
+        sub("c360"), retain),
+      "ops" -> foldOpsBatch(df, id, custSchema, polSchema, clSchema,
+        sub("ops"), retain)
+    ).collect { case (n, Some(m)) => n -> m }.toMap
+  }
+
+  /** Wire all four maintainers to one CDC stream. */
+  def startAllMarts(changes: Dataset[GoldCdc], custSchema: StructType,
+      polSchema: StructType, clSchema: StructType, stateRoot: String,
+      checkpoint: String, onRefresh: (Long, Map[String, DataFrame]) => Unit,
+      retain: Int = VersionedStateStore.DefaultRetain)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: Dataset[GoldCdc], id: Long) =>
+        onRefresh(id, foldAllMarts(df.toDF(), id, custSchema, polSchema,
+          clSchema, stateRoot, retain))
+      }
+      .start()
 
   /** Wire the exec-summary maintainer to a CDC stream. `onRefresh`
     * receives the refreshed mart after every committed batch. */

@@ -112,6 +112,67 @@ class GoldStreamSpec extends SparkSpec {
       "empty batch minted a state version")
   }
 
+  test("at-least-once CDC stream (cross-batch redelivery + in-batch " +
+      "duplicates) maintains exactly through the committed ledger") {
+    import spark.implicits._
+    val batches = graft.engine.InsuranceGate.cdcBatches(spark, sf)
+    val polT = batches.head._1.schema("before").dataType.asInstanceOf[StructType]
+    val clT = batches.head._2.schema("before").dataType.asInstanceOf[StructType]
+    val inDir = java.nio.file.Files.createTempDirectory("alo_in").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("alo_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("alo_ckpt").toString
+    @volatile var lastMart: Array[org.apache.spark.sql.Row] = Array.empty
+
+    // seq = batch index (per key: one op per batch, so (key, seq) is a
+    // valid per-record sequence); DAMAGE: every batch i > 0 redelivers
+    // ALL of batch i-1 under its old seq, and 1/3 of its own records
+    // are duplicated — the at-least-once shapes CdcIngest must absorb
+    def cdcSeqJson(i: Int): DataFrame = {
+      def stamped(pol: DataFrame, cl: DataFrame, s: Int): DataFrame =
+        pol.select(lit("policy").as("entity"), col("op"),
+            to_json(col("before")).as("before"),
+            to_json(col("after")).as("after"), lit(s.toLong).as("seq"))
+          .unionByName(cl.select(lit("claim").as("entity"), col("op"),
+            to_json(col("before")).as("before"),
+            to_json(col("after")).as("after"), lit(s.toLong).as("seq")))
+      val own = stamped(batches(i)._1, batches(i)._2, i)
+      val dups = own.filter(pmod(abs(hash(col("before"), col("after"))),
+        lit(3)) === 0)
+      val redelivered =
+        if (i == 0) own.limit(0)
+        else stamped(batches(i - 1)._1, batches(i - 1)._2, i - 1)
+      own.unionByName(dups).unionByName(redelivered).orderBy(rand(7 + i))
+    }
+
+    def start() = GoldMaintenanceStream.startAtLeastOnce(
+      spark.readStream
+        .schema("entity STRING, op STRING, before STRING, after STRING, seq BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$inDir/*").as[GoldMaintenanceStream.GoldCdcSeq],
+      polT, clT, stateDir, ckpt,
+      (_, mart) => lastMart = mart.collect())
+
+    def feed(name: String, i: Int): Unit =
+      cdcSeqJson(i).coalesce(1).write.mode("append").json(s"$inDir/$name")
+
+    val q1 = start()
+    try {
+      feed("b1", 0); q1.processAllAvailable()
+      feed("b2", 1); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      feed("b3", 2); q2.processAllAvailable()
+      feed("b4", 3); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val expected = graft.SparkEntry
+      .queries("q218_incremental_gold")(spark, sf).collect()
+    assert(lastMart.length === expected.length)
+    assert(lastMart.map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
+      "at-least-once maintenance diverged from the q218 gate")
+  }
+
   test("policy-perf join-IVM streams with the same commit discipline " +
       "across a restart") {
     import spark.implicits._
@@ -151,6 +212,61 @@ class GoldStreamSpec extends SparkSpec {
     assert(lastMart.length === expected.length)
     assert(lastMart.map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
       "streamed join-IVM maintenance diverged from the q221 gate")
+  }
+
+  test("ONE 3-entity CDC topic maintains ALL FOUR gold marts " +
+      "concurrently across a restart, each matching its batch gate") {
+    import spark.implicits._
+    val pc = graft.engine.InsuranceGate.cdcBatches(spark, sf)
+    val cu = graft.engine.InsuranceGate.cdcCustomerBatches(spark, sf)
+    val polT = pc.head._1.schema("before").dataType.asInstanceOf[StructType]
+    val clT = pc.head._2.schema("before").dataType.asInstanceOf[StructType]
+    val cuT = cu.head.schema("before").dataType.asInstanceOf[StructType]
+    val inDir = java.nio.file.Files.createTempDirectory("all_in").toString
+    val stateRoot = java.nio.file.Files.createTempDirectory("all_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("all_ckpt").toString
+    @volatile var marts: Map[String, Array[org.apache.spark.sql.Row]] = Map.empty
+
+    def topic(i: Int): DataFrame =
+      cdcJson(pc(i)._1, pc(i)._2).unionByName(
+        cu(i).select(lit("customer").as("entity"), col("op"),
+          to_json(col("before")).as("before"),
+          to_json(col("after")).as("after")))
+
+    def start() = GoldMaintenanceStream.startAllMarts(
+      spark.readStream
+        .schema("entity STRING, op STRING, before STRING, after STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$inDir/*").as[GoldMaintenanceStream.GoldCdc],
+      cuT, polT, clT, stateRoot, ckpt,
+      (_, ms) => marts = ms.map { case (n, m) => n -> m.collect() })
+
+    def feed(name: String, i: Int): Unit =
+      topic(i).coalesce(1).write.mode("append").json(s"$inDir/$name")
+
+    val q1 = start()
+    try {
+      feed("b1", 0); q1.processAllAvailable()
+      feed("b2", 1); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      feed("b3", 2); q2.processAllAvailable()
+      feed("b4", 3); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val gates = Map(
+      "exec" -> "q218_incremental_gold",
+      "perf" -> "q221_incremental_policy_perf",
+      "c360" -> "q223_incremental_customer_360",
+      "ops" -> "q224_incremental_claims_ops")
+    gates.foreach { case (name, gate) =>
+      val expected = graft.SparkEntry.queries(gate)(spark, sf).collect()
+      val got = marts(name)
+      assert(got.length === expected.length, s"$name row count")
+      assert(got.map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
+        s"streamed $name mart diverged from the $gate gate")
+    }
   }
 
   test("version retention keeps the newest K committed versions and " +
