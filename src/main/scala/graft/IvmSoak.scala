@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Measurement harness for the 4-mart IVM family at soak scale: drives
+  * the STREAMING maintainers' fold path ([[graft.streaming
+  * .GoldMaintenanceStream.foldAllMarts]]) over the four CDC batches of
+  * a given dataset, printing one JSON line per batch with the fold
+  * wall time and every state table's row count — the state-size
+  * trajectory is the 100 TB story (state must track the LIVE tables,
+  * never history), and the per-batch wall is what competes with a full
+  * refresh. A final line measures the four marts' FULL-REFRESH wall on
+  * the same dataset for the ratio.
+  *
+  * Usage: runMain graft.IvmSoak [sfDir] (default /tmp/soak)
+  */
+object IvmSoak {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/soak")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.engine.{IncrementalGold, InsuranceGate}
+    import graft.streaming.GoldMaintenanceStream
+    import org.apache.spark.sql.functions._
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val pc = InsuranceGate.cdcBatches(spark, dir)
+    val cu = InsuranceGate.cdcCustomerBatches(spark, dir)
+    val polT = pc.head._1.schema("before").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val clT = pc.head._2.schema("before").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cuT = cu.head.schema("before").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+    def topic(i: Int): DataFrame =
+      pc(i)._1.select(lit("policy").as("entity"), col("op"),
+          to_json(col("before")).as("before"),
+          to_json(col("after")).as("after"))
+        .unionByName(pc(i)._2.select(lit("claim").as("entity"), col("op"),
+          to_json(col("before")).as("before"),
+          to_json(col("after")).as("after")))
+        .unionByName(cu(i).select(lit("customer").as("entity"), col("op"),
+          to_json(col("before")).as("before"),
+          to_json(col("after")).as("after")))
+
+    val stateRoot = java.nio.file.Files
+      .createTempDirectory("ivm_soak_state").toString
+    graft.util.TmpReaper.track(stateRoot)
+
+    def foldOne(mart: String, batch: DataFrame, id: Long): Double = {
+      val (_, w) = timed {
+        mart match {
+          case "exec" => GoldMaintenanceStream.foldBatch(batch, id, polT,
+            clT, s"$stateRoot/exec")
+          case "perf" => GoldMaintenanceStream.foldPerfBatch(batch, id,
+            polT, clT, s"$stateRoot/perf")
+          case "c360" => GoldMaintenanceStream.foldC360Batch(batch, id, cuT,
+            polT, clT, s"$stateRoot/c360")
+          case _ => GoldMaintenanceStream.foldOpsBatch(batch, id, cuT, polT,
+            clT, s"$stateRoot/ops")
+        }
+      }
+      w
+    }
+
+    // a REALISTIC maintenance batch appended after the four gate
+    // batches: ~0.3% of policies get a premium bump, ~0.3% of claims a
+    // settled bump — the daily-CDC shape where IVM must beat refresh
+    def smallBatch(): DataFrame = {
+      import org.apache.spark.sql.types.LongType
+      val pol = pc(0)._1 // batch-1 insert images carry full rows
+      val small = pol
+        .withColumn("__pk", expr(
+          "try_cast(substring(after.policy_id, 2) AS BIGINT)"))
+        .filter(col("__pk") % 311 === 0)
+        .select(lit("policy").as("entity"), lit("U").as("op"),
+          to_json(col("after")).as("before"),
+          to_json(col("after").withField("premium_amount",
+            col("after.premium_amount") + 7)).as("after"))
+      small.localCheckpoint(true)
+    }
+
+    (0 until 4).foreach { i =>
+      // materialize the topic batch once so the fold measures the
+      // MAINTENANCE cost, not the CDC construction (the feed is the
+      // transport's job in production)
+      val batch = topic(i).localCheckpoint(true)
+      val nRecords = batch.count()
+      val walls = Seq("exec", "perf", "c360", "ops")
+        .map(m => m -> foldOne(m, batch, i.toLong)).toMap
+      def rows(mart: String, tables: Seq[String]): Long = tables.map { t =>
+        spark.read.parquet(s"$stateRoot/$mart/$i/$t").count()
+      }.sum
+      val exec = rows("exec", Seq("polMonths", "polCusts", "clMonths"))
+      val perf = rows("perf", Seq("polBase", "pt", "cpm", "cbt"))
+      val c360 = rows("c360",
+        Seq("custDim", "polMetrics", "polDates", "pc", "cpc", "cm"))
+      val ops = rows("ops", Seq("cl", "p", "c", "att", "adj"))
+      println(f"""{"metric":"ivm_batch","batch":$i,"records":$nRecords,""" +
+        f""""exec_sec":${walls("exec")}%.2f,"perf_sec":${walls("perf")}%.2f,""" +
+        f""""c360_sec":${walls("c360")}%.2f,"ops_sec":${walls("ops")}%.2f,""" +
+        f""""exec_rows":$exec,"perf_rows":$perf,""" +
+        f""""c360_rows":$c360,"ops_rows":$ops}""")
+    }
+
+    // realistic small batches appended twice: with compactEvery = 4 and
+    // the chain [base, d, d, d], id 4 lands on a COMPACTION (chain fold
+    // + one |state| base write, the amortized cost) and id 5 is a pure
+    // DELTA batch (the steady-state per-batch cost, write ∝ |Δ|)
+    val sb = smallBatch()
+    val sbN = sb.count()
+    Seq(("ivm_small_batch_compact", 4L), ("ivm_small_batch_delta", 5L))
+      .foreach { case (label, id) =>
+        val walls = Seq("exec", "perf", "c360", "ops")
+          .map(m => m -> foldOne(m, sb, id)).toMap
+        println(f"""{"metric":"$label","records":$sbN,""" +
+          f""""exec_sec":${walls("exec")}%.2f,"perf_sec":${walls("perf")}%.2f,""" +
+          f""""c360_sec":${walls("c360")}%.2f,"ops_sec":${walls("ops")}%.2f}""")
+      }
+
+    // the competitor: all four marts full-refreshed from silver
+    val (_, refreshWall) = timed {
+      Seq("q45_gold_executive_summary", "q44_gold_policy_performance",
+        "q46_gold_customer_360", "q47_gold_claims_operations").foreach { q =>
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    println(f"""{"metric":"ivm_full_refresh","sec":$refreshWall%.2f}""")
+    spark.stop()
+  }
+}

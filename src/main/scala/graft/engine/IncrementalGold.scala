@@ -690,6 +690,58 @@ object IncrementalGold {
     InsuranceGate.claimsOpsFromParts(att, adj)
   }
 
+  // =============== per-batch DELTA FRAMES for the LSM state store
+  // (r16, SCALE.md: full-copy state versions put a |state|-sized write
+  // floor under every micro-batch — fact-grain auxiliary state made
+  // per-batch maintenance lose to a full refresh at 10×). These
+  // producers return the BATCH PARTIALS per state table — what
+  // [[graft.streaming.VersionedStateStore.saveDelta]] persists (write
+  // ∝ |Δ|); the store folds base+deltas on read with the same signed
+  // merge algebra, so reconstruction is value-exact. The probe terms
+  // still read current state lazily (ptNew etc. are computed for the
+  // bilinear/trilinear attribution but never persisted).
+
+  def policyPerfDeltaFrames(st: PolicyPerfState, polDelta: DataFrame,
+      clDelta: DataFrame): Map[String, DataFrame] = {
+    val dPt = ptPartials(polDelta)
+    val reattr = attributed(dPt.select(col("policy_id"), col("policy_type"),
+      col("n")), st.cpm)
+    val ptNew = merge(st.pt, dPt, Seq("policy_id", "policy_type"), "n")
+    val dCpm = cpmPartials(clDelta)
+    val attr = attributed(ptNew, dCpm)
+    Map("polBase" -> ppPolBasePartials(polDelta), "pt" -> dPt,
+      "cpm" -> dCpm, "cbt" -> cbtDelta(reattr, attr))
+  }
+
+  def customer360DeltaFrames(st: Customer360State, custDelta: DataFrame,
+      polDelta: DataFrame, clDelta: DataFrame): Map[String, DataFrame] = {
+    val dPc = c360PcPartials(polDelta)
+    val reattr = attributedCust(dPc, st.cpc)
+    val pcNew = merge(st.pc, dPc, Seq("policy_id", "customer_id"), "n")
+    val dCpc = c360CpcPartials(clDelta)
+    val attr = attributedCust(pcNew, dCpc)
+    Map("custDim" -> c360CustDimPartials(custDelta),
+      "polMetrics" -> c360PolMetricPartials(polDelta),
+      "polDates" -> c360PolDatePartials(polDelta),
+      "pc" -> dPc, "cpc" -> dCpc, "cm" -> cmDelta(reattr, attr))
+  }
+
+  def claimsOpsDeltaFrames(st: ClaimsOpsState, custDelta: DataFrame,
+      polDelta: DataFrame, clDelta: DataFrame): Map[String, DataFrame] = {
+    val dCl = coClPartials(clDelta)
+    val dP = coPPartials(polDelta)
+    val dC = coCPartials(custDelta)
+    val t1 = coT1(dCl, st.p, st.c)
+    val clNew = merge(st.cl, dCl, CoClKeys, "n")
+    val t2 = coScale(clNew, coDimDims(dP, st.c, byCustomer = false))
+    val pNew = merge(st.p, dP,
+      Seq("policy_id", "customer_id", "policy_type"), "n")
+    val t3 = coScale(clNew, coDimDims(dC, pNew, byCustomer = true))
+    Map("cl" -> dCl, "p" -> dP, "c" -> dC,
+      "att" -> coAttDelta(Seq(t1, t2, t3)),
+      "adj" -> coAdjPartials(clDelta))
+  }
+
   /** IVM column pruning for the claims-operations maintainer. */
   def narrowCoCust(delta: DataFrame): DataFrame =
     delta.select("customer_id", "state", "age", "__sign")

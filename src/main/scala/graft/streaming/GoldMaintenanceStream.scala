@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.StructType
   * when its batch id replays.
   */
 final class VersionedStateStore(spark: SparkSession, stateDir: String,
-    tables: Seq[String], retain: Int = VersionedStateStore.DefaultRetain) {
+    tables: Seq[String], retain: Int = VersionedStateStore.DefaultRetain,
+    mergeSpecs: Map[String, VersionedStateStore.MergeSpec] = Map.empty,
+    compactEvery: Int = VersionedStateStore.DefaultCompactEvery) {
+  import VersionedStateStore.MergeSpec
   require(retain >= 1, s"retain must keep at least the newest version")
   private val root = new Path(stateDir)
   private def fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -40,27 +43,126 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
 
   def lastCommitted: Option[Long] = committedVersions.lastOption
 
+  private def isDelta(id: Long): Boolean =
+    fs.exists(new Path(new Path(root, id.toString), "_DELTA"))
+
+  /** Newest committed BASE (full-copy) version at or below `id`. */
+  private def baseFor(id: Long): Long =
+    committedVersions.filter(v => v <= id && !isDelta(v)).lastOption
+      .getOrElse(sys.error(
+        s"graft state: no base version at or below $id under $stateDir"))
+
+  private def read(id: Long, t: String): DataFrame =
+    spark.read.parquet(new Path(new Path(root, id.toString), t).toString)
+
+  /** State view at version `id`: the newest base at or below it plus
+    * every committed delta in between, folded by the table's merge
+    * algebra (keyed signed sums — union + groupBy-sum IS the k-fold
+    * [[graft.engine.IncrementalGold.merge]], so the reconstruction is
+    * value-exact, zero-count groups dropped the same way). */
   def load(id: Long): Map[String, DataFrame] = {
-    val dir = new Path(root, id.toString)
-    tables.map(t => t -> spark.read.parquet(new Path(dir, t).toString)).toMap
+    import org.apache.spark.sql.functions._
+    val base = baseFor(id)
+    val deltaIds = committedVersions.filter(v => v > base && v <= id)
+    require(deltaIds.forall(isDelta),
+      s"graft state: non-delta version inside the delta chain ($deltaIds)")
+    tables.map { t =>
+      val frames = (base +: deltaIds).map(read(_, t))
+      if (deltaIds.isEmpty) t -> frames.head
+      else {
+        val spec = mergeSpecs.getOrElse(t, sys.error(
+          s"graft state: table $t has delta versions but no MergeSpec"))
+        val u = frames.reduce(_ unionByName _)
+        val valueCols = frames.head.columns.filterNot(spec.keys.contains)
+        val schema = frames.head.schema
+        // eager checkpoint: the folded view is consumed several times
+        // per fold (the bilinear/trilinear probes read each state table
+        // 1–3 times, plus the mart) — without it the base+delta
+        // aggregation recomputes per consumer (read-side shared-subtree
+        // trap, measured at the 10× IVM soak)
+        t -> u.groupBy(spec.keys.map(col): _*)
+          .agg(sum(col(valueCols.head)).cast(schema(valueCols.head).dataType)
+            .as(valueCols.head),
+            valueCols.tail.map(c => sum(col(c)).cast(schema(c).dataType)
+              .as(c)): _*)
+          .filter(col(spec.countCol) =!= 0)
+          .localCheckpoint(true)
+      }
+    }.toMap
   }
 
-  /** Write every state table under version `id`, commit, GC old
-    * versions. The parquet writes ARE the state materialization — the
-    * caller folds lazily. */
+  private def gc(): Unit = {
+    // delta mode: a base anchors every delta above it — GC only
+    // versions strictly older than the newest base. Full-copy mode
+    // (every version a base): plain keep-newest-retain.
+    val vs = committedVersions
+    val bases = vs.filterNot(isDelta)
+    val cut: Set[Long] =
+      if (bases.size == vs.size) vs.takeRight(retain).toSet
+      else vs.filter(_ >= bases.last).toSet
+    vs.filterNot(cut)
+      .foreach(v => fs.delete(new Path(root, v.toString), true))
+  }
+
+  /** Write every state table IN FULL under version `id` (a BASE),
+    * commit, GC. The parquet writes ARE the state materialization —
+    * the caller folds lazily. */
   def save(id: Long, frames: Map[String, DataFrame]): Unit = {
     val dir = new Path(root, id.toString)
     tables.foreach(t =>
       frames(t).write.mode("overwrite").parquet(new Path(dir, t).toString))
     fs.create(new Path(dir, "_COMMIT"), true).close()
-    val keep = committedVersions.takeRight(retain).toSet
-    committedVersions.filterNot(keep)
-      .foreach(v => fs.delete(new Path(root, v.toString), true))
+    gc()
+  }
+
+  /** Write only the batch's DELTA partials under version `id` — the
+    * LSM mode that makes per-batch write cost ∝ |Δ| instead of |state|
+    * (SCALE.md round-16: full-copy versions put a |state|-sized floor
+    * under every micro-batch, which is what caps IVM's win at scale).
+    * Every `compactEvery` deltas the chain is folded into a fresh base
+    * instead (one |state| write amortized over the window), which also
+    * bounds the read-side fold. Falls back to a base write when no
+    * base exists yet. */
+  def saveDelta(id: Long, deltas: Map[String, DataFrame]): Unit = {
+    require(mergeSpecs.keySet == tables.toSet,
+      "saveDelta needs a MergeSpec for every table")
+    val vs = committedVersions
+    val bases = vs.filterNot(isDelta)
+    val deltasSinceBase = bases.lastOption
+      .map(b => vs.count(_ > b)).getOrElse(0)
+    if (bases.isEmpty || deltasSinceBase + 1 >= compactEvery) {
+      // compact: fold the chain + this delta into a new base. Build the
+      // merged view BEFORE writing (load reads committed versions only).
+      val merged: Map[String, DataFrame] =
+        if (bases.isEmpty) deltas
+        else {
+          val cur = load(vs.last)
+          tables.map { t =>
+            val spec = mergeSpecs(t)
+            t -> graft.engine.IncrementalGold.merge(cur(t), deltas(t),
+              spec.keys, spec.countCol)
+          }.toMap
+        }
+      save(id, merged)
+    } else {
+      val dir = new Path(root, id.toString)
+      tables.foreach(t =>
+        deltas(t).write.mode("overwrite").parquet(new Path(dir, t).toString))
+      fs.create(new Path(dir, "_DELTA"), true).close()
+      fs.create(new Path(dir, "_COMMIT"), true).close()
+      gc()
+    }
   }
 }
 
 object VersionedStateStore {
   val DefaultRetain = 3
+  val DefaultCompactEvery = 4
+
+  /** Merge algebra of one state table: grouping keys + the column
+    * whose zero witnesses an empty (droppable) group. Every non-key
+    * column must be a signed-additive measure. */
+  final case class MergeSpec(keys: Seq[String], countCol: String)
 }
 
 /** The incremental-gold maintainers bolted onto Structured Streaming —
@@ -112,7 +214,7 @@ object GoldMaintenanceStream {
 
   private def perfStore(spark: SparkSession, stateDir: String,
       retain: Int): VersionedStateStore =
-    new VersionedStateStore(spark, stateDir, PerfTables, retain)
+    new VersionedStateStore(spark, stateDir, PerfTables, retain, PerfSpecs)
 
   /** Highest committed state version under `stateDir`, if any. */
   def lastCommitted(stateDir: String): Option[Long] = {
@@ -135,7 +237,18 @@ object GoldMaintenanceStream {
     IncrementalGold.PolicyPerfState(t("polBase"), t("pt"), t("cpm"), t("cbt"))
   }
 
-  /** Shared skip/fold/commit skeleton for both maintainers. */
+  // delta-capable stores (LSM mode needs the merge algebra at read time)
+  private def perfStoreD(spark: SparkSession, stateDir: String,
+      retain: Int): VersionedStateStore =
+    new VersionedStateStore(spark, stateDir, PerfTables, retain, PerfSpecs)
+  private def c360StoreD(spark: SparkSession, stateDir: String,
+      retain: Int): VersionedStateStore =
+    new VersionedStateStore(spark, stateDir, C360Tables, retain, C360Specs)
+  private def opsStoreD(spark: SparkSession, stateDir: String,
+      retain: Int): VersionedStateStore =
+    new VersionedStateStore(spark, stateDir, OpsTables, retain, OpsSpecs)
+
+  /** Shared skip/fold/commit skeleton (full-copy versions). */
   private def foldWith[S](df: DataFrame, id: Long, store: VersionedStateStore,
       load: Long => S, foldInto: (Option[S], DataFrame) => S,
       framesOf: S => Map[String, DataFrame], martOf: S => DataFrame)
@@ -154,6 +267,51 @@ object GoldMaintenanceStream {
       Some(martOf(load(id)))
     }
   }
+
+  /** [[foldWith]]'s LSM twin for fact-grain state (r16): the bootstrap
+    * batch saves a full BASE (partials == state there anyway); every
+    * later batch persists only its DELTA FRAMES — write cost ∝ |Δ| —
+    * and [[VersionedStateStore]] folds base+deltas on read, compacting
+    * every few batches. */
+  private def foldDelta[S](df: DataFrame, id: Long,
+      store: VersionedStateStore, load: Long => S,
+      init: DataFrame => S, framesOf: S => Map[String, DataFrame],
+      deltasOf: (S, DataFrame) => Map[String, DataFrame],
+      martOf: S => DataFrame): Option[DataFrame] = {
+    val last = store.lastCommitted
+    if (last.exists(_ >= id)) Some(martOf(load(last.get)))
+    else if (df.isEmpty) last.map(l => martOf(load(l)))
+    else {
+      last match {
+        case None => store.save(id, framesOf(init(df)))
+        case Some(l) => store.saveDelta(id, deltasOf(load(l), df))
+      }
+      Some(martOf(load(id)))
+    }
+  }
+
+  import VersionedStateStore.MergeSpec
+  private val PerfSpecs = Map(
+    "polBase" -> MergeSpec(Seq("policy_type", "policy_month"), "n_pol"),
+    "pt" -> MergeSpec(Seq("policy_id", "policy_type"), "n"),
+    "cpm" -> MergeSpec(Seq("policy_id", "claim_month"), "n_claims"),
+    "cbt" -> MergeSpec(Seq("policy_type", "claim_month"), "n_claims"))
+  private val C360Specs = Map(
+    "custDim" -> MergeSpec(Seq("customer_id", "age", "state"), "n"),
+    "polMetrics" -> MergeSpec(Seq("customer_id"), "n_pol"),
+    "polDates" -> MergeSpec(Seq("customer_id", "start_date"), "n"),
+    "pc" -> MergeSpec(Seq("policy_id", "customer_id"), "n"),
+    "cpc" -> MergeSpec(Seq("policy_id"), "n_claims"),
+    "cm" -> MergeSpec(Seq("customer_id"), "n_claims"))
+  private val OpsSpecs = Map(
+    "cl" -> MergeSpec(Seq("policy_id", "claim_type", "severity", "status",
+      "adjuster_id", "claim_month"), "n"),
+    "p" -> MergeSpec(Seq("policy_id", "customer_id", "policy_type"), "n"),
+    "c" -> MergeSpec(Seq("customer_id", "state", "age"), "n"),
+    "att" -> MergeSpec(Seq("claim_type", "severity", "status",
+      "adjuster_id", "claim_month", "policy_type", "customer_state",
+      "customer_age"), "n"),
+    "adj" -> MergeSpec(Seq("adjuster_id"), "n_handled"))
 
   /** Fold one CDC micro-batch into the durable exec-summary state;
     * no-op when `id` is already committed (foreachBatch replay after
@@ -269,28 +427,24 @@ object GoldMaintenanceStream {
       }
       .start()
 
-  /** [[foldBatch]]'s twin for the JOIN-IVM policy-performance mart. */
+  /** [[foldBatch]]'s twin for the JOIN-IVM policy-performance mart —
+    * LSM mode: only the batch's delta frames persist per version. */
   def foldPerfBatch(df: DataFrame, id: Long, polSchema: StructType,
       clSchema: StructType, stateDir: String,
       retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
     val spark = df.sparkSession
-    foldWith[IncrementalGold.PolicyPerfState](df, id,
-      perfStore(spark, stateDir, retain),
+    def deltas(batch: DataFrame) =
+      (IncrementalGold.narrowPpPol(signedOf(batch, "policy", polSchema)),
+        IncrementalGold.narrowPpCl(signedOf(batch, "claim", clSchema)))
+    foldDelta[IncrementalGold.PolicyPerfState](df, id,
+      perfStoreD(spark, stateDir, retain),
       loadPerfState(spark, stateDir, _),
-      (prev, batch) => {
-        val pol = IncrementalGold.narrowPpPol(
-          signedOf(batch, "policy", polSchema))
-        val cl = IncrementalGold.narrowPpCl(
-          signedOf(batch, "claim", clSchema))
-        prev match {
-          case Some(st) => IncrementalGold.applyPolicyPerfDelta(st, pol, cl,
-            materialize = false)
-          case None => IncrementalGold.initPolicyPerf(pol, cl,
-            materialize = false)
-        }
-      },
+      batch => { val (pol, cl) = deltas(batch)
+        IncrementalGold.initPolicyPerf(pol, cl, materialize = false) },
       st => Map("polBase" -> st.polBase, "pt" -> st.pt, "cpm" -> st.cpm,
         "cbt" -> st.cbt),
+      (st, batch) => { val (pol, cl) = deltas(batch)
+        IncrementalGold.policyPerfDeltaFrames(st, pol, cl) },
       IncrementalGold.policyPerfMart)
   }
 
@@ -300,7 +454,7 @@ object GoldMaintenanceStream {
 
   def loadC360State(spark: SparkSession, stateDir: String,
       id: Long): IncrementalGold.Customer360State = {
-    val t = new VersionedStateStore(spark, stateDir, C360Tables,
+    val t = c360StoreD(spark, stateDir,
       VersionedStateStore.DefaultRetain).load(id)
     IncrementalGold.Customer360State(t("custDim"), t("polMetrics"),
       t("polDates"), t("pc"), t("cpc"), t("cm"))
@@ -308,65 +462,55 @@ object GoldMaintenanceStream {
 
   def loadOpsState(spark: SparkSession, stateDir: String,
       id: Long): IncrementalGold.ClaimsOpsState = {
-    val t = new VersionedStateStore(spark, stateDir, OpsTables,
+    val t = opsStoreD(spark, stateDir,
       VersionedStateStore.DefaultRetain).load(id)
     IncrementalGold.ClaimsOpsState(t("cl"), t("p"), t("c"), t("att"),
       t("adj"))
   }
 
   /** [[foldBatch]]'s twin for the customer-360 mart (three entities on
-    * the topic: customer attribute churn folds the dimension side). */
+    * the topic: customer attribute churn folds the dimension side) —
+    * LSM mode. */
   def foldC360Batch(df: DataFrame, id: Long, custSchema: StructType,
       polSchema: StructType, clSchema: StructType, stateDir: String,
       retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
     val spark = df.sparkSession
-    foldWith[IncrementalGold.Customer360State](df, id,
-      new VersionedStateStore(spark, stateDir, C360Tables, retain),
+    def deltas(batch: DataFrame) =
+      (IncrementalGold.narrowC360Cust(signedOf(batch, "customer", custSchema)),
+        IncrementalGold.narrowC360Pol(signedOf(batch, "policy", polSchema)),
+        IncrementalGold.narrowC360Cl(signedOf(batch, "claim", clSchema)))
+    foldDelta[IncrementalGold.Customer360State](df, id,
+      c360StoreD(spark, stateDir, retain),
       loadC360State(spark, stateDir, _),
-      (prev, batch) => {
-        val cu = IncrementalGold.narrowC360Cust(
-          signedOf(batch, "customer", custSchema))
-        val pol = IncrementalGold.narrowC360Pol(
-          signedOf(batch, "policy", polSchema))
-        val cl = IncrementalGold.narrowC360Cl(
-          signedOf(batch, "claim", clSchema))
-        prev match {
-          case Some(st) => IncrementalGold.applyCustomer360Delta(st, cu,
-            pol, cl, materialize = false)
-          case None => IncrementalGold.initCustomer360(cu, pol, cl,
-            materialize = false)
-        }
-      },
+      batch => { val (cu, pol, cl) = deltas(batch)
+        IncrementalGold.initCustomer360(cu, pol, cl, materialize = false) },
       st => Map("custDim" -> st.custDim, "polMetrics" -> st.polMetrics,
         "polDates" -> st.polDates, "pc" -> st.pc, "cpc" -> st.cpc,
         "cm" -> st.cm),
+      (st, batch) => { val (cu, pol, cl) = deltas(batch)
+        IncrementalGold.customer360DeltaFrames(st, cu, pol, cl) },
       IncrementalGold.customer360Mart)
   }
 
-  /** [[foldBatch]]'s twin for the claims-operations (trilinear) mart. */
+  /** [[foldBatch]]'s twin for the claims-operations (trilinear) mart —
+    * LSM mode. */
   def foldOpsBatch(df: DataFrame, id: Long, custSchema: StructType,
       polSchema: StructType, clSchema: StructType, stateDir: String,
       retain: Int = VersionedStateStore.DefaultRetain): Option[DataFrame] = {
     val spark = df.sparkSession
-    foldWith[IncrementalGold.ClaimsOpsState](df, id,
-      new VersionedStateStore(spark, stateDir, OpsTables, retain),
+    def deltas(batch: DataFrame) =
+      (IncrementalGold.narrowCoCust(signedOf(batch, "customer", custSchema)),
+        IncrementalGold.narrowCoPol(signedOf(batch, "policy", polSchema)),
+        IncrementalGold.narrowCoCl(signedOf(batch, "claim", clSchema)))
+    foldDelta[IncrementalGold.ClaimsOpsState](df, id,
+      opsStoreD(spark, stateDir, retain),
       loadOpsState(spark, stateDir, _),
-      (prev, batch) => {
-        val cu = IncrementalGold.narrowCoCust(
-          signedOf(batch, "customer", custSchema))
-        val pol = IncrementalGold.narrowCoPol(
-          signedOf(batch, "policy", polSchema))
-        val cl = IncrementalGold.narrowCoCl(
-          signedOf(batch, "claim", clSchema))
-        prev match {
-          case Some(st) => IncrementalGold.applyClaimsOpsDelta(st, cu, pol,
-            cl, materialize = false)
-          case None => IncrementalGold.initClaimsOps(cu, pol, cl,
-            materialize = false)
-        }
-      },
+      batch => { val (cu, pol, cl) = deltas(batch)
+        IncrementalGold.initClaimsOps(cu, pol, cl, materialize = false) },
       st => Map("cl" -> st.cl, "p" -> st.p, "c" -> st.c, "att" -> st.att,
         "adj" -> st.adj),
+      (st, batch) => { val (cu, pol, cl) = deltas(batch)
+        IncrementalGold.claimsOpsDeltaFrames(st, cu, pol, cl) },
       IncrementalGold.claimsOpsMart)
   }
 
