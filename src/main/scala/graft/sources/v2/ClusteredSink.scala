@@ -135,7 +135,8 @@ final class ClusteredSinkTable(
     val path = opt("path").getOrElse(
       sys.error("graft-sink read requires a 'path' option"))
     new ClusteredSinkScanBuilder(path, writeSchema,
-      opt("clusterBy").getOrElse("bucket"))
+      opt("clusterBy").getOrElse("bucket"),
+      GraftCatalog.decodeAliases(tblProps))
   }
 
   /** `TRUNCATE TABLE` (TruncateTableExec): drop every committed data
@@ -203,7 +204,8 @@ final class ClusteredSinkTable(
       opt("sortBy").getOrElse("key"),
       opt("partitions").getOrElse("0").toInt,
       opt("filePerKey").exists(_.toBoolean),
-      opt("format").getOrElse(ClusteredSinkFormat.Json))
+      opt("format").getOrElse(ClusteredSinkFormat.Json),
+      GraftCatalog.decodeAliases(tblProps))
   }
 }
 
@@ -227,7 +229,8 @@ object SinkWriteMode {
 final class ClusteredSinkWriteBuilder(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
     partitions: Int, filePerKey: Boolean = false,
-    format: String = ClusteredSinkFormat.Json) extends WriteBuilder
+    format: String = ClusteredSinkFormat.Json,
+    aliases: Map[String, Seq[String]] = Map.empty) extends WriteBuilder
     with SupportsOverwrite with SupportsDynamicOverwrite {
   private var mode: SinkWriteMode = SinkWriteMode.Append
   override def truncate(): WriteBuilder = {
@@ -245,13 +248,14 @@ final class ClusteredSinkWriteBuilder(
   }
   override def build(): Write =
     new ClusteredSinkWrite(schema, path, clusterBy, sortBy, partitions, mode,
-      filePerKey, format)
+      filePerKey, format, aliases)
 }
 
 final class ClusteredSinkWrite(
     schema: StructType, path: String, clusterBy: String, sortBy: String,
     partitions: Int, mode: SinkWriteMode, filePerKey: Boolean = false,
-    format: String = ClusteredSinkFormat.Json)
+    format: String = ClusteredSinkFormat.Json,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   private def idx(col: String): Int = {
@@ -274,7 +278,7 @@ final class ClusteredSinkWrite(
 
   override def toBatch: BatchWrite =
     new ClusteredSinkBatchWrite(schema, path, idx(clusterBy), idx(sortBy),
-      clusterBy, sortBy, mode, filePerKey, format)
+      clusterBy, sortBy, mode, filePerKey, format, aliases)
 
   override def toStreaming: StreamingWrite =
     new ClusteredSinkStreamingWrite(schema, path, idx(clusterBy), idx(sortBy),
@@ -340,7 +344,8 @@ final class ClusteredSinkBatchWrite(
     schema: StructType, path: String, clusterIdx: Int, sortIdx: Int,
     clusterBy: String, sortBy: String, mode: SinkWriteMode,
     filePerKey: Boolean = false,
-    format: String = ClusteredSinkFormat.Json)
+    format: String = ClusteredSinkFormat.Json,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends BatchWrite {
 
   private val ext: String = ClusteredSinkFormat.extension(format)
@@ -505,7 +510,7 @@ final class ClusteredSinkBatchWrite(
         val isParquet = e.file.endsWith(".parquet")
         val (survivors, stats) =
           if (isParquet) ClusteredSinkOverwrite.rewriteParquet(
-            oldFile, tmpDir, schema, clusterBy, sortBy, region)
+            oldFile, tmpDir, schema, clusterBy, sortBy, region, aliases)
           else ClusteredSinkOverwrite.rewrite(
             oldFile, tmpDir, schema, clusterBy, sortBy, region)
         toDelete += oldFile
@@ -935,7 +940,8 @@ object ClusteredSinkOverwrite {
     * writer, recompute stats. Same staging discipline as the json
     * rewrite: the temp lives under `_tmp/`, never `data/`. */
   def rewriteParquet(oldFile: Path, tmpDir: Path, schema: StructType,
-      clusterBy: String, sortBy: String, region: Region)
+      clusterBy: String, sortBy: String, region: Region,
+      aliases: Map[String, Seq[String]] = Map.empty)
       : (Long, ClusteredSinkCommit) = {
     val cIdx = schema.fieldIndex(clusterBy)
     val sIdx = schema.fieldIndex(sortBy)
@@ -950,7 +956,11 @@ object ClusteredSinkOverwrite {
     var rows = 0L
     var minC = Long.MaxValue; var maxC = Long.MinValue
     var minS = Long.MaxValue; var maxS = Long.MinValue
-    val in = new ClusteredSinkFormat.ParquetRows(oldFile.toString, schema)
+    // alias-aware: a pre-rename segment's columns resolve through the
+    // rename log, and the rewrite re-encodes under the CURRENT names —
+    // copy-on-write naturally upgrades old files to the new schema
+    val in = new ClusteredSinkFormat.ParquetRows(oldFile.toString, schema,
+      aliases)
     try {
       while (in.next()) {
         val row = in.get()

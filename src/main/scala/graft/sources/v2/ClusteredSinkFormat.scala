@@ -118,7 +118,7 @@ object ClusteredSinkFormat {
     * org-100× graph soak that row tax made the loop 1.9× native
     * bucketBy (EdgeBackendAb) — this materializer is what closes it. */
   private final class RowMaterializer(requested: MessageType,
-      required: StructType)
+      required: StructType, outIndexOf: Map[String, Int])
       extends org.apache.parquet.io.api.RecordMaterializer[InternalRow] {
     import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter}
     import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
@@ -137,7 +137,7 @@ object ClusteredSinkFormat {
     private val converters: Array[Converter] = {
       import scala.jdk.CollectionConverters._
       requested.getFields.asScala.map { f =>
-        val out = required.fieldIndex(f.getName)
+        val out = outIndexOf(f.getName)
         required.fields(out).dataType match {
           case LongType => new PrimitiveConverter {
             override def addLong(v: Long): Unit = {
@@ -191,7 +191,7 @@ object ClusteredSinkFormat {
   }
 
   private final class InternalRowReadSupport(required: StructType,
-      present: StructType)
+      present: StructType, outIndexOf: Map[String, Int])
       extends org.apache.parquet.hadoop.api.ReadSupport[InternalRow] {
     import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
     override def init(context: InitContext): ReadSupport.ReadContext =
@@ -202,13 +202,23 @@ object ClusteredSinkFormat {
         fileSchema: MessageType,
         readContext: ReadSupport.ReadContext)
         : org.apache.parquet.io.api.RecordMaterializer[InternalRow] =
-      new RowMaterializer(readContext.getRequestedSchema, required)
+      new RowMaterializer(readContext.getRequestedSchema, required,
+        outIndexOf)
   }
+
+  /** Per-file column resolution for a required field: the field's own
+    * name, else its historical names newest-first (metadata-only
+    * renames — the alias log stands in for Iceberg field ids). */
+  private[v2] def resolveFileColumn(name: String,
+      aliases: Map[String, Seq[String]],
+      fileFields: Set[String]): Option[String] =
+    (name +: aliases.getOrElse(name, Seq.empty).reverse).find(fileFields)
 
   /** Row iterator over a committed parquet segment, projecting only the
     * `required` columns (the projection is pushed into the decoder via
     * the requested schema — untouched columns are never decompressed). */
-  final class ParquetRows(file: String, required: StructType)
+  final class ParquetRows(file: String, required: StructType,
+      aliases: Map[String, Seq[String]] = Map.empty)
       extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
     private val conf = rawFsConf()
     // The requested schema must be the INTERSECTION of the required
@@ -227,10 +237,21 @@ object ClusteredSinkFormat {
         r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
       } finally r.close()
     }
-    private val present = StructType(
-      required.fields.filter(f => fileFields.contains(f.name)))
+    // alias-aware projection: each required field resolves to its own
+    // or a historical column name in THIS file; the requested schema
+    // carries the FILE's names, the materializer maps them back to the
+    // required output positions
+    private val resolved: Seq[(Int, String)] =
+      required.fields.zipWithIndex.flatMap { case (f, i) =>
+        resolveFileColumn(f.name, aliases, fileFields).map(fn => (i, fn))
+      }.toSeq
+    private val present = StructType(resolved.map { case (i, fn) =>
+      required.fields(i).copy(name = fn) })
+    private val outIndexOf: Map[String, Int] =
+      resolved.map { case (i, fn) => fn -> i }.toMap
     private val reader: ParquetReader[InternalRow] =
-      ParquetReader.builder(new InternalRowReadSupport(required, present),
+      ParquetReader.builder(
+          new InternalRowReadSupport(required, present, outIndexOf),
           new HPath(file))
         .withConf(conf).build()
     private var row: InternalRow = _
@@ -266,7 +287,8 @@ object ClusteredSinkFormat {
     * vectors. Repetition comes from the FILE's own schema, so
     * definition levels always agree with what the writer produced. */
   final class ParquetBatches(file: String, required: StructType,
-      batchSize: Int = 4096)
+      batchSize: Int = 4096,
+      aliases: Map[String, Seq[String]] = Map.empty)
       extends org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] {
     import org.apache.parquet.column.{ColumnDescriptor, ColumnReader}
@@ -287,17 +309,24 @@ object ClusteredSinkFormat {
 
     // the requested message type is the PROJECTION OF THE FILE SCHEMA
     // (field order and repetition exactly as written), so descriptors,
-    // max definition levels, and chunk lookups all agree with the file
-    private val requestedMessage: MessageType = {
-      val names = required.fieldNames.toSet
+    // max definition levels, and chunk lookups all agree with the file;
+    // each required field resolves to its own or a HISTORICAL name
+    // (metadata-only renames) in this file
+    private val fileFieldNames: Set[String] =
+      fileSchema.getFields.asScala.map(_.getName).toSet
+    private val fileNameToOut: Map[String, Int] =
+      required.fields.zipWithIndex.flatMap { case (f, i) =>
+        resolveFileColumn(f.name, aliases, fileFieldNames).map(_ -> i)
+      }.toMap
+    private val requestedMessage: MessageType =
       new MessageType("graft_sink",
-        fileSchema.getFields.asScala.filter(f => names(f.getName)).asJava)
-    }
+        fileSchema.getFields.asScala
+          .filter(f => fileNameToOut.contains(f.getName)).asJava)
     private val descs: Array[ColumnDescriptor] =
       requestedMessage.getColumns.asScala.toArray
     // output ordinal (in `required`) of each present column
     private val outIdx: Array[Int] =
-      descs.map(d => required.fieldIndex(d.getPath()(0)))
+      descs.map(d => fileNameToOut(d.getPath()(0)))
     private val absentIdx: Array[Int] = {
       val present = outIdx.toSet
       required.indices.filterNot(present).toArray

@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * added by ALTER TABLE after the file was written).
   */
 final class ClusteredSinkScanBuilder(
-    path: String, schema: StructType, clusterBy: String)
+    path: String, schema: StructType, clusterBy: String,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -59,12 +60,14 @@ final class ClusteredSinkScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    new ClusteredSinkScan(path, schema, required, clusterBy, prunable)
+    new ClusteredSinkScan(path, schema, required, clusterBy, prunable,
+      aliases)
 }
 
 final class ClusteredSinkScan(
     path: String, tableSchema: StructType, required: StructType,
-    clusterBy: String, prunable: Array[Filter]) extends Scan with Batch
+    clusterBy: String, prunable: Array[Filter],
+    aliases: Map[String, Seq[String]] = Map.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 
@@ -123,7 +126,7 @@ final class ClusteredSinkScan(
     // columnar only when EVERY kept file is a parquet segment with
     // vectorizable types: a DSv2 scan must be uniformly columnar or
     // uniformly row-based, so mixed-payload tables keep the row path
-    ClusteredSinkReaderFactory(tableSchema, required,
+    ClusteredSinkReaderFactory(tableSchema, required, aliases,
       columnar = kept.nonEmpty &&
         kept.forall(_.file.endsWith(".parquet")) &&
         required.fields.forall(f =>
@@ -149,6 +152,7 @@ final case class ClusteredSinkFilePartition(
 /** Top-level (serializable) — an anonymous factory would capture the Scan. */
 final case class ClusteredSinkReaderFactory(
     tableSchema: StructType, required: StructType,
+    aliases: Map[String, Seq[String]] = Map.empty,
     columnar: Boolean = false) extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
@@ -157,7 +161,8 @@ final case class ClusteredSinkReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     require(columnar, "columnar read requested on a row-based scan")
     new ClusteredSinkFormat.ParquetBatches(
-      p.asInstanceOf[ClusteredSinkFilePartition].file, required)
+      p.asInstanceOf[ClusteredSinkFilePartition].file, required,
+      aliases = aliases)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -167,7 +172,7 @@ final case class ClusteredSinkReaderFactory(
     // segment (format=parquet tables) and a json segment read through
     // the same scan
     if (file.endsWith(".parquet"))
-      return new ClusteredSinkFormat.ParquetRows(file, required)
+      return new ClusteredSinkFormat.ParquetRows(file, required, aliases)
     new PartitionReader[InternalRow] {
       private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       private val in = Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
@@ -183,7 +188,11 @@ final case class ClusteredSinkReaderFactory(
           var i = 0
           while (i < required.length) {
             val f = required.fields(i)
-            val v = node.get(f.name)
+            // metadata-only renames: fall back to the column's
+            // historical names (newest first) in pre-rename files
+            var v = node.get(f.name)
+            if (v == null) aliases.getOrElse(f.name, Seq.empty).reverseIterator
+              .takeWhile(_ => v == null).foreach(old => v = node.get(old))
             vals(i) =
               if (v == null || v.isNull) null
               else f.dataType match {

@@ -180,6 +180,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val name = a.fieldNames.head
         require(!schema.fieldNames.contains(name),
           s"ALTER TABLE: column $name already exists")
+        // a name that is some column's HISTORICAL name (metadata-only
+        // rename) still resolves in old files — reusing it for a new
+        // column would surface the old column's data under the new one
+        require(!GraftCatalog.decodeAliases(custom).values
+            .exists(_.contains(name)),
+          s"ALTER TABLE: $name is a renamed column's historical name; " +
+            "reusing it would resurrect old data under the new column")
         schema = schema.add(StructField(name, a.dataType, nullable = true))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
@@ -204,17 +211,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(schema.fieldNames.contains(name),
           s"ALTER TABLE: no column $name")
         schema = StructType(schema.fields.filterNot(_.name == name))
+        // a dropped column's alias history goes with it (its historical
+        // names become reusable again)
+        val al = GraftCatalog.decodeAliases(custom) - name
+        custom = (custom - GraftCatalog.AliasProp) ++
+          (if (al.isEmpty) Map.empty
+           else Map(GraftCatalog.AliasProp -> GraftCatalog.encodeAliases(al)))
       case other => throw new UnsupportedOperationException(
         s"graft catalog ALTER TABLE supports ADD/RENAME/DROP COLUMN only; got $other")
     }
     val rs = renames.result()
     if (rs.nonEmpty) {
-      // the key-rename rewrite parses json rows; parquet files encode
-      // columns positionally in THIS catalog's writer, but the rewrite
-      // below is json-specific — refuse rather than corrupt
-      require(fmt == ClusteredSinkFormat.Json,
-        "graft catalog ALTER TABLE RENAME is json-payload only")
-      rewriteDataKeys(ident, rs.toMap)
+      if (fmt == ClusteredSinkFormat.Json) {
+        // json tables keep the copy-on-write key rewrite (by-name row
+        // encoding makes rename a data operation there)
+        rewriteDataKeys(ident, rs.toMap)
+      } else {
+        // parquet tables (r16): rename is METADATA-ONLY — the alias log
+        // records each column's historical names and readers resolve a
+        // required column against old files through it (the poor
+        // engine's Iceberg field ids). Data files are never touched.
+        var aliases = GraftCatalog.decodeAliases(custom)
+        rs.foreach { case (from, to) =>
+          require(!from.exists(";|=".contains(_)) &&
+            !to.exists(";|=".contains(_)),
+            "ALTER TABLE RENAME: ';', '|', '=' not allowed in column names")
+          aliases += to -> (aliases.getOrElse(from, Seq.empty) :+ from)
+          aliases -= from
+        }
+        custom = (custom - GraftCatalog.AliasProp) ++
+          (if (aliases.isEmpty) Map.empty
+           else Map(GraftCatalog.AliasProp -> GraftCatalog.encodeAliases(aliases)))
+      }
     }
     writeMeta(ident, schema, clusterBy, sortBy, filePerKey, fmt, custom)
     loadTable(ident)
@@ -349,4 +377,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       rm(dir); true
     }
   }
+}
+
+object GraftCatalog {
+  /** Durable table property holding the column-rename alias log:
+    * `current=old1|old2;current2=old3` — each current column name maps
+    * to its historical names, oldest first. Parquet-payload renames are
+    * metadata-only; readers resolve a required column against old files
+    * through this log. */
+  val AliasProp = "graft.aliases"
+
+  def encodeAliases(a: Map[String, Seq[String]]): String =
+    a.toSeq.sortBy(_._1)
+      .map { case (to, olds) => s"$to=${olds.mkString("|")}" }
+      .mkString(";")
+
+  def decodeAliases(props: Map[String, String]): Map[String, Seq[String]] =
+    props.get(AliasProp).filter(_.nonEmpty).map { s =>
+      s.split(";").toSeq.map { e =>
+        val Array(to, olds) = e.split("=", 2)
+        to -> olds.split("\\|").toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Java-map overload for reader-side property maps. */
+  def decodeAliases(props: java.util.Map[String, String])
+      : Map[String, Seq[String]] =
+    decodeAliases(Option(props.get(AliasProp))
+      .map(v => Map(AliasProp -> v)).getOrElse(Map.empty))
 }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *   3. (r15 — the format matrix closes) overwrite-by-filter and
   *      dynamic overwrite copy-on-write parquet segments through the
   *      sink's own reader/writer, and streaming epochs commit parquet
-  *      files; ALTER RENAME stays json-only (its key rewrite is a
-  *      json data operation) and refuses loudly;
+  *      files; (r16) ALTER RENAME on parquet tables is METADATA-ONLY
+  *      through the alias log — data files untouched, historical names
+  *      resolve per file, COW upgrades names, reuse refused;
   *   4. TRUNCATE + re-append works.
   */
 class ParquetSinkSpec extends SparkSpec {
@@ -202,13 +203,73 @@ class ParquetSinkSpec extends SparkSpec {
     assert(back.select("key").as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
 
-  test("ALTER TABLE RENAME stays json-only (the key rewrite is a json " +
-      "data operation)") {
+  test("ALTER RENAME on a parquet table is METADATA-ONLY (r16): files " +
+      "untouched, old and new segments read consistently through the " +
+      "alias log, COW upgrades names, historical names cannot be reused") {
     init()
-    val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.g.rt_pq RENAME COLUMN sval TO s2")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.g.rn_pq")
+    spark.sql(s"CREATE TABLE $cat.g.rn_pq " +
+      "(key BIGINT, bucket BIGINT, amount DOUBLE, label STRING) " +
+      "PARTITIONED BY (bucket) " +
+      "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='key', " +
+      "'format'='parquet')")
+    import spark.implicits._
+    val first = (0L until 400L).map(i => (i, i % 8,
+      if (i % 5 == 0) None else Some(i * 1.5),
+      if (i % 7 == 0) None else Some(s"l$i")))
+      .toDF("key", "bucket", "amount", "label")
+    first.writeTo(s"$cat.g.rn_pq").append()
+    val sumBefore = spark.table(s"$cat.g.rn_pq")
+      .agg(sum(col("amount"))).head.getDouble(0)
+    val dataDir = new java.io.File(warehouse, "g/rn_pq/data")
+    def sig(): Seq[(String, Long)] = dataDir.listFiles().toSeq
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1)
+    val before = sig()
+
+    spark.sql(s"ALTER TABLE $cat.g.rn_pq RENAME COLUMN amount TO amt")
+    assert(sig() === before,
+      "parquet rename must not touch a single data file")
+    val t = spark.table(s"$cat.g.rn_pq")
+    assert(t.columns.contains("amt") && !t.columns.contains("amount"))
+    assert(t.agg(sum(col("amt"))).head.getDouble(0) === sumBefore,
+      "old segments must read through the alias log")
+    assert(t.filter(col("amt").isNull).count() === 80)
+
+    // new segments write under the NEW name; mixed history reads whole
+    val second = (400L until 600L).map(i => (i, i % 8,
+      Some(i * 1.5), Some(s"l$i")))
+      .toDF("key", "bucket", "amt", "label")
+    second.writeTo(s"$cat.g.rn_pq").append()
+    val sumSecond = second.agg(sum(col("amt"))).head.getDouble(0)
+    assert(spark.table(s"$cat.g.rn_pq").agg(sum(col("amt")))
+      .head.getDouble(0) === sumBefore + sumSecond)
+
+    // rename CHAIN: amt -> amount2 still resolves the oldest files
+    spark.sql(s"ALTER TABLE $cat.g.rn_pq RENAME COLUMN amt TO amount2")
+    assert(spark.table(s"$cat.g.rn_pq").agg(sum(col("amount2")))
+      .head.getDouble(0) === sumBefore + sumSecond)
+
+    // reusing a historical name for a NEW column would resurrect old
+    // data under it — refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.g.rn_pq ADD COLUMN amount DOUBLE")
     }
-    assert(e2.getMessage.contains("json"), e2.getMessage)
+    assert(e.getMessage.contains("historical"), e.getMessage)
+
+    // copy-on-write (overwrite-by-filter) decodes old names through the
+    // alias log and re-encodes under CURRENT names
+    val replacement = Seq((9999L, 3L, Some(42.0), Some("x")))
+      .toDF("key", "bucket", "amount2", "label")
+    replacement.writeTo(s"$cat.g.rn_pq").overwrite(col("bucket") === 3)
+    val after = spark.table(s"$cat.g.rn_pq")
+    assert(after.filter(col("bucket") === 3).count() === 1)
+    val expectOther = (first.filter(col("bucket") =!= 3)
+      .agg(sum(col("amount"))).head.getDouble(0)
+      + second.filter(col("bucket") =!= 3)
+        .agg(sum(col("amt"))).head.getDouble(0))
+    assert(after.filter(col("bucket") =!= 3).agg(sum(col("amount2")))
+      .head.getDouble(0) === expectOther,
+      "COW rewrite must preserve renamed-column data from old segments")
   }
 
   test("TRUNCATE + re-append works on the parquet payload") {
