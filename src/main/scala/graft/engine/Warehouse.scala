@@ -57,12 +57,16 @@ object Warehouse {
   }
 
   private val sessions = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), SparkSession]()
+    (SparkSession, String, String), SparkSession]()
 
   /** SPJ-configured child session with catalog `cat` bound to the
-    * family's subdirectory of the warehouse root. */
+    * family's subdirectory of the warehouse root. Keyed by (session,
+    * catalog, family): the catalog's warehouse directory comes from
+    * `family`, so the same catalog name bound to two families must not
+    * share a child session (r16 advice — the second caller would
+    * silently read the first family's directory). */
   def spjSession(s: SparkSession, cat: String, family: String): SparkSession =
-    sessions.computeIfAbsent((s, cat), _ => {
+    sessions.computeIfAbsent((s, cat, family), _ => {
       val iso = s.newSession()
       iso.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.v2.GraftCatalog].getName)

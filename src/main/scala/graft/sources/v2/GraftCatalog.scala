@@ -236,6 +236,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(!from.exists(";|=".contains(_)) &&
             !to.exists(";|=".contains(_)),
             "ALTER TABLE RENAME: ';', '|', '=' not allowed in column names")
+          // `to` must not be ANOTHER column's historical name: readers
+          // try a column's current name first, so in pre-rename
+          // segments the renamed column would silently resolve to the
+          // old physical column's data (r16 advice — same resurrect
+          // class the AddColumn guard blocks). Renaming a column BACK
+          // to a name in its own history is safe: that physical column
+          // is the same logical column.
+          require(!aliases.exists { case (cur, hist) =>
+              cur != from && hist.contains(to) },
+            s"ALTER TABLE RENAME: $to is another column's historical " +
+              "name; reusing it would resolve old segments' data under " +
+              "the renamed column")
           aliases += to -> (aliases.getOrElse(from, Seq.empty) :+ from)
           aliases -= from
         }

@@ -92,15 +92,17 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
   }
 
   private def gc(): Unit = {
-    // delta mode: a base anchors every delta above it — GC only
-    // versions strictly older than the newest base. Full-copy mode
-    // (every version a base): plain keep-newest-retain.
+    // Contract: the newest `retain` committed versions stay readable.
+    // A delta version is readable only through its anchoring base, so
+    // the GC floor is the BASE of the retain-th newest version — in
+    // full-copy mode baseFor is the identity and this degenerates to
+    // plain keep-newest-retain. (r16 advice: the previous delta-mode
+    // rule kept only versions >= the newest base, deleting
+    // just-superseded versions a concurrent reader may still hold.)
     val vs = committedVersions
-    val bases = vs.filterNot(isDelta)
-    val cut: Set[Long] =
-      if (bases.size == vs.size) vs.takeRight(retain).toSet
-      else vs.filter(_ >= bases.last).toSet
-    vs.filterNot(cut)
+    if (vs.isEmpty) return
+    val keepFrom = baseFor(vs.takeRight(retain).head)
+    vs.filter(_ < keepFrom)
       .foreach(v => fs.delete(new Path(root, v.toString), true))
   }
 
@@ -216,11 +218,24 @@ object GoldMaintenanceStream {
       retain: Int): VersionedStateStore =
     new VersionedStateStore(spark, stateDir, PerfTables, retain, PerfSpecs)
 
-  /** Highest committed state version under `stateDir`, if any. */
+  /** Highest committed state version under `stateDir`, if any.
+    * Usable without an active SparkSession (driver-side tooling,
+    * pre-session recovery probes — r16 advice): version discovery is
+    * pure FileSystem listing, so a bare Hadoop Configuration serves
+    * when no session exists. */
   def lastCommitted(stateDir: String): Option[Long] = {
-    val spark = SparkSession.active
-    execStore(spark, stateDir, VersionedStateStore.DefaultRetain)
-      .lastCommitted
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .filter(id => fs.exists(new Path(new Path(root, id.toString), "_COMMIT")))
+      .toSeq.sorted.lastOption
   }
 
   def loadState(spark: SparkSession, stateDir: String,

@@ -24,6 +24,19 @@ class WarehouseSpec extends SparkSpec {
     assert(annWh !== edgeWh, "families must not share a namespace dir")
   }
 
+  test("spjSession is keyed by FAMILY too (r16 ADVICE): the same " +
+      "catalog name bound to two families yields two sessions with " +
+      "their own warehouse directories, not the first family's") {
+    val a = Warehouse.spjSession(spark, "wh_key_cat", "fam_a")
+    val b = Warehouse.spjSession(spark, "wh_key_cat", "fam_b")
+    assert(a ne b, "distinct families must not share a child session")
+    val whA = a.conf.get("spark.sql.catalog.wh_key_cat.warehouse")
+    val whB = b.conf.get("spark.sql.catalog.wh_key_cat.warehouse")
+    assert(whA.endsWith("fam_a") && whB.endsWith("fam_b"), s"$whA / $whB")
+    // and the memo still caches: same (session, catalog, family) hits
+    assert(Warehouse.spjSession(spark, "wh_key_cat", "fam_a") eq a)
+  }
+
   test("a fresh process ADOPTS a complete persisted edge table: " +
       "no rewrite, identical rows") {
     val t1 = GraphOps.graftEdgeTable(spark, sf)

@@ -272,6 +272,42 @@ class ParquetSinkSpec extends SparkSpec {
       "COW rewrite must preserve renamed-column data from old segments")
   }
 
+  test("ALTER RENAME rejects a target that is ANOTHER column's " +
+      "historical name (r16 ADVICE): after RENAME a->c, RENAME b->a " +
+      "would resolve pre-rename segments' old-a data under b; " +
+      "renaming a column BACK to its own historical name stays legal") {
+    init()
+    import spark.implicits._
+    val t = s"$cat.g.rn_guard_pq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(key BIGINT, bucket BIGINT, a DOUBLE, b DOUBLE) " +
+      "PARTITIONED BY (bucket) TBLPROPERTIES ('format'='parquet')")
+    (0L until 100L).map(i => (i, i % 4, i * 1.0, i * 100.0))
+      .toDF("key", "bucket", "a", "b").writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN a TO c")
+
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN b TO a")
+    }
+    assert(e.getMessage.contains("historical"), e.getMessage)
+    // the refused rename changed nothing: b still reads b's data
+    assert(spark.table(t).agg(sum(col("b"))).head.getDouble(0) ===
+      (0L until 100L).map(_ * 100.0).sum)
+
+    // rename BACK to a name in the column's OWN history: the physical
+    // column in old segments is the same logical column — legal + exact
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN c TO a")
+    assert(spark.table(t).agg(sum(col("a"))).head.getDouble(0) ===
+      (0L until 100L).map(_ * 1.0).sum)
+    // and b->c is now free again after a's history moved with it? No:
+    // 'c' is in a's history — still refused, one rule everywhere
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN b TO c")
+    }
+    assert(e2.getMessage.contains("historical"), e2.getMessage)
+  }
+
   test("TRUNCATE + re-append works on the parquet payload") {
     init()
     spark.sql(s"TRUNCATE TABLE $cat.g.rt_pq")

@@ -297,4 +297,60 @@ class GoldStreamSpec extends SparkSpec {
     assert(mart.collect().map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
       "resume from retained state diverged from the gate")
   }
+
+  test("delta (LSM) GC honors retain (r16 ADVICE): the newest K " +
+      "committed versions stay READABLE — their anchoring base and " +
+      "intermediate deltas survive compaction; only versions below " +
+      "the K-th newest version's base are deleted") {
+    import spark.implicits._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("lsm_gc_state").toString
+    val spec = Map("t" -> VersionedStateStore.MergeSpec(Seq("k"), "n"))
+    val store = new VersionedStateStore(spark, stateDir, Seq("t"),
+      retain = 2, mergeSpecs = spec, compactEvery = 2)
+    def d(rows: (Long, Long)*): Map[String, DataFrame] =
+      Map("t" -> rows.toSeq.toDF("k", "n"))
+
+    store.save(1L, d(1L -> 5L))               // base 1
+    store.saveDelta(2L, d(1L -> 2L))          // delta 2 (chain len 1)
+    store.saveDelta(3L, d(2L -> 7L))          // hits compactEvery → base 3
+    // pre-fix delta GC deleted everything below the NEWEST base (1 and
+    // 2 here). Contract: newest retain=2 versions are (2, 3); version
+    // 2 reads through base 1, so 1 and 2 must both survive.
+    assert(store.committedVersions === Seq(1L, 2L, 3L),
+      s"got ${store.committedVersions}")
+    assert(store.load(2L)("t").as[(Long, Long)].collect().toSet ===
+      Set(1L -> 7L), "version 2 must still fold base 1 + delta 2")
+    assert(store.load(3L)("t").as[(Long, Long)].collect().toSet ===
+      Set(1L -> 7L, 2L -> 7L))
+
+    store.saveDelta(4L, d(2L -> -7L))         // delta 4 over base 3
+    // newest 2 = (3, 4); 3 is its own base → 1 and 2 now GC
+    assert(store.committedVersions === Seq(3L, 4L),
+      s"got ${store.committedVersions}")
+    assert(store.load(4L)("t").as[(Long, Long)].collect().toSet ===
+      Set(1L -> 7L), "zero-count group must drop after the signed fold")
+  }
+
+  test("lastCommitted(stateDir) works WITHOUT an active SparkSession " +
+      "(r16 ADVICE): pure FileSystem listing for driver-side tooling") {
+    import org.apache.spark.sql.SparkSession
+    import spark.implicits._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("nosess_state").toString
+    new VersionedStateStore(spark, stateDir, Seq("t"))
+      .save(7L, Map("t" -> Seq(1L -> 1L).toDF("k", "n")))
+    val act = SparkSession.getActiveSession
+    val dfl = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      assert(GoldMaintenanceStream.lastCommitted(stateDir) === Some(7L))
+      assert(GoldMaintenanceStream.lastCommitted(
+        stateDir + "/does_not_exist") === None)
+    } finally {
+      act.foreach(SparkSession.setActiveSession)
+      dfl.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
