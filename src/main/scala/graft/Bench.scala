@@ -94,6 +94,9 @@ object Bench {
     val bestAmbient = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to reps) {
       spark.catalog.clearCache() // each rep self-contained, cold SQL cache
+      // the shared CDC-delta checkpoints live outside the SQL cache —
+      // reset them too so the IVM gates rebuild per rep
+      graft.engine.InsuranceGate.resetCdcDeltaMemoForBench()
       names.foreach { case (name, fn) =>
         val (busy0, self0) = cpuJiffies()
         val t0 = System.nanoTime()

@@ -1070,15 +1070,71 @@ object InsuranceGate extends QueryModule {
     (s, d) => IncrementalGold.policyPerfMart(cdcPolicyPerfState(s, d))
   }
 
+  // ---- shared, materialized CDC signed deltas (r16 verdict task 1).
+  // The four IVM gates (q218/q221/q223/q224) replay the SAME CDC feed;
+  // each previously re-derived the silver→image→union→signedDelta
+  // chain per gate (and checkpointed its own narrow copy) — 72.9 s =
+  // 31% of the r16 bench, 4× the production cost by construction. One
+  // memoized build per (session, dir) materializes each batch's signed
+  // delta ONCE, projected to the UNION of the columns any maintainer
+  // reads (still IVM column pruning — 12/14/5 columns, not full silver
+  // width); every gate's narrow projection is then an in-memory scan
+  // of the shared checkpoint. Same trick as the silver cache above,
+  // one level up the shared-subtree. Values are unchanged: both paths
+  // compute the identical frames, only the number of times Spark
+  // computes them drops.
+  private val PolDeltaCols = Seq("policy_id", "customer_id",
+    "policy_type", "start_date", "premium_amount", "coverage_amount",
+    "status", "missing_customer_id_flag", "invalid_premium_amount_flag",
+    "invalid_coverage_amount_flag", "invalid_date_range_flag", "__sign")
+  private val ClDeltaCols = Seq("claim_id", "policy_id", "claim_type",
+    "severity", "status", "adjuster_id", "claim_date", "claim_amount",
+    "settled_amount", "fraud_indicator", "missing_policy_flag",
+    "settlement_ratio", "reporting_delay_days", "__sign")
+  private val CustDeltaCols = Seq("customer_id", "age", "state",
+    "invalid_email_flag", "__sign")
+
+  private val cdcDeltaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Seq[DataFrame], Seq[DataFrame], Seq[DataFrame])]()
+
+  /** Drop the shared CDC delta memo. Bench calls this next to its
+    * per-rep `clearCache()`: localCheckpoint blocks are NOT SQL-cache
+    * entries, so without the reset reps 2+ would read rep 1's state
+    * back and min-of-reps would measure a cache hit, not the engine.
+    * (The stale checkpoint blocks are reclaimed by the ContextCleaner
+    * once the dropped frames are GC'd.) */
+  private[graft] def resetCdcDeltaMemoForBench(): Unit =
+    cdcDeltaMemo.clear()
+
+  /** (policy, claim, customer) signed deltas of the four aligned CDC
+    * batches, each materialized once per session and shared by all
+    * four IVM gates. */
+  private[engine] def sharedCdcDeltas(s: SparkSession, d: String)
+      : (Seq[DataFrame], Seq[DataFrame], Seq[DataFrame]) =
+    cdcDeltaMemo.computeIfAbsent((s, d), _ => {
+      val pc = cdcBatches(s, d)
+      val cu = cdcCustomerBatches(s, d)
+      // serial checkpoint builds: concurrent submission of the 12 jobs
+      // was MEASURED SLOWER at sf0.1 (gates 59.1 s vs 48.9, ambient ~0
+      // both runs) — each job saturates local[32] on the cached silver
+      // scan, so overlap only adds scheduler contention
+      def mat(df: DataFrame, cols: Seq[String]): DataFrame =
+        IncrementalGold.signedDelta(df).select(cols.map(col): _*)
+          .localCheckpoint(true)
+      (pc.map(b => mat(b._1, PolDeltaCols)),
+        pc.map(b => mat(b._2, ClDeltaCols)),
+        cu.map(mat(_, CustDeltaCols)))
+    })
+
   /** Fold all four q218 CDC batches into the policy-performance state
     * (same feed, second maintained mart; lazy fold per the q218
     * rationale). */
   private[engine] def cdcPolicyPerfState(s: SparkSession, d: String)
       : IncrementalGold.PolicyPerfState = {
-    val batches = cdcBatches(s, d)
-    val deltas = batches.map { case (p, c) =>
-      (IncrementalGold.narrowPpPol(IncrementalGold.signedDelta(p)),
-        IncrementalGold.narrowPpCl(IncrementalGold.signedDelta(c))) }
+    val (pols, cls, _) = sharedCdcDeltas(s, d)
+    val deltas = pols.zip(cls).map { case (p, c) =>
+      (IncrementalGold.narrowPpPol(p), IncrementalGold.narrowPpCl(c)) }
     deltas.tail.foldLeft(
       IncrementalGold.initPolicyPerf(deltas.head._1, deltas.head._2,
         materialize = false)) {
@@ -1099,10 +1155,10 @@ object InsuranceGate extends QueryModule {
     * projection is what makes the checkpoint pay. */
   private[engine] def cdcMaintainedState(s: SparkSession, d: String)
       : IncrementalGold.ExecState = {
-    val batches = cdcBatches(s, d)
-    val deltas = batches.map { case (p, c) =>
-      (IncrementalGold.narrowPolDelta(IncrementalGold.signedDelta(p)),
-        IncrementalGold.narrowClDelta(IncrementalGold.signedDelta(c))) }
+    val (pols, cls, _) = sharedCdcDeltas(s, d)
+    val deltas = pols.zip(cls).map { case (p, c) =>
+      (IncrementalGold.narrowPolDelta(p),
+        IncrementalGold.narrowClDelta(c)) }
     // lazy fold: the gate replays all four batches inside ONE query, so
     // per-batch checkpoint jobs are pure overhead here (measured 15–17 s
     // vs ~5 s; values identical — see applyDelta). Production applies
@@ -1353,19 +1409,15 @@ object InsuranceGate extends QueryModule {
     * the customer-360 state (lazy fold per the q218 rationale). */
   private[engine] def cdcCustomer360State(s: SparkSession, d: String)
       : IncrementalGold.Customer360State = {
-    val pc = cdcBatches(s, d)
-    val cu = cdcCustomerBatches(s, d)
-    val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
-      // checkpoint each NARROW delta once: three+ partial aggregations
-      // read every delta, and the trilinear terms re-reference them —
-      // without this the silver->image->union chain re-derives per
-      // consumer (the q218 shared-subtree lesson, bigger here)
-      (IncrementalGold.narrowC360Cust(IncrementalGold.signedDelta(c))
-        .localCheckpoint(true),
-        IncrementalGold.narrowC360Pol(IncrementalGold.signedDelta(p))
-          .localCheckpoint(true),
-        IncrementalGold.narrowC360Cl(IncrementalGold.signedDelta(cl))
-          .localCheckpoint(true)) }
+    val (pols, cls, cus) = sharedCdcDeltas(s, d)
+    // the shared deltas are already checkpointed; the per-gate narrow
+    // projections below are in-memory scans of those blocks, so the
+    // multiple aggregate/trilinear consumers never re-derive the
+    // silver->image chain (the q218 shared-subtree lesson)
+    val deltas = cus.zip(pols.zip(cls)).map { case (c, (p, cl)) =>
+      (IncrementalGold.narrowC360Cust(c),
+        IncrementalGold.narrowC360Pol(p),
+        IncrementalGold.narrowC360Cl(cl)) }
     deltas.tail.foldLeft(
       IncrementalGold.initCustomer360(deltas.head._1, deltas.head._2,
         deltas.head._3, materialize = false)) {
@@ -1541,16 +1593,12 @@ object InsuranceGate extends QueryModule {
     * the deltas are the shared subtrees, the state frames are not. */
   private[engine] def cdcClaimsOpsState(s: SparkSession, d: String)
       : IncrementalGold.ClaimsOpsState = {
-    val pc = cdcBatches(s, d)
-    val cu = cdcCustomerBatches(s, d)
-    val deltas = cu.zip(pc).map { case (c, (p, cl)) =>
-      // same narrow-delta checkpoint rationale as cdcCustomer360State
-      (IncrementalGold.narrowCoCust(IncrementalGold.signedDelta(c))
-        .localCheckpoint(true),
-        IncrementalGold.narrowCoPol(IncrementalGold.signedDelta(p))
-          .localCheckpoint(true),
-        IncrementalGold.narrowCoCl(IncrementalGold.signedDelta(cl))
-          .localCheckpoint(true)) }
+    val (pols, cls, cus) = sharedCdcDeltas(s, d)
+    // same shared-checkpoint rationale as cdcCustomer360State
+    val deltas = cus.zip(pols.zip(cls)).map { case (c, (p, cl)) =>
+      (IncrementalGold.narrowCoCust(c),
+        IncrementalGold.narrowCoPol(p),
+        IncrementalGold.narrowCoCl(cl)) }
     deltas.tail.foldLeft(
       IncrementalGold.initClaimsOps(deltas.head._1, deltas.head._2,
         deltas.head._3, materialize = false)) {
