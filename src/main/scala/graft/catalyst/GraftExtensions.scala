@@ -98,6 +98,11 @@ object GraftFunctions {
   def shingleHashes(tokens: Column): Column =
     GraftColumnBridge.column(ShingleHash(GraftColumnBridge.expression(tokens)))
 
+  /** Column-API form of [[RollingSpanHash]]. */
+  def rollingSpanHashes(text: Column, span: Int): Column =
+    GraftColumnBridge.column(
+      RollingSpanHash(GraftColumnBridge.expression(text), span))
+
   /** Column-API form of [[CosineSimilarity]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(

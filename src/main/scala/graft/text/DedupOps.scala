@@ -352,6 +352,85 @@ object DedupOps extends QueryModule {
           .as("dup_ratio_grid"))
   }
 
+  // ====================================== exact cross-document substring dedup
+  // The standard exact-dedup pass of public training-data pipelines
+  // (character-level repeated-span removal ACROSS documents — the gap
+  // q105's token windows and the MinHash family leave open): a span of
+  // SpanL characters is a cross-document duplicate iff its exact text
+  // occurs in >= 2 distinct documents. Per document we report the
+  // duplicated window positions, the distinct duplicated span texts,
+  // and the characters an exact-substring dedup would remove (the
+  // interval UNION of the duplicated windows, via the lag-capped-gap
+  // identity: a window adds min(pos - prev_pos, SpanL) new characters).
+  //
+  // Scale shape (the r16-verdict "bucketed rolling hash" formulation):
+  //   1. one O(n)-per-doc Rabin-Karp kernel (native codegen expression
+  //      [[graft.catalyst.RollingSpanHash]]) emits (doc_id, pos, h) —
+  //      the shuffle representation is 8 bytes per position, NEVER the
+  //      span text (a span-text shuffle would be a SpanL× amplification
+  //      of the corpus);
+  //   2. candidate hashes (>= 2 distinct docs) come out of a
+  //      hash-partitioned aggregate — the "bucket" IS the shuffle
+  //      partition, bounded by construction;
+  //   3. only candidate POSITIONS (11,581 of 129,674 at sf0.01) re-join
+  //      their document text, re-materialize the actual substring, and
+  //      get verified by exact text equality — hash collisions are
+  //      filtered here, so the mod-2^64 hash needs no guarantees;
+  //   4. the per-doc rollup shuffles candidates once more on doc_id.
+  //   Never all-pairs; no driver state.
+  val SpanL = 40
+  register("q226_substring_dedup",
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |spans AS (
+       |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+       |    substr(text, CAST(s.i AS INTEGER), $SpanL) AS sp
+       |  FROM d, LATERAL (SELECT unnest(range(1,
+       |    greatest(length(text) - ${SpanL - 1}, 0) + 1)) AS i) s),
+       |dup AS (SELECT sp FROM spans GROUP BY sp
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dpos AS (
+       |  SELECT doc_id, pos, sp,
+       |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM spans JOIN dup USING (sp))
+       |SELECT doc_id,
+       |  COUNT(*) AS n_dup_positions,
+       |  CAST(COUNT(DISTINCT sp) AS BIGINT) AS n_dup_spans,
+       |  CAST(SUM(CASE WHEN prev IS NULL THEN $SpanL
+       |       ELSE LEAST(pos - prev, $SpanL) END) AS BIGINT)
+       |    AS dup_chars_removed
+       |FROM dpos GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val spans = docs
+      .select(col("doc_id"), posexplode(
+        graft.catalyst.GraftFunctions.rollingSpanHashes(col("text"), SpanL)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("h"))
+    // candidate hashes: >= 2 distinct docs (hash-partitioned agg)
+    val cand = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    // only candidates re-join their text and re-materialize the span
+    val withTxt = spans.join(cand, "h")
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos").cast(IntegerType), lit(SpanL))
+          .as("sp"))
+    // verify by EXACT TEXT equality — drops hash collisions
+    val verified = withTxt.groupBy("sp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("sp")
+    val dupPos = withTxt.join(verified, "sp")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos.select(col("doc_id"), col("pos"), col("sp"),
+        lag(col("pos"), 1).over(w).as("prev"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_positions"),
+        countDistinct(col("sp")).as("n_dup_spans"),
+        sum(when(col("prev").isNull, SpanL)
+          .otherwise(least(col("pos") - col("prev"), lit(SpanL))))
+          .cast(LongType).as("dup_chars_removed"))
+  }
+
   // ================================================= set-similarity join
   // EXACT all-pairs Jaccard threshold join via prefix filtering (the
   // ppjoin family) — the exact counterpart of the approximate LSH path:
