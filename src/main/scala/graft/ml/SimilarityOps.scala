@@ -833,8 +833,13 @@ object SimilarityOps extends QueryModule {
     * compute the IDENTICAL result by construction — q215 persists the
     * same (cell, codes) index q212 builds in-query, and the search path
     * does the same ADC lookups — so one SQL twin gates both. */
-  private def oIvfpqSearchSql: String =
-    s"""WITH $oIvfpqCtes
+  private def oIvfpqSearchSql: String = oIvfpqSearchSqlWith(oTrainGate)
+
+  /** The same twin with a custom TRAINING predicate — q227's upsert
+    * gate trains on `trainGate AND NOT upsertGate` so the from-scratch
+    * oracle rebuild derives the identical frozen codebook. */
+  private def oIvfpqSearchSqlWith(train: String): String =
+    s"""WITH ${oIvfpqCtes(train)}
        |SELECT ra.query_id, CAST(ra.rank AS BIGINT) AS rank, ra.vec_id,
        |  ra.adc_ppm,
        |  CAST(re.erank IS NOT NULL AND re.erank <= $TopK AS BOOLEAN)
@@ -847,7 +852,9 @@ object SimilarityOps extends QueryModule {
     * reference → both rankings) as a reusable CTE body: `ra` is the ADC
     * ranking, `re` the exact-L2 ranking. q212/q215 select the ranked
     * rows; q217 folds them into a per-query recall. */
-  private def oIvfpqCtes: String = {
+  private def oIvfpqCtes: String = oIvfpqCtes(oTrainGate)
+
+  private def oIvfpqCtes(train: String): String = {
     def oSubL2sq(v: String, c: String, m: String): String =
       s"""list_reduce(list_transform(range(($m - 1) * $PqSubDim + 1, $m * $PqSubDim + 1),
          |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
@@ -860,7 +867,7 @@ object SimilarityOps extends QueryModule {
     s"""dims AS (
        |  SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
        |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS i) i
-       |  WHERE $oTrainGate),
+       |  WHERE $train),
        |agg AS (
        |  SELECT label AS c_label, dim,
        |    CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS cv
@@ -1739,43 +1746,57 @@ object SimilarityOps extends QueryModule {
         annBuilds.incrementAndGet()
         val codebook =
           trainCodebook(embeddings(iso, d).filter(trainGate(col("vec_id"))))
-        require(codebook.map(_._1) == (0 until codebook.size),
-          "IVF-PQ codebook labels must be contiguous 0..k-1")
-        require(codebook.size <= 256,
-          s"packed 8-bit codes need k ≤ 256 centroids, got ${codebook.size}")
-        def subCb(m: Int): Seq[(Int, Seq[Double])] =
-          codebook.map { case (l, cv) =>
-            (l, cv.slice((m - 1) * PqSubDim, m * PqSubDim)) }
-        def subCode(v: Column, m: Int): Column = {
-          val cb = subCb(m)
-          element_at(GraftColumnBridge.column(graft.catalyst.IvfProbe(
-            GraftColumnBridge.expression(
-              slice(v, (m - 1) * PqSubDim + 1, PqSubDim)),
-            cb.map(_._1).toArray, cb.map(_._2.toArray).toArray, 1)), 1)
-        }
-        val packed = (1 to PqM).map(m =>
-            subCode(col("embedding"), m).cast(LongType)
-              * lit(1L << (8 * (m - 1))))
-          .reduce(_ + _)
-        iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $AnnCat.g")
-        iso.sql(s"DROP TABLE IF EXISTS $ident")
-        // the trained codebook is PART of the index: persisted as a
-        // table property so a fresh JVM (durable warehouse) reloads it
-        // instead of retraining — the exact-roundtrip codec above
-        iso.sql(s"CREATE TABLE $ident " +
-          "(vec_id BIGINT, cell BIGINT, packed BIGINT) " +
-          "PARTITIONED BY (cell) " +
-          "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='vec_id', " +
-          s"'graft.codebook'='${encodeCodebook(codebook)}')")
-        embeddings(iso, d).select(col("vec_id").cast(LongType).as("vec_id"),
-            nearestCentroid(iso, codebook)(col("embedding"))
-              .cast(LongType).as("cell"),
-            packed.as("packed"))
+        createIndexTable(iso, ident, codebook)
+        encodeIvfpq(iso, embeddings(iso, d), codebook)
           .writeTo(ident).append()
         annBuilt.put(ident, codebook)
         (iso.table(ident), codebook)
       }
     }
+  }
+
+  /** DDL for a persisted IVF-PQ index table: (vec_id, cell, packed),
+    * filePerKey over cell, the trained codebook riding as a table
+    * property (a fresh JVM reloads it instead of retraining). */
+  private[ml] def createIndexTable(iso: SparkSession, ident: String,
+      codebook: Seq[(Int, Seq[Double])]): Unit = {
+    require(codebook.map(_._1) == (0 until codebook.size),
+      "IVF-PQ codebook labels must be contiguous 0..k-1")
+    require(codebook.size <= 256,
+      s"packed 8-bit codes need k ≤ 256 centroids, got ${codebook.size}")
+    iso.sql(s"CREATE NAMESPACE IF NOT EXISTS $AnnCat.g")
+    iso.sql(s"DROP TABLE IF EXISTS $ident")
+    iso.sql(s"CREATE TABLE $ident " +
+      "(vec_id BIGINT, cell BIGINT, packed BIGINT) " +
+      "PARTITIONED BY (cell) " +
+      "TBLPROPERTIES ('filePerKey'='true', 'sortBy'='vec_id', " +
+      s"'graft.codebook'='${encodeCodebook(codebook)}')")
+  }
+
+  /** Map-only (vec_id, cell, packed) encoding of `rows` under a FROZEN
+    * codebook — shared by the initial build and the upsert path (the
+    * FAISS lifecycle: adding vectors never retrains). */
+  private[ml] def encodeIvfpq(iso: SparkSession, rows: DataFrame,
+      codebook: Seq[(Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def subCb(m: Int): Seq[(Int, Seq[Double])] =
+      codebook.map { case (l, cv) =>
+        (l, cv.slice((m - 1) * PqSubDim, m * PqSubDim)) }
+    def subCode(v: Column, m: Int): Column = {
+      val cb = subCb(m)
+      element_at(GraftColumnBridge.column(graft.catalyst.IvfProbe(
+        GraftColumnBridge.expression(
+          slice(v, (m - 1) * PqSubDim + 1, PqSubDim)),
+        cb.map(_._1).toArray, cb.map(_._2.toArray).toArray, 1)), 1)
+    }
+    val packed = (1 to PqM).map(m =>
+        subCode(col("embedding"), m).cast(LongType)
+          * lit(1L << (8 * (m - 1))))
+      .reduce(_ + _)
+    rows.select(col("vec_id").cast(LongType).as("vec_id"),
+      nearestCentroid(iso, codebook)(col("embedding"))
+        .cast(LongType).as("cell"),
+      packed.as("packed"))
   }
 
   /** Cross-JVM reload via the shared [[graft.engine.Warehouse.adopt]]
@@ -1883,8 +1904,12 @@ object SimilarityOps extends QueryModule {
       }
       .start()
 
-  register("q215_persisted_ivfpq", oIvfpqSearchSql) { (s, d) =>
-    val (index, codebook) = annIndex(s, d)
+  /** The persisted-index search gate body (probe SPJ + ADC ranking +
+    * exact-L2 audit) — shared by q215 (full one-shot build) and q227
+    * (base build + upsert batch): identical by construction once the
+    * index tables hold the same rows. */
+  private def ivfpqSearchGate(index: DataFrame,
+      codebook: Seq[(Int, Seq[Double])], d: String): DataFrame = {
     val iso = index.sparkSession
     // probe set: ≤ NumQueries × NProbe rows, cell-keyed for the SPJ
     val probes = annProbes(iso, d, codebook)
@@ -1909,6 +1934,195 @@ object SimilarityOps extends QueryModule {
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("vec_id"), col("adc_ppm"),
         (col("erank").isNotNull && col("erank") <= TopK).as("in_exact_topk"))
+  }
+
+  register("q215_persisted_ivfpq", oIvfpqSearchSql) { (s, d) =>
+    val (index, codebook) = annIndex(s, d)
+    ivfpqSearchGate(index, codebook, d)
+  }
+
+  // =============== INCREMENTAL INDEX MAINTENANCE (r16 verdict task 5):
+  // the 100 TB operational shape — a corpus version does not rebuild
+  // the index; new vectors are ASSIGNED to existing cells under the
+  // FROZEN codebook (FAISS `add`), per-cell counts are tracked in the
+  // table properties, and a cell past the split threshold is re-split
+  // from its PQ-reconstructed members ([[annSplitCell]] — index-only,
+  // the corpus is never re-read).
+  //
+  // q227 gates the upsert algebra: the corpus splits into BASE
+  // (everything else) and BATCH (vec_id % 5 == 3, excluding query
+  // rows); training sees only base rows, the base index builds first,
+  // then the batch UPSERTS (map-only encode + cell-keyed append +
+  // delta-sized count merge). Because the codebook is frozen, (build +
+  // upsert) is row-identical to a from-scratch rebuild over the full
+  // corpus with the same training slice — so the gate runs the SAME
+  // search at the SAME probe budget and hash-matches the oracle's
+  // from-scratch rebuild. AnnUpsertSpec additionally pins (a) the
+  // upserted table == one-shot encode of the full corpus, (b) count
+  // tracking, (c) post-split search parity.
+  private[ml] def upsertGate(vecId: Column): Column =
+    vecId % 5 === 3 && vecId >= NumQueries
+  private def oUpsertGate: String =
+    s"(vec_id % 5 = 3 AND vec_id >= $NumQueries)"
+
+  val CellCountsProp = "graft.cellcounts"
+
+  private[ml] def encodeCellCounts(m: Map[Long, Long]): String =
+    m.toSeq.sorted.map { case (c, n) => s"$c:$n" }.mkString(";")
+  private[ml] def decodeCellCounts(s: String): Map[Long, Long] =
+    if (s == null || s.isEmpty) Map.empty
+    else s.split(";").map { e =>
+      val Array(c, n) = e.split(":", 2); (c.toLong, n.toLong)
+    }.toMap
+
+  /** Current per-cell counts of a persisted index (from the table
+    * property; empty map when never written). */
+  def cellCounts(iso: SparkSession, ident: String): Map[Long, Long] = {
+    val props = iso.sql(s"SHOW TBLPROPERTIES $ident").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    decodeCellCounts(props.getOrElse(CellCountsProp, ""))
+  }
+
+  /** Merge a DELTA of per-cell counts into the property (bounded by
+    * the coarse-list size — a driver sync by construction, same class
+    * as the codebook itself). */
+  private def mergeCellCounts(iso: SparkSession, ident: String,
+      delta: Map[Long, Long]): Unit = {
+    val merged = (cellCounts(iso, ident).toSeq ++ delta.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _).filter(_._2 != 0L)
+    require(merged.size <= MaxCodebookHard,
+      s"cell-count property would exceed $MaxCodebookHard cells")
+    iso.sql(s"ALTER TABLE $ident SET TBLPROPERTIES " +
+      s"('$CellCountsProp'='${encodeCellCounts(merged)}')")
+  }
+
+  /** UPSERT one batch of (vec_id, embedding) rows into a persisted
+    * index: map-only encode under the index's FROZEN codebook, append
+    * (lands in the right cell files via the clustered sink), and a
+    * delta-sized per-cell count merge. Returns the batch's per-cell
+    * counts. */
+  def annUpsertBatch(iso: SparkSession, ident: String,
+      codebook: Seq[(Int, Seq[Double])], batch: DataFrame)
+      : Map[Long, Long] = {
+    val enc = encodeIvfpq(iso, batch, codebook)
+    enc.writeTo(ident).append()
+    val counts = enc.groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mergeCellCounts(iso, ident, counts)
+    counts
+  }
+
+  /** Build-or-load the q227 upsert-maintained index: base build under
+    * a training slice that never sees batch rows, then the batch
+    * upserts. Content-addressed like [[annIndex]] (suffix `up`). */
+  private[ml] def annUpsertIndex(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val iso = annSession(s)
+    val ident = s"$AnnCat.g.ivfpq_up_${embFingerprint(d)}"
+    annLock.synchronized {
+      val cached = annBuilt.get(ident)
+      if (cached != null) (iso.table(ident), cached)
+      else if (reloadPersisted(iso, ident).isDefined)
+        (iso.table(ident), annBuilt.get(ident))
+      else {
+        annBuilds.incrementAndGet()
+        val codebook = trainCodebook(embeddings(iso, d)
+          .filter(trainGate(col("vec_id")) && !upsertGate(col("vec_id"))))
+        createIndexTable(iso, ident, codebook)
+        val base = encodeIvfpq(iso,
+          embeddings(iso, d).filter(!upsertGate(col("vec_id"))), codebook)
+        base.writeTo(ident).append()
+        mergeCellCounts(iso, ident, base.groupBy("cell").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        annUpsertBatch(iso, ident, codebook,
+          embeddings(iso, d).filter(upsertGate(col("vec_id"))))
+        annBuilt.put(ident, codebook)
+        (iso.table(ident), codebook)
+      }
+    }
+  }
+
+  /** Maximum rows a hot cell may hold before [[annSplitCell]] refuses
+    * the driver-side 2-means sample collect (loud, never an OOM). */
+  val MaxCellSplitRows = 262144
+
+  /** Re-split one hot cell into two children from its PQ-RECONSTRUCTED
+    * members (index-only — the corpus is never re-read; this is the
+    * residual-free analogue of FAISS's re-train-on-add policies).
+    * Rows keep their packed codes — only the cell KEY changes — so
+    * probing BOTH children is candidate-identical to probing the
+    * parent (AnnUpsertSpec pins it). Children get fresh cell ids past
+    * every existing cell; the updated coarse list (parent removed,
+    * children appended) is returned for the caller's probe routing and
+    * persisted under `graft.coarse.<cell>`. Cluster shape: the split
+    * itself is a bounded driver 2-means on ≤ [[MaxCellSplitRows]]
+    * reconstructed members; the table rewrite is the clustered sink's
+    * overwrite-by-filter on the one cell file. */
+  def annSplitCell(iso: SparkSession, ident: String, cell: Long,
+      codebook: Seq[(Int, Seq[Double])],
+      coarse: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    def subCb(m: Int): Seq[Seq[Double]] =
+      codebook.map(_._2.slice((m - 1) * PqSubDim, m * PqSubDim))
+    val rows = iso.table(ident).filter(col("cell") === cell)
+      .select("vec_id", "packed").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(rows.length <= MaxCellSplitRows,
+      s"cell $cell has ${rows.length} rows > $MaxCellSplitRows; " +
+        "split must run as a distributed job at this size")
+    require(rows.length >= 2, s"cell $cell has <2 rows; nothing to split")
+    def recon(packed: Long): Array[Double] =
+      (1 to PqM).flatMap { m =>
+        subCb(m)(((packed >> (8 * (m - 1))) & 255L).toInt)
+      }.toArray
+    val recs = rows.map { case (id, p) => (id, recon(p)) }.sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // deterministic 2-means: seed with the lowest vec_id's member and
+    // the member farthest from it, 5 Lloyd rounds, (dist, vec_id)
+    // tie-break
+    var c0 = recs.head._2
+    var c1 = recs.maxBy(r => (d2(r._2, c0), r._1))._2
+    var assign: Array[Int] = null
+    (1 to 5).foreach { _ =>
+      assign = recs.map { case (_, v) =>
+        if (d2(v, c0) <= d2(v, c1)) 0 else 1 }
+      def mean(k: Int): Array[Double] = {
+        val m = recs.zip(assign).filter(_._2 == k).map(_._1._2)
+        if (m.isEmpty) (if (k == 0) c0 else c1)
+        else {
+          val out = new Array[Double](m.head.length)
+          m.foreach(v => (0 until v.length).foreach(i => out(i) += v(i)))
+          out.map(_ / m.length)
+        }
+      }
+      c0 = mean(0); c1 = mean(1)
+    }
+    val maxCell = (coarse.map(_._1) ++ cellCounts(iso, ident).keys).max
+    val (id0, id1) = (maxCell + 1, maxCell + 2)
+    val moved = recs.zip(assign).map { case ((vid, _), a) =>
+      (vid, if (a == 0) id0 else id1) }.toMap
+    import iso.implicits._
+    val rewritten = rows.toSeq
+      .map { case (vid, p) => (vid, moved(vid), p) }
+      .toDF("vec_id", "cell", "packed")
+    rewritten.writeTo(ident).overwrite(col("cell") === cell)
+    val n0 = moved.values.count(_ == id0).toLong
+    mergeCellCounts(iso, ident, Map(cell -> -rows.length.toLong,
+      id0 -> n0, id1 -> (rows.length - n0)))
+    iso.sql(s"ALTER TABLE $ident SET TBLPROPERTIES " +
+      s"('graft.coarse.$cell'='${encodeCodebook(
+        Seq((id0.toInt, c0.toSeq), (id1.toInt, c1.toSeq)))}')")
+    coarse.filterNot(_._1 == cell) ++
+      Seq((id0, c0.toSeq), (id1, c1.toSeq))
+  }
+
+  register("q227_incremental_ivfpq",
+    oIvfpqSearchSqlWith(s"($oTrainGate) AND NOT $oUpsertGate")) { (s, d) =>
+    val (index, codebook) = annUpsertIndex(s, d)
+    ivfpqSearchGate(index, codebook, d)
   }
 
   // ======================= PROBE-ONLY SEARCH GATE (r14 verdict task 3)
