@@ -35,15 +35,32 @@ object ImageHeaderCodec extends MediaCodec with MediaDecoder {
       .map("%02x".format(_)).mkString
     val parsed =
       try {
-        if (isPng(payload)) parsePng(payload)
-        else if (isJpeg(payload)) parseJpeg(payload)
-        else if (isGif(payload)) parseGif(payload)
+        if (isPng(payload)) parsePng(payload).map(t => (t, "none"))
+        else if (isJpeg(payload)) parseJpeg(payload).map { case (w, h, f, m) =>
+          ((w, h, f), scanClass(m)) }
+        else if (isGif(payload)) parseGif(payload).map(t => (t, "none"))
         else None
       } catch { case _: RuntimeException => None } // truncated/corrupt
     parsed match {
-      case Some((w, h, frames)) => MediaFeatures(w, h, frames, md5)
+      case Some(((w, h, frames), scan)) => MediaFeatures(w, h, frames, md5, scan)
       case None => MediaFeatures(0, 0, 0, md5) // total-decode sentinel
     }
+  }
+
+  /** Entropy-scan class of a JPEG SOFn marker (r16 advice: progressive
+    * files are common in web crawls; the class is header-cheap to read
+    * even where the scan itself is not decoded). */
+  private def scanClass(marker: Int): String = marker match {
+    case 0xc0 => "baseline"
+    case 0xc1 => "extended"
+    case 0xc2 => "progressive"
+    case 0xc3 => "lossless"
+    case 0xc9 => "arithmetic"
+    case 0xca => "progressive_arithmetic"
+    case 0xcb => "lossless_arithmetic"
+    case m if m >= 0xc5 && m <= 0xc7 => "differential"
+    case m if m >= 0xcd && m <= 0xcf => "differential_arithmetic"
+    case _ => "other"
   }
 
   // unsigned accessors — image formats store unsigned fields
@@ -92,8 +109,9 @@ object ImageHeaderCodec extends MediaCodec with MediaDecoder {
     * Frame markers are 0xC0–0xCF except DHT (C4), JPG (C8), DAC (CC);
     * their payload is [len:2][precision:1][height:2][width:2]. Fill
     * bytes (repeated 0xFF) and standalone markers (RSTn, TEM) are
-    * skipped; SOS/EOI without a preceding SOF means no geometry. */
-  private def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    * skipped; SOS/EOI without a preceding SOF means no geometry. The
+    * fourth tuple element is the SOFn MARKER byte (scan class). */
+  private def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     var i = 2
     while (i + 4 <= b.length) {
       if (u8(b, i) != 0xff) return None // desynced marker stream
@@ -106,7 +124,7 @@ object ImageHeaderCodec extends MediaCodec with MediaDecoder {
           if (i + 7 > b.length) return None
           val h = be16(b, i + 3)
           val w = be16(b, i + 5)
-          return if (w > 0 && h > 0) Some((w, h, 1)) else None
+          return if (w > 0 && h > 0) Some((w, h, 1, m)) else None
         case 0xd9 | 0xda => return None // EOI / SOS before any SOF
         case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => // standalone
         case _ =>

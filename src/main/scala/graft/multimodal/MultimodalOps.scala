@@ -52,7 +52,11 @@ object MultimodalOps extends QueryModule {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
-    StructField("payload_md5", StringType)))
+    StructField("payload_md5", StringType),
+    // JPEG entropy-scan class from the SOFn marker (r16 advice: web
+    // crawls carry progressive files; detection is header-cheap even
+    // where full decode is not) — "none" for non-JPEG containers
+    StructField("scan_type", StringType)))
 
   /** Partition-batched decode + feature extraction. Runs the codec once
     * per record inside `mapPartitions`, so a real codec would amortize
@@ -77,7 +81,7 @@ object MultimodalOps extends QueryModule {
           val payload = r.getAs[Array[Byte]]("payload")
           val f = c.decode(kind, payload)
           Row(id, kind, r.getAs[Long]("byte_len"), f.width, f.height,
-            f.nFrames, f.md5)
+            f.nFrames, f.md5, f.scanType)
         }
       }
     spark.createDataFrame(rows, featureSchema)
@@ -201,11 +205,14 @@ object MultimodalOps extends QueryModule {
       |  CAST(1 + (doc_id * 7) % 48 AS INTEGER) AS height,
       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 11
       |            WHEN doc_id % 3 = 1 THEN 1
-      |            ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames
+      |            ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames,
+      |  CASE WHEN doc_id % 3 = 1 THEN
+      |    CASE WHEN doc_id % 2 = 0 THEN 'progressive' ELSE 'baseline' END
+      |  ELSE 'none' END AS scan_type
       |FROM documents""".stripMargin) { (s, d) =>
     decodeFeatures(realMedia(s, d), ImageHeaderCodec).select(
       col("media_id"), col("kind").as("container"),
-      col("width"), col("height"), col("n_frames"))
+      col("width"), col("height"), col("n_frames"), col("scan_type"))
   }
 
   // ===================================================== real audio decode
@@ -632,7 +639,8 @@ trait MediaCodec extends Serializable {
 
 /** Fixed-width feature record every codec must produce — the trait layer
   * depends only on this, so implementations never reference [[StubCodec]]. */
-final case class MediaFeatures(width: Int, height: Int, nFrames: Int, md5: String)
+final case class MediaFeatures(width: Int, height: Int, nFrames: Int,
+    md5: String, scanType: String = "none")
 
 /** The per-partition decoder handle produced by [[MediaCodec.open]]. */
 trait MediaDecoder {

@@ -20,11 +20,18 @@ class ImageHeaderCodecSpec extends SparkSpec {
     assert((anim.width, anim.height, anim.nFrames) === ((64, 48, 5)))
   }
 
-  test("JPEG SOF0 and SOF2 (progressive): dims from the marker walk") {
+  test("JPEG SOF0 and SOF2 (progressive): dims from the marker walk, " +
+      "scan class from the SOFn byte (r16 ADVICE)") {
     val base = ImageHeaderCodec.decode("image", jpeg(640, 480))
     assert((base.width, base.height, base.nFrames) === ((640, 480, 1)))
+    assert(base.scanType === "baseline")
     val prog = ImageHeaderCodec.decode("image", jpeg(1920, 1080, progressive = true))
     assert((prog.width, prog.height) === ((1920, 1080)))
+    assert(prog.scanType === "progressive")
+    // non-JPEG containers and the sentinel stay "none"
+    assert(ImageHeaderCodec.decode("image", png(8, 8)).scanType === "none")
+    assert(ImageHeaderCodec.decode("image",
+      "junk".getBytes("UTF-8")).scanType === "none")
   }
 
   test("GIF: canonical 1x1 tracking pixel and multi-frame block walk") {
