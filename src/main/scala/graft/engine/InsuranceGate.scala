@@ -1000,7 +1000,10 @@ object InsuranceGate extends QueryModule {
   // pk%14 must re-attribute them — the bilinear delta rule over the
   // PT/CPM auxiliary state ([[IncrementalGold.applyPolicyPerfDelta]]).
   // Oracle = q44's full refresh on the final table state.
-  register("q221_incremental_policy_perf",
+  /** q44-over-final-state oracle shared by q221 (lazy in-memory fold)
+    * and q228 (durable delta store with a forced mid-chain compaction):
+    * both owe their consumers the same full-refresh invariant. */
+  private def oPolicyPerfIvmSql: String =
     s"""WITH $oRawPolicies,
        |$oPoliciesSilver,
        |$oRawClaims,
@@ -1066,8 +1069,29 @@ object InsuranceGate extends QueryModule {
        |    ORDER BY pb.policy_month) AS policy_count_prev_year
        |FROM policy_base pb
        |LEFT JOIN claims_by_type cp
-       |  ON pb.policy_type = cp.policy_type AND pb.policy_month = cp.claim_month""".stripMargin) {
+       |  ON pb.policy_type = cp.policy_type AND pb.policy_month = cp.claim_month""".stripMargin
+
+  register("q221_incremental_policy_perf", oPolicyPerfIvmSql) {
     (s, d) => IncrementalGold.policyPerfMart(cdcPolicyPerfState(s, d))
+  }
+
+  // ============= durable-state compaction gate (q228, r16 verdict
+  // task 7): the SAME four CDC batches fold through the LSM
+  // [[graft.streaming.VersionedStateStore]] in delta mode with
+  // compactEvery=2, forcing base → delta → COMPACTED base → delta;
+  // the mart is then read back from the final version (compaction
+  // product + a delta stacked on it). Oracle = the q221 full-refresh
+  // twin, so a single mis-merged row anywhere in the compaction or the
+  // read-side fold hash-fails the gate.
+  register("q228_compacted_state_mart", oPolicyPerfIvmSql) { (s, d) =>
+    val (pols, cls, _) = sharedCdcDeltas(s, d)
+    val deltas = pols.zip(cls).map { case (p, c) =>
+      (IncrementalGold.narrowPpPol(p), IncrementalGold.narrowPpCl(c)) }
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("q228_state").toString
+    graft.util.TmpReaper.track(stateDir)
+    graft.streaming.GoldMaintenanceStream
+      .compactedPerfMart(s, deltas, stateDir)
   }
 
   // ---- shared, materialized CDC signed deltas (r16 verdict task 1).

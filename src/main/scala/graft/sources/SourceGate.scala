@@ -317,6 +317,74 @@ object SourceGate extends QueryModule {
         max("payload").as("max_payload"))
   }
 
+  /** Per-JVM warehouse for the q229 column-evolution catalog. */
+  lazy val q229Warehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_cat_q229")
+    graft.util.TmpReaper.track(p.toString)
+    p.toString
+  }
+
+  // q229 — the COLUMN-EVOLUTION matrix under the oracle (r16 verdict
+  // task 8): append → ADD COLUMN ... DEFAULT ×2 → append WITH explicit
+  // values (including explicit nulls) → DROP COLUMN → read back through
+  // the manifest-planned scan. Every leg is METADATA-ONLY on the
+  // parquet payload (ParquetSinkSpec pins files-untouched); the oracle
+  // recomputes the lifecycle relationally — pre-alter rows carry the
+  // defaults, post-alter rows their explicit values with nulls
+  // preserved, and the dropped column is simply absent — so a reader
+  // that default-fills a genuine null, null-fills a defaulted segment,
+  // or resurrects the dropped column breaks the hash.
+  register("q229_column_evolution_roundtrip",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS key,
+      |    CAST(o_custkey % 16 AS BIGINT) AS bucket,
+      |    CAST(o_totalprice AS DOUBLE) AS amount
+      |  FROM orders),
+      |s1 AS (
+      |  SELECT key, bucket, 'legacy' AS region, CAST(5 AS BIGINT) AS bonus
+      |  FROM base WHERE key % 2 = 0),
+      |s2 AS (
+      |  SELECT key, bucket,
+      |    CASE WHEN key % 3 = 0 THEN NULL
+      |         ELSE 'r' || CAST(key % 4 AS VARCHAR) END AS region,
+      |    CAST(key % 100 AS BIGINT) AS bonus
+      |  FROM base WHERE key % 2 = 1)
+      |SELECT bucket, region, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(bonus) AS BIGINT) AS sum_bonus,
+      |  CAST(SUM(key) AS BIGINT) AS sum_key
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |GROUP BY bucket, region""".stripMargin) { (s, dir) =>
+    val cat = "graft_cat_q229"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", SourceGate.q229Warehouse)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
+    val t = s"$cat.g.orders_evolve"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (key BIGINT, bucket BIGINT, amount DOUBLE) " +
+      "PARTITIONED BY (bucket) TBLPROPERTIES ('format'='parquet')")
+    val base = graft.ops.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("key"),
+        (col("o_custkey") % 16).cast("long").as("bucket"),
+        col("o_totalprice").cast("double").as("amount"))
+    base.filter(col("key") % 2 === 0).writeTo(t).append()
+    s.sql(s"ALTER TABLE $t ADD COLUMN region STRING DEFAULT 'legacy'")
+    s.sql(s"ALTER TABLE $t ADD COLUMN bonus BIGINT DEFAULT 5")
+    base.filter(col("key") % 2 === 1)
+      .select(col("key"), col("bucket"), col("amount"),
+        when(col("key") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("r"), (col("key") % 4).cast("string")))
+          .as("region"),
+        (col("key") % 100).cast("long").as("bonus"))
+      .writeTo(t).append()
+    s.sql(s"ALTER TABLE $t DROP COLUMN amount")
+    s.table(t)
+      .groupBy("bucket", "region")
+      .agg(count(lit(1)).as("n"),
+        sum("bonus").as("sum_bonus"),
+        sum("key").as("sum_key"))
+  }
+
   /** Per-JVM warehouse for the q196 catalog (same lifetime contract as
     * [[q195Warehouse]]). */
   lazy val q196Warehouse: String = {

@@ -169,6 +169,32 @@ object ClusteredSinkFormat {
         }
       }.toArray
     }
+    // positions whose column is ABSENT from this file and carries an
+    // EXISTS_DEFAULT: fill with the default instead of null. Positions
+    // covered by a converter (column present; value may be a genuine
+    // null) never default-fill.
+    private val fillOps: Array[() => Unit] = {
+      val covered = outIndexOf.values.toSet
+      required.fields.zipWithIndex.map { case (f, i) =>
+        if (covered(i)) null
+        else existsDefault(f) match {
+          case None => null
+          case Some(v) => f.dataType match {
+            case LongType =>
+              val x = v.asInstanceOf[Long]; () => writer.write(i, x)
+            case IntegerType =>
+              val x = v.asInstanceOf[Int]; () => writer.write(i, x)
+            case DoubleType =>
+              val x = v.asInstanceOf[Double]; () => writer.write(i, x)
+            case BooleanType =>
+              val x = v.asInstanceOf[Boolean]; () => writer.write(i, x)
+            case StringType =>
+              val x = v.asInstanceOf[UTF8String]; () => writer.write(i, x)
+            case dt => sys.error(s"graft-sink default fill: $dt")
+          }
+        }
+      }
+    }
     private val root: GroupConverter = new GroupConverter {
       override def getConverter(i: Int): Converter = converters(i)
       override def start(): Unit = {
@@ -178,10 +204,15 @@ object ClusteredSinkFormat {
       }
       override def end(): Unit = {
         // fields the file never delivered for this record (null values,
-        // or columns added after the segment was written) become null
+        // or columns added after the segment was written) become null —
+        // unless the column is absent from the file AND carries an
+        // ADD COLUMN default
         var i = 0
         while (i < delivered.length) {
-          if (!delivered(i)) writer.setNullAt(i)
+          if (!delivered(i)) {
+            if (fillOps(i) != null) fillOps(i)()
+            else writer.setNullAt(i)
+          }
           i += 1
         }
       }
@@ -213,6 +244,29 @@ object ClusteredSinkFormat {
       aliases: Map[String, Seq[String]],
       fileFields: Set[String]): Option[String] =
     (name +: aliases.getOrElse(name, Seq.empty).reverse).find(fileFields)
+
+  /** EXISTS_DEFAULT fill value (internal row format) for a required
+    * field that is ABSENT from a segment — i.e. the segment was written
+    * before the column's `ADD COLUMN ... DEFAULT v` (r16 verdict task
+    * 8). The evaluated literal rides the field metadata under Spark's
+    * own key as a SQL string; parsing happens once per reader, never
+    * per row. Fields without a default (or columns present in the file,
+    * including explicit nulls) are untouched. */
+  private[v2] def existsDefault(f: StructField): Option[Any] =
+    if (!f.metadata.contains("EXISTS_DEFAULT")) None
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(f.metadata.getString("EXISTS_DEFAULT"))
+      val lit = e match {
+        case l: Literal => l
+        case other => Literal.create(other.eval(null), other.dataType)
+      }
+      val v =
+        if (lit.dataType == f.dataType) lit.value
+        else Cast(lit, f.dataType, Some("UTC")).eval(null)
+      Option(v)
+    }
 
   /** Row iterator over a committed parquet segment, projecting only the
     * `required` columns (the projection is pushed into the decoder via
@@ -331,6 +385,9 @@ object ClusteredSinkFormat {
       val present = outIdx.toSet
       required.indices.filterNot(present).toArray
     }
+    // per absent column: the ADD COLUMN default to fill (null = nulls)
+    private val absentFill: Array[Any] =
+      absentIdx.map(i => existsDefault(required.fields(i)).orNull)
     reader.setRequestedSchema(descs.toSeq.asJava)
 
     private val vectors: Array[OnHeapColumnVector] =
@@ -423,7 +480,21 @@ object ClusteredSinkFormat {
       while (a < absentIdx.length) {
         val vec = vectors(absentIdx(a))
         vec.reset()
-        vec.putNulls(0, n)
+        absentFill(a) match {
+          case null => vec.putNulls(0, n)
+          case v => required.fields(absentIdx(a)).dataType match {
+            case LongType => vec.putLongs(0, n, v.asInstanceOf[Long])
+            case IntegerType => vec.putInts(0, n, v.asInstanceOf[Int])
+            case DoubleType => vec.putDoubles(0, n, v.asInstanceOf[Double])
+            case BooleanType =>
+              vec.putBooleans(0, n, v.asInstanceOf[Boolean])
+            case StringType =>
+              val bytes = v.asInstanceOf[UTF8String].getBytes
+              var i = 0
+              while (i < n) { vec.putByteArray(i, bytes, 0, bytes.length); i += 1 }
+            case dt => sys.error(s"graft-sink vectorized default fill: $dt")
+          }
+        }
         a += 1
       }
       batch.setNumRows(n)

@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Minimal DataSource V2 `TableCatalog` backing [[ClusteredSink]] tables
@@ -50,6 +50,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catName
+
+  /** ADD COLUMN ... DEFAULT support (metadata-only; see alterTable). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def nsDir(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((p, s) => p.resolve(s))
@@ -187,7 +191,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
             .exists(_.contains(name)),
           s"ALTER TABLE: $name is a renamed column's historical name; " +
             "reusing it would resurrect old data under the new column")
-        schema = schema.add(StructField(name, a.dataType, nullable = true))
+        // same for a DROPPED column's tombstoned physical names: old
+        // segments still carry the stale bytes (drop is metadata-only)
+        require(!GraftCatalog.decodeDropped(custom).contains(name),
+          s"ALTER TABLE: $name is a dropped column's physical name; " +
+            "reusing it would resurrect the dropped data under the " +
+            "new column")
+        // ADD COLUMN ... DEFAULT v (r16 verdict task 8): the default is
+        // METADATA-ONLY too — the evaluated literal rides the field
+        // metadata under Spark's own EXISTS_DEFAULT/CURRENT_DEFAULT
+        // keys; segments written before the alter (which lack the
+        // column entirely) read the default, segments written after
+        // carry explicit values. Parquet payloads only: the json
+        // reader's absent-key semantics cannot distinguish a pre-alter
+        // row from an explicit null.
+        val meta = Option(a.defaultValue()) match {
+          case None => Metadata.empty
+          case Some(dv) =>
+            require(fmt == ClusteredSinkFormat.Parquet,
+              "ALTER TABLE ADD COLUMN DEFAULT: only parquet-payload " +
+                "tables support metadata-only defaults")
+            val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+              dv.getValue.value, dv.getValue.dataType)
+            new MetadataBuilder()
+              .putString("EXISTS_DEFAULT", lit.sql)
+              .putString("CURRENT_DEFAULT", lit.sql)
+              .build()
+        }
+        schema = schema.add(
+          StructField(name, a.dataType, nullable = true, metadata = meta))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft catalog ALTER TABLE: nested columns are not supported")
@@ -211,12 +243,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(schema.fieldNames.contains(name),
           s"ALTER TABLE: no column $name")
         schema = StructType(schema.fields.filterNot(_.name == name))
-        // a dropped column's alias history goes with it (its historical
-        // names become reusable again)
+        // DROP is metadata-only: the bytes stay in old segments. The
+        // column's physical names (itself + alias history) become
+        // TOMBSTONES so a later ADD cannot silently resurrect them
+        // (r16 verdict task 8; Iceberg dodges this with field ids).
+        val hist = GraftCatalog.decodeAliases(custom)
+          .getOrElse(name, Seq.empty).toSet + name
+        val dropped = GraftCatalog.decodeDropped(custom) ++ hist
         val al = GraftCatalog.decodeAliases(custom) - name
-        custom = (custom - GraftCatalog.AliasProp) ++
+        custom = (custom - GraftCatalog.AliasProp
+            - GraftCatalog.DroppedProp) ++
           (if (al.isEmpty) Map.empty
-           else Map(GraftCatalog.AliasProp -> GraftCatalog.encodeAliases(al)))
+           else Map(GraftCatalog.AliasProp ->
+             GraftCatalog.encodeAliases(al))) ++
+          Map(GraftCatalog.DroppedProp -> GraftCatalog.encodeDropped(dropped))
       case other => throw new UnsupportedOperationException(
         s"graft catalog ALTER TABLE supports ADD/RENAME/DROP COLUMN only; got $other")
     }
@@ -417,4 +457,19 @@ object GraftCatalog {
       : Map[String, Seq[String]] =
     decodeAliases(Option(props.get(AliasProp))
       .map(v => Map(AliasProp -> v)).getOrElse(Map.empty))
+
+  /** Durable table property holding the DROPPED-column tombstones:
+    * physical column names (the dropped column's own name plus its
+    * alias history) that still exist in old parquet segments but must
+    * never be resolved again. Without field ids, re-adding a
+    * tombstoned name cannot distinguish pre-drop segments (stale data)
+    * from post-re-add segments — so ADD COLUMN refuses tombstoned
+    * names, loudly (the same resurrect class the alias guard blocks). */
+  val DroppedProp = "graft.dropped"
+
+  def decodeDropped(props: Map[String, String]): Set[String] =
+    props.get(DroppedProp).filter(_.nonEmpty)
+      .map(_.split(";").toSet).getOrElse(Set.empty)
+
+  def encodeDropped(d: Set[String]): String = d.toSeq.sorted.mkString(";")
 }

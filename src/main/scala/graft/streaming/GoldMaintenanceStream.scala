@@ -463,6 +463,43 @@ object GoldMaintenanceStream {
       IncrementalGold.policyPerfMart)
   }
 
+  /** q228 gate driver: fold pre-built policy-perf (pol, cl) delta
+    * pairs through a DELTA-mode store with a forced mid-chain
+    * compaction, then return the mart read back from the final
+    * version. With `compactEvery` = 2 and four batches the chain is
+    * base(1) → delta(2) → COMPACTED base(3) → delta(4), so the read
+    * exercises both a compaction product and a delta stacked on it;
+    * the caller's oracle (the full-refresh twin) hash-gates the
+    * round-trip. The compaction is REQUIRED to have happened — if the
+    * cadence ever stops producing one, the gate fails loudly instead
+    * of silently testing nothing. */
+  def compactedPerfMart(spark: SparkSession,
+      deltas: Seq[(DataFrame, DataFrame)], stateDir: String,
+      compactEvery: Int = 2): DataFrame = {
+    require(deltas.size >= 3, "need a base + enough deltas to compact")
+    val store = new VersionedStateStore(spark, stateDir, PerfTables,
+      VersionedStateStore.DefaultRetain, PerfSpecs, compactEvery)
+    val init = IncrementalGold.initPolicyPerf(deltas.head._1,
+      deltas.head._2, materialize = false)
+    store.save(1L, Map("polBase" -> init.polBase, "pt" -> init.pt,
+      "cpm" -> init.cpm, "cbt" -> init.cbt))
+    deltas.tail.zipWithIndex.foreach { case ((pol, cl), i) =>
+      val prev = loadPerfState(spark, stateDir, store.lastCommitted.get)
+      store.saveDelta(i + 2L,
+        IncrementalGold.policyPerfDeltaFrames(prev, pol, cl))
+    }
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val compacted = store.committedVersions.exists(v =>
+      v > 1L && !fs.exists(
+        new Path(new Path(stateDir, v.toString), "_DELTA")))
+    require(compacted,
+      s"q228 expected a mid-chain compaction under $stateDir; " +
+        s"versions=${store.committedVersions}")
+    IncrementalGold.policyPerfMart(
+      loadPerfState(spark, stateDir, store.lastCommitted.get))
+  }
+
   private val C360Tables =
     Seq("custDim", "polMetrics", "polDates", "pc", "cpc", "cm")
   private val OpsTables = Seq("cl", "p", "c", "att", "adj")

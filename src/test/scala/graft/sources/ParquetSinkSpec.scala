@@ -308,6 +308,55 @@ class ParquetSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("historical"), e2.getMessage)
   }
 
+  test("column-evolution matrix (r16 verdict): ADD COLUMN DEFAULT and " +
+      "DROP COLUMN are both METADATA-ONLY on parquet tables — files " +
+      "untouched, pre-alter segments read the default, explicit nulls " +
+      "stay null, dropped names are tombstoned against re-ADD") {
+    init()
+    import spark.implicits._
+    val t = s"$cat.g.evolve_pq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, bucket BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket) TBLPROPERTIES ('format'='parquet')")
+    (0L until 100L).map(i => (i, i % 4, i * 1.5))
+      .toDF("key", "bucket", "v").writeTo(t).append()
+    val dataDir = new java.io.File(warehouse, "g/evolve_pq/data")
+    def sig(): Seq[(String, Long)] = dataDir.listFiles().toSeq
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1)
+    val before = sig()
+
+    spark.sql(s"ALTER TABLE $t ADD COLUMN tag STRING DEFAULT 'legacy'")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score BIGINT DEFAULT 7")
+    assert(sig() === before, "ADD COLUMN DEFAULT must not touch files")
+    // pre-alter segments read the DEFAULT, not null
+    assert(spark.table(t).filter(col("tag") === "legacy").count() === 100)
+    assert(spark.table(t).agg(sum(col("score"))).head.getLong(0) === 700L)
+
+    // post-alter segments carry explicit values; explicit null STAYS
+    // null (the default applies only to segments lacking the column)
+    (100L until 140L).map(i =>
+        (i, i % 4, i * 1.5, if (i % 2 == 0) None else Some(s"t$i"), i))
+      .toDF("key", "bucket", "v", "tag", "score").writeTo(t).append()
+    assert(spark.table(t).filter(col("tag").isNull).count() === 20)
+    assert(spark.table(t).filter(col("tag") === "legacy").count() === 100)
+    assert(spark.table(t).agg(sum(col("score"))).head.getLong(0) ===
+      700L + (100L until 140L).sum)
+
+    // DROP COLUMN v: metadata-only, then re-ADD of the name is refused
+    val preDrop = sig()
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    assert(sig() === preDrop, "DROP COLUMN must not touch files")
+    assert(!spark.table(t).columns.contains("v"))
+    assert(spark.table(t).count() === 140)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN v DOUBLE")
+    }
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+    // a FRESH name with a default still lands after the drop
+    spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE DEFAULT 2.5")
+    assert(spark.table(t).agg(sum(col("w"))).head.getDouble(0) === 350.0)
+  }
+
   test("TRUNCATE + re-append works on the parquet payload") {
     init()
     spark.sql(s"TRUNCATE TABLE $cat.g.rt_pq")
