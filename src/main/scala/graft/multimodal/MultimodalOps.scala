@@ -421,6 +421,221 @@ object MultimodalOps extends QueryModule {
     pcmStats(realAudio(s, d))
   }
 
+  // ===================================================== audio resample
+  // r16 verdict residual #3 (audio rate conversion): the universal ASR
+  // preprocessing step — every clip resamples to a fixed 16 kHz via
+  // LINEAR INTERPOLATION, computed in EXACT integer arithmetic so the
+  // oracle can restate it: output j sits at input position
+  // j·src/16000, i.e. idx = (j·src) div 16000, frac = (j·src) mod
+  // 16000, and the interpolated value's exact NUMERATOR over the fixed
+  // denominator 16000 is v[idx]·16000 + (v[idx+1] − v[idx])·frac —
+  // integers end to end (float resampling would be runtime-dependent
+  // and ungateable). Output count nOut = 1 + (nFrames−1)·16000 div src
+  // covers exactly the positions inside the clip; the identity rate
+  // (16 kHz clips) degenerates to nOut = nFrames, frac = 0. Per
+  // channel we emit the count, the numerator sum, and the j-weighted
+  // numerator sum (order-sensitive: a shifted or reversed resample
+  // diverges). Same map-only scale shape as q205: samples never leave
+  // the decode stage.
+  val ResampleDst = 16000
+  val resampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("channel", IntegerType),
+    StructField("n_out", LongType),
+    StructField("sum_num", LongType),
+    StructField("wsum_num", LongType)))
+
+  def pcmResample(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val pcm = WavPcmCodec.decodePcm(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(sys.error(s"undecodable WAV for media ${r.get(0)}"))
+        val src = pcm.sampleRate.toLong
+        val n = pcm.nFrames
+        val nOut = (1L + (n - 1).toLong * ResampleDst / src).toInt
+        (0 until pcm.channels).iterator.map { c =>
+          val ss = pcm.samples(c)
+          var sum = 0L
+          var wsum = 0L
+          var j = 0
+          while (j < nOut) {
+            val pos = j * src
+            val idx = (pos / ResampleDst).toInt
+            val frac = pos % ResampleDst
+            val v0 = ss(idx).toLong
+            val v1 = ss(math.min(idx + 1, n - 1)).toLong
+            val num = v0 * ResampleDst + (v1 - v0) * frac
+            sum += num
+            wsum += j * num
+            j += 1
+          }
+          Row(r.getAs[Long]("media_id"), c, nOut.toLong, sum, wsum)
+        }
+      }
+    }
+    spark.createDataFrame(rows, resampleSchema)
+  }
+
+  register("q230_audio_resample",
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+       |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+       |    CAST(1 + doc_id % 500 AS BIGINT) AS f,
+       |    CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |         WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS src
+       |  FROM documents),
+       |tt AS (SELECT CAST(unnest(range(0, 500)) AS BIGINT) AS t),
+       |cc AS (SELECT 0 AS c UNION ALL SELECT 1),
+       |v AS (
+       |  SELECT doc_id, c.c AS channel, t.t AS t,
+       |    CASE WHEN g.bits = 8
+       |         THEN ((t.t * g.ch + c.c) * 31 + g.f) % 256 - 128
+       |         ELSE CASE WHEN ((2 * (t.t * g.ch + c.c) * 31 + g.f) % 256)
+       |                 + 256 * (((2 * (t.t * g.ch + c.c) + 1) * 31 + g.f) % 256) >= 32768
+       |           THEN ((2 * (t.t * g.ch + c.c) * 31 + g.f) % 256)
+       |              + 256 * (((2 * (t.t * g.ch + c.c) + 1) * 31 + g.f) % 256) - 65536
+       |           ELSE ((2 * (t.t * g.ch + c.c) * 31 + g.f) % 256)
+       |              + 256 * (((2 * (t.t * g.ch + c.c) + 1) * 31 + g.f) % 256) END
+       |    END AS v
+       |  FROM g JOIN tt t ON t.t < g.f JOIN cc c ON c.c < g.ch),
+       |jj AS (SELECT CAST(unnest(range(0, 1000)) AS BIGINT) AS j),
+       |o AS (
+       |  SELECT g.doc_id, g.f, j.j,
+       |    (j.j * g.src) // $ResampleDst AS idx,
+       |    (j.j * g.src) % $ResampleDst AS frac
+       |  FROM g JOIN jj j ON j.j <= ((g.f - 1) * $ResampleDst) // g.src),
+       |num AS (
+       |  SELECT o.doc_id, v0.channel, o.j,
+       |    v0.v * $ResampleDst + (v1.v - v0.v) * o.frac AS num
+       |  FROM o
+       |  JOIN v v0 ON v0.doc_id = o.doc_id AND v0.t = o.idx
+       |  JOIN v v1 ON v1.doc_id = o.doc_id AND v1.channel = v0.channel
+       |    AND v1.t = least(o.idx + 1, o.f - 1))
+       |SELECT doc_id AS media_id, CAST(channel AS INTEGER) AS channel,
+       |  CAST(COUNT(*) AS BIGINT) AS n_out,
+       |  CAST(SUM(num) AS BIGINT) AS sum_num,
+       |  CAST(SUM(j * num) AS BIGINT) AS wsum_num
+       |FROM num GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    pcmResample(realAudio(s, d))
+  }
+
+  // ============================================ audio frame features
+  // The spectro-adjacent feature pass, EXACT by construction: the clip
+  // splits into non-overlapping 64-sample frames and each frame yields
+  // (a) zero-crossing count (intra-frame sign transitions v·v' < 0),
+  // (b) energy Σv², and (c) the first HAAR band split — E_low =
+  // Σ(v₂ₖ+v₂ₖ₊₁)², E_high = Σ(v₂ₖ−v₂ₖ₊₁)², the 2-tap
+  // low/high-pass pair audio fingerprinting builds on. All integer
+  // sums (a real DFT's cos/sin are irrational — ungateable across
+  // engines); Parseval holds exactly: E_low + E_high = 2·energy,
+  // which the oracle's independent reconstruction verifies implicitly.
+  // Only FULL frames count (nFrames div 64); sub-frame tails drop.
+  val FrameLen = 64
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("channel", IntegerType),
+    StructField("frame", LongType),
+    StructField("zcr", LongType),
+    StructField("energy", LongType),
+    StructField("e_low", LongType),
+    StructField("e_high", LongType)))
+
+  def pcmFrameFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val pcm = WavPcmCodec.decodePcm(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(sys.error(s"undecodable WAV for media ${r.get(0)}"))
+        val nf = pcm.nFrames / FrameLen
+        for {
+          c <- (0 until pcm.channels).iterator
+          fr <- (0 until nf).iterator
+        } yield {
+          val ss = pcm.samples(c)
+          val base = fr * FrameLen
+          var zcr = 0L
+          var energy = 0L
+          var eLow = 0L
+          var eHigh = 0L
+          var i = 0
+          while (i < FrameLen) {
+            val v = ss(base + i).toLong
+            energy += v * v
+            if (i < FrameLen - 1 && v * ss(base + i + 1).toLong < 0) zcr += 1
+            if (i % 2 == 0) {
+              val w = ss(base + i + 1).toLong
+              eLow += (v + w) * (v + w)
+              eHigh += (v - w) * (v - w)
+            }
+            i += 1
+          }
+          Row(r.getAs[Long]("media_id"), c, fr.toLong, zcr, energy,
+            eLow, eHigh)
+        }
+      }
+    }
+    spark.createDataFrame(rows, frameFeatureSchema)
+  }
+
+  register("q231_audio_frame_features",
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+       |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+       |    CAST(1 + doc_id % 500 AS BIGINT) AS f
+       |  FROM documents),
+       |tt AS (SELECT CAST(unnest(range(0, 500)) AS BIGINT) AS t),
+       |cc AS (SELECT 0 AS c UNION ALL SELECT 1),
+       |v AS (
+       |  SELECT doc_id, c.c AS channel, t.t AS t,
+       |    CAST(CASE WHEN g.bits = 8
+       |         THEN ((t.t * g.ch + c.c) * 31 + g.f) % 256 - 128
+       |         ELSE CASE WHEN ((2 * (t.t * g.ch + c.c) * 31 + g.f) % 256)
+       |                 + 256 * (((2 * (t.t * g.ch + c.c) + 1) * 31 + g.f) % 256) >= 32768
+       |           THEN ((2 * (t.t * g.ch + c.c) * 31 + g.f) % 256)
+       |              + 256 * (((2 * (t.t * g.ch + c.c) + 1) * 31 + g.f) % 256) - 65536
+       |           ELSE ((2 * (t.t * g.ch + c.c) * 31 + g.f) % 256)
+       |              + 256 * (((2 * (t.t * g.ch + c.c) + 1) * 31 + g.f) % 256) END
+       |    END AS BIGINT) AS v
+       |  FROM g JOIN tt t ON t.t < (g.f // $FrameLen) * $FrameLen
+       |    JOIN cc c ON c.c < g.ch),
+       |zc AS (
+       |  SELECT a.doc_id, a.channel, a.t // $FrameLen AS frame,
+       |    CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END AS z
+       |  FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.channel = a.channel
+       |    AND b.t = a.t + 1
+       |  WHERE a.t % $FrameLen < ${FrameLen - 1}),
+       |haar AS (
+       |  SELECT a.doc_id, a.channel, a.t // $FrameLen AS frame,
+       |    (a.v + b.v) * (a.v + b.v) AS lo2,
+       |    (a.v - b.v) * (a.v - b.v) AS hi2
+       |  FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.channel = a.channel
+       |    AND b.t = a.t + 1
+       |  WHERE a.t % 2 = 0),
+       |en AS (
+       |  SELECT doc_id, channel, t // $FrameLen AS frame,
+       |    SUM(v * v) AS energy
+       |  FROM v GROUP BY 1, 2, 3),
+       |zf AS (SELECT doc_id, channel, frame, SUM(z) AS zcr
+       |  FROM zc GROUP BY 1, 2, 3),
+       |hf AS (SELECT doc_id, channel, frame,
+       |    SUM(lo2) AS e_low, SUM(hi2) AS e_high
+       |  FROM haar GROUP BY 1, 2, 3)
+       |SELECT en.doc_id AS media_id, CAST(en.channel AS INTEGER) AS channel,
+       |  CAST(en.frame AS BIGINT) AS frame,
+       |  CAST(zf.zcr AS BIGINT) AS zcr,
+       |  CAST(en.energy AS BIGINT) AS energy,
+       |  CAST(hf.e_low AS BIGINT) AS e_low,
+       |  CAST(hf.e_high AS BIGINT) AS e_high
+       |FROM en JOIN zf ON zf.doc_id = en.doc_id AND zf.channel = en.channel
+       |  AND zf.frame = en.frame
+       |JOIN hf ON hf.doc_id = en.doc_id AND hf.channel = en.channel
+       |  AND hf.frame = en.frame""".stripMargin) { (s, d) =>
+    pcmFrameFeatures(realAudio(s, d))
+  }
+
   // =============================================== real JPEG pixel decode
   // The JPEG rung of q202's pixel ladder (r14 verdict task 7): q194
   // stopped at JPEG header facts; q219 decodes the PIXELS through the

@@ -17,8 +17,8 @@ object WavPcmCodec {
 
   /** Decoded clip: per-channel samples, `samples(c)(t)` = channel c,
     * frame t, already sign-centered (8-bit: value − 128; 16-bit: signed). */
-  final case class Pcm(channels: Int, bits: Int, nFrames: Int,
-      samples: Array[Array[Int]])
+  final case class Pcm(channels: Int, bits: Int, sampleRate: Int,
+      nFrames: Int, samples: Array[Array[Int]])
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -32,7 +32,7 @@ object WavPcmCodec {
     if (payload.length < 12 || tag(payload, 0) != "RIFF" ||
         tag(payload, 8) != "WAVE") return None
     var off = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // tag, ch, align, bits
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // tag, ch, rate, align, bits
     var dataOff = -1
     var dataLen = -1L
     while (off + 8 <= payload.length && (fmt.isEmpty || dataOff < 0)) {
@@ -43,6 +43,7 @@ object WavPcmCodec {
       id match {
         case "fmt " if len >= 16 =>
           fmt = Some((le16(payload, body), le16(payload, body + 2),
+            le32(payload, body + 4).toInt,
             le16(payload, body + 12), le16(payload, body + 14)))
         case "data" => dataOff = body; dataLen = len
         case _ => // unknown chunk (LIST/INFO/...): skip
@@ -50,8 +51,9 @@ object WavPcmCodec {
       off = body + len.toInt + (len.toInt % 2) // odd chunks carry a pad byte
     }
     fmt match {
-      case Some((1, ch, align, bits))
-          if dataOff >= 0 && ch > 0 && (bits == 8 || bits == 16) &&
+      case Some((1, ch, rate, align, bits))
+          if dataOff >= 0 && ch > 0 && rate > 0 &&
+            (bits == 8 || bits == 16) &&
             align == ch * bits / 8 && dataLen % align == 0 &&
             dataLen / align <= Int.MaxValue =>
         val nFrames = (dataLen / align).toInt
@@ -70,7 +72,7 @@ object WavPcmCodec {
           }
           t += 1
         }
-        Some(Pcm(ch, bits, nFrames, out))
+        Some(Pcm(ch, bits, rate, nFrames, out))
       case _ => None
     }
   }
