@@ -135,6 +135,91 @@ object JpegFixtures {
     out.toByteArray
   }
 
+  /** Progressive twin of [[pixelJpegFor]] (q232): IDENTICAL pixels,
+    * encoded as SOF2 with three scans — DC first pass at Al=1 (codes
+    * arithmetic-shifted diffs), a DC successive-approximation
+    * refinement scan (Ah=1→Al=0, one raw bit per block), and a
+    * spectral-selection AC scan (Ss=1..63) whose all-zero blocks end
+    * through REAL EOBn run codes (not per-block EOBs), so the
+    * decoder's eobrun arithmetic is load-bearing. */
+  def progressivePixelJpegFor(docId: Long): Array[Byte] = {
+    val wb = 1 + (docId % 3).toInt
+    val hb = 1 + ((docId * 7) % 4).toInt
+    encodeDcOnlyGrayProgressive(8 * wb, 8 * hb,
+      bi => (((docId * 13 + 31L * bi) % 256).toInt) - 128)
+  }
+
+  def encodeDcOnlyGrayProgressive(w: Int, h: Int, dcOf: Int => Int)
+      : Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "DC-only fixture needs whole blocks")
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0x00 +: (8 +: Array.fill(63)(16)))
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00 +: (DcBits ++ DcVals))
+    val dcCode = canonical(DcBits, DcVals)
+    val nb = (w / 8) * (h / 8)
+
+    // scan 1: DC first pass, Al=1 — the T.81 point transform is an
+    // arithmetic shift, so diffs chain over (dc >> 1); the decoder's
+    // ((dc >> 1) << 1) | lsb reconstruction is exact for negatives too
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0x01))
+    var bw = new BitWriter(out)
+    var pred = 0
+    var bi = 0
+    while (bi < nb) {
+      val d = dcOf(bi) >> 1
+      val diff = d - pred
+      pred = d
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = dcCode(s)
+      bw.put(c, l)
+      if (s > 0)
+        bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bi += 1
+    }
+    bw.flushOnes()
+
+    // scan 2: DC refinement (Ah=1, Al=0): one raw LSB per block
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0x10))
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < nb) { bw.put(dcOf(bi) & 1, 1); bi += 1 }
+    bw.flushOnes()
+
+    // AC table for the spectral scan: EOBn symbols EOB0..EOB14, one
+    // per code length 1..15 (canonical; the all-ones fill pattern is
+    // never a code)
+    val acBits = Array.fill(15)(1) :+ 0
+    val acVals = (0 to 14).map(_ << 4).toArray
+    seg(0xc4, 0x10 +: (acBits ++ acVals))
+    val acCode = canonical(acBits, acVals)
+
+    // scan 3: AC first pass Ss=1..63, Al=0 — all-zero blocks end via
+    // greedy EOBn runs (value m ∈ [2^r, 2^(r+1)-1], r ext bits)
+    seg(0xda, Array(1, 1, 0x00, 1, 63, 0x00))
+    bw = new BitWriter(out)
+    var n = nb
+    while (n > 0) {
+      val r = math.min(14, 31 - Integer.numberOfLeadingZeros(n))
+      val m = math.min(n, (1 << (r + 1)) - 1)
+      val (c, l) = acCode(r << 4)
+      bw.put(c, l)
+      if (r > 0) bw.put(m - (1 << r), r)
+      n -= m
+    }
+    bw.flushOnes()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Per-image geometry + flat block values of the q220 COLOR fixture:
     * wm × hm MCUs (16×16 px each); Y flat per 8×8 block (global index
     * ybi = mi·4 + by·2 + bx), Cb/Cr flat per MCU. The oracle mirrors

@@ -15,7 +15,11 @@ package graft.multimodal
   * for dimensions that are not multiples of 8. Color scans (3
   * components, chroma subsampling) are an explicit boundary — see
   * COVERAGE.md — [[decodeGray]] returns None for them, as it does for
-  * progressive (SOF2) and arithmetic-coded streams.
+  * arithmetic-coded streams. PROGRESSIVE (SOF2) streams decode since
+  * r17: multi-scan coefficient accumulation with DC successive
+  * approximation (first pass + refinement bits) and single-component
+  * spectral-selection AC first passes with EOBRUN — AC refinement
+  * scans remain a loud boundary.
   *
   * JpegPixelCodecSpec pins DC-only streams bit-exactly against closed
   * forms and general AC streams against the JDK's libjpeg-backed
@@ -233,6 +237,29 @@ object JpegPixelCodec {
     var h = 0
     var comps: Seq[Comp] = Nil
     var dri = 0
+    var progressive = false
+
+    def parseSof(seg: Int): Boolean = {
+      if ((b(seg) & 0xff) != 8) return false
+      h = u16(b, seg + 1)
+      w = u16(b, seg + 3)
+      val ncomp = b(seg + 5) & 0xff
+      if (ncomp != 1 && ncomp != 3) return false
+      comps = (0 until ncomp).map { i =>
+        val o = seg + 6 + 3 * i
+        Comp(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4, b(o + 1) & 0x0f,
+          b(o + 2) & 0xff)
+      }
+      // supported samplings: single comp 1x1; 3-component with 1x1
+      // chroma and luma 1x1 (4:4:4), 2x2 (4:2:0), 2x1 (4:2:2), or
+      // 1x2 (4:4:0) — the interleaved-MCU machinery below is
+      // generic over (hs, vs), so these all share one code path.
+      // Exotic factors (3x1, chroma > 1) stay a loud boundary.
+      if (ncomp == 1) comps.head.hs == 1 && comps.head.vs == 1
+      else comps.tail.forall(c => c.hs == 1 && c.vs == 1) &&
+        Set((1, 1), (2, 2), (2, 1), (1, 2))
+          .contains((comps.head.hs, comps.head.vs))
+    }
 
     while (pos + 4 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
@@ -270,30 +297,19 @@ object JpegPixelCodec {
             p += 17 + n
           }
         case 0xc0 => // SOF0 baseline
-          if ((b(seg) & 0xff) != 8) return None
-          h = u16(b, seg + 1)
-          w = u16(b, seg + 3)
-          val ncomp = b(seg + 5) & 0xff
-          if (ncomp != 1 && ncomp != 3) return None
-          comps = (0 until ncomp).map { i =>
-            val o = seg + 6 + 3 * i
-            Comp(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4, b(o + 1) & 0x0f,
-              b(o + 2) & 0xff)
-          }
-          // supported samplings: single comp 1x1; 3-component with 1x1
-          // chroma and luma 1x1 (4:4:4), 2x2 (4:2:0), 2x1 (4:2:2), or
-          // 1x2 (4:4:0) — the interleaved-MCU machinery below is
-          // generic over (hs, vs), so these all share one code path.
-          // Exotic factors (3x1, chroma > 1) stay a loud boundary.
-          val ok =
-            if (ncomp == 1) comps.head.hs == 1 && comps.head.vs == 1
-            else comps.tail.forall(c => c.hs == 1 && c.vs == 1) &&
-              Set((1, 1), (2, 2), (2, 1), (1, 2))
-                .contains((comps.head.hs, comps.head.vs))
-          if (!ok) return None
+          if (!parseSof(seg)) return None
+        case 0xc2 => // SOF2 progressive (r16 verdict residual #2)
+          if (!parseSof(seg)) return None
+          progressive = true
         case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-          return None // progressive / extended / arithmetic: not baseline
+          return None // extended / lossless / arithmetic: unsupported
         case 0xdd => dri = u16(b, seg)
+        case 0xda if progressive =>
+          // the progressive driver owns the rest of the marker walk
+          // (scans interleave with DHT/DQT/DRI segments until EOI)
+          if (comps.isEmpty || w <= 0 || h <= 0) return None
+          return decodeProgressiveScans(b, pos, w, h, comps, dcT, acT,
+            qt, dri)
         case 0xda => // SOS — entropy data follows
           if (comps.isEmpty || w <= 0 || h <= 0) return None
           val ns = b(seg) & 0xff
@@ -312,6 +328,251 @@ object JpegPixelCodec {
     }
     None
   } catch { case _: IllegalStateException | _: ArrayIndexOutOfBoundsException =>
+    None
+  }
+
+  /** Progressive (SOF2) scan driver: owns the marker walk from the
+    * first SOS to EOI, folding every scan into per-block COEFFICIENT
+    * buffers (dequantize + IDCT happen once, at EOI — coefficients
+    * accumulate across scans, successive-approximation shifts
+    * included). Supports DC scans (first pass at any Al, plus Ah>0
+    * refinement bits), single-component spectral-selection AC first
+    * passes with EOBRUN/ZRL, DHT/DQT/DRI segments between scans, and
+    * restart intervals. AC REFINEMENT scans (Ss>0, Ah>0) are the
+    * documented boundary — None, never a wrong pixel. */
+  private def decodeProgressiveScans(b: Array[Byte], sosPos: Int, w: Int,
+      h: Int, comps: Seq[Comp],
+      dcT: scala.collection.mutable.Map[Int, HuffTable],
+      acT: scala.collection.mutable.Map[Int, HuffTable],
+      qt: scala.collection.mutable.Map[Int, Array[Int]],
+      dri0: Int): Option[Planes] = {
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // storage grids are interleaved-MCU padded (same layout the final
+    // IDCT pass and the baseline path use)
+    val blocksW = comps.map(c => mcusX * c.hs)
+    val blocksH = comps.map(c => mcusY * c.vs)
+    // raw coefficients in NATURAL order, per block, accumulated scans
+    val coefs = comps.indices.map(i =>
+      new Array[Int](blocksW(i) * blocksH(i) * 64))
+    var dri = dri0
+    var pos = sosPos
+    var sawScan = false
+
+    def finish(): Option[Planes] = {
+      if (!sawScan) return None
+      val planeW = comps.map(c => mcusX * c.hs * 8)
+      val planes = comps.zipWithIndex.map { case (c, i) =>
+        new Array[Int](planeW(i) * mcusY * c.vs * 8)
+      }
+      val block = new Array[Int](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val q = qt.getOrElse(comps(ci).tq, return None)
+        val bw = blocksW(ci)
+        var bi = 0
+        while (bi < bw * blocksH(ci)) {
+          var k = 0
+          while (k < 64) { block(k) = coefs(ci)(bi * 64 + k) * q(k); k += 1 }
+          idctBlock(block, planes(ci), planeW(ci), bi % bw, bi / bw)
+          bi += 1
+        }
+        ci += 1
+      }
+      Some(Planes(w, h, comps, planes, planeW))
+    }
+
+    /** One scan's entropy data; returns the byte position AFTER it. */
+    def scanEntropy(seg: Int, len: Int): Option[Int] = {
+      val ns = b(seg) & 0xff
+      if (ns < 1 || ns > comps.length) return None
+      val scomps = (0 until ns).map { i =>
+        val cs = b(seg + 1 + 2 * i) & 0xff
+        val ci = comps.indexWhere(_.id == cs)
+        if (ci < 0) return None
+        comps(ci).td = (b(seg + 2 + 2 * i) & 0xf0) >> 4
+        comps(ci).ta = b(seg + 2 + 2 * i) & 0x0f
+        ci
+      }
+      val ss = b(seg + 1 + 2 * ns) & 0xff
+      val se = b(seg + 2 + 2 * ns) & 0xff
+      val ahal = b(seg + 3 + 2 * ns) & 0xff
+      val ah = ahal >> 4
+      val al = ahal & 15
+      val r = new BitReader(b, seg + len - 2)
+      val pred = new Array[Int](comps.length)
+      var eobrun = 0
+      var unit = 0 // MCU (interleaved) or block (single-comp) counter
+
+      def maybeRestart(): Boolean = {
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          if (!r.consumeRestart()) return false
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        true
+      }
+
+      def dcBlock(ci: Int, storeIdx: Int): Boolean = {
+        if (ah == 0) {
+          val s = r.decode(dcT.getOrElse(comps(ci).td, return false))
+          pred(ci) += extend(r.bits(s), s)
+          coefs(ci)(storeIdx * 64) = pred(ci) << al
+        } else {
+          // successive-approximation refinement: one raw bit
+          if (r.bit() != 0) coefs(ci)(storeIdx * 64) |= (1 << al)
+        }
+        true
+      }
+
+      if (ss == 0) {
+        if (se != 0) return None // DC scans carry only coefficient 0
+        if (ns > 1) {
+          // interleaved DC scan in MCU order
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              if (!maybeRestart()) return None
+              var i = 0
+              while (i < ns) {
+                val ci = scomps(i)
+                val c = comps(ci)
+                var bv = 0
+                while (bv < c.vs) {
+                  var bh = 0
+                  while (bh < c.hs) {
+                    val idx = (my * c.vs + bv) * blocksW(ci) + mx * c.hs + bh
+                    if (!dcBlock(ci, idx)) return None
+                    bh += 1
+                  }
+                  bv += 1
+                }
+                i += 1
+              }
+              unit += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          // non-interleaved DC scan over the component's own grid
+          val ci = scomps.head
+          val c = comps(ci)
+          val bw = (((w * c.hs + hmax - 1) / hmax) + 7) / 8
+          val bh = (((h * c.vs + vmax - 1) / vmax) + 7) / 8
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              if (!maybeRestart()) return None
+              if (!dcBlock(ci, by * blocksW(ci) + bx)) return None
+              unit += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+      } else {
+        // AC scan: T.81 restricts these to ONE component
+        if (ns != 1 || se < ss || se > 63) return None
+        if (ah != 0) return None // AC refinement: documented boundary
+        val ci = scomps.head
+        val c = comps(ci)
+        val ac = acT.getOrElse(c.ta, return None)
+        val bw = (((w * c.hs + hmax - 1) / hmax) + 7) / 8
+        val bh = (((h * c.vs + vmax - 1) / vmax) + 7) / 8
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            if (!maybeRestart()) return None
+            val base = (by * blocksW(ci) + bx) * 64
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = r.decode(ac)
+                val run = rs >> 4
+                val size = rs & 15
+                if (size == 0) {
+                  if (run < 15) { // EOBn: run length 2^run + ext bits
+                    eobrun = (1 << run) - 1 +
+                      (if (run > 0) r.bits(run) else 0)
+                    k = se + 1
+                  } else k += 16 // ZRL
+                } else {
+                  k += run
+                  if (k > se) return None
+                  coefs(ci)(base + Zigzag(k)) =
+                    extend(r.bits(size), size) << al
+                  k += 1
+                }
+              }
+            }
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // skip any 1-fill padding bits, land on the next marker boundary
+      var p = r.pos
+      while (p + 1 < b.length &&
+        !((b(p) & 0xff) == 0xff && b(p + 1) != 0)) p += 1
+      Some(p)
+    }
+
+    // the walk must reach the bare 2-byte EOI marker, so the loop
+    // bound is pos+2 (len is only read after the EOI check)
+    while (pos + 2 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      while (pos + 2 <= b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 2 > b.length) return None
+      val m = b(pos + 1) & 0xff
+      if (m == 0xd9) return finish() // EOI
+      if (pos + 4 > b.length) return None
+      val len = u16(b, pos + 2)
+      val seg = pos + 4
+      m match {
+        case 0xc4 =>
+          var p = seg
+          while (p < seg + len - 2) {
+            val tc = (b(p) & 0xf0) >> 4
+            val th = b(p) & 0x0f
+            val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+            p += 17 + n
+          }
+          pos = pos + 2 + len
+        case 0xdb =>
+          var p = seg
+          while (p < seg + len - 2) {
+            val pq = (b(p) & 0xf0) >> 4
+            val tq = b(p) & 0x0f
+            if (pq != 0) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+            qt(tq) = t
+            p += 65
+          }
+          pos = pos + 2 + len
+        case 0xdd =>
+          dri = u16(b, seg)
+          pos = pos + 2 + len
+        case 0xda =>
+          pos = scanEntropy(seg, len).getOrElse(return None)
+          sawScan = true
+        case _ =>
+          pos = pos + 2 + len
+      }
+    }
     None
   }
 

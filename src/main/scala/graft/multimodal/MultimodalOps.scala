@@ -685,6 +685,40 @@ object MultimodalOps extends QueryModule {
     spark.createDataFrame(rows, jpegStatsSchema)
   }
 
+  // q232 — the PROGRESSIVE rung (r16 verdict residual #2 closed): the
+  // same pixel content as q219, re-encoded as genuine SOF2 streams
+  // with three scans — DC first pass at Al=1 (successive
+  // approximation), a DC refinement scan (one raw bit per block), and
+  // a spectral-selection AC scan ended by real EOBn run codes. The
+  // decoder accumulates coefficients across scans and IDCTs once at
+  // EOI; identical pixels → the SAME closed-form oracle as q219, so a
+  // mis-step anywhere in the multi-scan walk (shift, refinement bit,
+  // EOBRUN arithmetic, inter-scan DHT) diverges.
+  def progressiveJpegMedia(s: SparkSession, d: String): DataFrame = {
+    val buildPayload =
+      udf((docId: Long) => JpegFixtures.progressivePixelJpegFor(docId))
+    documents(s, d).select(col("doc_id").as("media_id"),
+      buildPayload(col("doc_id")).as("payload"))
+  }
+
+  register("q232_progressive_jpeg_pixels",
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + (doc_id * 7) % 4 AS hb
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS bi FROM g),
+      |v AS (
+      |  SELECT doc_id, wb, hb, (doc_id * 13 + 31 * bi) % 256 AS p FROM px)
+      |SELECT doc_id AS media_id,
+      |  CAST(8 * wb AS INTEGER) AS width,
+      |  CAST(8 * hb AS INTEGER) AS height,
+      |  CAST(64 * SUM(p) AS BIGINT) AS sum_v,
+      |  CAST(MIN(p) AS INTEGER) AS min_v,
+      |  CAST(MAX(p) AS INTEGER) AS max_v
+      |FROM v GROUP BY doc_id, wb, hb""".stripMargin) { (s, d) =>
+    jpegPixelStats(progressiveJpegMedia(s, d))
+  }
+
   // q220 — the COLOR rung: 4:2:0 YCbCr baseline streams (interleaved
   // MCUs Y00 Y01 Y10 Y11 Cb Cr, two quant + two Huffman table pairs,
   // per-component DC predictors) decoded to RGB through the JFIF

@@ -100,7 +100,9 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     val ok = JpegFixtures.pixelJpegFor(5L)
     assert(JpegPixelCodec.decodeGray(ok.dropRight(8)).isEmpty)
     assert(JpegPixelCodec.decodeRgb(ok.dropRight(8)).isEmpty)
-    // progressive: flip SOF0 -> SOF2 in a valid stream
+    // a BASELINE-shaped scan mislabeled SOF2 is invalid progressive
+    // (its SOS says Ss=0, Se=63 — a progressive DC scan carries only
+    // coefficient 0) — rejected, not misdecoded
     val prog = ok.clone()
     val sofAt = prog.indices.dropRight(1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
@@ -108,6 +110,23 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     assert(JpegPixelCodec.decodeGray(prog).isEmpty)
     // not a JPEG at all
     assert(JpegPixelCodec.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("PROGRESSIVE streams decode (r17): three-scan SOF2 fixtures " +
+      "(DC first pass at Al=1, DC refinement, EOBn-run AC scan) yield " +
+      "pixels IDENTICAL to their baseline twins; truncation rejects") {
+    for (docId <- Seq(0L, 1L, 2L, 5L, 7L, 11L, 13L)) {
+      val base = JpegPixelCodec
+        .decodeGray(JpegFixtures.pixelJpegFor(docId)).get
+      val prog = JpegPixelCodec
+        .decodeGray(JpegFixtures.progressivePixelJpegFor(docId)).get
+      assert((prog.width, prog.height) === ((base.width, base.height)))
+      assert(prog.pixels.toSeq === base.pixels.toSeq,
+        s"doc $docId progressive != baseline")
+    }
+    // truncated mid-scan: total rejection, never a partial image
+    val p = JpegFixtures.progressivePixelJpegFor(5L)
+    assert(JpegPixelCodec.decodeGray(p.dropRight(6)).isEmpty)
   }
 
   test("0xFF fill bytes before markers parse; a stream cut at a bare " +
