@@ -431,6 +431,82 @@ object DedupOps extends QueryModule {
           .cast(LongType).as("dup_chars_removed"))
   }
 
+  // ============================== incremental cross-doc substring dedup
+  // q226's exact pass in its OPERATIONAL shape (the q151 pattern): a
+  // batch of NEW documents (doc_id % 4 == 1) checks against the
+  // HISTORY'S span index instead of re-deduping the whole corpus —
+  // per new doc: positions whose exact 40-char span already occurs
+  // anywhere in history, distinct matched spans, and the removal
+  // coverage an ingest-time exact-dedup would apply.
+  //
+  // Scale shape: history×history is NEVER joined. Candidate hashes are
+  // the INTERSECTION of the two sides' hash sets (8-byte keys both
+  // ways); only candidate positions materialize text, and the history
+  // side collapses to one witness per DISTINCT (hash, span text) —
+  // boilerplate that occurs a million times in history contributes ONE
+  // row to the verify join, so hot spans cannot quadratic the probe.
+  register("q233_incremental_substring_dedup",
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |spans AS (
+       |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+       |    substr(text, CAST(s.i AS INTEGER), $SpanL) AS sp
+       |  FROM d, LATERAL (SELECT unnest(range(1,
+       |    greatest(length(text) - ${SpanL - 1}, 0) + 1)) AS i) s),
+       |hist AS (SELECT DISTINCT sp FROM spans WHERE doc_id % 4 <> 1),
+       |newpos AS (
+       |  SELECT doc_id, pos, sp FROM spans WHERE doc_id % 4 = 1),
+       |dpos AS (
+       |  SELECT doc_id, pos, sp,
+       |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM newpos JOIN hist USING (sp))
+       |SELECT doc_id,
+       |  COUNT(*) AS n_dup_positions,
+       |  CAST(COUNT(DISTINCT sp) AS BIGINT) AS n_dup_spans,
+       |  CAST(SUM(CASE WHEN prev IS NULL THEN $SpanL
+       |       ELSE LEAST(pos - prev, $SpanL) END) AS BIGINT)
+       |    AS dup_chars_removed
+       |FROM dpos GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    def spansOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), posexplode(
+        graft.catalyst.GraftFunctions.rollingSpanHashes(col("text"), SpanL)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("h"))
+    val hist = docs.filter(col("doc_id") % 4 =!= 1)
+    val batch = docs.filter(col("doc_id") % 4 === 1)
+    val histSpans = spansOf(hist)
+    val newSpans = spansOf(batch)
+    // candidate hashes: present on BOTH sides (8-byte keys only)
+    val candH = histSpans.select("h").distinct()
+      .join(newSpans.select("h").distinct(), "h")
+    // one history WITNESS per distinct (hash, span text) — candidates
+    // only materialize text here
+    val histCand = histSpans.join(candH, "h")
+      .join(hist, Seq("doc_id"))
+      .select(col("h"),
+        col("text").substr(col("pos").cast(IntegerType), lit(SpanL))
+          .as("sp"))
+      .distinct()
+    val newCand = newSpans.join(candH, "h")
+      .join(batch, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        col("text").substr(col("pos").cast(IntegerType), lit(SpanL))
+          .as("sp"))
+    // exact-text verification; witness distinctness keeps (doc, pos)
+    // unique in the output of the join
+    val matched = newCand.join(histCand, Seq("h", "sp"))
+      .select(col("doc_id"), col("pos"), col("sp"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    matched.select(col("doc_id"), col("pos"), col("sp"),
+        lag(col("pos"), 1).over(w).as("prev"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_positions"),
+        countDistinct(col("sp")).as("n_dup_spans"),
+        sum(when(col("prev").isNull, SpanL)
+          .otherwise(least(col("pos") - col("prev"), lit(SpanL))))
+          .cast(LongType).as("dup_chars_removed"))
+  }
+
   // ================================================= set-similarity join
   // EXACT all-pairs Jaccard threshold join via prefix filtering (the
   // ppjoin family) — the exact counterpart of the approximate LSH path:

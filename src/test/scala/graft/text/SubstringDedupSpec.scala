@@ -40,6 +40,32 @@ class SubstringDedupSpec extends SparkSpec {
       2L -> ((11L, 11L, 50L))))
   }
 
+  test("q233: only BATCH positions matching HISTORY count — " +
+      "history-internal and batch-internal duplication is excluded") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ssinc_fix").toString
+    val shared2 = shared.reverse // a second 50-distinct-char run
+    val batchRun = "zyxwvutsrqponZYXWVUTSRQPONMLKJIHGFEDCBA_-+=~<>[]{}".take(50)
+    Seq(
+      // batch doc 1 matches history doc 4's run → 11 positions, 50 chars
+      (1L, "%%p1%%" + shared + "@v1", "en", "s", 59L),
+      (4L, shared + "#h4#h4#h4#h4", "en", "s", 62L),
+      // history-internal duplication (docs 2 and 3): excluded
+      (2L, shared2 + "#h2#h2#h2#h2", "en", "s", 62L),
+      (3L, "%%p3%%" + shared2 + "@v3", "en", "s", 59L),
+      // batch-internal duplication (docs 5 and 9, run absent from
+      // history): excluded — the increment dedups against HISTORY
+      (5L, batchRun + "#b5#b5#b5#b5", "en", "s", 62L),
+      (9L, "%%p9%%" + batchRun + "@v9", "en", "s", 59L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = DedupOps.queries("q233_incremental_substring_dedup")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_positions"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_chars_removed")))).toMap
+    assert(rows === Map(1L -> ((11L, 11L, 50L))))
+  }
+
   test("rolling_span_hashes agrees with substr: equal windows hash " +
       "equal, and the window count is length - span + 1 by code point") {
     import spark.implicits._
