@@ -44,8 +44,13 @@ class PersistedAnnSpec extends SparkSpec {
     assert(index.count() > 0)
     val wh = index.sparkSession.conf
       .get(s"spark.sql.catalog.${SimilarityOps.AnnCat}.warehouse")
+    // the q215 build-once table only — q227's upsert index (ivfpq_up_*)
+    // and AnnUpsertSpec's split fixture (ivfpq_split_*) share the
+    // warehouse when the whole suite runs in one JVM
     val tables = new java.io.File(wh, "g").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("ivfpq_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("ivfpq_") &&
+        !f.getName.startsWith("ivfpq_up_") &&
+        !f.getName.startsWith("ivfpq_split_"))
     assert(tables.length === 1)
     val entries = ClusteredSinkOverwrite.readManifest(
       Paths.get(wh, "g", tables.head.getName, "_manifest.jsonl"))

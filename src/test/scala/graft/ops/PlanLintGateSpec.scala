@@ -115,6 +115,10 @@ class PlanLintGateSpec extends SparkSpec {
     // itself is an equi-join on the cell key against the persisted
     // index; only the ≤10-row broadcast audit pass is non-equi)
     "q215_persisted_ivfpq",
+    // q227 runs the SAME search-gate body as q215 (shared
+    // ivfpqSearchGate) over the upsert-maintained index — identical
+    // ≤10-row broadcast audit, identical rationale
+    "q227_incremental_ivfpq",
     // q212/q214's exact-reference audit passes are the same q208/q28
     // shape (the RETRIEVAL paths themselves equi-join on the cell id)
     "q212_ivfpq_search", "q214_residual_ivfpq")
