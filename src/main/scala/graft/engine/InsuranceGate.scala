@@ -1000,10 +1000,17 @@ object InsuranceGate extends QueryModule {
   // pk%14 must re-attribute them — the bilinear delta rule over the
   // PT/CPM auxiliary state ([[IncrementalGold.applyPolicyPerfDelta]]).
   // Oracle = q44's full refresh on the final table state.
-  /** q44-over-final-state oracle shared by q221 (lazy in-memory fold)
-    * and q228 (durable delta store with a forced mid-chain compaction):
-    * both owe their consumers the same full-refresh invariant. */
-  private def oPolicyPerfIvmSql: String =
+  /** q44-over-final-state oracle shared by q221 (lazy in-memory fold,
+    * full feed) and q228 (durable delta store with a forced mid-chain
+    * compaction, the pk%3==0 SHARD of the feed — the durable gate
+    * proves the same algebra at a third of the state-write cost; an
+    * equivalence property does not need the whole fact table to
+    * falsify a mis-merge). Both owe their consumers the same
+    * full-refresh invariant. */
+  private def oPolicyPerfIvmSql: String = oPolicyPerfIvmSqlWhere("", "")
+
+  private def oPolicyPerfIvmSqlWhere(polWhere: String,
+      clWhere: String): String =
     s"""WITH $oRawPolicies,
        |$oPoliciesSilver,
        |$oRawClaims,
@@ -1012,7 +1019,7 @@ object InsuranceGate extends QueryModule {
        |  SELECT policy_id, policy_type, start_date, premium_amount,
        |    coverage_amount, invalid_coverage_amount_flag,
        |    invalid_date_range_flag, CAST(policy_id[2:] AS BIGINT) AS pk
-       |  FROM policies_silver),
+       |  FROM policies_silver $polWhere),
        |final_policies AS (
        |  SELECT policy_id, policy_type, start_date, coverage_amount,
        |    new_premium AS premium_amount,
@@ -1029,7 +1036,7 @@ object InsuranceGate extends QueryModule {
        |  SELECT claim_id, policy_id, claim_date, settled_amount,
        |    fraud_indicator, missing_policy_flag,
        |    CAST(claim_id[3:] AS BIGINT) AS ck
-       |  FROM claims_silver),
+       |  FROM claims_silver $clWhere),
        |final_claims AS (
        |  SELECT claim_id, policy_id, claim_date,
        |    CASE WHEN ck % 6 = 0 THEN settled_amount + 50
@@ -1076,17 +1083,27 @@ object InsuranceGate extends QueryModule {
   }
 
   // ============= durable-state compaction gate (q228, r16 verdict
-  // task 7): the SAME four CDC batches fold through the LSM
-  // [[graft.streaming.VersionedStateStore]] in delta mode with
+  // task 7): the pk%3==0 SHARD of the four CDC batches folds through
+  // the LSM [[graft.streaming.VersionedStateStore]] in delta mode with
   // compactEvery=2, forcing base → delta → COMPACTED base → delta;
   // the mart is then read back from the final version (compaction
   // product + a delta stacked on it). Oracle = the q221 full-refresh
-  // twin, so a single mis-merged row anywhere in the compaction or the
-  // read-side fold hash-fails the gate.
-  register("q228_compacted_state_mart", oPolicyPerfIvmSql) { (s, d) =>
+  // twin over the same shard, so a single mis-merged row anywhere in
+  // the compaction or the read-side fold hash-fails the gate. Sharding
+  // cuts the gate's durable-write cost 3× without weakening the
+  // equivalence property (claims shard by their POLICY key, so the
+  // join algebra is exactly the full mart's on the sharded tables; the
+  // full-feed durable cost is measured separately in the IvmSoak
+  // artifact). At sf0.1 the gate is job-count bound, not volume bound
+  // — the shard mainly protects the gate's cost at larger scales.
+  register("q228_compacted_state_mart", oPolicyPerfIvmSqlWhere(
+    "WHERE CAST(policy_id[2:] AS BIGINT) % 3 = 0",
+    "WHERE TRY_CAST(policy_id[2:] AS BIGINT) % 3 = 0")) { (s, d) =>
     val (pols, cls, _) = sharedCdcDeltas(s, d)
+    val shard = expr("try_cast(substring(policy_id, 2) AS BIGINT) % 3 = 0")
     val deltas = pols.zip(cls).map { case (p, c) =>
-      (IncrementalGold.narrowPpPol(p), IncrementalGold.narrowPpCl(c)) }
+      (IncrementalGold.narrowPpPol(p).filter(shard),
+        IncrementalGold.narrowPpCl(c).filter(shard)) }
     val stateDir =
       java.nio.file.Files.createTempDirectory("q228_state").toString
     graft.util.TmpReaper.track(stateDir)

@@ -484,6 +484,12 @@ object GoldMaintenanceStream {
     store.save(1L, Map("polBase" -> init.polBase, "pt" -> init.pt,
       "cpm" -> init.cpm, "cbt" -> init.cbt))
     deltas.tail.zipWithIndex.foreach { case ((pol, cl), i) =>
+      // each batch folds against the DURABLE state read back from the
+      // store — the production shape, and MEASURED the faster one: a
+      // lazy in-memory running state re-derives the whole prior chain
+      // per delta-frame probe (shared-subtree trap; 38.7 s vs ~21 s at
+      // sf0.1), while load()'s checkpointed fold bounds each batch's
+      // probes to materialized frames.
       val prev = loadPerfState(spark, stateDir, store.lastCommitted.get)
       store.saveDelta(i + 2L,
         IncrementalGold.policyPerfDeltaFrames(prev, pol, cl))
