@@ -876,6 +876,99 @@ object StructuredStreams {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  // ================= streaming exact substring-dedup screen (q233 twin)
+  // q233's ingest-time exact pass as a transformWithState stream:
+  // documents arrive as span rows keyed by the 40-char window's rolling
+  // hash; HISTORY spans build the per-hash state (distinct span TEXTS —
+  // the exact-verification payload, so hash collisions can never
+  // produce a false match), and a NEW document's spans probe their hash
+  // key ON ARRIVAL, emitting one hit per position whose exact text is
+  // already indexed. When history precedes the screen side, stream ==
+  // q233 row-for-row after the same per-doc rollup
+  // (SubstringDedupStreamSpec).
+  //
+  // Scale: state per hash key is the distinct span texts under that
+  // hash — the span index WITH payloads. A 100 TB deployment keeps the
+  // texts in a side table keyed by (hash, md5) and holds only digests
+  // in stream state, at the cost of a lookup join on emit (the same
+  // trade the near-dup screen documents for its shingle lists).
+
+  /** One span row: `h` = rolling hash (the state key), `sp` = the exact
+    * window text, `isNew` = screen side vs history side. */
+  final class SubstringDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SpanRow, SpanHit] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var seen: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[String](
+        "sp", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(h: Long, rows: Iterator[SpanRow],
+        timerValues: TimerValues): Iterator[SpanHit] = {
+      val (hist, news) = rows.toArray.partition(!_.isNew)
+      // read once BEFORE appending (never rely on read-your-writes
+      // visibility of same-invocation appends — the as-of lesson)
+      val existing: Set[String] =
+        if (hist.nonEmpty || news.nonEmpty) seen.get().toSet else Set.empty
+      val fresh = hist.iterator.map(_.sp).toSeq.distinct
+        .filterNot(existing)
+      if (fresh.nonEmpty) seen.appendList(fresh.toArray)
+      if (news.isEmpty) Iterator.empty
+      else {
+        // batch semantics within the micro-batch: history rows of this
+        // batch are visible to this batch's probes (q233's split)
+        val texts = existing ++ fresh
+        news.iterator.filter(n => texts(n.sp))
+          .map(n => SpanHit(n.docId, n.pos, n.sp))
+      }
+    }
+  }
+
+  /** [[SubstringDedupProcessor]] wired to a span-row stream. */
+  def substringScreenStream(spans: org.apache.spark.sql.Dataset[SpanRow])
+      : org.apache.spark.sql.Dataset[SpanHit] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spans.sparkSession.implicits._
+    spans
+      .groupByKey(_.h)
+      .transformWithState(new SubstringDedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Span rows for [[substringScreenStream]] from a documents frame —
+    * q233's windows (rolling hash + exact text per position) and its
+    * history/screen split (screen side = doc_id % 4 == 1). */
+  def substringSpanRows(docs: DataFrame): DataFrame = {
+    val SpanL = graft.text.DedupOps.SpanL
+    docs.select(col("doc_id"), col("text"), posexplode(
+        graft.catalyst.GraftFunctions.rollingSpanHashes(col("text"), SpanL)))
+      .select(col("col").as("h"), col("doc_id").as("docId"),
+        (col("pos") + 1).cast(LongType).as("pos"),
+        col("text").substr((col("pos") + 1).cast(IntegerType), lit(SpanL))
+          .as("sp"),
+        (col("doc_id") % 4 === 1).as("isNew"))
+  }
+
+  /** The q233 per-doc rollup over emitted hits (duplicated positions,
+    * distinct spans, interval-union removal coverage) — run it inside
+    * foreachBatch or over any collection of hit rows. */
+  def substringDedupRollup(hits: DataFrame): DataFrame = {
+    val SpanL = graft.text.DedupOps.SpanL
+    val w = Window.partitionBy("docId").orderBy("pos")
+    hits.select(col("docId"), col("pos"), col("sp"),
+        lag(col("pos"), 1).over(w).as("prev"))
+      .groupBy("docId")
+      .agg(count(lit(1)).as("n_dup_positions"),
+        countDistinct(col("sp")).as("n_dup_spans"),
+        sum(when(col("prev").isNull, SpanL)
+          .otherwise(least(col("pos") - col("prev"), lit(SpanL))))
+          .cast(LongType).as("dup_chars_removed"))
+  }
+
   // ====================== WATERMARKED STREAM-STREAM AS-OF JOIN
   // r14 verdict task 5: the point-in-time feature join (q58/q62/q77's
   // batch as-of) as a stream-stream operator. Spark's built-in
@@ -1080,3 +1173,10 @@ final case class HistDoc(docId: Long, shl: Array[Long])
 
 /** A verified near-duplicate hit: new doc, history doc, Jaccard. */
 final case class NearDupHit(docNew: Long, docHist: Long, jaccard: Double)
+
+/** One substring-dedup span row (q233 streaming twin). */
+final case class SpanRow(h: Long, docId: Long, pos: Long, sp: String,
+    isNew: Boolean)
+
+/** A screen-side position whose exact span text is already indexed. */
+final case class SpanHit(docId: Long, pos: Long, sp: String)
