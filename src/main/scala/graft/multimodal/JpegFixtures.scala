@@ -220,6 +220,102 @@ object JpegFixtures {
     out.toByteArray
   }
 
+  /** Progressive twin of [[colorJpegFor]] (q234): identical pixels,
+    * encoded as a 4:2:0 SOF2 stream with four scans — one INTERLEAVED
+    * DC scan over all three components (per-component predictors, MCU
+    * order Y00 Y01 Y10 Y11 Cb Cr) and three single-component
+    * spectral-selection AC scans (T.81 restricts progressive AC scans
+    * to one component), each ended by EOBn runs over the component's
+    * own non-interleaved block grid. */
+  def progressiveColorJpegFor(docId: Long): Array[Byte] = {
+    val (wm, hm) = colorGeom(docId)
+    encodeDcOnlyColor420Progressive(wm, hm,
+      ybi => colorY(docId, ybi) - 128,
+      mi => colorCb(docId, mi) - 128,
+      mi => colorCr(docId, mi) - 128)
+  }
+
+  def encodeDcOnlyColor420Progressive(wm: Int, hm: Int, yDc: Int => Int,
+      cbDc: Int => Int, crDc: Int => Int): Array[Byte] = {
+    val w = 16 * wm
+    val h = 16 * hm
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0x00 +: (8 +: Array.fill(63)(16)))
+    seg(0xdb, 0x01 +: (8 +: Array.fill(63)(16)))
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, 0x00 +: (DcBits ++ DcVals)) // DC table 0 (luma)
+    seg(0xc4, 0x01 +: (DcBits ++ DcVals)) // DC table 1 (chroma)
+    val dcCode = canonical(DcBits, DcVals)
+
+    // scan 1: interleaved DC over all three components (Ah=Al=0)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x00))
+    var bw = new BitWriter(out)
+    val pred = Array(0, 0, 0)
+    def emitDc(comp: Int, dc: Int): Unit = {
+      require(dc >= -128 && dc <= 127, s"DC out of range: $dc")
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = dcCode(s)
+      bw.put(c, l)
+      if (s > 0)
+        bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    var my = 0
+    while (my < hm) {
+      var mx = 0
+      while (mx < wm) {
+        val mi = my * wm + mx
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) { emitDc(0, yDc(mi * 4 + by * 2 + bx)); bx += 1 }
+          by += 1
+        }
+        emitDc(1, cbDc(mi))
+        emitDc(2, crDc(mi))
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushOnes()
+
+    // EOBn AC table (one symbol per length, as the gray twin)
+    val acBits = Array.fill(15)(1) :+ 0
+    val acVals = (0 to 14).map(_ << 4).toArray
+    seg(0xc4, 0x10 +: (acBits ++ acVals))
+    val acCode = canonical(acBits, acVals)
+    def acScan(compId: Int, blocks: Int): Unit = {
+      seg(0xda, Array(1, compId, 0x00, 1, 63, 0x00))
+      bw = new BitWriter(out)
+      var n = blocks
+      while (n > 0) {
+        val r = math.min(14, 31 - Integer.numberOfLeadingZeros(n))
+        val m = math.min(n, (1 << (r + 1)) - 1)
+        val (c, l) = acCode(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(m - (1 << r), r)
+        n -= m
+      }
+      bw.flushOnes()
+    }
+    // per-component AC scans over the NON-INTERLEAVED block grids
+    acScan(1, 4 * wm * hm) // Y: 2wm × 2hm blocks
+    acScan(2, wm * hm)     // Cb
+    acScan(3, wm * hm)     // Cr
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   /** Per-image geometry + flat block values of the q220 COLOR fixture:
     * wm × hm MCUs (16×16 px each); Y flat per 8×8 block (global index
     * ybi = mi·4 + by·2 + bx), Cb/Cr flat per MCU. The oracle mirrors

@@ -801,6 +801,53 @@ object MultimodalOps extends QueryModule {
     jpegColorStats(jpegColorMedia(s, d))
   }
 
+  // q234 — COLOR progressive (the last piece of the progressive
+  // boundary that can be closed under a closed-form oracle): the q220
+  // pixel content re-encoded as a 4:2:0 SOF2 stream with an
+  // INTERLEAVED three-component DC scan plus three single-component
+  // spectral AC scans (T.81's progressive layout). Exercises the
+  // decoder's interleaved-DC MCU walk and the per-component
+  // non-interleaved AC grids (luma 2×2 vs chroma 1×1) — identical
+  // pixels → q220's oracle verbatim. AC-refinement scans remain the
+  // documented boundary.
+  def progressiveColorMedia(s: SparkSession, d: String): DataFrame = {
+    val buildPayload =
+      udf((docId: Long) => JpegFixtures.progressiveColorJpegFor(docId))
+    documents(s, d).select(col("doc_id").as("media_id"),
+      buildPayload(col("doc_id")).as("payload"))
+  }
+
+  register("q234_progressive_color_jpeg",
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS wm, 1 + (doc_id * 3) % 2 AS hm
+      |  FROM documents),
+      |blk AS (
+      |  SELECT doc_id, wm, hm, unnest(range(0, 4 * wm * hm)) AS bi FROM g),
+      |v AS (
+      |  SELECT doc_id, wm, hm,
+      |    CAST((doc_id * 11 + 17 * bi) % 256 AS DOUBLE) AS yv,
+      |    (doc_id * 5 + 29 * (bi // 4)) % 256 - 128 AS cb,
+      |    (doc_id * 3 + 37 * (bi // 4)) % 256 - 128 AS cr
+      |  FROM blk),
+      |rgb AS (
+      |  SELECT doc_id, wm, hm,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT))) AS gr,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
+      |  FROM v)
+      |SELECT doc_id AS media_id,
+      |  CAST(16 * wm AS INTEGER) AS width,
+      |  CAST(16 * hm AS INTEGER) AS height,
+      |  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(64 * SUM(gr) AS BIGINT) AS sum_g,
+      |  CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(r) AS INTEGER) AS min_r, CAST(MAX(r) AS INTEGER) AS max_r,
+      |  CAST(MIN(gr) AS INTEGER) AS min_g, CAST(MAX(gr) AS INTEGER) AS max_g,
+      |  CAST(MIN(b) AS INTEGER) AS min_b, CAST(MAX(b) AS INTEGER) AS max_b
+      |FROM rgb GROUP BY doc_id, wm, hm""".stripMargin) { (s, d) =>
+    jpegColorStats(progressiveColorMedia(s, d))
+  }
+
   // q225 — the 4:2:2 rung (r15 verdict task 7): chroma subsampled
   // horizontally only (MCU = Y0 Y1 Cb Cr, luma sampling 2x1). The
   // decoder's interleaved-MCU machinery is generic over sampling

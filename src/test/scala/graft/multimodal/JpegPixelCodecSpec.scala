@@ -129,6 +129,20 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     assert(JpegPixelCodec.decodeGray(p.dropRight(6)).isEmpty)
   }
 
+  test("COLOR progressive (4:2:0 SOF2, interleaved DC scan + " +
+      "per-component AC scans) decodes pixel-identical to the " +
+      "baseline color twin") {
+    for (docId <- Seq(0L, 1L, 2L, 3L, 6L, 9L)) {
+      val base = JpegPixelCodec
+        .decodeRgb(JpegFixtures.colorJpegFor(docId)).get
+      val prog = JpegPixelCodec
+        .decodeRgb(JpegFixtures.progressiveColorJpegFor(docId)).get
+      assert((prog.width, prog.height) === ((base.width, base.height)))
+      assert(prog.pixels.toSeq === base.pixels.toSeq,
+        s"doc $docId color progressive != baseline")
+    }
+  }
+
   test("0xFF fill bytes before markers parse; a stream cut at a bare " +
       "trailing 0xFF rejects") {
     // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
