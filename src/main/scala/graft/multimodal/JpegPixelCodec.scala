@@ -17,9 +17,10 @@ package graft.multimodal
   * COVERAGE.md — [[decodeGray]] returns None for them, as it does for
   * arithmetic-coded streams. PROGRESSIVE (SOF2) streams decode since
   * r17: multi-scan coefficient accumulation with DC successive
-  * approximation (first pass + refinement bits) and single-component
-  * spectral-selection AC first passes with EOBRUN — AC refinement
-  * scans remain a loud boundary.
+  * approximation (first pass + refinement bits), single-component
+  * spectral-selection AC first passes with EOBRUN, and AC
+  * successive-approximation REFINEMENT scans (T.81 G.1.2.3 correction
+  * bits — pinned against ImageIO's default progressive scan script).
   *
   * JpegPixelCodecSpec pins DC-only streams bit-exactly against closed
   * forms and general AC streams against the JDK's libjpeg-backed
@@ -337,9 +338,9 @@ object JpegPixelCodec {
     * accumulate across scans, successive-approximation shifts
     * included). Supports DC scans (first pass at any Al, plus Ah>0
     * refinement bits), single-component spectral-selection AC first
-    * passes with EOBRUN/ZRL, DHT/DQT/DRI segments between scans, and
-    * restart intervals. AC REFINEMENT scans (Ss>0, Ah>0) are the
-    * documented boundary — None, never a wrong pixel. */
+    * passes with EOBRUN/ZRL, AC refinement passes (correction bits per
+    * T.81 G.1.2.3), DHT/DQT/DRI segments between scans, and restart
+    * intervals. */
   private def decodeProgressiveScans(b: Array[Byte], sosPos: Int, w: Int,
       h: Int, comps: Seq[Comp],
       dcT: scala.collection.mutable.Map[Int, HuffTable],
@@ -478,38 +479,99 @@ object JpegPixelCodec {
       } else {
         // AC scan: T.81 restricts these to ONE component
         if (ns != 1 || se < ss || se > 63) return None
-        if (ah != 0) return None // AC refinement: documented boundary
         val ci = scomps.head
         val c = comps(ci)
         val ac = acT.getOrElse(c.ta, return None)
         val bw = (((w * c.hs + hmax - 1) / hmax) + 7) / 8
         val bh = (((h * c.vs + vmax - 1) / vmax) + 7) / 8
+        val p1 = 1 << al
+        val m1 = -1 << al
         var by = 0
         while (by < bh) {
           var bx = 0
           while (bx < bw) {
             if (!maybeRestart()) return None
             val base = (by * blocksW(ci) + bx) * 64
-            if (eobrun > 0) eobrun -= 1
-            else {
+            if (ah == 0) {
+              // FIRST pass over this spectral band
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k = ss
+                while (k <= se) {
+                  val rs = r.decode(ac)
+                  val run = rs >> 4
+                  val size = rs & 15
+                  if (size == 0) {
+                    if (run < 15) { // EOBn: run length 2^run + ext bits
+                      eobrun = (1 << run) - 1 +
+                        (if (run > 0) r.bits(run) else 0)
+                      k = se + 1
+                    } else k += 16 // ZRL
+                  } else {
+                    k += run
+                    if (k > se) return None
+                    coefs(ci)(base + Zigzag(k)) =
+                      extend(r.bits(size), size) << al
+                    k += 1
+                  }
+                }
+              }
+            } else {
+              // REFINEMENT pass (T.81 G.1.2.3): the traversal crosses
+              // already-nonzero coefficients handing each a correction
+              // bit; the RUN counts only zero-history positions, whose
+              // run-th one may receive a new ±(1<<Al). An EOBn leaves
+              // the remaining nonzeros of the CURRENT block to the
+              // end-of-band sweep below (and eobrun covers this block).
               var k = ss
-              while (k <= se) {
-                val rs = r.decode(ac)
-                val run = rs >> 4
-                val size = rs & 15
-                if (size == 0) {
-                  if (run < 15) { // EOBn: run length 2^run + ext bits
-                    eobrun = (1 << run) - 1 +
+              if (eobrun == 0) {
+                var atEob = false
+                while (!atEob && k <= se) {
+                  val rs = r.decode(ac)
+                  var run = rs >> 4
+                  var sval = rs & 15
+                  if (sval != 0) {
+                    if (sval != 1) return None // only ±1 appears here
+                    sval = if (r.bit() == 1) p1 else m1
+                  } else if (run != 15) { // EOBn (ZRL keeps sval == 0)
+                    eobrun = (1 << run) +
                       (if (run > 0) r.bits(run) else 0)
-                    k = se + 1
-                  } else k += 16 // ZRL
-                } else {
-                  k += run
-                  if (k > se) return None
-                  coefs(ci)(base + Zigzag(k)) =
-                    extend(r.bits(size), size) << al
+                    atEob = true
+                  }
+                  if (!atEob) {
+                    var break2 = false
+                    while (!break2 && k <= se) {
+                      val idx = base + Zigzag(k)
+                      if (coefs(ci)(idx) != 0) {
+                        if (r.bit() == 1 && (coefs(ci)(idx) & p1) == 0)
+                          coefs(ci)(idx) +=
+                            (if (coefs(ci)(idx) >= 0) p1 else m1)
+                        k += 1
+                      } else {
+                        run -= 1
+                        if (run < 0) break2 = true // the target zero slot
+                        else k += 1
+                      }
+                    }
+                    if (sval != 0 && k <= se)
+                      coefs(ci)(base + Zigzag(k)) = sval
+                    k += 1
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                // end-of-band: correction bits for every remaining
+                // nonzero coefficient from where the traversal stopped
+                while (k <= se) {
+                  val idx = base + Zigzag(k)
+                  if (coefs(ci)(idx) != 0) {
+                    if (r.bit() == 1 && (coefs(ci)(idx) & p1) == 0)
+                      coefs(ci)(idx) +=
+                        (if (coefs(ci)(idx) >= 0) p1 else m1)
+                  }
                   k += 1
                 }
+                eobrun -= 1
               }
             }
             unit += 1

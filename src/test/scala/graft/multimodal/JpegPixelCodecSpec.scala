@@ -129,6 +129,50 @@ class JpegPixelCodecSpec extends AnyFunSuite {
     assert(JpegPixelCodec.decodeGray(p.dropRight(6)).isEmpty)
   }
 
+  test("ImageIO-written PROGRESSIVE streams (the JDK's default scan " +
+      "script, including AC successive-approximation REFINEMENT scans) " +
+      "decode within the T.81 budget") {
+    val rnd = new scala.util.Random(11)
+    Seq((24, 24), (17, 13), (8, 8), (40, 9)).foreach { case (w, h) =>
+      val src = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          src.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+        }
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = bos.toByteArray
+      // it must ACTUALLY be SOF2, or this test pins nothing
+      assert(bytes.indices.dropRight(1).exists(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+        "ImageIO did not produce a progressive stream")
+      val ours = JpegPixelCodec.decodeGray(bytes)
+        .getOrElse(fail(s"undecodable progressive jpeg ${w}x$h"))
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ours.width === w && ours.height === h)
+      var worst = 0
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val a = ours.pixels(y * w + x) & 0xff
+          val b = ref.getRaster.getSample(x, y, 0)
+          worst = math.max(worst, math.abs(a - b))
+        }
+      }
+      assert(worst <= 2,
+        s"${w}x$h progressive: worst per-pixel delta $worst vs ImageIO")
+    }
+  }
+
   test("COLOR progressive (4:2:0 SOF2, interleaved DC scan + " +
       "per-component AC scans) decodes pixel-identical to the " +
       "baseline color twin") {
@@ -308,6 +352,52 @@ class JpegPixelCodecSpec extends AnyFunSuite {
         }
       }
       assert(worst <= 2, s"doc $d: worst 4:2:2 delta $worst vs ImageIO")
+    }
+  }
+
+  test("ImageIO decodes our PROGRESSIVE gray and color fixture streams " +
+      "(encoder legality check: a third-party decoder accepts the " +
+      "multi-scan layout and agrees on the pixels)") {
+    // gray: DC-only progressive == exact closed form, ImageIO-exact
+    for (d <- Seq(0L, 5L, 13L)) {
+      val bytes = JpegFixtures.progressivePixelJpegFor(d)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected our progressive stream $d")
+      val ours = JpegPixelCodec.decodeGray(bytes).get
+      assert(ref.getWidth === ours.width && ref.getHeight === ours.height)
+      (0 until ours.height).foreach { y =>
+        (0 until ours.width).foreach { x =>
+          assert(math.abs(ref.getRaster.getSample(x, y, 0) -
+            (ours.pixels(y * ours.width + x) & 0xff)) <= 1,
+            s"doc $d progressive ($x,$y)")
+        }
+      }
+    }
+    // color: single-MCU (filter-free) progressive, flat colors
+    for (d <- Seq(1L, 7L)) {
+      val bytes = JpegFixtures.encodeDcOnlyColor420Progressive(1, 1,
+        ybi => JpegFixtures.colorY(d, ybi) - 128,
+        mi => JpegFixtures.colorCb(d, mi) - 128,
+        mi => JpegFixtures.colorCr(d, mi) - 128)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected progressive color $d")
+      val ours = JpegPixelCodec.decodeRgb(bytes).get
+      var worst = 0
+      (0 until ours.height).foreach { y =>
+        (0 until ours.width).foreach { x =>
+          val rgb = ref.getRGB(x, y)
+          val o = (y * ours.width + x) * 3
+          worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) -
+            (ours.pixels(o) & 0xff)))
+          worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) -
+            (ours.pixels(o + 1) & 0xff)))
+          worst = math.max(worst, math.abs((rgb & 0xff) -
+            (ours.pixels(o + 2) & 0xff)))
+        }
+      }
+      assert(worst <= 2, s"color progressive doc $d: worst $worst")
     }
   }
 
