@@ -317,6 +317,12 @@ object SourceGate extends QueryModule {
         max("payload").as("max_payload"))
   }
 
+  /** Serializes q229 gate bodies within one JVM: even with
+    * fingerprint-suffixed table names, the DDL sequence (DROP → CREATE
+    * → two ALTERs) on a shared warehouse is not safe to interleave for
+    * the SAME data dir (r17 advice). */
+  val q229Lock = new Object
+
   /** Per-JVM warehouse for the q229 column-evolution catalog. */
   lazy val q229Warehouse: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_cat_q229")
@@ -359,7 +365,13 @@ object SourceGate extends QueryModule {
       classOf[graft.sources.v2.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", SourceGate.q229Warehouse)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
-    val t = s"$cat.g.orders_evolve"
+    // table name carries the data-dir fingerprint (r17 advice): two
+    // concurrent invocations at different gate scales in one JVM would
+    // otherwise DROP/recreate the same table under each other. Same-dir
+    // reruns still reset cleanly via the DROP.
+    val fp = java.lang.Integer.toHexString(dir.hashCode)
+    val t = s"$cat.g.orders_evolve_$fp"
+    SourceGate.q229Lock.synchronized {
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"CREATE TABLE $t (key BIGINT, bucket BIGINT, amount DOUBLE) " +
       "PARTITIONED BY (bucket) TBLPROPERTIES ('format'='parquet')")
@@ -383,6 +395,7 @@ object SourceGate extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum("bonus").as("sum_bonus"),
         sum("key").as("sum_key"))
+    } // q229Lock
   }
 
   /** Per-JVM warehouse for the q196 catalog (same lifetime contract as

@@ -288,6 +288,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"ALTER TABLE RENAME: $to is another column's historical " +
               "name; reusing it would resolve old segments' data under " +
               "the renamed column")
+          // `to` must not be a DROPPED column's tombstoned physical
+          // name either (r17 advice): DROP removes the name from the
+          // alias map, so the guard above alone would let a rename
+          // adopt it — and readers resolve the current name first, so
+          // pre-drop segments would serve the dropped column's stale
+          // bytes under the renamed column. Same resurrect class the
+          // AddColumn tombstone guard blocks.
+          require(!GraftCatalog.decodeDropped(custom).contains(to),
+            s"ALTER TABLE RENAME: $to is a dropped column's physical " +
+              "name; reusing it would resurrect the dropped data under " +
+              "the renamed column")
           aliases += to -> (aliases.getOrElse(from, Seq.empty) :+ from)
           aliases -= from
         }

@@ -31,15 +31,8 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
   private val root = new Path(stateDir)
   private def fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
-  def committedVersions: Seq[Long] = {
-    val f = fs
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).iterator
-      .filter(_.isDirectory)
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-      .filter(id => f.exists(new Path(new Path(root, id.toString), "_COMMIT")))
-      .toSeq.sorted
-  }
+  def committedVersions: Seq[Long] =
+    VersionedStateStore.listCommitted(fs, root)
 
   def lastCommitted: Option[Long] = committedVersions.lastOption
 
@@ -161,6 +154,22 @@ object VersionedStateStore {
   val DefaultRetain = 3
   val DefaultCompactEvery = 4
 
+  /** Committed version ids under `root`, ascending — the ONE place
+    * that knows the directory layout and the `_COMMIT` marker name
+    * (r17 advice: the sessionless recovery probe re-implemented this
+    * listing inline, so a marker rename would silently diverge them).
+    * Parameterized by FileSystem so it serves both the store instance
+    * and driver-side tooling with no SparkSession. */
+  def listCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Long] = {
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .filter(id => fs.exists(new Path(new Path(root, id.toString), "_COMMIT")))
+      .toSeq.sorted
+  }
+
   /** Merge algebra of one state table: grouping keys + the column
     * whose zero witnesses an empty (droppable) group. Every non-key
     * column must be a signed-additive measure. */
@@ -230,12 +239,7 @@ object GoldMaintenanceStream {
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val root = new Path(stateDir)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).iterator
-      .filter(_.isDirectory)
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-      .filter(id => fs.exists(new Path(new Path(root, id.toString), "_COMMIT")))
-      .toSeq.sorted.lastOption
+    VersionedStateStore.listCommitted(fs, root).lastOption
   }
 
   def loadState(spark: SparkSession, stateDir: String,

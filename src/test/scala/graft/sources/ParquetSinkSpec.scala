@@ -357,6 +357,42 @@ class ParquetSinkSpec extends SparkSpec {
     assert(spark.table(t).agg(sum(col("w"))).head.getDouble(0) === 350.0)
   }
 
+  test("ALTER RENAME rejects a DROPPED column's tombstoned name " +
+      "(r17 ADVICE): DROP removes the name from the alias map, so the " +
+      "other-column-historical-name guard alone would let a rename " +
+      "adopt it — and readers resolve current names first, so pre-drop " +
+      "segments would serve the dropped column's stale bytes") {
+    init()
+    import spark.implicits._
+    val t = s"$cat.g.rn_drop_guard_pq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(key BIGINT, bucket BIGINT, a DOUBLE, b DOUBLE) " +
+      "PARTITIONED BY (bucket) TBLPROPERTIES ('format'='parquet')")
+    (0L until 100L).map(i => (i, i % 4, i * 1.0, i * 100.0))
+      .toDF("key", "bucket", "a", "b").writeTo(t).append()
+    // give the doomed column an alias history too: both its current
+    // AND historical physical names must tombstone on drop
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN a TO a2")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN a2")
+
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN b TO a2")
+    }
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN b TO a")
+    }
+    assert(e2.getMessage.contains("dropped"), e2.getMessage)
+    // the refused renames changed nothing: b still reads b's own data
+    assert(spark.table(t).agg(sum(col("b"))).head.getDouble(0) ===
+      (0L until 100L).map(_ * 100.0).sum)
+    // a genuinely fresh target still works
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN b TO c")
+    assert(spark.table(t).agg(sum(col("c"))).head.getDouble(0) ===
+      (0L until 100L).map(_ * 100.0).sum)
+  }
+
   test("TRUNCATE + re-append works on the parquet payload") {
     init()
     spark.sql(s"TRUNCATE TABLE $cat.g.rt_pq")
