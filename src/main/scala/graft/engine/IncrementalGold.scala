@@ -297,12 +297,19 @@ object IncrementalGold {
   /** The policy-performance mart from maintained state: reassemble
     * q44's monthly frames (decimal sums cast to double exactly where
     * the full refresh casts them) and run the SAME derived tail. */
-  def policyPerfMart(st: PolicyPerfState): DataFrame = {
-    val pb = st.polBase.select(col("policy_type"), col("policy_month"),
+  def policyPerfMart(st: PolicyPerfState): DataFrame =
+    policyPerfMartFrom(st.polBase, st.cbt)
+
+  /** [[policyPerfMart]] from just the tables it actually reads — the
+    * mart is (type × month)-grain, so a maintainer that loads ONLY
+    * polBase and cbt never folds the fact-adjacent pt/cpm state on the
+    * mart path (r18: the keyed read path's mart read is mart-grain). */
+  def policyPerfMartFrom(polBase: DataFrame, cbtT: DataFrame): DataFrame = {
+    val pb = polBase.select(col("policy_type"), col("policy_month"),
       col("n_pol").as("policy_count"),
       col("prem").cast(DoubleType).as("total_premium_revenue"),
       col("cov").cast(DoubleType).as("total_coverage_exposure"))
-    val cbt = st.cbt.select(col("policy_type"), col("claim_month"),
+    val cbt = cbtT.select(col("policy_type"), col("claim_month"),
       col("n_claims").as("total_claims"),
       col("settled").cast(DoubleType).as("total_settled_amount"),
       col("fraud").as("fraud_claims"))
@@ -446,11 +453,18 @@ object IncrementalGold {
     * three part frames (decimal sums cast to double exactly where the
     * full refresh casts them; MIN over the live date multiplicity) and
     * run the SAME derived tail the full refresh runs. */
-  def customer360Mart(st: Customer360State): DataFrame = {
-    val cd = st.custDim.select(col("customer_id"), col("age"), col("state"))
-    val fp = st.polDates.groupBy(col("customer_id"))
+  def customer360Mart(st: Customer360State): DataFrame =
+    customer360MartFrom(st.custDim, st.polMetrics, st.polDates, st.cm)
+
+  /** [[customer360Mart]] from just the tables it reads — all four are
+    * customer-grain; the policy-fact-adjacent pc/cpc join state never
+    * rides the mart path (r18 keyed read path). */
+  def customer360MartFrom(custDim: DataFrame, polMetrics: DataFrame,
+      polDates: DataFrame, cmT: DataFrame): DataFrame = {
+    val cd = custDim.select(col("customer_id"), col("age"), col("state"))
+    val fp = polDates.groupBy(col("customer_id"))
       .agg(min(col("start_date")).as("first_policy_date"))
-    val pm = st.polMetrics.alias("m")
+    val pm = polMetrics.alias("m")
       .join(fp.alias("f"), col("m.customer_id") <=> col("f.customer_id"), "left")
       .select(col("m.customer_id").as("customer_id"),
         col("m.n_pol").as("total_policies"),
@@ -458,7 +472,7 @@ object IncrementalGold {
         col("m.n_active").as("active_policies"),
         col("m.n_cancelled").as("cancelled_policies"),
         col("f.first_policy_date").as("first_policy_date"))
-    val cm = st.cm.select(col("customer_id"),
+    val cm = cmT.select(col("customer_id"),
       col("n_claims").as("total_claims"),
       col("claimed").cast(DoubleType).as("total_claimed"),
       col("settled").cast(DoubleType).as("total_settled"),
@@ -663,8 +677,14 @@ object IncrementalGold {
   /** The claims-operations mart from maintained state: q47's maintained
     * column subset with the SAME derived tail (averages reassembled
     * from sum+count pairs, division guarded like the full refresh). */
-  def claimsOpsMart(st: ClaimsOpsState): DataFrame = {
-    val att = st.att.select(
+  def claimsOpsMart(st: ClaimsOpsState): DataFrame =
+    claimsOpsMartFrom(st.att, st.adj)
+
+  /** [[claimsOpsMart]] from just the tables it reads — att is the
+    * attributed 8-key view, adj the per-adjuster rollup; the fact-grain
+    * cl/p/c probe state never rides the mart path (r18). */
+  def claimsOpsMartFrom(attT: DataFrame, adjT: DataFrame): DataFrame = {
+    val att = attT.select(
       col("claim_type"), col("severity"), col("status"),
       col("adjuster_id"), col("claim_month"), col("policy_type"),
       col("customer_state"), col("customer_age"),
@@ -678,7 +698,7 @@ object IncrementalGold {
         .otherwise(col("sr_sum").cast(DoubleType) / col("sr_n"))
         .as("avg_settlement_ratio"),
       col("fraud").as("potential_fraud_cases"))
-    val adj = st.adj.select(col("adjuster_id"),
+    val adj = adjT.select(col("adjuster_id"),
       col("n_handled").as("adjuster_total_claims"),
       when(col("sr_n") === 0, lit(null))
         .otherwise(col("sr_sum").cast(DoubleType) / col("sr_n"))
@@ -737,6 +757,118 @@ object IncrementalGold {
     val pNew = merge(st.p, dP,
       Seq("policy_id", "customer_id", "policy_type"), "n")
     val t3 = coScale(clNew, coDimDims(dC, pNew, byCustomer = true))
+    Map("cl" -> dCl, "p" -> dP, "c" -> dC,
+      "att" -> coAttDelta(Seq(t1, t2, t3)),
+      "adj" -> coAdjPartials(clDelta))
+  }
+
+  // =============== Δ-KEYED delta frames (r17 verdict task 1): the
+  // producers above read the FULL folded state (st.*) for their probe
+  // terms, which at 10× makes a 4k-record batch cost about what a full
+  // refresh does — the measured read floor (SCALE.md r16 part 2). The
+  // keyed variants never touch state except through [[StateProbe]]
+  // SLICES restricted to the Δ's key set. Soundness: every probe term
+  // is an EQUALITY join on a column that is part of the state table's
+  // merge keys, so (a) slicing the state by those keys before the
+  // base+delta fold commutes with the fold (the fold groups by the
+  // merge keys, and the slice predicate is a function of them), and
+  // (b) rows outside the slice could never have matched the join.
+  // Post-batch probe factors (e.g. ptNew = merge(pt, dPt)) are built
+  // from SLICED inputs: merge(pt, dPt) ⋉ K = merge(pt ⋉ K, dPt ⋉ K)
+  // for any key set K over merge-key columns. KeyedIvmSpec pins each
+  // producer's output against its full-state twin on the 4-batch CDC
+  // fixture.
+
+  /** Keyed access to one version of maintained state. `keys.columns`
+    * must be a subset of the table's merge keys; rows with a NULL key
+    * column may be dropped (every probe term joins on equality, so
+    * null-key state rows never contribute). */
+  trait StateProbe {
+    def slice(table: String, keys: DataFrame): DataFrame
+  }
+
+  /** [[StateProbe]] over in-memory full-state frames — the reference
+    * semantics (specs, non-durable replay gates). */
+  final case class FrameProbe(frames: Map[String, DataFrame])
+      extends StateProbe {
+    def slice(table: String, keys: DataFrame): DataFrame =
+      sliceOf(frames(table), keys)
+  }
+
+  /** Left-semi restriction of `state` to the key tuples in `keys`. */
+  def sliceOf(state: DataFrame, keys: DataFrame): DataFrame =
+    state.join(keys.na.drop().dropDuplicates(),
+      keys.columns.toSeq, "left_semi")
+
+  /** [[policyPerfDeltaFrames]] reading state only through Δ-keyed
+    * probes: cpm sliced by the policy-dim delta's policies, pt by the
+    * claim delta's policies. */
+  def policyPerfDeltaFramesKeyed(probe: StateProbe, polDelta: DataFrame,
+      clDelta: DataFrame): Map[String, DataFrame] = {
+    val dPt = ptPartials(polDelta).localCheckpoint(true)
+    val dCpm = cpmPartials(clDelta).localCheckpoint(true)
+    val cpmSlice = probe.slice("cpm", dPt.select("policy_id"))
+    val reattr = attributed(dPt.select(col("policy_id"),
+      col("policy_type"), col("n")), cpmSlice)
+    val kCl = dCpm.select("policy_id")
+    val ptNewSlice = merge(probe.slice("pt", kCl), sliceOf(dPt, kCl),
+      Seq("policy_id", "policy_type"), "n")
+    val attr = attributed(ptNewSlice, dCpm)
+    Map("polBase" -> ppPolBasePartials(polDelta), "pt" -> dPt,
+      "cpm" -> dCpm, "cbt" -> cbtDelta(reattr, attr))
+  }
+
+  /** [[customer360DeltaFrames]] through Δ-keyed probes (bilinear rule,
+    * policy-keyed join state). */
+  def customer360DeltaFramesKeyed(probe: StateProbe, custDelta: DataFrame,
+      polDelta: DataFrame, clDelta: DataFrame): Map[String, DataFrame] = {
+    val dPc = c360PcPartials(polDelta).localCheckpoint(true)
+    val dCpc = c360CpcPartials(clDelta).localCheckpoint(true)
+    val reattr = attributedCust(dPc,
+      probe.slice("cpc", dPc.select("policy_id")))
+    val kCl = dCpc.select("policy_id")
+    val pcNewSlice = merge(probe.slice("pc", kCl), sliceOf(dPc, kCl),
+      Seq("policy_id", "customer_id"), "n")
+    val attr = attributedCust(pcNewSlice, dCpc)
+    Map("custDim" -> c360CustDimPartials(custDelta),
+      "polMetrics" -> c360PolMetricPartials(polDelta),
+      "polDates" -> c360PolDatePartials(polDelta),
+      "pc" -> dPc, "cpc" -> dCpc, "cm" -> cmDelta(reattr, attr))
+  }
+
+  /** [[claimsOpsDeltaFrames]] through Δ-keyed probes (trilinear rule).
+    * The ΔCL term's customer slice is a DEPENDENT probe: its key set is
+    * the customer ids named by the policy slice's rows, so the slice is
+    * still Δ-sized (≤ |ΔCL| policies' customers). Both CL₁ probes slice
+    * the fact-partial state by the term's own Δ-derived policy ids. */
+  def claimsOpsDeltaFramesKeyed(probe: StateProbe, custDelta: DataFrame,
+      polDelta: DataFrame, clDelta: DataFrame): Map[String, DataFrame] = {
+    val dCl = coClPartials(clDelta).localCheckpoint(true)
+    val dP = coPPartials(polDelta).localCheckpoint(true)
+    val dC = coCPartials(custDelta).localCheckpoint(true)
+    // ΔCL ⊗ P₀ ⊗ C₀
+    val pSlice1 = probe.slice("p", dCl.select("policy_id"))
+      .localCheckpoint(true)
+    val cSlice1 = probe.slice("c", pSlice1.select("customer_id"))
+    val t1 = coScale(dCl, pSlice1.alias("p").join(cSlice1.alias("c"),
+        col("p.customer_id") === col("c.customer_id"))
+      .select(col("p.policy_id"), col("p.policy_type"),
+        col("c.state").as("customer_state"),
+        col("c.age").as("customer_age"),
+        (col("p.n") * col("c.n")).as("dn")))
+    // CL₁ ⊗ ΔP ⊗ C₀ — CL₁ sliced to the term's policies
+    def clNewSlice(keys: DataFrame): DataFrame =
+      merge(probe.slice("cl", keys), sliceOf(dCl, keys), CoClKeys, "n")
+    val dims2 = coDimDims(dP, probe.slice("c", dP.select("customer_id")),
+      byCustomer = false).localCheckpoint(true)
+    val t2 = coScale(clNewSlice(dims2.select("policy_id")), dims2)
+    // CL₁ ⊗ P₁ ⊗ ΔC — P₁ sliced to the customer delta's customers
+    val kC = dC.select("customer_id")
+    val pNewSlice = merge(probe.slice("p", kC), sliceOf(dP, kC),
+      Seq("policy_id", "customer_id", "policy_type"), "n")
+    val dims3 = coDimDims(dC, pNewSlice, byCustomer = true)
+      .localCheckpoint(true)
+    val t3 = coScale(clNewSlice(dims3.select("policy_id")), dims3)
     Map("cl" -> dCl, "p" -> dP, "c" -> dC,
       "att" -> coAttDelta(Seq(t1, t2, t3)),
       "adj" -> coAdjPartials(clDelta))

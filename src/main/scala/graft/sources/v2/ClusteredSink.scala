@@ -868,6 +868,14 @@ object ClusteredSinkOverwrite {
     else if (e.minCluster == null || e.maxCluster == null)
       !region.matchesNull
     else if (region.matchesNull) false
+    else if (e.minCluster.longValue == e.maxCluster.longValue)
+      // single-key file (the filePerKey layout): the compiled matcher
+      // decides membership EXACTLY (it is the overwrite path's replace
+      // region, which must be exact), so an IN-set probe over scattered
+      // keys prunes the gaps between min and max too — the keyed-state
+      // read path (r18) lives on this. Multi-key files keep the
+      // conservative bounds check below.
+      !region.matches(e.minCluster.longValue)
     else region.lo.exists(lo => e.maxCluster < lo) ||
       region.hi.exists(hi => e.minCluster > hi)
 

@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.engine.IncrementalGold
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Durable, versioned, atomically-visible parquet state for
   * foreachBatch maintainers — the part `foreachBatch` makes the caller
@@ -25,9 +25,16 @@ import org.apache.spark.sql.types.StructType
 final class VersionedStateStore(spark: SparkSession, stateDir: String,
     tables: Seq[String], retain: Int = VersionedStateStore.DefaultRetain,
     mergeSpecs: Map[String, VersionedStateStore.MergeSpec] = Map.empty,
-    compactEvery: Int = VersionedStateStore.DefaultCompactEvery) {
-  import VersionedStateStore.MergeSpec
+    compactEvery: Int = VersionedStateStore.DefaultCompactEvery,
+    clusterSpecs: Map[String, VersionedStateStore.ClusterSpec] = Map.empty) {
+  import VersionedStateStore.{ClusterSpec, MergeSpec}
   require(retain >= 1, s"retain must keep at least the newest version")
+  clusterSpecs.foreach { case (t, cs) =>
+    val ms = mergeSpecs.getOrElse(t, sys.error(
+      s"graft state: clustered table $t needs a MergeSpec"))
+    require(cs.keyCols.forall(ms.keys.contains),
+      s"graft state: $t cluster keys ${cs.keyCols} must be merge keys")
+  }
   private val root = new Path(stateDir)
   private def fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -45,43 +52,119 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
       .getOrElse(sys.error(
         s"graft state: no base version at or below $id under $stateDir"))
 
-  private def read(id: Long, t: String): DataFrame =
-    spark.read.parquet(new Path(new Path(root, id.toString), t).toString)
+  private def tableDir(id: Long, t: String): Path =
+    new Path(new Path(root, id.toString), t)
+
+  /** Read one version's table. BASE versions of cluster-spec'd tables
+    * are stored in the engine's own clustered format (graft-sink,
+    * parquet payload, file-per-bucket — see [[save]]); everything else
+    * is plain parquet. Routing is by what is ON DISK (the sink's
+    * manifest), not by this instance's specs, so a store constructed
+    * without clusterSpecs still reads a clustered history. */
+  private def read(id: Long, t: String): DataFrame = {
+    val dir = tableDir(id, t)
+    if (fs.exists(new Path(dir, "_manifest.jsonl")))
+      VersionedStateStore.readClustered(spark, dir.toString)
+    else spark.read.parquet(dir.toString)
+  }
+
+  /** [[read]] of a clustered BASE with the probe's bucket set pushed
+    * into the scan — the manifest prunes non-matching files EXACTLY
+    * (file-per-bucket ⇒ single-key files ⇒ the In-set matcher decides
+    * each file). Falls back to the plain read when the table is not
+    * clustered on `keyCols`. */
+  private def readPruned(id: Long, t: String,
+      keyCols: Seq[String], keys: DataFrame): DataFrame =
+    clusterSpecs.get(t) match {
+      case Some(cs) if cs.keyCols == keyCols &&
+          fs.exists(new Path(tableDir(id, t), "_manifest.jsonl")) =>
+        // bucket ids of the probe's key set: bounded by cs.buckets (a
+        // config constant), so this driver sync is bounded the way the
+        // ANN codebook syncs are — and loud if a spec ever breaks that
+        val bs = keys.select(VersionedStateStore
+            .bucketCol(cs.keyCols, cs.buckets).as("__bucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        require(bs.size <= cs.buckets,
+          s"graft state: $t probe bucket set ${bs.size} > ${cs.buckets}")
+        VersionedStateStore.readClustered(spark, tableDir(id, t).toString,
+          buckets = Some(bs))
+      case _ => read(id, t)
+    }
 
   /** State view at version `id`: the newest base at or below it plus
     * every committed delta in between, folded by the table's merge
     * algebra (keyed signed sums — union + groupBy-sum IS the k-fold
     * [[graft.engine.IncrementalGold.merge]], so the reconstruction is
     * value-exact, zero-count groups dropped the same way). */
-  def load(id: Long): Map[String, DataFrame] = {
-    import org.apache.spark.sql.functions._
+  def load(id: Long): Map[String, DataFrame] = loadTables(id, tables)
+
+  /** [[load]] restricted to `wanted` tables — mart reads fold ONLY the
+    * mart-grain tables (r17 verdict task 1: the full load's eager fold
+    * + checkpoint of every fact-adjacent table per batch was the
+    * measured read floor). */
+  def loadTables(id: Long, wanted: Seq[String]): Map[String, DataFrame] = {
+    val (base, deltaIds) = chainFor(id)
+    wanted.map { t =>
+      val frames = (base +: deltaIds).map(read(_, t))
+      if (deltaIds.isEmpty) t -> frames.head
+      // eager checkpoint: the folded view is consumed several times
+      // per fold (the bilinear/trilinear probes read each state table
+      // 1–3 times, plus the mart) — without it the base+delta
+      // aggregation recomputes per consumer (read-side shared-subtree
+      // trap, measured at the 10× IVM soak)
+      else t -> foldFrames(t, frames).localCheckpoint(true)
+    }.toMap
+  }
+
+  private def chainFor(id: Long): (Long, Seq[Long]) = {
     val base = baseFor(id)
     val deltaIds = committedVersions.filter(v => v > base && v <= id)
     require(deltaIds.forall(isDelta),
       s"graft state: non-delta version inside the delta chain ($deltaIds)")
-    tables.map { t =>
-      val frames = (base +: deltaIds).map(read(_, t))
-      if (deltaIds.isEmpty) t -> frames.head
-      else {
-        val spec = mergeSpecs.getOrElse(t, sys.error(
-          s"graft state: table $t has delta versions but no MergeSpec"))
-        val u = frames.reduce(_ unionByName _)
-        val valueCols = frames.head.columns.filterNot(spec.keys.contains)
-        val schema = frames.head.schema
-        // eager checkpoint: the folded view is consumed several times
-        // per fold (the bilinear/trilinear probes read each state table
-        // 1–3 times, plus the mart) — without it the base+delta
-        // aggregation recomputes per consumer (read-side shared-subtree
-        // trap, measured at the 10× IVM soak)
-        t -> u.groupBy(spec.keys.map(col): _*)
-          .agg(sum(col(valueCols.head)).cast(schema(valueCols.head).dataType)
-            .as(valueCols.head),
-            valueCols.tail.map(c => sum(col(c)).cast(schema(c).dataType)
-              .as(c)): _*)
-          .filter(col(spec.countCol) =!= 0)
-          .localCheckpoint(true)
-      }
-    }.toMap
+    (base, deltaIds)
+  }
+
+  /** base+deltas → the table's merge-algebra fold (keyed signed sums —
+    * union + groupBy-sum IS the k-fold merge; zero-count groups drop). */
+  private def foldFrames(t: String, frames: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spec = mergeSpecs.getOrElse(t, sys.error(
+      s"graft state: table $t has delta versions but no MergeSpec"))
+    val u = frames.reduce(_ unionByName _)
+    val valueCols = frames.head.columns.filterNot(spec.keys.contains)
+    val schema = frames.head.schema
+    u.groupBy(spec.keys.map(col): _*)
+      .agg(sum(col(valueCols.head)).cast(schema(valueCols.head).dataType)
+        .as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).cast(schema(c).dataType)
+          .as(c)): _*)
+      .filter(col(spec.countCol) =!= 0)
+  }
+
+  /** Δ-KEYED state read (r17 verdict task 1): the folded view of table
+    * `t` at version `id`, restricted to rows whose `keys.columns`
+    * values appear in `keys`. The restriction commutes with the fold
+    * (keys.columns ⊆ merge keys, enforced), so this equals
+    * `load(id)(t) ⋉ keys` — WITHOUT folding or materializing the full
+    * table: the base scan is file-pruned to the probe's bucket set
+    * when the table is clustered on exactly these key columns, and
+    * every frame is semi-joined to the (Δ-sized) key set before the
+    * fold, so per-probe cost tracks |Δ|, not |state|. */
+  def sliceKeyed(id: Long, t: String, keys: DataFrame): DataFrame = {
+    val spec = mergeSpecs.getOrElse(t, sys.error(
+      s"graft state: sliceKeyed($t) needs a MergeSpec"))
+    val keyCols = keys.columns.toSeq
+    require(keyCols.forall(spec.keys.contains),
+      s"graft state: sliceKeyed($t) keys $keyCols must be merge keys " +
+        s"${spec.keys} (the restriction must commute with the fold)")
+    val k = keys.na.drop().dropDuplicates().localCheckpoint(true)
+    val (base, deltaIds) = chainFor(id)
+    val baseSlice = readPruned(base, t, keyCols, k)
+      .join(k, keyCols, "left_semi")
+    val frames = baseSlice +: deltaIds.map(
+      read(_, t).join(k, keyCols, "left_semi"))
+    val folded = if (deltaIds.isEmpty) frames.head else foldFrames(t, frames)
+    folded.localCheckpoint(true)
   }
 
   private def gc(): Unit = {
@@ -104,8 +187,16 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
     * the caller folds lazily. */
   def save(id: Long, frames: Map[String, DataFrame]): Unit = {
     val dir = new Path(root, id.toString)
-    tables.foreach(t =>
-      frames(t).write.mode("overwrite").parquet(new Path(dir, t).toString))
+    tables.foreach { t =>
+      val out = new Path(dir, t)
+      clusterSpecs.get(t) match {
+        case Some(cs) =>
+          VersionedStateStore.writeClustered(spark, frames(t), out.toString,
+            cs, fs)
+        case None =>
+          frames(t).write.mode("overwrite").parquet(out.toString)
+      }
+    }
     fs.create(new Path(dir, "_COMMIT"), true).close()
     gc()
   }
@@ -174,6 +265,101 @@ object VersionedStateStore {
     * whose zero witnesses an empty (droppable) group. Every non-key
     * column must be a signed-additive measure. */
   final case class MergeSpec(keys: Seq[String], countCol: String)
+
+  /** Key-clustered storage of a state table's BASE versions (r17
+    * verdict task 1): rows land hash-bucketed by `keyCols` into
+    * `buckets` buckets, one file per bucket, through the engine's own
+    * clustered table format ([[graft.sources.v2.ClusteredSink]],
+    * parquet payload, manifest-planned reads). A Δ-keyed probe then
+    * reads ONLY the buckets its key set hashes into — the manifest's
+    * single-key files are pruned exactly by the pushed In-set — so
+    * probe IO scales with |Δ| × (state size / buckets), and `buckets`
+    * scales with the table (it is a layout constant like a shuffle
+    * partition count, not a data-dependent collect). keyCols must be a
+    * subset of the table's merge keys. */
+  final case class ClusterSpec(keyCols: Seq[String], buckets: Int) {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"ClusterSpec.buckets out of range: $buckets")
+  }
+
+  /** The bucket id of a key tuple: stable hash, non-negative mod. */
+  def bucketCol(keyCols: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
+
+  // --- type codec at the store boundary: the sink's payload types are
+  // LONG/INT/DOUBLE/BOOLEAN/STRING, while state tables carry DATE
+  // (months) and DECIMAL(38,4) (exact signed sums). Encode is
+  // LOSSLESS: DATE ↔ epoch-day INT, DECIMAL ↔ its plain string (cast
+  // round-trips exactly in both directions); anything else unsupported
+  // fails LOUDLY at write time rather than corrupting state.
+  private def encodeCol(f: StructField): Column = f.dataType match {
+    case DateType => unix_date(col(f.name)).as(f.name)
+    case _: DecimalType => col(f.name).cast(StringType).as(f.name)
+    case LongType | IntegerType | DoubleType | BooleanType | StringType =>
+      col(f.name)
+    case other => sys.error(
+      s"graft state: no clustered encoding for column ${f.name}: $other")
+  }
+  private def decodeCol(f: StructField): Column = f.dataType match {
+    case DateType => date_from_unix_date(col(f.name)).as(f.name)
+    case dt: DecimalType => col(f.name).cast(dt).as(f.name)
+    case _ => col(f.name)
+  }
+
+  private val SchemaSidecar = "_types.json"
+
+  /** Write one BASE state table through the clustered sink: encoded
+    * payload + `__bucket`, file-per-bucket, plus a schema sidecar the
+    * reader decodes through. */
+  private[streaming] def writeClustered(spark: SparkSession, df: DataFrame,
+      dir: String, cs: ClusterSpec,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val enc = df.select(df.schema.fields.map(encodeCol).toSeq: _*)
+      .withColumn("__bucket", bucketCol(cs.keyCols, cs.buckets))
+    enc.write.format("graft-sink")
+      .option("path", dir)
+      .option("clusterBy", "__bucket").option("sortBy", "__bucket")
+      .option("filePerKey", "true")
+      .option("format", graft.sources.v2.ClusteredSinkFormat.Parquet)
+      .option("partitions",
+        math.min(cs.buckets, spark.sessionState.conf.numShufflePartitions)
+          .toString)
+      .mode("overwrite").save()
+    val out = fs.create(new Path(dir, SchemaSidecar), true)
+    try out.write(df.schema.json.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Manifest-planned read of a clustered state table, decoded back to
+    * its original schema. `buckets` pushes the probe's bucket set into
+    * the scan (exact file pruning on the single-key files). */
+  private[streaming] def readClustered(spark: SparkSession, dir: String,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
+    val p = new Path(dir, SchemaSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    val orig = DataType.fromJson(json).asInstanceOf[StructType]
+    val encSchema = StructType(orig.fields.map { f =>
+      f.dataType match {
+        case DateType => f.copy(dataType = IntegerType)
+        case _: DecimalType => f.copy(dataType = StringType)
+        case _ => f
+      }
+    } :+ StructField("__bucket", LongType))
+    val raw = spark.read.format("graft-sink").schema(encSchema)
+      .option("path", dir).option("clusterBy", "__bucket").load()
+    val pruned = buckets match {
+      case Some(bs) => raw.filter(col("__bucket").isin(bs: _*))
+      case None => raw
+    }
+    pruned.select(orig.fields.map(decodeCol).toSeq: _*)
+  }
 }
 
 /** The incremental-gold maintainers bolted onto Structured Streaming —
@@ -256,16 +442,21 @@ object GoldMaintenanceStream {
     IncrementalGold.PolicyPerfState(t("polBase"), t("pt"), t("cpm"), t("cbt"))
   }
 
-  // delta-capable stores (LSM mode needs the merge algebra at read time)
+  // delta-capable stores (LSM mode needs the merge algebra at read
+  // time); fact-adjacent probe tables are KEY-CLUSTERED on their
+  // dominant probe key (r17 verdict task 1)
   private def perfStoreD(spark: SparkSession, stateDir: String,
       retain: Int): VersionedStateStore =
-    new VersionedStateStore(spark, stateDir, PerfTables, retain, PerfSpecs)
+    new VersionedStateStore(spark, stateDir, PerfTables, retain, PerfSpecs,
+      clusterSpecs = PerfClusters)
   private def c360StoreD(spark: SparkSession, stateDir: String,
       retain: Int): VersionedStateStore =
-    new VersionedStateStore(spark, stateDir, C360Tables, retain, C360Specs)
+    new VersionedStateStore(spark, stateDir, C360Tables, retain, C360Specs,
+      clusterSpecs = C360Clusters)
   private def opsStoreD(spark: SparkSession, stateDir: String,
       retain: Int): VersionedStateStore =
-    new VersionedStateStore(spark, stateDir, OpsTables, retain, OpsSpecs)
+    new VersionedStateStore(spark, stateDir, OpsTables, retain, OpsSpecs,
+      clusterSpecs = OpsClusters)
 
   /** Shared skip/fold/commit skeleton (full-copy versions). */
   private def foldWith[S](df: DataFrame, id: Long, store: VersionedStateStore,
@@ -309,6 +500,44 @@ object GoldMaintenanceStream {
     }
   }
 
+  /** [[StateProbe]] over one committed store version — each probe term
+    * reads a Δ-keyed, bucket-pruned slice instead of the folded full
+    * table. */
+  private final class StoreProbe(store: VersionedStateStore, id: Long)
+      extends IncrementalGold.StateProbe {
+    def slice(table: String, keys: DataFrame): DataFrame =
+      store.sliceKeyed(id, table, keys)
+  }
+
+  /** [[foldDelta]]'s Δ-KEYED twin (r17 verdict task 1) — the steady
+    * state never folds or materializes a full fact-adjacent table:
+    *   - delta frames read state only through [[StoreProbe]] slices
+    *     (Δ-keyed semi-joins over bucket-pruned base scans);
+    *   - the mart read folds ONLY the mart-grain tables;
+    * so per-batch cost tracks |Δ| + |mart-grain state|, not |state|.
+    * Compaction (inside [[VersionedStateStore.saveDelta]]) still folds
+    * the full chain — one |state| read+write amortized over the
+    * compaction window. */
+  private def foldDeltaKeyed(df: DataFrame, id: Long,
+      store: VersionedStateStore,
+      initFrames: DataFrame => Map[String, DataFrame],
+      deltasKeyed: (IncrementalGold.StateProbe, DataFrame) => Map[String, DataFrame],
+      martTables: Seq[String],
+      martOf: Map[String, DataFrame] => DataFrame): Option[DataFrame] = {
+    def mart(v: Long): DataFrame = martOf(store.loadTables(v, martTables))
+    val last = store.lastCommitted
+    if (last.exists(_ >= id)) Some(mart(last.get))
+    else if (df.isEmpty) last.map(mart)
+    else {
+      last match {
+        case None => store.save(id, initFrames(df))
+        case Some(l) =>
+          store.saveDelta(id, deltasKeyed(new StoreProbe(store, l), df))
+      }
+      Some(mart(id))
+    }
+  }
+
   import VersionedStateStore.MergeSpec
   private val PerfSpecs = Map(
     "polBase" -> MergeSpec(Seq("policy_type", "policy_month"), "n_pol"),
@@ -331,6 +560,33 @@ object GoldMaintenanceStream {
       "adjuster_id", "claim_month", "policy_type", "customer_state",
       "customer_age"), "n"),
     "adj" -> MergeSpec(Seq("adjuster_id"), "n_handled"))
+
+  import VersionedStateStore.ClusterSpec
+
+  /** Bucket count of the key-clustered state tables. A LAYOUT constant
+    * (like a shuffle partition count): probe bucket-set syncs are
+    * bounded by it, and at deployment it scales with state size so a
+    * bucket stays file-sized. `-Dgraft.state.buckets` overrides. */
+  private def stateBuckets: Int =
+    Integer.getInteger("graft.state.buckets", 256)
+
+  // Fact-adjacent probe tables, clustered on their DOMINANT probe key.
+  // Mart-grain tables (polBase/cbt/att/adj, the customer-grain c360
+  // rollups) stay plain parquet: the mart fold reads them whole anyway.
+  // ops "p" is probed by policy_id (ΔCL term) AND customer_id (ΔC
+  // term); it is clustered on policy_id — the claim side churns hardest
+  // — and the customer-keyed probe falls back to a semi-joined scan of
+  // a dimension-sized table (documented in SCALE.md r18).
+  private def PerfClusters = Map(
+    "pt" -> ClusterSpec(Seq("policy_id"), stateBuckets),
+    "cpm" -> ClusterSpec(Seq("policy_id"), stateBuckets))
+  private def C360Clusters = Map(
+    "pc" -> ClusterSpec(Seq("policy_id"), stateBuckets),
+    "cpc" -> ClusterSpec(Seq("policy_id"), stateBuckets))
+  private def OpsClusters = Map(
+    "cl" -> ClusterSpec(Seq("policy_id"), stateBuckets),
+    "p" -> ClusterSpec(Seq("policy_id"), stateBuckets),
+    "c" -> ClusterSpec(Seq("customer_id"), stateBuckets))
 
   /** Fold one CDC micro-batch into the durable exec-summary state;
     * no-op when `id` is already committed (foreachBatch replay after
@@ -455,16 +711,15 @@ object GoldMaintenanceStream {
     def deltas(batch: DataFrame) =
       (IncrementalGold.narrowPpPol(signedOf(batch, "policy", polSchema)),
         IncrementalGold.narrowPpCl(signedOf(batch, "claim", clSchema)))
-    foldDelta[IncrementalGold.PolicyPerfState](df, id,
-      perfStoreD(spark, stateDir, retain),
-      loadPerfState(spark, stateDir, _),
+    foldDeltaKeyed(df, id, perfStoreD(spark, stateDir, retain),
       batch => { val (pol, cl) = deltas(batch)
-        IncrementalGold.initPolicyPerf(pol, cl, materialize = false) },
-      st => Map("polBase" -> st.polBase, "pt" -> st.pt, "cpm" -> st.cpm,
-        "cbt" -> st.cbt),
-      (st, batch) => { val (pol, cl) = deltas(batch)
-        IncrementalGold.policyPerfDeltaFrames(st, pol, cl) },
-      IncrementalGold.policyPerfMart)
+        val st = IncrementalGold.initPolicyPerf(pol, cl, materialize = false)
+        Map("polBase" -> st.polBase, "pt" -> st.pt, "cpm" -> st.cpm,
+          "cbt" -> st.cbt) },
+      (probe, batch) => { val (pol, cl) = deltas(batch)
+        IncrementalGold.policyPerfDeltaFramesKeyed(probe, pol, cl) },
+      Seq("polBase", "cbt"),
+      m => IncrementalGold.policyPerfMartFrom(m("polBase"), m("cbt")))
   }
 
   /** q228 gate driver: fold pre-built policy-perf (pol, cl) delta
@@ -482,21 +737,23 @@ object GoldMaintenanceStream {
       compactEvery: Int = 2): DataFrame = {
     require(deltas.size >= 3, "need a base + enough deltas to compact")
     val store = new VersionedStateStore(spark, stateDir, PerfTables,
-      VersionedStateStore.DefaultRetain, PerfSpecs, compactEvery)
+      VersionedStateStore.DefaultRetain, PerfSpecs, compactEvery,
+      clusterSpecs = PerfClusters)
     val init = IncrementalGold.initPolicyPerf(deltas.head._1,
       deltas.head._2, materialize = false)
     store.save(1L, Map("polBase" -> init.polBase, "pt" -> init.pt,
       "cpm" -> init.cpm, "cbt" -> init.cbt))
     deltas.tail.zipWithIndex.foreach { case ((pol, cl), i) =>
       // each batch folds against the DURABLE state read back from the
-      // store — the production shape, and MEASURED the faster one: a
-      // lazy in-memory running state re-derives the whole prior chain
-      // per delta-frame probe (shared-subtree trap; 38.7 s vs ~21 s at
-      // sf0.1), while load()'s checkpointed fold bounds each batch's
-      // probes to materialized frames.
-      val prev = loadPerfState(spark, stateDir, store.lastCommitted.get)
+      // store — the production shape (r18: through Δ-KEYED bucket-
+      // pruned probes of the clustered bases, so this gate also
+      // hash-gates the keyed read path + the clustered state format
+      // end-to-end). The r17 measurement stands: a lazy in-memory
+      // running state re-derives the whole prior chain per delta-frame
+      // probe (shared-subtree trap; 38.7 s vs ~21 s at sf0.1).
+      val probe = new StoreProbe(store, store.lastCommitted.get)
       store.saveDelta(i + 2L,
-        IncrementalGold.policyPerfDeltaFrames(prev, pol, cl))
+        IncrementalGold.policyPerfDeltaFramesKeyed(probe, pol, cl))
     }
     val fs = new Path(stateDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -506,8 +763,8 @@ object GoldMaintenanceStream {
     require(compacted,
       s"q228 expected a mid-chain compaction under $stateDir; " +
         s"versions=${store.committedVersions}")
-    IncrementalGold.policyPerfMart(
-      loadPerfState(spark, stateDir, store.lastCommitted.get))
+    val m = store.loadTables(store.lastCommitted.get, Seq("polBase", "cbt"))
+    IncrementalGold.policyPerfMartFrom(m("polBase"), m("cbt"))
   }
 
   private val C360Tables =
@@ -541,17 +798,18 @@ object GoldMaintenanceStream {
       (IncrementalGold.narrowC360Cust(signedOf(batch, "customer", custSchema)),
         IncrementalGold.narrowC360Pol(signedOf(batch, "policy", polSchema)),
         IncrementalGold.narrowC360Cl(signedOf(batch, "claim", clSchema)))
-    foldDelta[IncrementalGold.Customer360State](df, id,
-      c360StoreD(spark, stateDir, retain),
-      loadC360State(spark, stateDir, _),
+    foldDeltaKeyed(df, id, c360StoreD(spark, stateDir, retain),
       batch => { val (cu, pol, cl) = deltas(batch)
-        IncrementalGold.initCustomer360(cu, pol, cl, materialize = false) },
-      st => Map("custDim" -> st.custDim, "polMetrics" -> st.polMetrics,
-        "polDates" -> st.polDates, "pc" -> st.pc, "cpc" -> st.cpc,
-        "cm" -> st.cm),
-      (st, batch) => { val (cu, pol, cl) = deltas(batch)
-        IncrementalGold.customer360DeltaFrames(st, cu, pol, cl) },
-      IncrementalGold.customer360Mart)
+        val st = IncrementalGold.initCustomer360(cu, pol, cl,
+          materialize = false)
+        Map("custDim" -> st.custDim, "polMetrics" -> st.polMetrics,
+          "polDates" -> st.polDates, "pc" -> st.pc, "cpc" -> st.cpc,
+          "cm" -> st.cm) },
+      (probe, batch) => { val (cu, pol, cl) = deltas(batch)
+        IncrementalGold.customer360DeltaFramesKeyed(probe, cu, pol, cl) },
+      Seq("custDim", "polMetrics", "polDates", "cm"),
+      m => IncrementalGold.customer360MartFrom(m("custDim"),
+        m("polMetrics"), m("polDates"), m("cm")))
   }
 
   /** [[foldBatch]]'s twin for the claims-operations (trilinear) mart —
@@ -564,16 +822,16 @@ object GoldMaintenanceStream {
       (IncrementalGold.narrowCoCust(signedOf(batch, "customer", custSchema)),
         IncrementalGold.narrowCoPol(signedOf(batch, "policy", polSchema)),
         IncrementalGold.narrowCoCl(signedOf(batch, "claim", clSchema)))
-    foldDelta[IncrementalGold.ClaimsOpsState](df, id,
-      opsStoreD(spark, stateDir, retain),
-      loadOpsState(spark, stateDir, _),
+    foldDeltaKeyed(df, id, opsStoreD(spark, stateDir, retain),
       batch => { val (cu, pol, cl) = deltas(batch)
-        IncrementalGold.initClaimsOps(cu, pol, cl, materialize = false) },
-      st => Map("cl" -> st.cl, "p" -> st.p, "c" -> st.c, "att" -> st.att,
-        "adj" -> st.adj),
-      (st, batch) => { val (cu, pol, cl) = deltas(batch)
-        IncrementalGold.claimsOpsDeltaFrames(st, cu, pol, cl) },
-      IncrementalGold.claimsOpsMart)
+        val st = IncrementalGold.initClaimsOps(cu, pol, cl,
+          materialize = false)
+        Map("cl" -> st.cl, "p" -> st.p, "c" -> st.c, "att" -> st.att,
+          "adj" -> st.adj) },
+      (probe, batch) => { val (cu, pol, cl) = deltas(batch)
+        IncrementalGold.claimsOpsDeltaFramesKeyed(probe, cu, pol, cl) },
+      Seq("att", "adj"),
+      m => IncrementalGold.claimsOpsMartFrom(m("att"), m("adj")))
   }
 
   /** THE production topology: ONE 3-entity CDC topic maintains ALL FOUR
