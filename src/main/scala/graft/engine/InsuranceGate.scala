@@ -1985,4 +1985,170 @@ object InsuranceGate extends QueryModule {
         lag(col("claim_count"), 1).over(w).as("prev_claims"),
         clock.today.as("report_date"))
   }
+
+  // ================ production-shape ONE-BATCH IVM gates (r17 verdict
+  // task 2). The q218/q221/q223/q224 gates replay the ENTIRE 4-batch
+  // CDC feed inside one query — the right shape for an equivalence
+  // gate, but 4× the production cost, so the bench headline measured
+  // the harness, not the deployed maintainer. These variants measure
+  // the deployed shape: batches 1–3 are folded ONCE per (session,
+  // dataset) into a DURABLE key-clustered VersionedStateStore (the
+  // amortized layout, same cost model as the persisted ANN index and
+  // the bucketed edge tables), and each invocation then pays exactly
+  // one production maintenance step for batch 4 —
+  //   Δ-keyed bucket-pruned probes of the clustered state
+  //   + the Δ-sized version write (to a throwaway dir, so reps never
+  //     read a cached commit)
+  //   + the mart-grain fold of state ⊕ Δ.
+  // The result is the SAME final mart, so each gate reuses its replay
+  // twin's DuckDB oracle verbatim — the keyed probes, the clustered
+  // format codec, and the overlay algebra all sit under the hash.
+
+  import graft.streaming.{GoldMaintenanceStream, VersionedStateStore}
+
+  private def oracleOf(name: String): String = reg(name)._2.get
+
+  private val ivmStateMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), VersionedStateStore]()
+
+  /** TEST/BENCH hook: drop the amortized 3-batch state layouts (a
+    * fresh-JVM cold start; the dirs themselves are TmpReaper-scoped). */
+  private[graft] def resetIvmStateMemoForTest(): Unit = ivmStateMemo.clear()
+
+  /** Batches 1–3 folded into a durable store via the KEYED path —
+    * built once per (session, dataset, mart), then read-only. */
+  private def ivmState3(s: SparkSession, d: String, mart: String,
+      mkStore: String => VersionedStateStore,
+      initFrames: Map[String, DataFrame],
+      deltaFrames: (IncrementalGold.StateProbe, Int) => Map[String, DataFrame])
+      : VersionedStateStore =
+    ivmStateMemo.computeIfAbsent((s, d, mart), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ivm3_$mart").toString
+      graft.util.TmpReaper.track(dir)
+      val store = mkStore(dir)
+      store.save(1L, initFrames)
+      Seq(1, 2).foreach { i =>
+        store.saveDelta(i + 1L,
+          deltaFrames(GoldMaintenanceStream.probeAt(store, i.toLong), i))
+      }
+      store
+    })
+
+  /** One production maintenance step: write the batch's delta frames
+    * (the |Δ| version write, throwaway dir), read them back, and fold
+    * state ⊕ Δ for the MART-GRAIN tables only. */
+  private def oneBatchMart(s: SparkSession, store: VersionedStateStore,
+      deltas: Map[String, DataFrame], martTables: Seq[String],
+      specs: Map[String, VersionedStateStore.MergeSpec]): Map[String, DataFrame] = {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivm1").toString
+    graft.util.TmpReaper.track(out)
+    deltas.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$t") }
+    val m3 = store.loadTables(3L, martTables)
+    martTables.map { t =>
+      val spec = specs(t)
+      t -> IncrementalGold.merge(m3(t), s.read.parquet(s"$out/$t"),
+        spec.keys, spec.countCol)
+    }.toMap
+  }
+
+  register("q235_policy_perf_onebatch", oPolicyPerfIvmSql) { (s, d) =>
+    val (pols, cls, _) = sharedCdcDeltas(s, d)
+    def pc(i: Int) = (IncrementalGold.narrowPpPol(pols(i)),
+      IncrementalGold.narrowPpCl(cls(i)))
+    val store = ivmState3(s, d, "perf",
+      dir => GoldMaintenanceStream.perfStoreD(s, dir, 3),
+      { val (p, c) = pc(0)
+        val st = IncrementalGold.initPolicyPerf(p, c, materialize = false)
+        Map("polBase" -> st.polBase, "pt" -> st.pt, "cpm" -> st.cpm,
+          "cbt" -> st.cbt) },
+      (probe, i) => { val (p, c) = pc(i)
+        IncrementalGold.policyPerfDeltaFramesKeyed(probe, p, c) })
+    val (p4, c4) = pc(3)
+    val deltas = IncrementalGold.policyPerfDeltaFramesKeyed(
+      GoldMaintenanceStream.probeAt(store, 3L), p4, c4)
+    val m = oneBatchMart(s, store, deltas, Seq("polBase", "cbt"),
+      GoldMaintenanceStream.PerfSpecs)
+    IncrementalGold.policyPerfMartFrom(m("polBase"), m("cbt"))
+  }
+
+  register("q236_customer360_onebatch",
+    oracleOf("q223_incremental_customer_360")) { (s, d) =>
+    val (pols, cls, cus) = sharedCdcDeltas(s, d)
+    def tri(i: Int) = (IncrementalGold.narrowC360Cust(cus(i)),
+      IncrementalGold.narrowC360Pol(pols(i)),
+      IncrementalGold.narrowC360Cl(cls(i)))
+    val store = ivmState3(s, d, "c360",
+      dir => GoldMaintenanceStream.c360StoreD(s, dir, 3),
+      { val (cu, p, cl) = tri(0)
+        val st = IncrementalGold.initCustomer360(cu, p, cl,
+          materialize = false)
+        Map("custDim" -> st.custDim, "polMetrics" -> st.polMetrics,
+          "polDates" -> st.polDates, "pc" -> st.pc, "cpc" -> st.cpc,
+          "cm" -> st.cm) },
+      (probe, i) => { val (cu, p, cl) = tri(i)
+        IncrementalGold.customer360DeltaFramesKeyed(probe, cu, p, cl) })
+    val (cu4, p4, cl4) = tri(3)
+    val deltas = IncrementalGold.customer360DeltaFramesKeyed(
+      GoldMaintenanceStream.probeAt(store, 3L), cu4, p4, cl4)
+    val m = oneBatchMart(s, store, deltas,
+      Seq("custDim", "polMetrics", "polDates", "cm"),
+      GoldMaintenanceStream.C360Specs)
+    IncrementalGold.customer360MartFrom(m("custDim"), m("polMetrics"),
+      m("polDates"), m("cm"))
+  }
+
+  register("q237_claims_ops_onebatch",
+    oracleOf("q224_incremental_claims_ops")) { (s, d) =>
+    val (pols, cls, cus) = sharedCdcDeltas(s, d)
+    def tri(i: Int) = (IncrementalGold.narrowCoCust(cus(i)),
+      IncrementalGold.narrowCoPol(pols(i)),
+      IncrementalGold.narrowCoCl(cls(i)))
+    val store = ivmState3(s, d, "ops",
+      dir => GoldMaintenanceStream.opsStoreD(s, dir, 3),
+      { val (cu, p, cl) = tri(0)
+        val st = IncrementalGold.initClaimsOps(cu, p, cl,
+          materialize = false)
+        Map("cl" -> st.cl, "p" -> st.p, "c" -> st.c, "att" -> st.att,
+          "adj" -> st.adj) },
+      (probe, i) => { val (cu, p, cl) = tri(i)
+        IncrementalGold.claimsOpsDeltaFramesKeyed(probe, cu, p, cl) })
+    val (cu4, p4, cl4) = tri(3)
+    val deltas = IncrementalGold.claimsOpsDeltaFramesKeyed(
+      GoldMaintenanceStream.probeAt(store, 3L), cu4, p4, cl4)
+    val m = oneBatchMart(s, store, deltas, Seq("att", "adj"),
+      GoldMaintenanceStream.OpsSpecs)
+    IncrementalGold.claimsOpsMartFrom(m("att"), m("adj"))
+  }
+
+  register("q238_exec_summary_onebatch",
+    oracleOf("q218_incremental_gold")) { (s, d) =>
+    val (pols, cls, _) = sharedCdcDeltas(s, d)
+    def pc(i: Int) = (IncrementalGold.narrowPolDelta(pols(i)),
+      IncrementalGold.narrowClDelta(cls(i)))
+    val store = ivmState3(s, d, "exec",
+      dir => GoldMaintenanceStream.execStoreD(s, dir, 3),
+      { val (p, c) = pc(0)
+        val st = IncrementalGold.init(p, c, materialize = false)
+        Map("polMonths" -> st.polMonths, "polCusts" -> st.polCusts,
+          "clMonths" -> st.clMonths) },
+      (_, i) => { val (p, c) = pc(i)
+        // exec is aggregate-only IVM: its delta frames ARE the batch
+        // partials (no probes)
+        Map("polMonths" -> IncrementalGold.polMonthPartials(p),
+          "polCusts" -> IncrementalGold.polCustPartials(p),
+          "clMonths" -> IncrementalGold.clMonthPartials(c)) })
+    val (p4, c4) = pc(3)
+    val deltas = Map(
+      "polMonths" -> IncrementalGold.polMonthPartials(p4),
+      "polCusts" -> IncrementalGold.polCustPartials(p4),
+      "clMonths" -> IncrementalGold.clMonthPartials(c4))
+    val m = oneBatchMart(s, store, deltas,
+      Seq("polMonths", "polCusts", "clMonths"),
+      GoldMaintenanceStream.ExecSpecs)
+    IncrementalGold.mart(IncrementalGold.ExecState(
+      m("polMonths"), m("polCusts"), m("clMonths")))
+  }
+
 }

@@ -394,8 +394,8 @@ object GoldMaintenanceStream {
   final case class GoldCdc(entity: String, op: String, before: String,
       after: String)
 
-  private val ExecTables = Seq("polMonths", "polCusts", "clMonths")
-  private val PerfTables = Seq("polBase", "pt", "cpm", "cbt")
+  private[graft] val ExecTables = Seq("polMonths", "polCusts", "clMonths")
+  private[graft] val PerfTables = Seq("polBase", "pt", "cpm", "cbt")
 
   private def signedOf(df: DataFrame, entity: String,
       schema: StructType): DataFrame =
@@ -445,15 +445,15 @@ object GoldMaintenanceStream {
   // delta-capable stores (LSM mode needs the merge algebra at read
   // time); fact-adjacent probe tables are KEY-CLUSTERED on their
   // dominant probe key (r17 verdict task 1)
-  private def perfStoreD(spark: SparkSession, stateDir: String,
+  private[graft] def perfStoreD(spark: SparkSession, stateDir: String,
       retain: Int): VersionedStateStore =
     new VersionedStateStore(spark, stateDir, PerfTables, retain, PerfSpecs,
       clusterSpecs = PerfClusters)
-  private def c360StoreD(spark: SparkSession, stateDir: String,
+  private[graft] def c360StoreD(spark: SparkSession, stateDir: String,
       retain: Int): VersionedStateStore =
     new VersionedStateStore(spark, stateDir, C360Tables, retain, C360Specs,
       clusterSpecs = C360Clusters)
-  private def opsStoreD(spark: SparkSession, stateDir: String,
+  private[graft] def opsStoreD(spark: SparkSession, stateDir: String,
       retain: Int): VersionedStateStore =
     new VersionedStateStore(spark, stateDir, OpsTables, retain, OpsSpecs,
       clusterSpecs = OpsClusters)
@@ -509,6 +509,12 @@ object GoldMaintenanceStream {
       store.sliceKeyed(id, table, keys)
   }
 
+  /** Public keyed probe over one committed version — the production-
+    * shape one-batch gates drive the keyed fold path outside the
+    * streaming skeleton (r17 verdict task 2). */
+  def probeAt(store: VersionedStateStore,
+      id: Long): IncrementalGold.StateProbe = new StoreProbe(store, id)
+
   /** [[foldDelta]]'s Δ-KEYED twin (r17 verdict task 1) — the steady
     * state never folds or materializes a full fact-adjacent table:
     *   - delta frames read state only through [[StoreProbe]] slices
@@ -539,19 +545,19 @@ object GoldMaintenanceStream {
   }
 
   import VersionedStateStore.MergeSpec
-  private val PerfSpecs = Map(
+  private[graft] val PerfSpecs = Map(
     "polBase" -> MergeSpec(Seq("policy_type", "policy_month"), "n_pol"),
     "pt" -> MergeSpec(Seq("policy_id", "policy_type"), "n"),
     "cpm" -> MergeSpec(Seq("policy_id", "claim_month"), "n_claims"),
     "cbt" -> MergeSpec(Seq("policy_type", "claim_month"), "n_claims"))
-  private val C360Specs = Map(
+  private[graft] val C360Specs = Map(
     "custDim" -> MergeSpec(Seq("customer_id", "age", "state"), "n"),
     "polMetrics" -> MergeSpec(Seq("customer_id"), "n_pol"),
     "polDates" -> MergeSpec(Seq("customer_id", "start_date"), "n"),
     "pc" -> MergeSpec(Seq("policy_id", "customer_id"), "n"),
     "cpc" -> MergeSpec(Seq("policy_id"), "n_claims"),
     "cm" -> MergeSpec(Seq("customer_id"), "n_claims"))
-  private val OpsSpecs = Map(
+  private[graft] val OpsSpecs = Map(
     "cl" -> MergeSpec(Seq("policy_id", "claim_type", "severity", "status",
       "adjuster_id", "claim_month"), "n"),
     "p" -> MergeSpec(Seq("policy_id", "customer_id", "policy_type"), "n"),
@@ -560,6 +566,17 @@ object GoldMaintenanceStream {
       "adjuster_id", "claim_month", "policy_type", "customer_state",
       "customer_age"), "n"),
     "adj" -> MergeSpec(Seq("adjuster_id"), "n_handled"))
+
+  // exec-summary merge algebra (the keys/countCols applyDelta merges
+  // with) — used by the LSM/one-batch paths; the streaming exec fold
+  // itself stays full-copy (its state is bounded, r16 measurement)
+  private[graft] val ExecSpecs = Map(
+    "polMonths" -> MergeSpec(Seq("report_period"), "n_pol"),
+    "polCusts" -> MergeSpec(Seq("report_period", "customer_id"), "n"),
+    "clMonths" -> MergeSpec(Seq("report_period"), "n_claims"))
+  private[graft] def execStoreD(spark: SparkSession, stateDir: String,
+      retain: Int): VersionedStateStore =
+    new VersionedStateStore(spark, stateDir, ExecTables, retain, ExecSpecs)
 
   import VersionedStateStore.ClusterSpec
 
@@ -767,9 +784,9 @@ object GoldMaintenanceStream {
     IncrementalGold.policyPerfMartFrom(m("polBase"), m("cbt"))
   }
 
-  private val C360Tables =
+  private[graft] val C360Tables =
     Seq("custDim", "polMetrics", "polDates", "pc", "cpc", "cm")
-  private val OpsTables = Seq("cl", "p", "c", "att", "adj")
+  private[graft] val OpsTables = Seq("cl", "p", "c", "att", "adj")
 
   def loadC360State(spark: SparkSession, stateDir: String,
       id: Long): IncrementalGold.Customer360State = {

@@ -136,6 +136,9 @@ class PlanLintGateSpec extends SparkSpec {
     // q218 recomputes q45's derived tail (the same global monthly lag)
     // from maintained ≤|months| state — the corpus never sees a window
     "q218_incremental_gold",
+    // q238 is q218's production-shape one-batch variant: the same
+    // mart tail over the same ≤|months| maintained state
+    "q238_exec_summary_onebatch",
     "q86_date_spine", "q108_key_skew", "q119_mixture_manifest",
     "q123_sequence_funnel", "q126_weighted_systematic", "q131_session_paths",
     // contingency-table marginals: SUM() OVER () on the |types|×7 cells
