@@ -60,7 +60,6 @@ object IvmSoak {
     val stateRoot = java.nio.file.Files
       .createTempDirectory("ivm_soak_state").toString
     graft.util.TmpReaper.track(stateRoot)
-
     def foldOne(mart: String, batch: DataFrame, id: Long): Double = {
       val (_, w) = timed {
         mart match {
@@ -94,6 +93,87 @@ object IvmSoak {
       small.localCheckpoint(true)
     }
 
+    val mode = args.drop(1).headOption.getOrElse("serial")
+
+    // ---- mode "shared" / "concurrent" (r17 verdict task 5): ONE
+    // parse of the wire batch feeds all four maintainers; concurrent
+    // additionally folds the four marts on separate threads. Prints
+    // the TOTAL four-mart wall per batch (per-mart walls interleave
+    // under concurrency and stop being separable).
+    if (mode == "shared" || mode == "concurrent") {
+      (0 until 4).foreach { i =>
+        val batch = topic(i).localCheckpoint(true)
+        val nRecords = batch.count()
+        val (_, w) = timed {
+          GoldMaintenanceStream.foldAllMartsShared(batch, i.toLong, cuT,
+            polT, clT, stateRoot, concurrent = mode == "concurrent")
+        }
+        println(f"""{"metric":"ivm_all_marts_$mode","batch":$i,""" +
+          f""""records":$nRecords,"total_sec":$w%.2f}""")
+      }
+      val sb = smallBatch()
+      Seq(("compact", 4L), ("delta", 5L)).foreach { case (label, id) =>
+        val (_, w) = timed {
+          GoldMaintenanceStream.foldAllMartsShared(sb, id, cuT, polT, clT,
+            stateRoot, concurrent = mode == "concurrent")
+        }
+        println(f"""{"metric":"ivm_all_marts_${mode}_small_$label",""" +
+          f""""total_sec":$w%.2f}""")
+      }
+      spark.stop(); return
+    }
+
+    // ---- mode "clsoak" (r17 verdict task 7): 50-batch claims-churn
+    // soak of the TRILINEAR ops mart — each batch inserts a fresh
+    // 1/25th slice of claims under new ids and deletes the slice
+    // inserted 10 batches ago, so the LIVE claim population plateaus
+    // after batch 10 while cumulative CDC volume keeps growing. The
+    // artifact is the cl-state row trajectory: merge drops zero-count
+    // groups, so cl rows must track LIVE claims (plateau), never
+    // history (linear growth).
+    if (mode == "clsoak") {
+      val claimIns = pc(0)._2.filter(col("op") === "I")
+        .select(col("after")).localCheckpoint(true)
+      def slice(k: Int): DataFrame = claimIns
+        .filter(pmod(xxhash64(col("after.claim_id")), lit(25L)) === (k % 25))
+        .select(col("after").withField("claim_id",
+          concat(col("after.claim_id"), lit(s"_b$k"))).as("img"))
+      def wire(op: String, df: DataFrame): DataFrame = {
+        val (b, a) =
+          if (op == "I") (lit(null).cast("string"), to_json(col("img")))
+          else (to_json(col("img")), lit(null).cast("string"))
+        df.select(lit("claim").as("entity"), lit(op).as("op"),
+          b.as("before"), a.as("after"))
+      }
+      var live = 0L
+      val opsDir = s"$stateRoot/ops"
+      // bootstrap with the full batch-0 topic so the trilinear probes
+      // hit real policy/customer dimensions throughout the soak
+      GoldMaintenanceStream.foldOpsBatch(topic(0).localCheckpoint(true),
+        0L, cuT, polT, clT, opsDir)
+      (1 to 50).foreach { k =>
+        val ins = wire("I", slice(k))
+        val batch = (if (k > 10) ins.unionByName(
+            wire("D", slice(k - 10))) else ins)
+          .localCheckpoint(true)
+        val nIns = slice(k).count()
+        val nDel = if (k > 10) slice(k - 10).count() else 0L
+        live += nIns - nDel
+        val (_, w) = timed {
+          GoldMaintenanceStream.foldOpsBatch(batch, k.toLong, cuT, polT,
+            clT, opsDir)
+        }
+        val clRows = new graft.streaming.VersionedStateStore(spark, opsDir,
+          Seq("cl", "p", "c", "att", "adj"),
+          mergeSpecs = GoldMaintenanceStream.OpsSpecs)
+          .load(k.toLong)("cl").count()
+        println(f"""{"metric":"cl_traj","batch":$k,"live_claims":$live,""" +
+          f""""cl_rows":$clRows,"fold_sec":$w%.2f}""")
+      }
+      spark.stop(); return
+    }
+
+
     (0 until 4).foreach { i =>
       // materialize the topic batch once so the fold measures the
       // MAINTENANCE cost, not the CDC construction (the feed is the
@@ -103,7 +183,13 @@ object IvmSoak {
       val walls = Seq("exec", "perf", "c360", "ops")
         .map(m => m -> foldOne(m, batch, i.toLong)).toMap
       def rows(mart: String, tables: Seq[String]): Long = tables.map { t =>
-        spark.read.parquet(s"$stateRoot/$mart/$i/$t").count()
+        val dir = s"$stateRoot/$mart/$i/$t"
+        // clustered bases (r18) keep their parquet payload under data/
+        val payload =
+          if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, "_manifest.jsonl"))) s"$dir/data"
+          else dir
+        spark.read.parquet(payload).count()
       }.sum
       val exec = rows("exec", Seq("polMonths", "polCusts", "clMonths"))
       val perf = rows("perf", Seq("polBase", "pt", "cpm", "cbt"))

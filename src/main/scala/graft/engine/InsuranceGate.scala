@@ -1124,15 +1124,15 @@ object InsuranceGate extends QueryModule {
   // one level up the shared-subtree. Values are unchanged: both paths
   // compute the identical frames, only the number of times Spark
   // computes them drops.
-  private val PolDeltaCols = Seq("policy_id", "customer_id",
+  private[graft] val PolDeltaCols = Seq("policy_id", "customer_id",
     "policy_type", "start_date", "premium_amount", "coverage_amount",
     "status", "missing_customer_id_flag", "invalid_premium_amount_flag",
     "invalid_coverage_amount_flag", "invalid_date_range_flag", "__sign")
-  private val ClDeltaCols = Seq("claim_id", "policy_id", "claim_type",
+  private[graft] val ClDeltaCols = Seq("claim_id", "policy_id", "claim_type",
     "severity", "status", "adjuster_id", "claim_date", "claim_amount",
     "settled_amount", "fraud_indicator", "missing_policy_flag",
     "settlement_ratio", "reporting_delay_days", "__sign")
-  private val CustDeltaCols = Seq("customer_id", "age", "state",
+  private[graft] val CustDeltaCols = Seq("customer_id", "age", "state",
     "invalid_email_flag", "__sign")
 
   private val cdcDeltaMemo = new java.util.concurrent.ConcurrentHashMap[

@@ -145,6 +145,70 @@ object ChunkingOps extends QueryModule {
           .as("chunk_text"))
   }
 
+
+  // ==================== training corpus over the CLEANED corpus (q240)
+  // The exact-substring REMOVAL pass (q239) feeding the corpus-assembly
+  // capstone (r17 verdict task 3): cleaned text → quality filter →
+  // exact-fingerprint dedup → overlapping chunk emission — q92's
+  // assembly tail, with the input corpus exact-substring-deduped
+  // instead of raw. The oracle replays the ENTIRE chain (span census →
+  // witness ranking → interval union → segment rebuild → tokenize →
+  // chunk), so a single character lost or duplicated by the removal
+  // writer shifts a chunk boundary and breaks the hash.
+  register("q240_cleaned_training_corpus", {
+    s"""WITH ${DedupOps.oCleanedCtes},
+       |corpus AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(c.cleaned_text,
+       |      CASE WHEN r.doc_id IS NULL THEN d.text ELSE '' END) AS text
+       |  FROM d
+       |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id
+       |  LEFT JOIN rmc r ON d.doc_id = r.doc_id),
+       |qual AS (
+       |  SELECT doc_id, text, $oTokens AS t FROM corpus
+       |  WHERE len($oTokens) BETWEEN 20 AND 10000
+       |    AND CAST(len(list_distinct($oTokens)) AS DOUBLE) / len($oTokens) > 0.1),
+       |dedup AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, t,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |        ORDER BY doc_id ASC) AS rn
+       |    FROM qual) WHERE rn = 1),
+       |chunks AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CAST(s.s AS INTEGER) AS chunk_start,
+       |    array_to_string(t[s.s : s.s + ${ChunkSize - 1}], ' ') AS chunk_text,
+       |    CAST(least(len(t) - s.s + 1, $ChunkSize) AS INTEGER) AS chunk_len
+       |  FROM dedup, LATERAL (
+       |    SELECT unnest(range(1, greatest(len(t) - 1, 1) + 1, $ChunkStride)) AS s) s)
+       |SELECT doc_id, n_tokens, chunk_start, chunk_len, chunk_text
+       |FROM chunks""".stripMargin
+  }) { (s, d) =>
+    val corpus = DedupOps.cleanedCorpus(s, d)
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    val t = tokens(col("text"))
+    val qual = corpus
+      .filter(size(t).between(20, 10000) &&
+        size(array_distinct(t)).cast(DoubleType) / size(t) > 0.1)
+      .select(col("doc_id"), col("text"), t.as("t"))
+    val wFp = Window
+      .partitionBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .orderBy(col("doc_id").asc)
+    val dedup = qual.withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1).select(col("doc_id"), col("t"))
+    dedup
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - 1, lit(1)),
+          lit(ChunkStride))).as("chunk_start"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk_start").cast(IntegerType).as("chunk_start"),
+        least(col("n_tokens") - col("chunk_start") + 1, lit(ChunkSize))
+          .cast(IntegerType).as("chunk_len"),
+        concat_ws(" ", slice(col("t"), col("chunk_start"), lit(ChunkSize)))
+          .as("chunk_text"))
+  }
+
   // ============================================================ packing
   // shard-wise concat-and-chunk: token offsets from a per-shard running
   // sum (ordered by doc_id — stable), sequence id = floor(offset/CtxLen).

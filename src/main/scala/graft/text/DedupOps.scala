@@ -507,6 +507,162 @@ object DedupOps extends QueryModule {
           .cast(LongType).as("dup_chars_removed"))
   }
 
+
+  // ======================= exact substring dedup: the REMOVAL WRITER
+  // q226/q233 measure duplicated-span coverage; this operator EMITS the
+  // cleaned corpus (r17 verdict task 3) — the pass public training-data
+  // pipelines feed into corpus assembly. Policy: KEEP-FIRST-WITNESS —
+  // for each distinct duplicated span text, the corpus-first occurrence
+  // (min (doc_id, pos)) keeps its characters; every other occurrence is
+  // excised. Per document the excised region is the interval UNION of
+  // its non-witness duplicated windows (gaps-and-islands over a running
+  // max — overlapping windows merge), and the cleaned text is the
+  // ordered concatenation of the kept segments. A fully-duplicated
+  // document comes out as the empty string, never dropped.
+  //
+  // Scale shape: identical to q226 up to the verified duplicate
+  // positions (8-byte hash census + candidate-only text verify — the
+  // only fact-sized shuffles). Everything after is proportional to the
+  // DUPLICATED positions: the witness rank windows over span text, the
+  // island merge windows over (doc, pos), and the final per-doc rebuild
+  // joins each kept segment back to its document row. The cleaned text
+  // itself shuffles once, keyed by doc_id, segment-sized.
+  /** q239's oracle CTE chain (through `rmc`) — shared with the
+    * cleaned-corpus training capstone (q240). */
+  private[graft] val oCleanedCtes: String =
+    s"""d AS (SELECT doc_id, text FROM documents),
+       |spans AS (
+       |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+       |    substr(text, CAST(s.i AS INTEGER), $SpanL) AS sp
+       |  FROM d, LATERAL (SELECT unnest(range(1,
+       |    greatest(length(text) - ${SpanL - 1}, 0) + 1)) AS i) s),
+       |dup AS (SELECT sp FROM spans GROUP BY sp
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    ROW_NUMBER() OVER (PARTITION BY sp ORDER BY doc_id, pos) AS rk
+       |  FROM spans JOIN dup USING (sp)),
+       |rm AS (SELECT doc_id, pos FROM ranked WHERE rk > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN max_end IS NULL OR pos > max_end THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM (SELECT doc_id, pos,
+       |      MAX(pos + $SpanL) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+       |    FROM rm) t),
+       |iv AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + $SpanL AS e
+       |       FROM isl GROUP BY doc_id, isl),
+       |heads AS (
+       |  SELECT doc_id,
+       |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s),
+       |      CAST(1 AS BIGINT)) AS ss,
+       |    s AS se
+       |  FROM iv),
+       |tails AS (
+       |  SELECT v.doc_id, MAX(v.e) AS ss,
+       |    CAST(length(d.text) + 1 AS BIGINT) AS se
+       |  FROM iv v JOIN d ON v.doc_id = d.doc_id
+       |  GROUP BY v.doc_id, length(d.text)),
+       |kept AS (SELECT * FROM heads UNION ALL SELECT * FROM tails),
+       |cleaned AS (
+       |  SELECT k.doc_id,
+       |    string_agg(substr(d.text, CAST(k.ss AS INTEGER),
+       |      CAST(k.se - k.ss AS INTEGER)), '' ORDER BY k.ss)
+       |      AS cleaned_text
+       |  FROM kept k JOIN d ON k.doc_id = d.doc_id
+       |  WHERE k.se > k.ss GROUP BY k.doc_id),
+       |rmc AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS removed_chars
+       |        FROM iv GROUP BY doc_id)""".stripMargin
+
+  register("q239_substring_dedup_removal",
+    s"""WITH $oCleanedCtes
+       |SELECT d.doc_id,
+       |  COALESCE(r.removed_chars, 0) AS removed_chars,
+       |  CAST(length(COALESCE(c.cleaned_text,
+       |    CASE WHEN r.doc_id IS NULL THEN d.text ELSE '' END)) AS BIGINT)
+       |    AS cleaned_len,
+       |  COALESCE(c.cleaned_text,
+       |    CASE WHEN r.doc_id IS NULL THEN d.text ELSE '' END)
+       |    AS cleaned_text
+       |FROM d
+       |LEFT JOIN cleaned c ON d.doc_id = c.doc_id
+       |LEFT JOIN rmc r ON d.doc_id = r.doc_id""".stripMargin) { (s, d) =>
+    cleanedCorpus(s, d)
+      .select(col("doc_id"), col("removed_chars"),
+        length(col("cleaned_text")).cast(LongType).as("cleaned_len"),
+        col("cleaned_text"))
+  }
+
+  /** The cleaned corpus (doc_id, removed_chars, cleaned_text) — q239's
+    * body, shared so the training-corpus capstone can assemble from
+    * exact-substring-deduped text (q240). */
+  private[graft] def cleanedCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val spans = docs
+      .select(col("doc_id"), posexplode(
+        graft.catalyst.GraftFunctions.rollingSpanHashes(col("text"), SpanL)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("h"))
+    val cand = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val withTxt = spans.join(cand, "h")
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos").cast(IntegerType), lit(SpanL))
+          .as("sp"))
+    val verified = withTxt.groupBy("sp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("sp")
+    // keep-first-witness: the corpus-first occurrence of each span text
+    // survives; every later occurrence is an excision window
+    val wsp = Window.partitionBy("sp").orderBy(col("doc_id"), col("pos"))
+    val rm = withTxt.join(verified, "sp")
+      .withColumn("rk", row_number().over(wsp))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    // interval union per doc (gaps-and-islands over the running max)
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val wRun = wd.rowsBetween(Window.unboundedPreceding, -1)
+    val iv = rm
+      .withColumn("max_end", max(col("pos") + SpanL).over(wRun))
+      .withColumn("new_isl",
+        when(col("max_end").isNull || col("pos") > col("max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wd))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("s"), (max(col("pos")) + SpanL).as("e"))
+    // kept segments = complement intervals; rebuild in segment order
+    val wiv = Window.partitionBy("doc_id").orderBy("s")
+    val heads = iv
+      .withColumn("ss", coalesce(lag(col("e"), 1).over(wiv), lit(1L)))
+      .select(col("doc_id"), col("ss"), col("s").as("se"))
+    val tails = iv.groupBy("doc_id").agg(max("e").as("ss"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("ss"),
+        (length(col("text")) + 1).cast(LongType).as("se"))
+    val cleaned = heads.unionByName(tails)
+      .filter(col("se") > col("ss"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("ss"),
+        col("text").substr(col("ss").cast(IntegerType),
+          (col("se") - col("ss")).cast(IntegerType)).as("seg"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ss"), col("seg")))),
+          x => x.getField("seg")), "").as("cleaned_text"))
+    val rmChars = iv.groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).cast(LongType).as("removed_chars"))
+    docs.join(cleaned, Seq("doc_id"), "left")
+      .join(rmChars, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        coalesce(col("cleaned_text"),
+          when(col("removed_chars").isNull, col("text")).otherwise(lit("")))
+          .as("cleaned_text"))
+  }
+
   // ================================================= set-similarity join
   // EXACT all-pairs Jaccard threshold join via prefix filtering (the
   // ppjoin family) — the exact counterpart of the approximate LSH path:

@@ -269,6 +269,128 @@ class GoldStreamSpec extends SparkSpec {
     }
   }
 
+
+  test("at-least-once 3-entity topic maintains ALL FOUR marts through " +
+      "the shared ingest ledger (r17 verdict task 4): duplicates + " +
+      "cross-batch redelivery + scrambled order, across a checkpointed " +
+      "restart, equals the four batch gates") {
+    import spark.implicits._
+    val pc = graft.engine.InsuranceGate.cdcBatches(spark, sf)
+    val cu = graft.engine.InsuranceGate.cdcCustomerBatches(spark, sf)
+    val polT = pc.head._1.schema("before").dataType.asInstanceOf[StructType]
+    val clT = pc.head._2.schema("before").dataType.asInstanceOf[StructType]
+    val cuT = cu.head.schema("before").dataType.asInstanceOf[StructType]
+    val inDir = java.nio.file.Files.createTempDirectory("aloall_in").toString
+    val stateRoot =
+      java.nio.file.Files.createTempDirectory("aloall_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("aloall_ckpt").toString
+    @volatile var marts: Map[String, Array[org.apache.spark.sql.Row]] =
+      Map.empty
+
+    // seq = 2×batch + (0 for I, 1 for U/D): the CUSTOMER fixture's
+    // batch 2 gives uk%10==6 keys BOTH an I and a U (uk≡6 mod 10 ⇒
+    // uk≡1 mod 5), so a per-batch-constant seq would collide them in
+    // CdcIngest.keyed's (key, seq) redelivery dedupe; the op offset
+    // restores a valid per-record sequence (I precedes the U that
+    // mutates it) while staying monotone per key across batches.
+    // DAMAGE: batch i > 0 redelivers ALL of batch i-1 under its old
+    // seqs, 1/3 of its own records duplicate, and the batch file is
+    // written in random order
+    def topicSeq(i: Int): DataFrame = {
+      def stamped(df: DataFrame, entity: String, base: Int): DataFrame =
+        df.select(lit(entity).as("entity"), col("op"),
+          to_json(col("before")).as("before"),
+          to_json(col("after")).as("after"),
+          (lit(base.toLong * 2) + when(col("op") === "I", 0L)
+            .otherwise(1L)).as("seq"))
+      def whole(j: Int): DataFrame =
+        stamped(pc(j)._1, "policy", j)
+          .unionByName(stamped(pc(j)._2, "claim", j))
+          .unionByName(stamped(cu(j), "customer", j))
+      val own = whole(i)
+      val dups = own.filter(pmod(abs(hash(col("before"), col("after"))),
+        lit(3)) === 0)
+      val redelivered = if (i == 0) own.limit(0) else whole(i - 1)
+      own.unionByName(dups).unionByName(redelivered).orderBy(rand(17 + i))
+    }
+
+    def start() = GoldMaintenanceStream.startAllMartsAtLeastOnce(
+      spark.readStream
+        .schema("entity STRING, op STRING, before STRING, after STRING, seq BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$inDir/*").as[GoldMaintenanceStream.GoldCdcSeq],
+      cuT, polT, clT, stateRoot, ckpt,
+      (_, ms) => marts = ms.map { case (n, m) => n -> m.collect() })
+
+    def feed(name: String, i: Int): Unit =
+      topicSeq(i).coalesce(1).write.mode("append").json(s"$inDir/$name")
+
+    val q1 = start()
+    try {
+      feed("b1", 0); q1.processAllAvailable()
+      feed("b2", 1); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      feed("b3", 2); q2.processAllAvailable()
+      feed("b4", 3); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val gates = Map(
+      "exec" -> "q218_incremental_gold",
+      "perf" -> "q221_incremental_policy_perf",
+      "c360" -> "q223_incremental_customer_360",
+      "ops" -> "q224_incremental_claims_ops")
+    gates.foreach { case (name, gate) =>
+      val expected = graft.SparkEntry.queries(gate)(spark, sf).collect()
+      val got = marts(name)
+      assert(got.length === expected.length, s"$name row count")
+      assert(got.map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
+        s"at-least-once streamed $name mart diverged from the $gate gate")
+    }
+    // non-vacuity: the ingest ledger committed alongside the marts
+    val ledgerVs = new VersionedStateStore(spark, s"$stateRoot/ingest",
+      Seq("ledgerPolicy", "ledgerClaim", "ledgerCustomer"))
+      .committedVersions
+    assert(ledgerVs.nonEmpty, "ingest ledger never committed")
+  }
+
+
+  test("foldAllMartsShared (one parse, CONCURRENT folds) equals the " +
+      "four batch gates — per-mart commits are thread-independent") {
+    import spark.implicits._
+    val pc = graft.engine.InsuranceGate.cdcBatches(spark, sf)
+    val cu = graft.engine.InsuranceGate.cdcCustomerBatches(spark, sf)
+    val polT = pc.head._1.schema("before").dataType.asInstanceOf[StructType]
+    val clT = pc.head._2.schema("before").dataType.asInstanceOf[StructType]
+    val cuT = cu.head.schema("before").dataType.asInstanceOf[StructType]
+    val stateRoot =
+      java.nio.file.Files.createTempDirectory("shared_state").toString
+    def topic(i: Int): DataFrame =
+      cdcJson(pc(i)._1, pc(i)._2).unionByName(
+        cu(i).select(lit("customer").as("entity"), col("op"),
+          to_json(col("before")).as("before"),
+          to_json(col("after")).as("after")))
+    var marts: Map[String, DataFrame] = Map.empty
+    (0 until 4).foreach { i =>
+      marts = GoldMaintenanceStream.foldAllMartsShared(
+        topic(i).localCheckpoint(true), i.toLong, cuT, polT, clT,
+        stateRoot, concurrent = true)
+    }
+    val gates = Map(
+      "exec" -> "q218_incremental_gold",
+      "perf" -> "q221_incremental_policy_perf",
+      "c360" -> "q223_incremental_customer_360",
+      "ops" -> "q224_incremental_claims_ops")
+    gates.foreach { case (name, gate) =>
+      val expected = graft.SparkEntry.queries(gate)(spark, sf).collect()
+      val got = marts(name).collect()
+      assert(got.length === expected.length, s"$name row count")
+      assert(got.map(_.toSeq).toSet === expected.map(_.toSeq).toSet,
+        s"shared-parse concurrent $name mart diverged from $gate")
+    }
+  }
+
   test("version retention keeps the newest K committed versions and " +
       "restart still resumes") {
     val batches = graft.engine.InsuranceGate.cdcBatches(spark, sf)
