@@ -12,7 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * refresh. A final line measures the four marts' FULL-REFRESH wall on
   * the same dataset for the ratio.
   *
-  * Usage: runMain graft.IvmSoak [sfDir] (default /tmp/soak)
+  * Usage: runMain graft.IvmSoak [sfDir] [mode] — mode ∈
+  *   serial (default) | shared | concurrent (r17 verdict task 5:
+  *   one parse of the wire batch, optionally folding the four marts on
+  *   concurrent threads) | clsoak (task 7: 50-batch claims churn, the
+  *   cl-state row trajectory vs live claims).
   */
 object IvmSoak {
   def main(args: Array[String]): Unit = {
@@ -134,10 +138,20 @@ object IvmSoak {
     if (mode == "clsoak") {
       val claimIns = pc(0)._2.filter(col("op") === "I")
         .select(col("after")).localCheckpoint(true)
+      // each batch's clones carry a batch-unique claim MONTH (+k months
+      // past a 20-year horizon), so every batch mints NEW (policy ×
+      // claim-attr × month) GROUPS — and deleting the 10-batch-old
+      // slice must retire those groups via the zero-count drop. A
+      // suffix-only clone would land in existing groups and the row
+      // trajectory would be trivially flat.
       def slice(k: Int): DataFrame = claimIns
         .filter(pmod(xxhash64(col("after.claim_id")), lit(25L)) === (k % 25))
-        .select(col("after").withField("claim_id",
-          concat(col("after.claim_id"), lit(s"_b$k"))).as("img"))
+        .select(col("after")
+          .withField("claim_id",
+            concat(col("after.claim_id"), lit(s"_b$k")))
+          .withField("claim_date",
+            add_months(col("after.claim_date"), 240 + k))
+          .as("img"))
       def wire(op: String, df: DataFrame): DataFrame = {
         val (b, a) =
           if (op == "I") (lit(null).cast("string"), to_json(col("img")))
