@@ -49,7 +49,12 @@ object StringScanAb {
         (col("o_custkey") % 32).cast("long").as("bucket"),
         concat(col("o_orderstatus"), lit("|"), col("o_orderpriority"))
           .as("payload"),
-        col("o_comment").as("hi_card"))
+        // high-cardinality string (dictionary OFF): synthesize a
+        // comment-sized unique text from the key — the testdata orders
+        // table carries no comment column
+        concat(lit("order-"), col("o_orderkey"), lit("-"),
+          md5(col("o_orderkey").cast("string")), lit("-"),
+          col("o_orderdate").cast("string")).as("hi_card"))
       .localCheckpoint(true)
     val n = content.count()
 

@@ -395,11 +395,66 @@ object ClusteredSinkFormat {
     private val batch =
       new ColumnarBatch(vectors.map(v => v: ColumnVector))
 
-    // ColumnReadStoreImpl only consults the converter for dictionary
-    // support (none here — values are pulled through typed accessors)
+    /** STRING columns decode DICTIONARY-AWARE (r17 verdict task 6,
+      * measured: a dictionary-friendly string column scanned alone
+      * trailed native parquet ~1.7× under the eager value decode —
+      * StringScanAb): the converter declares dictionary support, so
+      * parquet-mr's per-page binding hands us raw dictionary IDS on
+      * dictionary-encoded pages (addValueFromDictionary) and
+      * materialized values only on plain pages (addBinary). The batch
+      * loop puts the 4-byte id into the vector's dictionary-id lane
+      * and installs the decoded dictionary ONCE per chunk — no
+      * per-value byte copy into the vector. A mid-chunk fallback page
+      * (dictionary overflow on high-cardinality columns) flips the
+      * batch to direct storage, re-materializing the rows already
+      * id-encoded — the same strategy Spark's own vectorized parquet
+      * reader uses. Numeric columns keep the typed accessors (their
+      * dictionary decode has no byte-copy to save). */
+    private final class StringDictConverter extends PrimitiveConverter {
+      var dictBytes: Array[Array[Byte]] = _
+      var lastWasDict = false
+      var lastId = 0
+      var lastBytes: Array[Byte] = _
+      override def hasDictionarySupport: Boolean = true
+      override def setDictionary(
+          d: org.apache.parquet.column.Dictionary): Unit = {
+        dictBytes = Array.tabulate(d.getMaxId + 1)(
+          i => d.decodeToBinary(i).getBytes)
+      }
+      override def addValueFromDictionary(id: Int): Unit = {
+        lastWasDict = true; lastId = id
+      }
+      override def addBinary(b: org.apache.parquet.io.api.Binary): Unit = {
+        lastWasDict = false; lastBytes = b.getBytes
+      }
+      /** The Spark-side dictionary view over the SAME decoded pool. */
+      def sparkDictionary: org.apache.spark.sql.execution.vectorized.Dictionary =
+        new org.apache.spark.sql.execution.vectorized.Dictionary {
+          override def decodeToInt(id: Int): Int =
+            throw new UnsupportedOperationException
+          override def decodeToLong(id: Int): Long =
+            throw new UnsupportedOperationException
+          override def decodeToFloat(id: Int): Float =
+            throw new UnsupportedOperationException
+          override def decodeToDouble(id: Int): Double =
+            throw new UnsupportedOperationException
+          override def decodeToBinary(id: Int): Array[Byte] = dictBytes(id)
+        }
+    }
+
+    // one converter per requested column: string columns get the
+    // dictionary-aware converter, everything else a plain one (typed
+    // accessors pull those values; the converter only matters for the
+    // dictionary-support probe at reader construction)
+    private lazy val colConverters: Array[PrimitiveConverter] =
+      descs.indices.map { c =>
+        required.fields(outIdx(c)).dataType match {
+          case StringType => new StringDictConverter
+          case _ => new PrimitiveConverter {}
+        }
+      }.toArray
     private val dummyRoot: GroupConverter = new GroupConverter {
-      override def getConverter(i: Int): Converter =
-        new PrimitiveConverter {}
+      override def getConverter(i: Int): Converter = colConverters(i)
       override def start(): Unit = ()
       override def end(): Unit = ()
     }
@@ -464,11 +519,42 @@ object ClusteredSinkFormat {
               r.consume(); i += 1
             }
           case StringType =>
+            val conv = colConverters(c).asInstanceOf[StringDictConverter]
+            // fresh batch: no dictionary until the first dict-id value
+            vec.setDictionary(null)
+            var ids: OnHeapColumnVector = null
+            var direct = false
             var i = 0
             while (i < n) {
               if (r.getCurrentDefinitionLevel == maxDef) {
-                val bytes = r.getBinary.getBytes
-                vec.putByteArray(i, bytes, 0, bytes.length)
+                r.writeCurrentValueToConverter()
+                if (conv.lastWasDict && !direct) {
+                  if (ids == null) {
+                    ids = vec.reserveDictionaryIds(n)
+                      .asInstanceOf[OnHeapColumnVector]
+                    vec.setDictionary(conv.sparkDictionary)
+                  }
+                  ids.putInt(i, conv.lastId)
+                } else {
+                  if (!direct && ids != null) {
+                    // mid-chunk dictionary fallback: re-materialize the
+                    // rows already id-encoded, then continue direct
+                    vec.setDictionary(null)
+                    var j = 0
+                    while (j < i) {
+                      if (!vec.isNullAt(j)) {
+                        val b = conv.dictBytes(ids.getInt(j))
+                        vec.putByteArray(j, b, 0, b.length)
+                      }
+                      j += 1
+                    }
+                  }
+                  direct = true
+                  val bytes =
+                    if (conv.lastWasDict) conv.dictBytes(conv.lastId)
+                    else conv.lastBytes
+                  vec.putByteArray(i, bytes, 0, bytes.length)
+                }
               } else vec.putNull(i)
               r.consume(); i += 1
             }
