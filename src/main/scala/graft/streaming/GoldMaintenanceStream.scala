@@ -157,7 +157,12 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
     require(keyCols.forall(spec.keys.contains),
       s"graft state: sliceKeyed($t) keys $keyCols must be merge keys " +
         s"${spec.keys} (the restriction must commute with the fold)")
-    val k = keys.na.drop().dropDuplicates().localCheckpoint(true)
+    // NO eager checkpoint here: probe key frames derive from the
+    // producers' already-checkpointed delta partials, so the 2-3 reads
+    // below (bucket collect + per-version semi-joins) recompute a cheap
+    // in-memory projection — a checkpoint would add a job per probe
+    // (6 probes/batch in the trilinear fold) for nothing.
+    val k = keys.na.drop().dropDuplicates()
     val (base, deltaIds) = chainFor(id)
     val baseSlice = readPruned(base, t, keyCols, k)
       .join(k, keyCols, "left_semi")
