@@ -593,9 +593,14 @@ object GoldMaintenanceStream {
   /** Bucket count of the key-clustered state tables. A LAYOUT constant
     * (like a shuffle partition count): probe bucket-set syncs are
     * bounded by it, and at deployment it scales with state size so a
-    * bucket stays file-sized. `-Dgraft.state.buckets` overrides. */
+    * bucket stays file-sized (`-Dgraft.state.buckets`). The default is
+    * sized for the gate/soak scales — 256 was measured FILE-COUNT
+    * bound there (q228's two base writes × 4 tables × 256 files put
+    * ~17 s of open/commit overhead on the gate; 64 keeps file-per-
+    * bucket pruning demonstrable while the file count tracks the
+    * actual state size). */
   private def stateBuckets: Int =
-    Integer.getInteger("graft.state.buckets", 256)
+    Integer.getInteger("graft.state.buckets", 64)
 
   // Fact-adjacent probe tables, clustered on their DOMINANT probe key.
   // Mart-grain tables (polBase/cbt/att/adj, the customer-grain c360
