@@ -41,6 +41,11 @@ object Explain {
       })
 
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // the deliverable format: the pre-execution formatted plan (scan
+    // details, PushedFilters/ReadSchema, exchange placement)
+    println(s"[explain] === explain(formatted) ===")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9

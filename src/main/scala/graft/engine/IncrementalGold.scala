@@ -805,8 +805,11 @@ object IncrementalGold {
     * claim delta's policies. */
   def policyPerfDeltaFramesKeyed(probe: StateProbe, polDelta: DataFrame,
       clDelta: DataFrame): Map[String, DataFrame] = {
-    val dPt = ptPartials(polDelta).localCheckpoint(true)
-    val dCpm = cpmPartials(clDelta).localCheckpoint(true)
+    // the two Δ-partial checkpoints are independent small jobs —
+    // overlap them (guide §2.6)
+    val Seq(dPt, dCpm) = graft.streaming.VersionedStateStore.inParallel(Seq(
+      () => ptPartials(polDelta).localCheckpoint(true),
+      () => cpmPartials(clDelta).localCheckpoint(true)))
     val cpmSlice = probe.slice("cpm", dPt.select("policy_id"))
     val reattr = attributed(dPt.select(col("policy_id"),
       col("policy_type"), col("n")), cpmSlice)
@@ -822,8 +825,10 @@ object IncrementalGold {
     * policy-keyed join state). */
   def customer360DeltaFramesKeyed(probe: StateProbe, custDelta: DataFrame,
       polDelta: DataFrame, clDelta: DataFrame): Map[String, DataFrame] = {
-    val dPc = c360PcPartials(polDelta).localCheckpoint(true)
-    val dCpc = c360CpcPartials(clDelta).localCheckpoint(true)
+    // independent Δ-partial checkpoints — overlap them (guide §2.6)
+    val Seq(dPc, dCpc) = graft.streaming.VersionedStateStore.inParallel(Seq(
+      () => c360PcPartials(polDelta).localCheckpoint(true),
+      () => c360CpcPartials(clDelta).localCheckpoint(true)))
     val reattr = attributedCust(dPc,
       probe.slice("cpc", dPc.select("policy_id")))
     val kCl = dCpc.select("policy_id")
@@ -843,12 +848,29 @@ object IncrementalGold {
     * the fact-partial state by the term's own Δ-derived policy ids. */
   def claimsOpsDeltaFramesKeyed(probe: StateProbe, custDelta: DataFrame,
       polDelta: DataFrame, clDelta: DataFrame): Map[String, DataFrame] = {
-    val dCl = coClPartials(clDelta).localCheckpoint(true)
-    val dP = coPPartials(polDelta).localCheckpoint(true)
-    val dC = coCPartials(custDelta).localCheckpoint(true)
-    // ΔCL ⊗ P₀ ⊗ C₀
-    val pSlice1 = probe.slice("p", dCl.select("policy_id"))
-      .localCheckpoint(true)
+    // the three Δ-partial checkpoints are independent small jobs, and
+    // so are the three term-dimension checkpoints below them — overlap
+    // each group (guide §2.6; serial they left local[N] mostly idle)
+    val Seq(dCl, dP, dC) = graft.streaming.VersionedStateStore.inParallel(Seq(
+      () => coClPartials(clDelta).localCheckpoint(true),
+      () => coPPartials(polDelta).localCheckpoint(true),
+      () => coCPartials(custDelta).localCheckpoint(true)))
+    def clNewSlice(keys: DataFrame): DataFrame =
+      merge(probe.slice("cl", keys), sliceOf(dCl, keys), CoClKeys, "n")
+    val Seq(pSlice1, dims2, dims3) =
+      graft.streaming.VersionedStateStore.inParallel(Seq(
+        // ΔCL ⊗ P₀ ⊗ C₀
+        () => probe.slice("p", dCl.select("policy_id"))
+          .localCheckpoint(true),
+        // CL₁ ⊗ ΔP ⊗ C₀ — CL₁ sliced to the term's policies
+        () => coDimDims(dP, probe.slice("c", dP.select("customer_id")),
+          byCustomer = false).localCheckpoint(true),
+        // CL₁ ⊗ P₁ ⊗ ΔC — P₁ sliced to the customer delta's customers
+        () => { val kC = dC.select("customer_id")
+          val pNewSlice = merge(probe.slice("p", kC), sliceOf(dP, kC),
+            Seq("policy_id", "customer_id", "policy_type"), "n")
+          coDimDims(dC, pNewSlice, byCustomer = true)
+            .localCheckpoint(true) }))
     val cSlice1 = probe.slice("c", pSlice1.select("customer_id"))
     val t1 = coScale(dCl, pSlice1.alias("p").join(cSlice1.alias("c"),
         col("p.customer_id") === col("c.customer_id"))
@@ -856,18 +878,7 @@ object IncrementalGold {
         col("c.state").as("customer_state"),
         col("c.age").as("customer_age"),
         (col("p.n") * col("c.n")).as("dn")))
-    // CL₁ ⊗ ΔP ⊗ C₀ — CL₁ sliced to the term's policies
-    def clNewSlice(keys: DataFrame): DataFrame =
-      merge(probe.slice("cl", keys), sliceOf(dCl, keys), CoClKeys, "n")
-    val dims2 = coDimDims(dP, probe.slice("c", dP.select("customer_id")),
-      byCustomer = false).localCheckpoint(true)
     val t2 = coScale(clNewSlice(dims2.select("policy_id")), dims2)
-    // CL₁ ⊗ P₁ ⊗ ΔC — P₁ sliced to the customer delta's customers
-    val kC = dC.select("customer_id")
-    val pNewSlice = merge(probe.slice("p", kC), sliceOf(dP, kC),
-      Seq("policy_id", "customer_id", "policy_type"), "n")
-    val dims3 = coDimDims(dC, pNewSlice, byCustomer = true)
-      .localCheckpoint(true)
     val t3 = coScale(clNewSlice(dims3.select("policy_id")), dims3)
     Map("cl" -> dCl, "p" -> dP, "c" -> dC,
       "att" -> coAttDelta(Seq(t1, t2, t3)),

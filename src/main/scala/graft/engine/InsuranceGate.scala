@@ -2043,8 +2043,10 @@ object InsuranceGate extends QueryModule {
       specs: Map[String, VersionedStateStore.MergeSpec]): Map[String, DataFrame] = {
     val out = java.nio.file.Files.createTempDirectory("graft_ivm1").toString
     graft.util.TmpReaper.track(out)
-    deltas.foreach { case (t, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$t") }
+    // the per-table Δ writes are independent small jobs — overlap them
+    // (guide §2.6)
+    graft.streaming.VersionedStateStore.inParallel(deltas.toSeq.map {
+      case (t, df) => () => df.write.mode("overwrite").parquet(s"$out/$t") })
     val m3 = store.loadTables(3L, martTables)
     martTables.map { t =>
       val spec = specs(t)

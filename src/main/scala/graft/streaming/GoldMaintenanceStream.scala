@@ -104,7 +104,9 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
     * measured read floor). */
   def loadTables(id: Long, wanted: Seq[String]): Map[String, DataFrame] = {
     val (base, deltaIds) = chainFor(id)
-    wanted.map { t =>
+    // per-table fold+checkpoint jobs are independent — overlap them
+    // (guide §2.6: small jobs leave the cluster idle serially)
+    VersionedStateStore.inParallel(wanted.map { t => () =>
       val frames = (base +: deltaIds).map(read(_, t))
       if (deltaIds.isEmpty) t -> frames.head
       // eager checkpoint: the folded view is consumed several times
@@ -113,7 +115,7 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
       // aggregation recomputes per consumer (read-side shared-subtree
       // trap, measured at the 10× IVM soak)
       else t -> foldFrames(t, frames).localCheckpoint(true)
-    }.toMap
+    }).toMap
   }
 
   private def chainFor(id: Long): (Long, Seq[Long]) = {
@@ -197,7 +199,10 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
     * the caller folds lazily. */
   def save(id: Long, frames: Map[String, DataFrame]): Unit = {
     val dir = new Path(root, id.toString)
-    tables.foreach { t =>
+    // per-table writes are independent jobs on disjoint directories —
+    // overlap them (guide §2.6); the commit marker still lands only
+    // after EVERY write returned, so the atomicity contract is intact
+    VersionedStateStore.inParallel(tables.map { t => () =>
       val out = new Path(dir, t)
       clusterSpecs.get(t) match {
         case Some(cs) =>
@@ -206,7 +211,7 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
         case None =>
           frames(t).write.mode("overwrite").parquet(out.toString)
       }
-    }
+    })
     fs.create(new Path(dir, "_COMMIT"), true).close()
     gc()
   }
@@ -242,8 +247,10 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
       save(id, merged)
     } else {
       val dir = new Path(root, id.toString)
-      tables.foreach(t =>
-        deltas(t).write.mode("overwrite").parquet(new Path(dir, t).toString))
+      // independent |Δ|-sized writes — overlap them (guide §2.6)
+      VersionedStateStore.inParallel(tables.map { t => () =>
+        deltas(t).write.mode("overwrite").parquet(new Path(dir, t).toString)
+      })
       fs.create(new Path(dir, "_DELTA"), true).close()
       fs.create(new Path(dir, "_COMMIT"), true).close()
       gc()
@@ -254,6 +261,26 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
 object VersionedStateStore {
   val DefaultRetain = 3
   val DefaultCompactEvery = 4
+
+  /** Run independent per-table Spark jobs concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially). State-store jobs are SMALL — a handful of tasks
+    * plus commit IO — so one job leaves most of local[N] idle and the
+    * scheduler back-fills the next job's tasks into the gap; the
+    * measured four-mart fold win (SCALE.md r18, 20–30% on every batch
+    * class) is this same overlap one level up. NOT used for jobs that
+    * each saturate the cluster (the sharedCdcDeltas builds — measured
+    * slower concurrent, r16). Thread-local job descriptions/groups
+    * stay per-thread, so UI labeling is unaffected. */
+  private[graft] def inParallel[A](tasks: Seq[() => A]): Seq[A] =
+    if (tasks.lengthCompare(1) <= 0) tasks.map(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(tasks.map(t => Future(t()))),
+        Duration.Inf)
+    }
 
   /** Committed version ids under `root`, ascending — the ONE place
     * that knows the directory layout and the `_COMMIT` marker name
