@@ -405,10 +405,13 @@ object DedupOps extends QueryModule {
         graft.catalyst.GraftFunctions.rollingSpanHashes(col("text"), SpanL)))
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").as("h"))
-    // candidate hashes: >= 2 distinct docs (hash-partitioned agg)
+    // candidate hashes: >= 2 distinct docs (hash-partitioned agg).
+    // ">= 2 distinct" is computed as min(doc) != max(doc) — one plain
+    // aggregation pass instead of countDistinct's two-level distinct
+    // expand (same predicate: 2+ distinct values ⟺ min < max)
     val cand = spans.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
     // only candidates re-join their text and re-materialize the span
     val withTxt = spans.join(cand, "h")
       .join(docs, Seq("doc_id"))
@@ -417,8 +420,8 @@ object DedupOps extends QueryModule {
           .as("sp"))
     // verify by EXACT TEXT equality — drops hash collisions
     val verified = withTxt.groupBy("sp")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("sp")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("sp")
     val dupPos = withTxt.join(verified, "sp")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos.select(col("doc_id"), col("pos"), col("sp"),
@@ -604,17 +607,18 @@ object DedupOps extends QueryModule {
         graft.catalyst.GraftFunctions.rollingSpanHashes(col("text"), SpanL)))
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").as("h"))
+    // ">= 2 distinct docs" as min != max — q226's single-pass shape
     val cand = spans.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
     val withTxt = spans.join(cand, "h")
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos").cast(IntegerType), lit(SpanL))
           .as("sp"))
     val verified = withTxt.groupBy("sp")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("sp")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("sp")
     // keep-first-witness: the corpus-first occurrence of each span text
     // survives; every later occurrence is an excision window
     val wsp = Window.partitionBy("sp").orderBy(col("doc_id"), col("pos"))
