@@ -2047,7 +2047,9 @@ object InsuranceGate extends QueryModule {
     // (guide §2.6)
     graft.streaming.VersionedStateStore.inParallel(deltas.toSeq.map {
       case (t, df) => () => df.write.mode("overwrite").parquet(s"$out/$t") })
-    val m3 = store.loadTables(3L, martTables)
+    // lazy: each folded table is consumed exactly once (by its merge,
+    // whose only consumer is the mart assembly)
+    val m3 = store.loadTables(3L, martTables, materialize = false)
     martTables.map { t =>
       val spec = specs(t)
       t -> IncrementalGold.merge(m3(t), s.read.parquet(s"$out/$t"),

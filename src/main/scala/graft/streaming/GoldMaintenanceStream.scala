@@ -102,19 +102,28 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
     * mart-grain tables (r17 verdict task 1: the full load's eager fold
     * + checkpoint of every fact-adjacent table per batch was the
     * measured read floor). */
-  def loadTables(id: Long, wanted: Seq[String]): Map[String, DataFrame] = {
+  def loadTables(id: Long, wanted: Seq[String],
+      materialize: Boolean = true): Map[String, DataFrame] = {
     val (base, deltaIds) = chainFor(id)
     // per-table fold+checkpoint jobs are independent — overlap them
     // (guide §2.6: small jobs leave the cluster idle serially)
     VersionedStateStore.inParallel(wanted.map { t => () =>
       val frames = (base +: deltaIds).map(read(_, t))
       if (deltaIds.isEmpty) t -> frames.head
-      // eager checkpoint: the folded view is consumed several times
-      // per fold (the bilinear/trilinear probes read each state table
-      // 1–3 times, plus the mart) — without it the base+delta
-      // aggregation recomputes per consumer (read-side shared-subtree
-      // trap, measured at the 10× IVM soak)
-      else t -> foldFrames(t, frames).localCheckpoint(true)
+      // eager checkpoint (default): the folded view is consumed several
+      // times per fold on the legacy full-load path (the bilinear/
+      // trilinear probes read each state table 1–3 times, plus the
+      // mart) — without it the base+delta aggregation recomputes per
+      // consumer (read-side shared-subtree trap, measured at the 10×
+      // IVM soak). Callers whose tables each have exactly ONE consumer
+      // (the keyed mart reads, the compaction merge) pass
+      // materialize=false and inline the fold into the consumer's plan
+      // instead of paying a write+read-back of the folded view (guide
+      // §1.2: don't compute things you throw away).
+      else {
+        val folded = foldFrames(t, frames)
+        t -> (if (materialize) folded.localCheckpoint(true) else folded)
+      }
     }).toMap
   }
 
@@ -237,7 +246,9 @@ final class VersionedStateStore(spark: SparkSession, stateDir: String,
       val merged: Map[String, DataFrame] =
         if (bases.isEmpty) deltas
         else {
-          val cur = load(vs.last)
+          // lazy fold: each table has exactly one consumer here (its
+          // merge, whose only consumer is the compacted write)
+          val cur = loadTables(vs.last, tables, materialize = false)
           tables.map { t =>
             val spec = mergeSpecs(t)
             t -> graft.engine.IncrementalGold.merge(cur(t), deltas(t),
@@ -567,7 +578,9 @@ object GoldMaintenanceStream {
       deltasKeyed: (IncrementalGold.StateProbe, DataFrame) => Map[String, DataFrame],
       martTables: Seq[String],
       martOf: Map[String, DataFrame] => DataFrame): Option[DataFrame] = {
-    def mart(v: Long): DataFrame = martOf(store.loadTables(v, martTables))
+    // lazy mart-grain fold: every mart assembly reads each table once
+    def mart(v: Long): DataFrame =
+      martOf(store.loadTables(v, martTables, materialize = false))
     val last = store.lastCommitted
     if (last.exists(_ >= id)) Some(mart(last.get))
     else if (df.isEmpty) last.map(mart)
@@ -835,7 +848,8 @@ object GoldMaintenanceStream {
     require(compacted,
       s"q228 expected a mid-chain compaction under $stateDir; " +
         s"versions=${store.committedVersions}")
-    val m = store.loadTables(store.lastCommitted.get, Seq("polBase", "cbt"))
+    val m = store.loadTables(store.lastCommitted.get, Seq("polBase", "cbt"),
+      materialize = false)
     IncrementalGold.policyPerfMartFrom(m("polBase"), m("cbt"))
   }
 
