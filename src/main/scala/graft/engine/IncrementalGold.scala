@@ -128,7 +128,15 @@ object IncrementalGold {
   /** Keyed signed merge: full-outer on null-safe keys (a NULL month —
     * null start_date rows — is a real group), numeric columns added
     * with 0-coalesce, groups whose row count reaches zero dropped.
-    * `countCol` names the column that witnesses emptiness. */
+    * `countCol` names the column that witnesses emptiness.
+    *
+    * Physical-shape note (r19, MEASURED): rewriting this as the
+    * store's union + groupBy-sum fold made q224 WORSE (taskrun 367 →
+    * 561 s) — at near-unique state grains the hash aggregate's
+    * map-side partial pass reduces nothing and its per-row buffer
+    * updates cost more than the join's one add per matched key. The
+    * full-outer join stays; nested-fold recompute is attacked one
+    * level up ([[foldPartials]] + the flat replay state views). */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
       countCol: String): DataFrame = {
     val valueCols = state.columns.filterNot(keys.contains)
@@ -147,6 +155,32 @@ object IncrementalGold {
         col(countCol).cast(StringType),
         lit(") — multiset-inconsistent CDC feed"))))
         .otherwise(col(countCol)))
+  }
+
+  /** Flat k-fold of per-batch state partials: union + ONE aggregation
+    * + zero-drop — the [[graft.streaming.VersionedStateStore]]
+    * foldFrames algebra (union + groupBy-sum IS the k-fold [[merge]];
+    * zero-count groups contribute zero to every signed measure, so
+    * dropping them once at the end equals dropping them per level).
+    * The replay gates' state views use this so that EVERY consumer of
+    * state-at-batch-i pays one single-level fold over the checkpointed
+    * batch partials instead of recomputing an i-level nested [[merge]]
+    * cascade (q224's 25-SortMergeJoin plan, r18 verdict item 3). */
+  def foldPartials(frames: Seq[DataFrame], keys: Seq[String],
+      countCol: String): DataFrame = {
+    require(frames.nonEmpty, "foldPartials: no partials")
+    if (frames.lengthCompare(1) == 0) frames.head
+    else {
+      val schema = frames.head.schema
+      val valueCols = frames.head.columns.filterNot(keys.contains)
+      frames.reduce(_ unionByName _)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(valueCols.head)).cast(schema(valueCols.head).dataType)
+          .as(valueCols.head),
+          valueCols.tail.map(c => sum(col(c)).cast(schema(c).dataType)
+            .as(c)): _*)
+        .filter(col(countCol) =!= 0)
+    }
   }
 
   /** Fold one pair of signed silver deltas into the state. With
@@ -262,16 +296,32 @@ object IncrementalGold {
     * PRE-batch CPM, fact attribution reads the POST-batch PT — exactly
     * ΔPT⊗CPM_old + PT_new⊗ΔCPM, which telescopes to the full join. */
   def applyPolicyPerfDelta(st: PolicyPerfState, polDelta: DataFrame,
-      clDelta: DataFrame, materialize: Boolean = true): PolicyPerfState = {
+      clDelta: DataFrame, materialize: Boolean = true,
+      materializeProbes: Boolean = false): PolicyPerfState = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
+    // probe-state tables (pt, cpm) are read MORE THAN ONCE downstream
+    // of a lazy fold — by this batch's attribution terms AND the next
+    // batch's merge — so a fully-lazy multi-batch replay duplicates
+    // their subtrees ~2× per batch (r18 verdict: q224's 237-stage
+    // plan). materializeProbes pins JUST these two per batch, keeping
+    // the mart-grain chain (cbt/polBase) lazy-linear.
+    def matP(df: DataFrame): DataFrame =
+      if (materialize || materializeProbes) df.localCheckpoint(true) else df
     val dPt = ptPartials(polDelta)
     val reattr = attributed(dPt.select(col("policy_id"), col("policy_type"),
       col("n")), st.cpm)
-    val ptNew = mat(merge(st.pt, dPt, Seq("policy_id", "policy_type"), "n"))
     val dCpm = cpmPartials(clDelta)
-    val cpmNew = mat(merge(st.cpm, dCpm,
-      Seq("policy_id", "claim_month"), "n_claims"))
+    // the two probe merges are independent — when materializing,
+    // overlap their checkpoint jobs (guide §2.6)
+    val probeTasks: Seq[() => DataFrame] = Seq(
+      () => matP(merge(st.pt, dPt, Seq("policy_id", "policy_type"), "n")),
+      () => matP(merge(st.cpm, dCpm,
+        Seq("policy_id", "claim_month"), "n_claims")))
+    val Seq(ptNew, cpmNew) =
+      if (materialize || materializeProbes)
+        graft.streaming.VersionedStateStore.inParallel(probeTasks)
+      else probeTasks.map(_())
     val attr = attributed(ptNew, dCpm)
     val cbtNew = mat(merge(st.cbt, cbtDelta(reattr, attr),
       Seq("policy_type", "claim_month"), "n_claims"))
@@ -284,11 +334,19 @@ object IncrementalGold {
     * (re-attribution vacuous, fact attribution against the batch's own
     * dimension). */
   def initPolicyPerf(polDelta: DataFrame, clDelta: DataFrame,
-      materialize: Boolean = true): PolicyPerfState = {
+      materialize: Boolean = true,
+      materializeProbes: Boolean = false): PolicyPerfState = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
-    val pt = mat(ptPartials(polDelta))
-    val cpm = mat(cpmPartials(clDelta))
+    def matP(df: DataFrame): DataFrame =
+      if (materialize || materializeProbes) df.localCheckpoint(true) else df
+    val probeTasks: Seq[() => DataFrame] = Seq(
+      () => matP(ptPartials(polDelta)),
+      () => matP(cpmPartials(clDelta)))
+    val Seq(pt, cpm) =
+      if (materialize || materializeProbes)
+        graft.streaming.VersionedStateStore.inParallel(probeTasks)
+      else probeTasks.map(_())
     val cbt = mat(cbtDelta(
       attributed(pt, cpm).limit(0), attributed(pt, cpm)))
     PolicyPerfState(mat(ppPolBasePartials(polDelta)), pt, cpm, cbt)
@@ -414,14 +472,27 @@ object IncrementalGold {
     * [[applyPolicyPerfDelta]]'s rule with the customer-keyed dimension. */
   def applyCustomer360Delta(st: Customer360State, custDelta: DataFrame,
       polDelta: DataFrame, clDelta: DataFrame,
-      materialize: Boolean = true): Customer360State = {
+      materialize: Boolean = true,
+      materializeProbes: Boolean = false): Customer360State = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
+    // probe-state tables (pc, cpc): see applyPolicyPerfDelta — each is
+    // read by this batch's attribution AND the next batch's merge, so
+    // a lazy replay duplicates their subtrees per batch
+    def matP(df: DataFrame): DataFrame =
+      if (materialize || materializeProbes) df.localCheckpoint(true) else df
     val dPc = c360PcPartials(polDelta)
     val reattr = attributedCust(dPc, st.cpc)
-    val pcNew = mat(merge(st.pc, dPc, Seq("policy_id", "customer_id"), "n"))
     val dCpc = c360CpcPartials(clDelta)
-    val cpcNew = mat(merge(st.cpc, dCpc, Seq("policy_id"), "n_claims"))
+    // the two probe merges are independent — when materializing,
+    // overlap their checkpoint jobs (guide §2.6)
+    val probeTasks: Seq[() => DataFrame] = Seq(
+      () => matP(merge(st.pc, dPc, Seq("policy_id", "customer_id"), "n")),
+      () => matP(merge(st.cpc, dCpc, Seq("policy_id"), "n_claims")))
+    val Seq(pcNew, cpcNew) =
+      if (materialize || materializeProbes)
+        graft.streaming.VersionedStateStore.inParallel(probeTasks)
+      else probeTasks.map(_())
     val attr = attributedCust(pcNew, dCpc)
     val cmNew = mat(merge(st.cm, cmDelta(reattr, attr),
       Seq("customer_id"), "n_claims"))
@@ -437,11 +508,19 @@ object IncrementalGold {
 
   /** Bootstrap from the first batch triple. */
   def initCustomer360(custDelta: DataFrame, polDelta: DataFrame,
-      clDelta: DataFrame, materialize: Boolean = true): Customer360State = {
+      clDelta: DataFrame, materialize: Boolean = true,
+      materializeProbes: Boolean = false): Customer360State = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
-    val pc = mat(c360PcPartials(polDelta))
-    val cpc = mat(c360CpcPartials(clDelta))
+    def matP(df: DataFrame): DataFrame =
+      if (materialize || materializeProbes) df.localCheckpoint(true) else df
+    val probeTasks: Seq[() => DataFrame] = Seq(
+      () => matP(c360PcPartials(polDelta)),
+      () => matP(c360CpcPartials(clDelta)))
+    val Seq(pc, cpc) =
+      if (materialize || materializeProbes)
+        graft.streaming.VersionedStateStore.inParallel(probeTasks)
+      else probeTasks.map(_())
     val cm = mat(cmDelta(attributedCust(pc, cpc).limit(0),
       attributedCust(pc, cpc)))
     Customer360State(mat(c360CustDimPartials(custDelta)),
@@ -639,19 +718,36 @@ object IncrementalGold {
     * term reads). */
   def applyClaimsOpsDelta(st: ClaimsOpsState, custDelta: DataFrame,
       polDelta: DataFrame, clDelta: DataFrame,
-      materialize: Boolean = true): ClaimsOpsState = {
+      materialize: Boolean = true,
+      materializeProbes: Boolean = false): ClaimsOpsState = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
+    // probe-state tables (cl, p, c): the trilinear terms read each of
+    // them 2–3× per batch (st.c in t1 AND t2; st.p in t1 AND t3 via
+    // pNew; clNew in t2 AND t3 AND the carried merge), so a lazy
+    // multi-batch replay triplicates their subtrees per batch — the
+    // r18-verdict 237-WholeStageCodegen q224 plan. materializeProbes
+    // pins JUST these three per batch; the mart-grain att/adj chain
+    // stays lazy-linear.
+    def matP(df: DataFrame): DataFrame =
+      if (materialize || materializeProbes) df.localCheckpoint(true) else df
     val dCl = coClPartials(clDelta)
     val dP = coPPartials(polDelta)
     val dC = coCPartials(custDelta)
+    // the three probe merges are independent — when materializing,
+    // overlap their checkpoint jobs (guide §2.6)
+    val probeTasks: Seq[() => DataFrame] = Seq(
+      () => matP(merge(st.cl, dCl, CoClKeys, "n")),
+      () => matP(merge(st.p, dP,
+        Seq("policy_id", "customer_id", "policy_type"), "n")),
+      () => matP(merge(st.c, dC, Seq("customer_id", "state", "age"), "n")))
+    val Seq(clNew, pNew, cNew) =
+      if (materialize || materializeProbes)
+        graft.streaming.VersionedStateStore.inParallel(probeTasks)
+      else probeTasks.map(_())
     val t1 = coT1(dCl, st.p, st.c)                       // ΔCL ⊗ P₀ ⊗ C₀
-    val clNew = mat(merge(st.cl, dCl, CoClKeys, "n"))
     val t2 = coScale(clNew, coDimDims(dP, st.c, byCustomer = false)) // CL₁⊗ΔP⊗C₀
-    val pNew = mat(merge(st.p, dP,
-      Seq("policy_id", "customer_id", "policy_type"), "n"))
     val t3 = coScale(clNew, coDimDims(dC, pNew, byCustomer = true))  // CL₁⊗P₁⊗ΔC
-    val cNew = mat(merge(st.c, dC, Seq("customer_id", "state", "age"), "n"))
     val attNew = mat(merge(st.att, coAttDelta(Seq(t1, t2, t3)),
       CoAttKeys, "n"))
     val adjNew = mat(merge(st.adj, coAdjPartials(clDelta),
@@ -663,12 +759,20 @@ object IncrementalGold {
     * trilinear rule collapses to CL₁⊗P₁⊗ΔC with every factor the
     * batch's own partials. */
   def initClaimsOps(custDelta: DataFrame, polDelta: DataFrame,
-      clDelta: DataFrame, materialize: Boolean = true): ClaimsOpsState = {
+      clDelta: DataFrame, materialize: Boolean = true,
+      materializeProbes: Boolean = false): ClaimsOpsState = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
-    val cl = mat(coClPartials(clDelta))
-    val p = mat(coPPartials(polDelta))
-    val c = mat(coCPartials(custDelta))
+    def matP(df: DataFrame): DataFrame =
+      if (materialize || materializeProbes) df.localCheckpoint(true) else df
+    val probeTasks: Seq[() => DataFrame] = Seq(
+      () => matP(coClPartials(clDelta)),
+      () => matP(coPPartials(polDelta)),
+      () => matP(coCPartials(custDelta)))
+    val Seq(cl, p, c) =
+      if (materialize || materializeProbes)
+        graft.streaming.VersionedStateStore.inParallel(probeTasks)
+      else probeTasks.map(_())
     val att = mat(coAttDelta(Seq(
       coScale(cl, coDimDims(c, p, byCustomer = true)))))
     ClaimsOpsState(cl, p, c, att, mat(coAdjPartials(clDelta)))

@@ -1168,19 +1168,70 @@ object InsuranceGate extends QueryModule {
         cu.map(mat(_, CustDeltaCols)))
     })
 
+  /** Replay-fold policy for the join-IVM gates (q221/q223/q224), all
+    * value-identical (the oracle gates pin it):
+    *   - "flat" (default, r19): state-at-batch-i is a SINGLE-LEVEL
+    *     [[IncrementalGold.foldPartials]] view over the accumulated
+    *     batch partials, so every consumer pays one fold instead of an
+    *     i-level nested merge cascade (q224's 25-SortMergeJoin plan).
+    *   - "probes": per-batch localCheckpoint of just the probe-state
+    *     tables (measured NEGATIVE at sf0.1 — the checkpoint writes
+    *     cost more than the recompute they save; kept for A/B).
+    *   - "lazy": the r16–r18 fully-lazy nested fold. */
+  private def replayMode: String =
+    sys.env.getOrElse("GRAFT_IVM_REPLAY", "flat")
+  private def replayMatProbes: Boolean = replayMode == "probes"
+
+  /** Flat-fold replay driver: accumulates per-table batch partials;
+    * `stepParts` sees state-at-the-previous-batch as foldPartials
+    * views over them. Returns the final per-table views. */
+  private def replayFold(nBatches: Int,
+      initParts: => Map[String, DataFrame],
+      stepParts: (Map[String, DataFrame], Int) => Map[String, DataFrame],
+      specs: Map[String, graft.streaming.VersionedStateStore.MergeSpec])
+      : Map[String, DataFrame] = {
+    var parts: Map[String, Vector[DataFrame]] =
+      initParts.map { case (t, f) => t -> Vector(f) }
+    def views: Map[String, DataFrame] = parts.map { case (t, fs) =>
+      t -> IncrementalGold.foldPartials(fs, specs(t).keys, specs(t).countCol)
+    }
+    (1 until nBatches).foreach { i =>
+      val d = stepParts(views, i)
+      parts = parts.map { case (t, fs) => t -> (fs :+ d(t)) }
+    }
+    views
+  }
+
   /** Fold all four q218 CDC batches into the policy-performance state
-    * (same feed, second maintained mart; lazy fold per the q218
-    * rationale). */
+    * (same feed, second maintained mart; lazy mart-grain chain per the
+    * q218 rationale, probe tables pinned per [[replayMatProbes]]). */
   private[engine] def cdcPolicyPerfState(s: SparkSession, d: String)
       : IncrementalGold.PolicyPerfState = {
     val (pols, cls, _) = sharedCdcDeltas(s, d)
     val deltas = pols.zip(cls).map { case (p, c) =>
       (IncrementalGold.narrowPpPol(p), IncrementalGold.narrowPpCl(c)) }
-    deltas.tail.foldLeft(
-      IncrementalGold.initPolicyPerf(deltas.head._1, deltas.head._2,
-        materialize = false)) {
-      case (st, (p, c)) =>
-        IncrementalGold.applyPolicyPerfDelta(st, p, c, materialize = false)
+    if (replayMode == "flat") {
+      val m = replayFold(deltas.size,
+        { val (p, c) = deltas.head
+          val st = IncrementalGold.initPolicyPerf(p, c, materialize = false)
+          Map("polBase" -> st.polBase, "pt" -> st.pt, "cpm" -> st.cpm,
+            "cbt" -> st.cbt) },
+        (v, i) => { val (p, c) = deltas(i)
+          IncrementalGold.policyPerfDeltaFrames(
+            IncrementalGold.PolicyPerfState(v("polBase"), v("pt"),
+              v("cpm"), v("cbt")), p, c) },
+        graft.streaming.GoldMaintenanceStream.PerfSpecs)
+      IncrementalGold.PolicyPerfState(m("polBase"), m("pt"), m("cpm"),
+        m("cbt"))
+    } else {
+      val mp = replayMatProbes
+      deltas.tail.foldLeft(
+        IncrementalGold.initPolicyPerf(deltas.head._1, deltas.head._2,
+          materialize = false, materializeProbes = mp)) {
+        case (st, (p, c)) =>
+          IncrementalGold.applyPolicyPerfDelta(st, p, c, materialize = false,
+            materializeProbes = mp)
+      }
     }
   }
 
@@ -1459,12 +1510,30 @@ object InsuranceGate extends QueryModule {
       (IncrementalGold.narrowC360Cust(c),
         IncrementalGold.narrowC360Pol(p),
         IncrementalGold.narrowC360Cl(cl)) }
-    deltas.tail.foldLeft(
-      IncrementalGold.initCustomer360(deltas.head._1, deltas.head._2,
-        deltas.head._3, materialize = false)) {
-      case (st, (c, p, cl)) =>
-        IncrementalGold.applyCustomer360Delta(st, c, p, cl,
-          materialize = false)
+    if (replayMode == "flat") {
+      val m = replayFold(deltas.size,
+        { val (c, p, cl) = deltas.head
+          val st = IncrementalGold.initCustomer360(c, p, cl,
+            materialize = false)
+          Map("custDim" -> st.custDim, "polMetrics" -> st.polMetrics,
+            "polDates" -> st.polDates, "pc" -> st.pc, "cpc" -> st.cpc,
+            "cm" -> st.cm) },
+        (v, i) => { val (c, p, cl) = deltas(i)
+          IncrementalGold.customer360DeltaFrames(
+            IncrementalGold.Customer360State(v("custDim"), v("polMetrics"),
+              v("polDates"), v("pc"), v("cpc"), v("cm")), c, p, cl) },
+        graft.streaming.GoldMaintenanceStream.C360Specs)
+      IncrementalGold.Customer360State(m("custDim"), m("polMetrics"),
+        m("polDates"), m("pc"), m("cpc"), m("cm"))
+    } else {
+      val mp = replayMatProbes
+      deltas.tail.foldLeft(
+        IncrementalGold.initCustomer360(deltas.head._1, deltas.head._2,
+          deltas.head._3, materialize = false, materializeProbes = mp)) {
+        case (st, (c, p, cl)) =>
+          IncrementalGold.applyCustomer360Delta(st, c, p, cl,
+            materialize = false, materializeProbes = mp)
+      }
     }
   }
 
@@ -1640,12 +1709,29 @@ object InsuranceGate extends QueryModule {
       (IncrementalGold.narrowCoCust(c),
         IncrementalGold.narrowCoPol(p),
         IncrementalGold.narrowCoCl(cl)) }
-    deltas.tail.foldLeft(
-      IncrementalGold.initClaimsOps(deltas.head._1, deltas.head._2,
-        deltas.head._3, materialize = false)) {
-      case (st, (c, p, cl)) =>
-        IncrementalGold.applyClaimsOpsDelta(st, c, p, cl,
-          materialize = false)
+    if (replayMode == "flat") {
+      val m = replayFold(deltas.size,
+        { val (c, p, cl) = deltas.head
+          val st = IncrementalGold.initClaimsOps(c, p, cl,
+            materialize = false)
+          Map("cl" -> st.cl, "p" -> st.p, "c" -> st.c, "att" -> st.att,
+            "adj" -> st.adj) },
+        (v, i) => { val (c, p, cl) = deltas(i)
+          IncrementalGold.claimsOpsDeltaFrames(
+            IncrementalGold.ClaimsOpsState(v("cl"), v("p"), v("c"),
+              v("att"), v("adj")), c, p, cl) },
+        graft.streaming.GoldMaintenanceStream.OpsSpecs)
+      IncrementalGold.ClaimsOpsState(m("cl"), m("p"), m("c"), m("att"),
+        m("adj"))
+    } else {
+      val mp = replayMatProbes
+      deltas.tail.foldLeft(
+        IncrementalGold.initClaimsOps(deltas.head._1, deltas.head._2,
+          deltas.head._3, materialize = false, materializeProbes = mp)) {
+        case (st, (c, p, cl)) =>
+          IncrementalGold.applyClaimsOpsDelta(st, c, p, cl,
+            materialize = false, materializeProbes = mp)
+      }
     }
   }
 
