@@ -273,6 +273,23 @@ object VersionedStateStore {
   val DefaultRetain = 3
   val DefaultCompactEvery = 4
 
+  /** Dedicated pool for [[inParallel]]: CACHED (grows on demand, so a
+    * nested inParallel — loadTables inside a delta-builder group —
+    * can never starve: every blocked outer task's inner tasks get
+    * fresh threads), daemon, idle threads reclaimed after 60 s. NOT
+    * ExecutionContext.global: that pool is fixed at CPU count and
+    * blocking Spark actions on it starve unrelated users (r18 advice). */
+  private lazy val ioPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-state-io-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** Run independent per-table Spark jobs concurrently (guide §2.6:
     * actions are only sequential because the driver calls them
     * sequentially). State-store jobs are SMALL — a handful of tasks
@@ -281,16 +298,38 @@ object VersionedStateStore {
     * measured four-mart fold win (SCALE.md r18, 20–30% on every batch
     * class) is this same overlap one level up. NOT used for jobs that
     * each saturate the cluster (the sharedCdcDeltas builds — measured
-    * slower concurrent, r16). Thread-local job descriptions/groups
-    * stay per-thread, so UI labeling is unaffected. */
+    * slower concurrent, r16).
+    *
+    * Failure semantics (r18 advice): EVERY task runs to completion
+    * before the first failure is rethrown — fail-fast would leave
+    * sibling Spark write jobs running detached while the caller
+    * retries into the same version directory, and a later attempt
+    * could _COMMIT-mark a directory a zombie write was still mutating.
+    *
+    * Caveat: Spark's thread-local job descriptions/groups propagate to
+    * pooled threads only at THREAD CREATION (InheritableThreadLocal on
+    * a reused cached pool is unreliable) — do not combine inParallel
+    * with setJobGroup-based cancellation without explicitly copying
+    * local properties into each task. Nothing in the engine does. */
   private[graft] def inParallel[A](tasks: Seq[() => A]): Seq[A] =
     if (tasks.lengthCompare(1) <= 0) tasks.map(_())
     else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(tasks.map(t => Future(t()))),
-        Duration.Inf)
+      val futs = tasks.map { t =>
+        ioPool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = t()
+        })
+      }
+      // in-order get() on every future = a barrier over ALL tasks;
+      // only then surface the first failure (unwrapped)
+      val results = futs.map(f => scala.util.Try(f.get()))
+      results.collectFirst { case scala.util.Failure(e) =>
+        throw (e match {
+          case ee: java.util.concurrent.ExecutionException
+            if ee.getCause != null => ee.getCause
+          case other => other
+        })
+      }
+      results.map(_.get)
     }
 
   /** Committed version ids under `root`, ascending — the ONE place
@@ -571,7 +610,15 @@ object GoldMaintenanceStream {
     * so per-batch cost tracks |Δ| + |mart-grain state|, not |state|.
     * Compaction (inside [[VersionedStateStore.saveDelta]]) still folds
     * the full chain — one |state| read+write amortized over the
-    * compaction window. */
+    * compaction window.
+    *
+    * CONSUMPTION WINDOW (r18 advice): the returned mart is a LAZY fold
+    * over version files (`materialize = false`) — it re-reads them at
+    * execution time instead of pinning a snapshot. Consume (or
+    * checkpoint) it before `retain` further batches commit, or the
+    * re-read can hit GC-deleted version directories. Every engine
+    * consumer executes the mart within its own batch; callers holding
+    * marts across batches must checkpoint them. */
   private def foldDeltaKeyed(df: DataFrame, id: Long,
       store: VersionedStateStore,
       initFrames: DataFrame => Map[String, DataFrame],
