@@ -1160,6 +1160,14 @@ object InsuranceGate extends QueryModule {
       // was MEASURED SLOWER at sf0.1 (gates 59.1 s vs 48.9, ambient ~0
       // both runs) — each job saturates local[32] on the cached silver
       // scan, so overlap only adds scheduler contention
+      // NOTE (r19, measured negative): REBALANCE-ing each delta to
+      // advisory-sized blocks before the checkpoint cut downstream
+      // task counts ~2× (the cpus-proportional ~50 KB blocks looked
+      // like guide-§2 waste) but collapsed the parallelism of the
+      // compute-heavy trilinear consumers to the 1-partition block
+      // (q237 12.1 → 17.6 s, q238 2.5 → 4.7 s at 32c). The block
+      // layout stays scan-split-sized: those consumers are CPU-bound,
+      // not scheduling-bound.
       def mat(df: DataFrame, cols: Seq[String]): DataFrame =
         IncrementalGold.signedDelta(df).select(cols.map(col): _*)
           .localCheckpoint(true)

@@ -777,7 +777,9 @@ object GraphOps extends QueryModule {
         .localCheckpoint(true)
       frontierN = next.count()
       out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
-      visited = visited.unionAll(next).localCheckpoint(true)
+      // lazy union of checkpointed frontiers (r19): re-checkpointing
+      // visited per hop was a whole job rewriting already-pinned bytes
+      visited = visited.unionAll(next)
       visitedN += frontierN
       frontier = next
     }
@@ -1340,12 +1342,17 @@ object GraphOps extends QueryModule {
   def bfsBucketedLoop(be: DataFrame, seeds: DataFrame, maxHops: Int)
       : DataFrame = {
     var frontier = seeds.select(col("node")).localCheckpoint(true)
+    // visited stays a LAZY union of the already-checkpointed frontiers
+    // (r19, guide §1.2): re-checkpointing it per round rewrote bytes
+    // every level had already pinned — one whole job per hop for
+    // nothing; the anti-join consumer reads the ≤maxHops-way union of
+    // node-sized checkpoint scans directly.
     var visited = frontier
     var out = frontier.select(col("node"), lit(0L).as("lvl"))
     for (i <- 1 to maxHops) {
       val next = q201Round(be, frontier, visited).localCheckpoint(true)
       out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
-      visited = visited.unionAll(next).localCheckpoint(true)
+      visited = visited.unionAll(next)
       frontier = next
     }
     out
@@ -1381,7 +1388,8 @@ object GraphOps extends QueryModule {
           .localCheckpoint(true)
         frontierN = next.count()
         out = out.unionAll(next.select(col("node"), lit(i.toLong).as("lvl")))
-        visited = visited.unionAll(next).localCheckpoint(true)
+        // lazy union of checkpointed frontiers (r19, q190 rationale)
+        visited = visited.unionAll(next)
         visitedN += frontierN
         frontier = next
       }
@@ -1463,8 +1471,11 @@ object GraphOps extends QueryModule {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // removed stays a LAZY filter over the checkpointed state (r19):
+      // its own checkpoint was one more job per round rewriting rows
+      // the state checkpoint already pins; both consumers (the count
+      // and the probe) re-run only a trivial filter over cached blocks
       val removed = state.filter(col("deg") < k).select("v")
-        .localCheckpoint(true)
       if (removed.count() == 0L) converged = true
       else state = kcoreRound(be, state, removed, k).localCheckpoint(true)
       round += 1
@@ -1495,8 +1506,10 @@ object GraphOps extends QueryModule {
         var round = 0
         var converged = false
         while (!converged && round < maxRounds) {
+          // lazy filter over the checkpointed state (r19, bucketed-loop
+          // rationale): the per-round removal checkpoint was a job for
+          // rows the state checkpoint already pins
           val removed = state.filter(col("deg") < k).select("v")
-            .localCheckpoint(true)
           if (removed.count() == 0L) converged = true
           else {
             // node-sized removal frame, explicitly broadcast (it fits
